@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+For each query in oracle_sql.json: run the SQL in DuckDB over views of
+the sfDir parquet tables, load the Spark result parquet, sort columns
+by name, and compare values exactly (doubles: exact bit compare first,
+then report max abs diff if mismatched). Reports per-query status.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, bad = [], []
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            bad.append((name, "no spark output")); continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        except Exception as e:
+            bad.append((name, f"spark parquet read failed: {e}")); continue
+        if name not in oracles:
+            status = f"rows-only ({len(got)} rows)"
+            (ok if len(got) > 0 else bad).append(
+                (name, status if len(got) > 0 else "EMPTY rows-only result"))
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            bad.append((name, f"oracle failed: {e}")); continue
+        got = got[sorted(got.columns)]
+        exp_cols = sorted(exp.columns)
+        if sorted(got.columns) != exp_cols:
+            bad.append((name, f"columns differ: spark={sorted(got.columns)} oracle={exp_cols}"))
+            continue
+        exp = exp[exp_cols]
+        if len(got) != len(exp):
+            bad.append((name, f"row count: spark={len(got)} oracle={len(exp)}"))
+            continue
+        diffs = []
+        for c in exp_cols:
+            gv, ev = got[c].tolist(), exp[c].tolist()
+            for i, (g, e) in enumerate(zip(gv, ev)):
+                if g is None and e is None:
+                    continue
+                if isinstance(g, float) and isinstance(e, float):
+                    if g != e and not (g != g and e != e):
+                        diffs.append((c, i, g, e))
+                elif str(g) != str(e):
+                    diffs.append((c, i, g, e))
+                if len(diffs) > 3:
+                    break
+            if len(diffs) > 3:
+                break
+        if diffs:
+            bad.append((name, "value diffs: " + "; ".join(
+                f"{c}[{i}]: spark={g!r} oracle={e!r}" for c, i, g, e in diffs[:4])))
+        else:
+            ok.append((name, f"MATCH ({len(got)} rows)"))
+    for n, s in ok:
+        print(f"  OK  {n}: {s}")
+    for n, s in bad:
+        print(f" FAIL {n}: {s}")
+    print(f"\n{len(ok)} ok, {len(bad)} failed")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

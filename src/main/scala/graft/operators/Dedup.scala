@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are pure DataFrame transformations: they shuffle on
+  * content-derived keys (hash buckets), never collect to the driver,
+  * and scale horizontally — the LSH family turns the O(n²) pair
+  * problem into a bucket-local join, which is the only shape that
+  * survives 100 TB.
+  */
+object Dedup {
+
+  /** Lower-cased whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Distinct word n-gram shingles over a tokens column named
+    * `tokCol` — the unit of near-duplicate comparison. Pure
+    * higher-order functions: stays inside whole-stage codegen, no
+    * UDF, no explode blowup. */
+  def shingleExpr(tokCol: String, n: Int = 3): Column = {
+    val parts = (0 until n)
+      .map(k => s"element_at($tokCol, CAST(i + $k AS INT))").mkString(", ")
+    // guard: Spark's sequence(1, 0) counts DOWN, so short docs need an
+    // explicit empty-array branch.
+    expr(
+      s"""CASE WHEN size($tokCol) < $n THEN array()
+         |ELSE array_distinct(transform(
+         |  sequence(1, size($tokCol) - ${n - 1}),
+         |  i -> concat_ws(' ', $parts))) END""".stripMargin)
+  }
+
+  /** id + distinct shingle set per document. */
+  def withShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), shingleExpr("tk", n).as("sh"))
+
+  /** Exact dedup: hash-group identical content, keep the smallest id
+    * as the representative. One shuffle on a 128-bit content hash —
+    * never on the text itself, so wide documents don't inflate the
+    * exchange. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: for each of `numHashes` hash families, the
+    * minimum xxhash64(shingle, seed=i) over the shingle set. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
+    withShingles(df, idCol, textCol, shingleSize)
+      .select(col(idCol), expr(
+        s"""transform(sequence(0, ${numHashes - 1}),
+           |  i -> array_min(transform(sh, s -> xxhash64(s, i))))"""
+          .stripMargin).as("sig"))
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`,
+    * hash each band, emit (band_idx, band_hash, id) bucket rows.
+    * Docs sharing any band bucket are near-duplicate candidates; the
+    * band hash is the shuffle key — uniform, skew-free. */
+  def lshBuckets(sigs: DataFrame, idCol: String,
+      rowsPerBand: Int = 4): DataFrame =
+    sigs.select(col(idCol), posexplode(expr(
+      s"""transform(
+         |  sequence(0, CAST(size(sig)/$rowsPerBand AS INT) - 1),
+         |  b -> xxhash64(concat_ws(',',
+         |    transform(slice(sig, b*$rowsPerBand + 1, $rowsPerBand),
+         |              x -> CAST(x AS STRING))), b))""".stripMargin))
+      .as(Seq("band_idx", "band_hash")))
+
+  /** Candidate near-duplicate pairs: bucket-local self-join, a<b to
+    * halve the pair space, distinct across bands. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBuckets(
+      minhashSignatures(df, idCol, textCol, numHashes), idCol, rowsPerBand)
+    val l = b.toDF("a_id", "band_idx", "band_hash")
+    val r = b.toDF("b_id", "band_idx", "band_hash")
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** SimHash: 64-bit fingerprint whose bits are the signs of per-bit
+    * weighted sums of token hashes. explode → one xxhash64 per token
+    * → 64 conditional sums in a single hash aggregate — vectorized,
+    * one shuffle on the id. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val fp = (0 until 64).map { j =>
+      when(col(s"b$j") >= 0, lit(1L * (1L << j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (built-in
+    * bit_count: codegen'd, no UDF). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(aSh: Column, bSh: Column): Column =
+    size(array_intersect(aSh, bSh)).cast("double") /
+      size(array_union(aSh, bSh)).cast("double")
+}

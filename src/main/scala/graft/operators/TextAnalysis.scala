@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * per-row narrow transformations — no shuffle at all — so they
+  * stream at scan speed over any corpus size.
+  */
+object TextAnalysis {
+
+  private val stopwordsEn =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  private def markers = Map(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def inList(xs: Seq[String]) =
+    xs.map(x => s"'${x.replace("'", "''")}'").mkString("(", ", ", ")")
+
+  /** Marker-word count for one language over a tokens column name. */
+  def markerCount(tokCol: String, lang: String): Column =
+    expr(s"size(filter($tokCol, x -> x IN ${inList(markers(lang))}))")
+
+  /** n-gram-heuristic language ID: count language marker words and
+    * take the argmax (deterministic tie-break: en>de>es>fr>zh). */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val withTok = df.select(col(idCol), col(textCol),
+      Dedup.tokens(col(textCol)).as("tk"))
+    val withScores = langs.foldLeft(withTok) { (d, l) =>
+      d.withColumn(s"score_$l", markerCount("tk", l).cast("long"))
+    }
+    val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    val guess = langs.reverse.foldLeft(lit("und")) { (e, l) =>
+      when(col(s"score_$l") === best && best > 0, l).otherwise(e)
+    }
+    withScores.select(col(idCol) +: guess.as("guess_lang") +:
+      langs.map(l => col(s"score_$l")): _*)
+  }
+
+  /** Quality signals: token count, mean token length, punctuation
+    * ratio, stopword ratio, uppercase ratio. Ratios are exact
+    * integer/integer double divisions — reproducible across engines. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol), Dedup.tokens(t).as("tk"), t.as("txt"))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (length(col("txt")).cast("double") / size(col("tk")).cast("double"))
+          .as("chars_per_token"),
+        ((length(col("txt")) - length(regexp_replace(col("txt"), "[.,!?;:]", "")))
+          .cast("double") / length(col("txt")).cast("double")).as("punct_ratio"),
+        (expr(s"size(filter(tk, x -> x IN ${inList(stopwordsEn)}))")
+          .cast("double") / size(col("tk")).cast("double")).as("stopword_ratio"),
+        ((length(col("txt")) - length(regexp_replace(col("txt"), "[A-Z]", "")))
+          .cast("double") / length(col("txt")).cast("double")).as("upper_ratio"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex
+    * segmentation (letter runs / digit runs / single punctuation). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("ws_tokens"),
+      expr(s"""CAST(size(regexp_extract_all($textCol,
+              |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS BIGINT)"""
+        .stripMargin).as("bpe_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** Rolling polynomial fingerprint over the document's characters:
+    * h = (h*31 + codepoint) mod 1e9+7. Pure fold inside codegen — the
+    * same fold is expressible in ANSI SQL for the oracle. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      expr(s"""CASE WHEN length($textCol) = 0 THEN CAST(0 AS BIGINT)
+              |ELSE aggregate(sequence(1, length($textCol)),
+              |  CAST(0 AS BIGINT),
+              |  (h, i) -> (h * 31 + ascii(substring($textCol, i, 1))) % 1000000007)
+              |END""".stripMargin).as("fingerprint"))
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryUtil._
+
+/** Batch analytics over the `events` table: time bucketing,
+  * sessionization, pivot. (The reference has no temporal operators —
+  * these exercise the Spark-native extension surface; streaming
+  * variants live in graft.streaming.)
+  */
+object EventsQ {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- tumbling 1h windows keyed by epoch millis (bigint output
+    // avoids timestamp-type mismatch between engines).
+    "q37_events_hourly" -> Q(
+      (s, dir) => tbl(s, dir, "events")
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(cents(col("value")))).as("total_value"))
+        .orderBy(col("hour_ms"), col("event_type")),
+      Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |count(*) AS cnt, ${oSumCents("value")} AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin)),
+
+    // ---- sessionization: 30-minute inactivity gap splits sessions;
+    // pure window-function formulation, no stateful shuffle loops.
+    "q38_sessionization" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        tbl(s, dir, "events")
+          .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ms").isNull
+              || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts,
+        |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ms
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- pivot: event_type counts to columns per user.
+    "q39_pivot_event_types" -> Q(
+      (s, dir) => tbl(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+        |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

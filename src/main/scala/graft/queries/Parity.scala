@@ -1,0 +1,557 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Reference-parity relational surface (SURVEY.md §2.2–§2.8): scans,
+  * projection/filter, all five join kinds plus semi/anti, hash
+  * aggregation, DISTINCT, sorts, limit/offset, set operations,
+  * subqueries, CASE/NULL handling, and the scalar function library
+  * the reference reaches through DataFusion (SURVEY §2.8,
+  * `/root/reference/src/execute_impl/select.rs:41-95`). Everything is
+  * declared through the DataFrame API so Catalyst plans pushdown,
+  * pruning and join strategy selection itself.
+  *
+  * Every query ends in a deterministic total ORDER BY and aliases
+  * every computed column identically to its oracle SQL.
+  */
+object Parity {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- aggregation (TPC-H Q1 shape): partial+final hash agg, exact
+    // integer-cents sums so the hash compare is order-insensitive.
+    "q01_pricing_summary" -> Q(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            money(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+            money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+              .as("sum_disc_price"),
+            (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |${oSumCents("l_extendedprice")} AS sum_base_price,
+        |${oSumCents4("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+        |sum(l_quantity)/count(*) AS avg_qty,
+        |count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- filter + projection with row-level arithmetic (row-level
+    // doubles are bit-identical across engines; no rounding needed).
+    "q02_filter_project" -> Q(
+      (s, dir) => tbl(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.02, 0.06)
+          && col("l_quantity") < 30
+          && col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+        // (l_orderkey, l_linenumber) is NOT unique in this generator's
+        // lineitem — net_price completes the total order.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"))
+        .limit(500),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |l_extendedprice*(1-l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 30
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber, net_price LIMIT 500""".stripMargin)),
+
+    // ---- 3-way inner join + agg + top-k (TPC-H Q3 shape). customer
+    // is tiny vs lineitem: Catalyst/AQE broadcasts it.
+    "q03_top_revenue_customers" -> Q(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders")
+        val l = tbl(s, dir, "lineitem")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT c_custkey, c_name,
+        |${oSumCents4("l_extendedprice*(1-l_discount)")} AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // ---- left outer join: every customer, zero-order ones included.
+    "q04_left_join_order_counts" -> Q(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // ---- right outer join (reference forwards RIGHT OUTER verbatim,
+    // SURVEY §2.3).
+    "q05_right_join" -> Q(
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            money(sum(cents(col("o_totalprice")))).as("total_spend"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |${oSumCents("o_totalprice")} AS total_spend
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // ---- full outer join over deliberately mismatched key sets.
+    "q06_full_outer_join" -> Q(
+      (s, dir) => {
+        val a = tbl(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_f_orders"))
+        val b = tbl(s, dir, "customer")
+          .filter(col("c_acctbal") > 8000)
+          .select(col("c_custkey"), col("c_acctbal"))
+        a.join(b, a("o_custkey") === b("c_custkey"), "full")
+          .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+            col("n_f_orders"), col("c_acctbal"))
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT coalesce(o_custkey, c_custkey) AS custkey, n_f_orders, c_acctbal
+        |FROM (SELECT o_custkey, count(*) AS n_f_orders FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
+        |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+        |      WHERE c_acctbal > 8000) b
+        |ON a.o_custkey = b.c_custkey
+        |ORDER BY custkey""".stripMargin)),
+
+    // ---- cross join (reference: implicit comma-list FROM, §2.3).
+    "q07_cross_join" -> Q(
+      (s, dir) => tbl(s, dir, "region")
+        .crossJoin(tbl(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- semi join (EXISTS / IN): Spark left_semi.
+    "q08_semi_join" -> Q(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- anti join (NOT EXISTS): Spark left_anti. Inner side is
+    // filtered so the anti set is non-trivial (every customer has
+    // *some* order in this corpus).
+    "q09_anti_join" -> Q(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- SELECT DISTINCT (§2.4).
+    "q10_distinct" -> Q(
+      (s, dir) => tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- top-k: sort + limit fuse into TakeOrderedAndProject.
+    "q11_topk_orders" -> Q(
+      (s, dir) => tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- multi-column mixed-direction sort.
+    "q12_sort_multi" -> Q(
+      (s, dir) => tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .orderBy(col("p_brand").asc, col("p_size").desc, col("p_partkey").asc)
+        .limit(50),
+      Some("""SELECT p_partkey, p_brand, p_size FROM part
+        |ORDER BY p_brand ASC, p_size DESC, p_partkey ASC LIMIT 50""".stripMargin)),
+
+    // ---- UNION ALL across heterogeneous sources.
+    "q13_union_all" -> Q(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey").as("entity_key"), lit("customer").as("src"))
+        val su = tbl(s, dir, "supplier")
+          .select(col("s_suppkey").as("entity_key"), lit("supplier").as("src"))
+        c.union(su).orderBy(col("src"), col("entity_key"))
+      },
+      Some("""SELECT * FROM (
+        |  SELECT c_custkey AS entity_key, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS entity_key, 'supplier' AS src FROM supplier)
+        |ORDER BY src, entity_key""".stripMargin)),
+
+    // ---- UNION DISTINCT.
+    "q14_union_distinct" -> Q(
+      (s, dir) => {
+        val n = tbl(s, dir, "nation").select(col("n_regionkey").as("k"))
+        val r = tbl(s, dir, "region").select(col("r_regionkey").as("k"))
+        n.union(r).distinct().orderBy(col("k"))
+      },
+      Some("""SELECT n_regionkey AS k FROM nation
+        |UNION SELECT r_regionkey AS k FROM region ORDER BY k""".stripMargin)),
+
+    // ---- INTERSECT (distinct semantics on both engines).
+    "q15_intersect" -> Q(
+      (s, dir) => tbl(s, dir, "nation").select(col("n_nationkey").as("k"))
+        .intersect(tbl(s, dir, "region").select(col("r_regionkey").as("k")))
+        .orderBy(col("k")),
+      Some("""SELECT n_nationkey AS k FROM nation
+        |INTERSECT SELECT r_regionkey AS k FROM region ORDER BY k""".stripMargin)),
+
+    // ---- EXCEPT.
+    "q16_except" -> Q(
+      (s, dir) => tbl(s, dir, "nation").select(col("n_nationkey").as("k"))
+        .except(tbl(s, dir, "region").select(col("r_regionkey").as("k")))
+        .orderBy(col("k")),
+      Some("""SELECT n_nationkey AS k FROM nation
+        |EXCEPT SELECT r_regionkey AS k FROM region ORDER BY k""".stripMargin)),
+
+    // ---- GROUP BY + HAVING (§2.4).
+    "q22_having" -> Q(
+      (s, dir) => tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- CASE WHEN buckets + NULL constructors (nullif / count skips
+    // nulls).
+    "q23_case_null" -> Q(
+      (s, dir) => tbl(s, dir, "lineitem")
+        .select(
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high").as("band"),
+          nullif(col("l_discount"), lit(0.0)).as("nn_disc"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("nn_disc")).as("n_discounted"))
+        .orderBy(col("band")),
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |  WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+        |count(*) AS cnt,
+        |count(nullif(l_discount, 0.0)) AS n_discounted
+        |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin)),
+
+    // ---- IN-list / BETWEEN / LIKE predicate grammar (§2.8).
+    "q24_in_between_like" -> Q(
+      (s, dir) => tbl(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+          && col("p_size").between(5, 35)
+          && col("p_name").like("%e%"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+        |  AND p_size BETWEEN 5 AND 35 AND p_name LIKE '%e%'
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- scalar math library (§2.8). sqrt is IEEE-exact; exp/ln/pow
+    // can differ by an ulp between libm implementations, so rounded.
+    "q25_math_fns" -> Q(
+      (s, dir) => tbl(s, dir, "part")
+        .select(col("p_partkey"),
+          abs(col("p_size") - 25).as("abs_v"),
+          ceil(col("p_retailprice")).as("ceil_v"),
+          floor(col("p_retailprice")).as("floor_v"),
+          sqrt(col("p_size")).as("sqrt_v"),
+          round(exp(col("p_size") / 10.0), 6).as("exp_v"),
+          round(log(col("p_size")), 8).as("ln_v"),
+          round(log10(col("p_size")), 8).as("log10_v"),
+          round(pow(col("p_size"), 2.0), 6).as("pow_v"),
+          signum(col("p_size") - 25).as("sign_v"),
+          (col("p_partkey") % 7).as("mod_v"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+        |abs(p_size - 25) AS abs_v,
+        |CAST(ceil(p_retailprice) AS BIGINT) AS ceil_v,
+        |CAST(floor(p_retailprice) AS BIGINT) AS floor_v,
+        |sqrt(p_size) AS sqrt_v,
+        |round(exp(p_size/10.0), 6) AS exp_v,
+        |round(ln(p_size), 8) AS ln_v,
+        |round(log10(p_size), 8) AS log10_v,
+        |round(pow(p_size, 2.0), 6) AS pow_v,
+        |CAST(sign(p_size - 25) AS DOUBLE) AS sign_v,
+        |p_partkey % 7 AS mod_v
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- scalar string library (§2.8).
+    "q26_string_fns" -> Q(
+      (s, dir) => tbl(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("up_seg"),
+          lower(col("c_name")).as("lo_name"),
+          substring(col("c_name"), 10, 5).as("sub_name"),
+          length(col("c_name")).cast("long").as("len_name"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("cw"),
+          regexp_replace(col("c_name"), "Customer", "C").as("rep_name"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          lpad(col("c_custkey").cast("string"), 12, "0").as("lp"),
+          rpad(col("c_mktsegment"), 12, "x").as("rp"),
+          instr(col("c_name"), "#").cast("long").as("pos_hash"),
+          trim(lpad(col("c_mktsegment"), 15, " ")).as("tr"),
+          expr("left(c_name, 8)").as("left8"),
+          expr("right(c_name, 4)").as("right4"),
+          repeat(substring(col("c_name"), 1, 1), 3).as("rep3"),
+          ascii(col("c_name")).as("asc_v"),
+          md5(col("c_name")).as("md5_v"),
+          sha2(col("c_name"), 256).as("sha256_v"),
+          expr("split_part(c_name, '#', 2)").as("sp"),
+          col("c_name").startsWith("Customer").as("sw"),
+          translate(col("c_name"), "0123", "abcd").as("tl"))
+        .orderBy(col("c_custkey")).limit(200),
+      Some("""SELECT c_custkey,
+        |upper(c_mktsegment) AS up_seg,
+        |lower(c_name) AS lo_name,
+        |substr(c_name, 10, 5) AS sub_name,
+        |length(c_name) AS len_name,
+        |concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS cw,
+        |regexp_replace(c_name, 'Customer', 'C', 'g') AS rep_name,
+        |reverse(c_mktsegment) AS rev_seg,
+        |lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS lp,
+        |rpad(c_mktsegment, 12, 'x') AS rp,
+        |CAST(strpos(c_name, '#') AS BIGINT) AS pos_hash,
+        |trim(lpad(c_mktsegment, 15, ' ')) AS tr,
+        |left(c_name, 8) AS left8,
+        |right(c_name, 4) AS right4,
+        |repeat(substr(c_name, 1, 1), 3) AS rep3,
+        |ascii(c_name) AS asc_v,
+        |md5(c_name) AS md5_v,
+        |sha256(c_name) AS sha256_v,
+        |split_part(c_name, '#', 2) AS sp,
+        |starts_with(c_name, 'Customer') AS sw,
+        |translate(c_name, '0123', 'abcd') AS tl
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin)),
+
+    // ---- date/time library (§2.8): extraction, formatting, trunc,
+    // interval arithmetic, epoch millis.
+    "q27_date_fns" -> Q(
+      (s, dir) => tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate_str"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long")
+            .as("days_since"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          expr("date_format(o_orderdate + INTERVAL 30 DAY, 'yyyy-MM-dd')").as("plus30"))
+        .orderBy(col("o_orderkey")).limit(300),
+      Some("""SELECT o_orderkey,
+        |year(o_orderdate) AS yr,
+        |month(o_orderdate) AS mo,
+        |day(o_orderdate) AS dy,
+        |quarter(o_orderdate) AS qtr,
+        |strftime(o_orderdate, '%Y-%m-%d') AS odate_str,
+        |date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+        |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin)),
+
+    // ---- COUNT(DISTINCT) single and multi (§2.4).
+    "q28_count_distinct" -> Q(
+      (s, dir) => tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_orderkey")).as("n_ord"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        |count(DISTINCT l_suppkey) AS n_supp,
+        |count(DISTINCT l_partkey) AS n_part,
+        |count(DISTINCT l_orderkey) AS n_ord
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- statistical aggregates (DataFusion 6 built-in family,
+    // §2.4): rounded — these are genuinely order-sensitive.
+    "q29_stats" -> Q(
+      (s, dir) => tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 3).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        |round(stddev_samp(l_quantity), 3) AS sd_qty,
+        |round(var_samp(l_quantity), 3) AS var_qty,
+        |round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- ordered array_agg / string_agg (DataFusion's array_agg,
+    // §2.4) made deterministic by sorting inside the group.
+    "q30_string_agg" -> Q(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer").filter(col("c_custkey") < 200)
+        c.groupBy(col("c_nationkey"))
+          .agg(concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey,
+        |string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |count(*) AS cnt
+        |FROM customer WHERE c_custkey < 200
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- ROLLUP (beyond reference parity — Spark/DuckDB both native).
+    "q31_rollup" -> Q(
+      (s, dir) => tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |coalesce(l_linestatus, 'ALL') AS lstatus,
+        |count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin)),
+
+    // ---- CUBE.
+    "q32_cube" -> Q(
+      (s, dir) => tbl(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(cents(col("o_totalprice")))).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("total"))
+        .orderBy(col("status"), col("priority")),
+      Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |count(*) AS cnt, ${oSumCents("o_totalprice")} AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)),
+
+    // ---- uncorrelated scalar subquery.
+    "q33_scalar_subquery" -> Q(
+      (s, dir) => {
+        val p = tbl(s, dir, "part")
+        val avgPrice = p.agg(avg(col("p_retailprice")).as("a"))
+        p.join(avgPrice)
+          .filter(col("p_retailprice") > col("a"))
+          .select(col("p_partkey"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- correlated EXISTS with predicate on the inner side.
+    "q34_exists_correlated" -> Q(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer c WHERE EXISTS (
+        |SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_totalprice > 450000) ORDER BY c_custkey""".stripMargin)),
+
+    // ---- 5-way star join, revenue per nation (TPC-H Q5 shape): two
+    // broadcastable dims + three fact-side joins; AQE picks strategy.
+    "q35_regional_revenue" -> Q(
+      (s, dir) => {
+        val r = tbl(s, dir, "region")
+        val n = tbl(s, dir, "nation")
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders")
+        val l = tbl(s, dir, "lineitem")
+        r.join(n, r("r_regionkey") === n("n_regionkey"))
+          .join(c, n("n_nationkey") === c("c_nationkey"))
+          .join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name,
+        |${oSumCents4("l_extendedprice*(1-l_discount)")} AS revenue,
+        |count(*) AS n_items
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- LIMIT + OFFSET pagination over a total order.
+    "q36_limit_offset" -> Q(
+      (s, dir) => tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(100).limit(20),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin)),
+
+    // ---- mixed equi + non-equi join condition.
+    "q41_nonequi_join" -> Q(
+      (s, dir) => {
+        val p = tbl(s, dir, "part")
+        val l = tbl(s, dir, "lineitem")
+        p.join(l, p("p_partkey") === l("l_partkey") && l("l_quantity") > p("p_size"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_over"),
+            sum(col("l_quantity")).cast("long").as("qty_over"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(*) AS n_over,
+        |CAST(sum(l_quantity) AS BIGINT) AS qty_over
+        |FROM part JOIN lineitem
+        |ON p_partkey = l_partkey AND l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+  )
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, MultiModal, Similarity, TextAnalysis}
+import QueryUtil._
+
+/** Large-scale training-data pipeline operators (driver-mandated
+  * extension surface, beyond reference parity): deduplication
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * near-dup), similarity search (brute-force + LSH ANN), text
+  * analysis (language ID / quality / tokens / fingerprint), and
+  * multimodal binary-column plumbing. SQL-expressible ones carry a
+  * DuckDB oracle; hash-based ones (xxhash64 has no DuckDB twin) get
+  * rows-only checks plus ScalaTest golden specs.
+  */
+object Pipeline {
+
+  private val duckShingles =
+    """SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(tk) - 1, 1)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |FROM (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS tk
+      |      FROM documents)""".stripMargin
+
+  private val duckCos =
+    (a: String, b: String) =>
+      s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- exact dedup: hash-group on content hash.
+    "p01_dedup_exact" -> Q(
+      (s, dir) => Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id")),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    // ---- word-3-gram Jaccard similarity between consecutive docs.
+    "p02_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val sh = Dedup.withShingles(tbl(s, dir, "documents"), "doc_id", "text")
+        val a = sh.toDF("doc_id", "a_sh")
+        val b = sh.toDF("b_id", "b_sh")
+        a.join(b, col("b_id") === col("doc_id") + 1)
+          .select(col("doc_id"),
+            Dedup.jaccard(col("a_sh"), col("b_sh")).as("jac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS ($duckShingles)
+        |SELECT a.doc_id AS doc_id,
+        |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- MinHash + LSH candidate mining (xxhash64-based → rows-only;
+    // per-doc candidate counts so the result is never empty even on a
+    // dup-free corpus).
+    "p03_minhash_lsh" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        val perDoc = cand.select(col("a_id").as("doc_id"))
+          .union(cand.select(col("b_id").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- SimHash fingerprints + hamming distance to the next doc.
+    "p04_simhash" -> Q(
+      (s, dir) => {
+        val fp = Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
+        val nxt = fp.toDF("b_id", "b_simhash")
+        fp.join(nxt, col("b_id") === col("doc_id") + 1, "left")
+          .select(col("doc_id"), col("simhash"),
+            Dedup.hamming(col("simhash"), col("b_simhash")).as("ham_next"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- embedding near-dup: max cosine over the next 20 vectors.
+    "p05_embedding_neardup" -> Q(
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        val a = e.toDF("vec_id", "av")
+        val b = e.toDF("b_id", "bv")
+        a.join(b, col("b_id") > col("vec_id") && col("b_id") <= col("vec_id") + 20)
+          .groupBy(col("vec_id"))
+          .agg(round(max(Similarity.cosineExpr("av", "bv")), 4).as("max_cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_id,
+        |round(max(${duckCos("a.v", "b.v")}), 4) AS max_cos
+        |FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+        |GROUP BY a.vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ---- brute-force cosine top-10 for query vectors (vec_id < 5).
+    "p06_ann_bruteforce" -> Q(
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 10)
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("score"), 4).as("score"), col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |  ${duckCos("q.v", "e.v")} AS s
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+        |ranked AS (SELECT q_id, neighbor_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, round(s, 4) AS score, rnk
+        |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- LSH-bucketed ANN (scale path; recall measured in specs).
+    "p07_ann_lsh" -> Q(
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", 10)
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("score"), 4).as("score"), col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      None),
+
+    // ---- n-gram-heuristic language ID.
+    "p08_langid" -> Q(
+      (s, dir) => TextAnalysis.languageId(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |  str_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(tk, x -> x IN ('el','la','los','que','es'))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(tk, x -> x IN ('le','les','des','et','est'))) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(tk, x -> x IN ('的','是','了','在','我'))) AS BIGINT) AS score_zh
+        |  FROM t),
+        |g AS (SELECT *, greatest(score_en, score_de, score_es, score_fr, score_zh) AS best FROM s)
+        |SELECT doc_id,
+        |CASE WHEN best > 0 AND score_en = best THEN 'en'
+        |     WHEN best > 0 AND score_de = best THEN 'de'
+        |     WHEN best > 0 AND score_es = best THEN 'es'
+        |     WHEN best > 0 AND score_fr = best THEN 'fr'
+        |     WHEN best > 0 AND score_zh = best THEN 'zh'
+        |     ELSE 'und' END AS guess_lang,
+        |score_en, score_de, score_es, score_fr, score_zh
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring: exact integer/integer ratios.
+    "p09_text_quality" -> Q(
+      (s, dir) => TextAnalysis.qualityScore(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |CAST(len(tk) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS DOUBLE)/CAST(len(tk) AS DOUBLE) AS chars_per_token,
+        |CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |  / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |  / CAST(len(tk) AS DOUBLE) AS stopword_ratio,
+        |CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |  / CAST(length(text) AS DOUBLE) AS upper_ratio
+        |FROM (SELECT doc_id, text,
+        |  str_split_regex(trim(lower(text)), '\s+') AS tk FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- token counting: whitespace + BPE-ish regex segmentation.
+    "p10_token_count" -> Q(
+      (s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |CAST(len(str_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- rolling polynomial document fingerprint.
+    "p11_fingerprint" -> Q(
+      (s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(range(1, length(text) + 1),
+        |    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |  (h, c) -> (h * 31 + c) % 1000000007)
+        |END AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus stats per language.
+    "p12_doc_stats" -> Q(
+      (s, dir) => tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")) / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars,
+        |count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- multimodal metadata over opaque binary content.
+    "p13_multimodal_meta" -> Q(
+      (s, dir) => MultiModal.asMedia(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("media_type"),
+          expr("octet_length(content)").cast("long").as("byte_len"),
+          md5(col("content")).as("content_md5"),
+          col("width"), col("height"))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id, 'image/stub' AS media_type,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |md5(text) AS content_md5,
+        |CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+        |CAST(doc_id % 480 + 32 AS INTEGER) AS height
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- multimodal feature extraction through the stub decoder
+    // (mapPartitions plumbing; deterministic fake features).
+    "p14_multimodal_features" -> Q(
+      (s, dir) => MultiModal.extractFeatures(
+          MultiModal.asMedia(tbl(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("byte_len"),
+          round(col("mean_byte"), 4).as("mean_byte"), col("entropy_bucket"))
+        .orderBy(col("media_id")),
+      None)
+  )
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A named query: Spark-side DataFrame builder + (optionally) the
+  * equivalent ANSI SQL the DuckDB oracle runs on the same parquet
+  * tables. Queries without an oracle get a weaker rows-only check.
+  */
+final case class Q(
+    df: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object QueryUtil {
+  /** Read one driver-generated table (TESTDATA.md layout).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as a raw nanos long and normalize to a
+    * microsecond timestamp (lossless here — the generator emits µs
+    * resolution, and DuckDB's TIMESTAMP is µs too). */
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = {
+      if (name == "events")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+    }
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Exact-sum trick for money columns: double sums are
+    * order-sensitive at the ulp level, so a parallel Spark sum and a
+    * serial DuckDB sum can differ in the last bits and break a hash
+    * compare. Converting 2-decimal money to integer cents first makes
+    * the aggregation exact and order-independent on both engines
+    * (sums stay far below 2^53). */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Same for 4-decimal products like extendedprice*(1-discount). */
+  def cents4(c: Column): Column = round(c * 10000, 0).cast("long")
+
+  /** Back to a double amount; exact integer / constant is
+    * deterministic IEEE division on both engines. */
+  def money(c: Column): Column = c.cast("double") / 100.0
+  def money4(c: Column): Column = c.cast("double") / 10000.0
+
+  /** DuckDB-side spellings of the same tricks (sum of BIGINT is
+    * HUGEINT in DuckDB, hence the outer cast). */
+  val oCents = "CAST(round(%s*100) AS BIGINT)"
+  def oSumCents(e: String): String =
+    s"CAST(sum(CAST(round(($e)*100) AS BIGINT)) AS DOUBLE)/100.0"
+  def oSumCents4(e: String): String =
+    s"CAST(sum(CAST(round(($e)*10000) AS BIGINT)) AS DOUBLE)/10000.0"
+}
