@@ -1,0 +1,736 @@
+package graft.engine
+
+import java.io.File
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{ExplainMode, ExtendedMode, SimpleMode}
+import org.apache.spark.sql.functions._
+
+import SqlText._
+
+/** Spark-native SQL engine with the reference's statement surface
+  * (`wqc200/ebike`): CREATE/DROP SCHEMA+TABLE, USE, INSERT VALUES
+  * (rowid + PRIMARY/UNIQUE duplicate rejection), UPDATE/DELETE
+  * (query-then-mutate copy-on-write), ALTER ADD/DROP COLUMN, the SHOW
+  * family, EXPLAIN, SET/COMMIT no-ops, session variables and
+  * `database()`, prepared-statement parameter splicing — with all
+  * SELECT planning/execution delegated to Spark SQL the way the
+  * reference delegates to DataFusion
+  * (`/root/reference/src/execute_impl/select.rs:41-95`).
+  *
+  * Storage: one parquet directory per table version under the
+  * warehouse; the catalog is itself a set of queryable
+  * information_schema parquet tables (`src/meta/initial.rs:423-680`).
+  * UPDATE/DELETE rewrite to a new version directory and swap the
+  * pointer — the Spark-native equivalent of the reference's
+  * query-then-mutate two-phase shape (`src/execute_impl/update.rs`,
+  * `delete.rs`).
+  *
+  * Deviations from reference quirks (SURVEY §7.4): INSERT…SELECT
+  * raises a clear error instead of silently inserting nothing; DELETE
+  * leaves no dangling index state; SHOW VARIABLES LIKE filters on the
+  * variable *name* (the reference filters on the value —
+  * `show_variables.rs:75-83` — a bug we do not replicate); a SELECT
+  * mentioning `rowid` sees it via shadow views, in which case `*`
+  * includes rowid.
+  */
+class GraftEngine(val spark: SparkSession, warehouse: String) {
+  import Meta._
+
+  private val dataRoot = s"$warehouse/data"
+  private val infoRoot = s"$warehouse/$InfoSchemaDb"
+
+  private var schemas: Set[String] = Set.empty
+  private var tables: Map[(String, String), TableDef] = Map.empty
+  private var globals: Map[String, String] = Map.empty
+
+  /** Session default schema (reference: one per connection,
+    * `execution.rs:84-113`; this engine is single-session). */
+  var currentSchema: Option[String] = None
+
+  private var preparedSeq = 0
+  private val prepared = scala.collection.mutable.Map[Int, (String, Int)]()
+
+  // ------------------------------------------------------------------
+  // public API
+  // ------------------------------------------------------------------
+
+  /** Execute one SQL statement. Throws GraftException on error. */
+  def sql(statementRaw: String): GraftResult = synchronized {
+    val stmt = statementRaw.trim.stripSuffix(";").trim
+    if (stmt.isEmpty) throw Errors.generic("empty statement")
+    val lower = stmt.toLowerCase
+    try {
+      if (lower.startsWith("select") || lower.startsWith("with") ||
+        lower.startsWith("values") || lower.startsWith("(")) doSelect(stmt)
+      else if (lower.startsWith("explain")) doExplain(stmt)
+      else if (lower.matches("(?s)create\\s+(schema|database)\\b.*"))
+        doCreateSchema(stmt)
+      else if (lower.matches("(?s)create\\s+table\\b.*")) doCreateTable(stmt)
+      else if (lower.matches("(?s)drop\\s+(schema|database)\\b.*"))
+        doDropSchema(stmt)
+      else if (lower.matches("(?s)drop\\s+table\\b.*")) doDropTable(stmt)
+      else if (lower.matches("(?s)alter\\s+table\\b.*")) doAlterTable(stmt)
+      else if (lower.startsWith("insert")) doInsert(stmt)
+      else if (lower.startsWith("update")) doUpdate(stmt)
+      else if (lower.startsWith("delete")) doDelete(stmt)
+      else if (lower.startsWith("show")) doShow(stmt)
+      else if (lower.startsWith("use")) doUse(stmt)
+      else if (lower.startsWith("desc")) doDescribe(stmt)
+      else if (lower.startsWith("set")) AffectedRows(0) // no-op, like SetVariable (set_variable.rs:34-36)
+      else if (lower.startsWith("commit") || lower.startsWith("rollback") ||
+        lower.startsWith("begin") || lower.startsWith("start transaction"))
+        AffectedRows(0) // autocommit only (execution.rs:1265-1267)
+      else throw Errors.generic(s"unsupported statement: ${stmt.take(60)}")
+    } catch {
+      case e: GraftException => throw e
+      case e: AnalysisException =>
+        val cond = Option(e.getCondition).getOrElse("")
+        if (cond.contains("TABLE_OR_VIEW_NOT_FOUND"))
+          throw GraftException(1146, e.getMessage)
+        else throw GraftException(1105, e.getMessage)
+    }
+  }
+
+  /** Convenience: run and return the DataFrame of a result set. */
+  def query(statement: String): DataFrame = sql(statement) match {
+    case ResultSet(df) => df
+    case AffectedRows(n) => throw Errors.generic(s"statement returned count $n, not rows")
+  }
+
+  // prepared statements (COM_STMT_PREPARE/EXECUTE/CLOSE shape,
+  // execution.rs:790-880)
+  def prepare(statement: String): Int = synchronized {
+    preparedSeq += 1
+    prepared(preparedSeq) = (statement, countParams(statement))
+    preparedSeq
+  }
+
+  def executePrepared(id: Int, params: Seq[Any]): GraftResult = synchronized {
+    val (stmtSql, n) = prepared.getOrElse(id,
+      throw Errors.generic(s"unknown prepared statement $id"))
+    if (params.length != n)
+      throw Errors.generic(s"prepared statement $id expects $n parameters")
+    sql(substituteParams(stmtSql, params))
+  }
+
+  def closePrepared(id: Int): Unit = synchronized { prepared.remove(id) }
+
+  // ------------------------------------------------------------------
+  // bootstrap / registration
+  // ------------------------------------------------------------------
+
+  private def bootstrapOrLoad(): Unit = {
+    new File(dataRoot).mkdirs()
+    new File(infoRoot).mkdirs()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$InfoSchemaDb`")
+    if (new File(s"$infoRoot/tables").exists()) load() else bootstrap()
+    InfoSchema.dual(spark).createOrReplaceTempView("dual")
+  }
+
+  /** Fresh warehouse: built-in schemas + catalog tables
+    * (`/root/reference/src/meta/meta_util.rs:338-408` init_meta). */
+  private def bootstrap(): Unit = {
+    schemas = BuiltinSchemas.toSet
+    BuiltinSchemas.foreach(s => spark.sql(s"CREATE DATABASE IF NOT EXISTS `$s`"))
+
+    val user = TableDef("mysql", "user", Seq(
+      ColumnDef("host", "char", nullable = false, 1, 1),
+      ColumnDef("user", "char", nullable = false, 2, 2)),
+      Seq("host", "user"), Nil, 3, 0L)
+    val gv = TableDef("performance_schema", "global_variables", Seq(
+      ColumnDef("variable_name", "char", nullable = false, 1, 1),
+      ColumnDef("variable_value", "char", nullable = true, 2, 2)),
+      Seq("variable_name"), Nil, 3, 0L)
+    tables = Map((user.schema, user.name) -> user, (gv.schema, gv.name) -> gv)
+
+    writeRows(user, Seq(Seq("%", "root")))
+    writeRows(gv, Meta.globalVariables.map { case (k, v) => Seq(k, v) })
+    tables.values.foreach(registerTable)
+    globals = Meta.globalVariables.toMap
+    persistInfoSchema()
+  }
+
+  private def load(): Unit = {
+    val sch = spark.read.parquet(s"$infoRoot/schemata")
+      .select("schema_name").collect().map(_.getString(0)).toSet
+    val cols = spark.read.parquet(s"$infoRoot/columns").collect()
+      .map(r => (r.getAs[String]("table_schema"), r.getAs[String]("table_name"),
+        r.getAs[String]("column_name"), r.getAs[Long]("ordinal_position"),
+        r.getAs[String]("is_nullable") == "YES", r.getAs[String]("data_type"),
+        r.getAs[Long]("store_id")))
+    val stats = spark.read.parquet(s"$infoRoot/statistics").collect()
+      .map(r => (r.getAs[String]("table_schema"), r.getAs[String]("table_name"),
+        r.getAs[String]("index_name"), r.getAs[Long]("seq_in_index"),
+        r.getAs[String]("column_name")))
+    val tbls = spark.read.parquet(s"$infoRoot/tables").collect()
+      .map(r => (r.getAs[String]("table_schema"), r.getAs[String]("table_name"),
+        r.getAs[Long]("data_version")))
+    schemas = sch
+    tables = tbls.map { case (s, t, v) =>
+      val cds = cols.filter(c => c._1 == s && c._2 == t).sortBy(_._4)
+        .map(c => ColumnDef(c._3, c._6, c._5, c._7.toInt, c._4.toInt)).toSeq
+      val idx = stats.filter(x => x._1 == s && x._2 == t)
+        .groupBy(_._3).map { case (n, rows) =>
+          n -> rows.sortBy(_._4).map(_._5).toSeq
+        }
+      val pk = idx.getOrElse("PRIMARY", Seq.empty)
+      val uq = (idx - "PRIMARY").toSeq.sortBy(_._1)
+      val next = (cds.map(_.storeId) :+ 0).max + 1
+      (s, t) -> TableDef(s, t, cds, pk, uq, next, v)
+    }.toMap
+    (schemas ++ BuiltinSchemas).foreach(s =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$s`"))
+    tables.values.foreach(registerTable)
+    registerInfoTables()
+    globals = spark.table("performance_schema.global_variables")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  private def tableDir(td: TableDef): String =
+    s"$dataRoot/${td.schema}/${td.name}/v${td.version}"
+
+  private def registerTable(td: TableDef): Unit = {
+    new File(tableDir(td)).mkdirs()
+    spark.sql(s"DROP TABLE IF EXISTS `${td.schema}`.`${td.name}`")
+    spark.catalog.createTable(s"${td.schema}.${td.name}", "parquet",
+      td.visibleSchema, Map("path" -> tableDir(td)))
+  }
+
+  private val infoTables = Seq("schemata", "tables", "columns", "statistics",
+    "table_constraints", "key_column_usage")
+
+  private def infoDf(name: String): DataFrame = {
+    val defs = tables.values.toSeq
+    name match {
+      case "schemata" => InfoSchema.schemata(spark, schemas.toSeq)
+      case "tables" => InfoSchema.tables(spark, defs)
+      case "columns" => InfoSchema.columns(spark, defs)
+      case "statistics" => InfoSchema.statistics(spark, defs)
+      case "table_constraints" => InfoSchema.tableConstraints(spark, defs)
+      case "key_column_usage" => InfoSchema.keyColumnUsage(spark, defs)
+    }
+  }
+
+  /** Regenerate + persist the catalog tables, then (re)register them
+    * — the catalog is itself tables, like the reference. */
+  private def persistInfoSchema(): Unit = {
+    infoTables.foreach { n =>
+      infoDf(n).coalesce(1).write.mode("overwrite").parquet(s"$infoRoot/$n")
+    }
+    registerInfoTables()
+  }
+
+  private def registerInfoTables(): Unit = infoTables.foreach { n =>
+    // drop + recreate so the registration always points at THIS
+    // engine's warehouse (several engines may share a SparkSession)
+    spark.sql(s"DROP TABLE IF EXISTS `$InfoSchemaDb`.`$n`")
+    spark.catalog.createTable(s"$InfoSchemaDb.$n", "parquet",
+      infoDf(n).schema, Map("path" -> s"$infoRoot/$n"))
+  }
+
+  // ------------------------------------------------------------------
+  // name resolution
+  // ------------------------------------------------------------------
+
+  /** Qualify with the session schema, lowercase — `fill_up_table_name`
+    * (`/root/reference/src/meta/meta_util.rs:256-279`): error 1046
+    * when unqualified with no schema selected. */
+  private def resolveName(raw: String): (String, String) = {
+    val parts = splitTopLevel(raw.trim, '.').map(ident)
+    parts match {
+      case Seq(t) =>
+        (currentSchema.getOrElse(throw Errors.noSchemaSelected), t)
+      case Seq(s, t) => (s, t)
+      case Seq(_, s, t) => (s, t) // catalog.schema.table → ignore catalog 'def'
+      case _ => throw Errors.generic(s"bad table name: $raw")
+    }
+  }
+
+  private def lookup(raw: String): TableDef = {
+    val (s, t) = resolveName(raw)
+    tables.getOrElse((s, t), throw Errors.noSuchTable(s, t))
+  }
+
+  private def readFull(td: TableDef): DataFrame =
+    spark.read.schema(td.fullSchema).parquet(tableDir(td))
+
+  // ------------------------------------------------------------------
+  // SELECT / EXPLAIN
+  // ------------------------------------------------------------------
+
+  private def rewrite(stmt: String): String =
+    substituteVars(stmt, globals, Version, currentSchema)
+
+  private def doSelect(stmt: String): GraftResult = {
+    // pin the shared Spark session catalog to THIS engine session's
+    // schema (several engines may share one SparkSession in tests)
+    spark.catalog.setCurrentDatabase(currentSchema.getOrElse("default"))
+    val sqlText = rewrite(stmt)
+    val needsRowid = Pattern.compile("\\browid\\b",
+      Pattern.CASE_INSENSITIVE).matcher(stmt).find()
+    val shadowed =
+      if (needsRowid)
+        currentSchema.toSeq.flatMap(s => tables.values.filter(_.schema == s))
+      else Seq.empty
+    shadowed.foreach(td => readFull(td).createOrReplaceTempView(td.name))
+    try ResultSet(spark.sql(sqlText))
+    finally shadowed.foreach(td => spark.catalog.dropTempView(td.name))
+  }
+
+  private def doExplain(stmt: String): GraftResult = {
+    val m = "(?is)^explain\\s+(verbose\\s+|analyze\\s+)*".r
+      .findFirstMatchIn(stmt).get
+    val verbose = stmt.toLowerCase.contains("verbose")
+    val inner = stmt.substring(m.end)
+    val df = query(inner)
+    val text = df.queryExecution
+      .explainString(if (verbose) ExtendedMode else SimpleMode)
+    import spark.implicits._
+    ResultSet(text.split("\n").toSeq.map(l => ("plan", l))
+      .toDF("plan_type", "plan"))
+  }
+
+  // ------------------------------------------------------------------
+  // DDL
+  // ------------------------------------------------------------------
+
+  private def doCreateSchema(stmt: String): GraftResult = {
+    val m = "(?is)^create\\s+(?:schema|database)\\s+(if\\s+not\\s+exists\\s+)?(.+)$"
+      .r.findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val ifNotExists = m.group(1) != null
+    val name = ident(m.group(2))
+    if (name == InfoSchemaDb || schemas.contains(name)) {
+      if (ifNotExists) return AffectedRows(0)
+      throw Errors.dbExists(name)
+    }
+    schemas += name
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+    persistInfoSchema()
+    AffectedRows(1)
+  }
+
+  private def doDropSchema(stmt: String): GraftResult = {
+    val m = "(?is)^drop\\s+(?:schema|database)\\s+(if\\s+exists\\s+)?(.+)$"
+      .r.findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val ifExists = m.group(1) != null
+    val name = ident(m.group(2))
+    if (!schemas.contains(name)) {
+      if (ifExists) return AffectedRows(0)
+      throw Errors.unknownDb(name)
+    }
+    tables.values.filter(_.schema == name).toSeq.foreach(dropTableImpl)
+    schemas -= name
+    spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+    if (currentSchema.contains(name)) currentSchema = None
+    persistInfoSchema()
+    AffectedRows(1)
+  }
+
+  private def doCreateTable(stmt: String): GraftResult = {
+    val m = "(?is)^create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([^(\\s]+)\\s*\\((.*)\\)\\s*$"
+      .r.findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val ifNotExists = m.group(1) != null
+    val (schema, name) = resolveName(m.group(2))
+    if (!schemas.contains(schema)) throw Errors.unknownDb(schema)
+    if (tables.contains((schema, name))) {
+      if (ifNotExists) return AffectedRows(0)
+      throw Errors.tableExists(name)
+    }
+    var cols = Vector.empty[ColumnDef]
+    var pk = Seq.empty[String]
+    var uniques = Vector.empty[(String, Seq[String])]
+    var storeId = 1
+
+    def parseColList(inner: String): Seq[String] =
+      splitTopLevel(inner, ',').map(ident)
+
+    splitTopLevel(m.group(3), ',').foreach { item =>
+      val low = item.toLowerCase
+      val parenStart = item.indexOf('(')
+      if (low.startsWith("primary key")) {
+        pk = parseColList(item.substring(parenStart + 1, item.lastIndexOf(')')))
+      } else if (low.startsWith("unique") || low.startsWith("key") ||
+        low.startsWith("index")) {
+        val inner = item.substring(parenStart + 1, item.lastIndexOf(')'))
+        val nameTok = item.substring(0, parenStart).trim.split("\\s+")
+          .drop(1).filterNot(t => Set("key", "index").contains(t.toLowerCase))
+        val idxName = nameTok.lastOption.map(ident)
+          .getOrElse(s"uniq_${uniques.size + 1}")
+        if (low.startsWith("unique")) uniques :+= (idxName -> parseColList(inner))
+        // plain KEY/INDEX defs are accepted and ignored (no physical index)
+      } else if (low.startsWith("constraint")) {
+        val inner = item.substring(parenStart + 1, item.lastIndexOf(')'))
+        val head = item.substring(0, parenStart).toLowerCase
+        if (head.contains("primary key")) pk = parseColList(inner)
+        else if (head.contains("unique")) {
+          val idxName = ident(item.split("\\s+")(1))
+          uniques :+= (idxName -> parseColList(inner))
+        }
+      } else {
+        val toks = item.trim.split("\\s+", 3)
+        if (toks.length < 2) throw Errors.generic(s"bad column def: $item")
+        val cname = ident(toks(0))
+        val ctype = Meta.parseSqlType(toks(1))
+        val rest = if (toks.length > 2) toks(2).toLowerCase else ""
+        // nullable iff declared NULL (meta_def.rs:388-391); default NOT NULL
+        val nullable = rest.trim == "null" || rest.contains("default null")
+        cols :+= ColumnDef(cname, ctype, nullable, storeId, cols.size + 1)
+        storeId += 1
+      }
+    }
+    if (cols.isEmpty) throw Errors.generic("table must have at least one column")
+    val colNames = cols.map(_.name).toSet
+    (pk ++ uniques.flatMap(_._2)).foreach { c =>
+      if (!colNames.contains(c)) throw Errors.unknownColumn(c, "key definition")
+    }
+    val td = TableDef(schema, name, cols, pk, uniques, storeId, 0L)
+    tables += (schema, name) -> td
+    registerTable(td)
+    persistInfoSchema()
+    AffectedRows(1)
+  }
+
+  private def dropTableImpl(td: TableDef): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `${td.schema}`.`${td.name}`")
+    deleteRecursively(new File(s"$dataRoot/${td.schema}/${td.name}"))
+    tables -= ((td.schema, td.name))
+  }
+
+  private def doDropTable(stmt: String): GraftResult = {
+    val m = "(?is)^drop\\s+table\\s+(if\\s+exists\\s+)?(.+)$"
+      .r.findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val ifExists = m.group(1) != null
+    val (s, t) = resolveName(m.group(2))
+    tables.get((s, t)) match {
+      case Some(td) =>
+        dropTableImpl(td); persistInfoSchema(); AffectedRows(1)
+      case None =>
+        if (ifExists) AffectedRows(0) else throw Errors.unknownTable(t)
+    }
+  }
+
+  private def doAlterTable(stmt: String): GraftResult = {
+    val add = "(?is)^alter\\s+table\\s+(\\S+)\\s+add\\s+(?:column\\s+)?(\\w+)\\s+(\\w+(?:\\(\\d+\\))?)\\s*(.*)$"
+      .r.findFirstMatchIn(stmt)
+    val drop = "(?is)^alter\\s+table\\s+(\\S+)\\s+drop\\s+(?:column\\s+)?(\\w+)\\s*$"
+      .r.findFirstMatchIn(stmt)
+    (add, drop) match {
+      case (Some(m), _) =>
+        val td = lookup(m.group(1))
+        val cname = ident(m.group(2))
+        if (td.columns.exists(_.name == cname))
+          throw GraftException(1060, s"Duplicate column name '$cname'")
+        val ctype = Meta.parseSqlType(m.group(3))
+        val nullable = m.group(4).trim.toLowerCase == "null" || m.group(4).trim.isEmpty
+        // ADD COLUMN is metadata-only: existing rows read the new
+        // column as NULL because no cell exists (add_column.rs:34-80 —
+        // parquet missing-column semantics are identical).
+        val nc = ColumnDef(cname, ctype, nullable, td.nextStoreId,
+          td.columns.size + 1)
+        val ntd = td.copy(columns = td.columns :+ nc,
+          nextStoreId = td.nextStoreId + 1)
+        tables += (td.schema, td.name) -> ntd
+        registerTable(ntd)
+        persistInfoSchema()
+        AffectedRows(0)
+      case (_, Some(m)) =>
+        val td = lookup(m.group(1))
+        val cname = ident(m.group(2))
+        if (!td.columns.exists(_.name == cname))
+          throw Errors.unknownColumn(cname, td.name)
+        val remaining = td.columns.filterNot(_.name == cname)
+          .zipWithIndex.map { case (c, i) => c.copy(ordinal = i + 1) }
+        val ntd = td.copy(columns = remaining,
+          primaryKey = td.primaryKey.filterNot(_ == cname),
+          uniques = td.uniques.map { case (n, cs) => n -> cs.filterNot(_ == cname) }
+            .filter(_._2.nonEmpty))
+        tables += (td.schema, td.name) -> ntd
+        registerTable(ntd)
+        persistInfoSchema()
+        AffectedRows(0)
+      case _ => throw Errors.generic(s"cannot parse: $stmt")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // DML
+  // ------------------------------------------------------------------
+
+  private def constraintViolation(df: DataFrame, existing: Option[DataFrame],
+      td: TableDef): Unit = {
+    td.allConstraints.foreach { case (idxName, cs) =>
+      val csCols = cs.map(col)
+      val dupIn = df.groupBy(csCols: _*).count().filter(col("count") > 1)
+        .limit(1).collect()
+      if (dupIn.nonEmpty)
+        throw Errors.duplicateEntry(
+          cs.indices.map(i => String.valueOf(dupIn(0).get(i))).mkString("-"),
+          idxName)
+      existing.foreach { ex =>
+        val hit = df.select(csCols: _*).join(ex.select(csCols: _*), cs, "inner")
+          .limit(1).collect()
+        if (hit.nonEmpty)
+          throw Errors.duplicateEntry(
+            cs.indices.map(i => String.valueOf(hit(0).get(i))).mkString("-"),
+            idxName)
+      }
+    }
+  }
+
+  private def doInsert(stmt: String): GraftResult = {
+    val m = ("(?is)^insert\\s+(overwrite\\s+)?into\\s+([^(\\s]+)\\s*" +
+      "(\\(([^)]*)\\)\\s*)?(.*)$").r.findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val overwrite = m.group(1) != null
+    val td = lookup(m.group(2))
+    val targetCols =
+      Option(m.group(4)).map(g => splitTopLevel(g, ',').map(ident))
+        .getOrElse(td.columns.map(_.name))
+    val rest = m.group(5).trim
+    if (!rest.toLowerCase.startsWith("values"))
+      // explicit error instead of the reference's silent zero-row
+      // insert for INSERT…SELECT (insert.rs:76-100; SURVEY §7.4)
+      throw Errors.generic("only INSERT ... VALUES is supported")
+    val rowsText = rest.substring("values".length).trim
+    val rows = splitTopLevel(rowsText, ',').map { r =>
+      val t = r.trim
+      if (!t.startsWith("(") || !t.endsWith(")"))
+        throw Errors.generic(s"bad VALUES row: $t")
+      t
+    }
+    rows.foreach { r =>
+      val n = splitTopLevel(r.substring(1, r.length - 1), ',').size
+      if (n != targetCols.size)
+        throw GraftException(1136,
+          s"Column count doesn't match value count (expected ${targetCols.size}, got $n)")
+    }
+    val unknown = targetCols.filterNot(c => td.columns.exists(_.name == c))
+    if (unknown.nonEmpty) throw Errors.unknownColumn(unknown.head, td.name)
+
+    // constant-expression evaluation via Spark SQL, the way the
+    // reference folds VALUES cells through DataFusion physical exprs
+    // (insert.rs:117-166)
+    val valuesDf = spark.sql(
+      s"SELECT * FROM VALUES ${rows.mkString(", ")} AS __ins(${targetCols.mkString(", ")})")
+    val newRows = valuesDf.select(
+      expr("replace(uuid(), '-', '')").as(RowId) +:
+        td.columns.map { c =>
+          if (targetCols.contains(c.name)) col(c.name).cast(c.sparkType).as(c.name)
+          else lit(null).cast(c.sparkType).as(c.name)
+        }: _*)
+
+    val existing = if (tableHasData(td)) Some(readFull(td)) else None
+    // duplicate-key rejection (error 1062) unless INSERT OVERWRITE
+    // (insert.rs:195-218)
+    constraintViolation(newRows, if (overwrite) None else existing, td)
+
+    val n = newRows.count()
+    if (overwrite && existing.isDefined && td.allConstraints.nonEmpty) {
+      // upsert shape: drop conflicting pre-existing rows, then append all
+      var kept = existing.get
+      td.allConstraints.foreach { case (_, cs) =>
+        kept = kept.join(newRows.select(cs.map(col): _*), cs, "left_anti")
+      }
+      writeVersion(td, kept.unionByName(newRows))
+    } else {
+      newRows.coalesce(1).write.mode("append").parquet(tableDir(td))
+      spark.catalog.refreshTable(s"${td.schema}.${td.name}")
+    }
+    AffectedRows(n)
+  }
+
+  private def tableHasData(td: TableDef): Boolean = {
+    val d = new File(tableDir(td))
+    d.exists() && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+
+  private def whereSplit(s: String): (String, Option[String]) = {
+    val i = indexOfKeyword(s, "where")
+    if (i < 0) (s, None)
+    else (s.substring(0, i), Some(s.substring(i + 5)))
+  }
+
+  private def doUpdate(stmt: String): GraftResult = {
+    val m = "(?is)^update\\s+(\\S+)\\s+set\\s+(.*)$".r.findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val td = lookup(m.group(1))
+    val (setPart, whereOpt) = whereSplit(m.group(2))
+    val assigns = splitTopLevel(setPart, ',').map { a =>
+      val eq = a.indexOf('=')
+      if (eq < 0) throw Errors.generic(s"bad assignment: $a")
+      val c = ident(a.substring(0, eq))
+      if (!td.columns.exists(_.name == c)) throw Errors.unknownColumn(c, td.name)
+      c -> a.substring(eq + 1).trim
+    }.toMap
+    val full = readFull(td)
+    val cond = whereOpt.map(w => expr(rewrite(w))).getOrElse(lit(true))
+    val matched = full.where(cond)
+    // query-then-mutate: assignments see the consistent pre-image
+    // (update.rs:55-108; SURVEY §3.2)
+    val updated = matched.select(col(RowId) +: td.columns.map { c =>
+      assigns.get(c.name)
+        .map(e => expr(rewrite(e)).cast(c.sparkType).as(c.name))
+        .getOrElse(col(c.name))
+    }: _*)
+    val kept = full.where(not(coalesce(cond, lit(false))))
+    val n = matched.count()
+    writeVersion(td, kept.unionByName(updated))
+    AffectedRows(n)
+  }
+
+  private def doDelete(stmt: String): GraftResult = {
+    val m = "(?is)^delete\\s+from\\s+(\\S+)\\s*(.*)$".r.findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val td = lookup(m.group(1))
+    val rest = m.group(2).trim
+    val whereOpt =
+      if (rest.isEmpty) None
+      else if (rest.toLowerCase.startsWith("where")) Some(rest.substring(5))
+      else throw Errors.generic(s"cannot parse: $stmt")
+    val full = readFull(td)
+    val cond = whereOpt.map(w => expr(rewrite(w))).getOrElse(lit(true))
+    val n = full.where(cond).count()
+    writeVersion(td, full.where(not(coalesce(cond, lit(false)))))
+    AffectedRows(n)
+  }
+
+  /** Copy-on-write swap: write the new table image to v(N+1), flip
+    * the catalog pointer, drop the old directory. */
+  private def writeVersion(td: TableDef, df: DataFrame): Unit = {
+    val ntd = td.copy(version = td.version + 1)
+    df.coalesce(1).write.mode("overwrite").parquet(tableDir(ntd))
+    tables += (td.schema, td.name) -> ntd
+    registerTable(ntd)
+    persistInfoSchema()
+    deleteRecursively(new File(tableDir(td)))
+  }
+
+  // ------------------------------------------------------------------
+  // SHOW / USE / DESCRIBE
+  // ------------------------------------------------------------------
+
+  private def doUse(stmt: String): GraftResult = {
+    val name = ident(stmt.trim.split("\\s+", 2)(1))
+    if (!schemas.contains(name) && name != InfoSchemaDb)
+      throw Errors.unknownDb(name)
+    currentSchema = Some(name)
+    spark.catalog.setCurrentDatabase(name)
+    AffectedRows(1)
+  }
+
+  private def likeFilter(df: DataFrame, c: String, pat: Option[String]): DataFrame =
+    pat.map(p => df.filter(col(c).like(p))).getOrElse(df)
+
+  private def doDescribe(stmt: String): GraftResult = {
+    val t = stmt.trim.split("\\s+", 2)(1)
+    showColumns(lookup(t))
+  }
+
+  private def showColumns(td: TableDef): GraftResult = {
+    import spark.implicits._
+    val rows = td.columns.map { c =>
+      val key =
+        if (td.primaryKey.contains(c.name)) "PRI"
+        else if (td.uniques.exists(_._2.contains(c.name))) "UNI"
+        else ""
+      (c.name, c.sqlType, if (c.nullable) "YES" else "NO", key, "NULL", "")
+    }
+    ResultSet(rows.toDF("Field", "Type", "Null", "Key", "Default", "Extra"))
+  }
+
+  private def doShow(stmt: String): GraftResult = {
+    import spark.implicits._
+    val lower = stmt.toLowerCase.replaceAll("\\s+", " ").trim
+    val likePat = "(?is).*\\slike\\s+'([^']*)'\\s*$".r
+      .findFirstMatchIn(stmt).map(_.group(1))
+
+    if (lower.startsWith("show databases")) {
+      // built from the in-memory catalog (not the shared external
+      // tables) so concurrent engines on one SparkSession don't
+      // cross-talk; same output as SELECT schema_name FROM schemata
+      ResultSet(schemas.toSeq.sorted.toDF("Database"))
+    } else if (lower.matches("show (full )?tables.*")) {
+      val full = lower.startsWith("show full")
+      val db = "(?is)\\s(?:from|in)\\s+(\\w+)".r.findFirstMatchIn(stmt)
+        .map(g => ident(g.group(1)))
+        .orElse(currentSchema)
+        .getOrElse(throw Errors.noSchemaSelected)
+      if (!schemas.contains(db)) throw Errors.unknownDb(db)
+      val base = tables.values.filter(_.schema == db).toSeq
+        .map(t => (t.name, "BASE TABLE")).sortBy(_._1)
+        .toDF(s"Tables_in_$db", "Table_type")
+      val filtered = likeFilter(base, s"Tables_in_$db", likePat)
+      ResultSet(if (full) filtered else filtered.drop("Table_type"))
+    } else if (lower.startsWith("show columns") || lower.startsWith("show fields")) {
+      val m = "(?is)show\\s+(?:full\\s+)?(?:columns|fields)\\s+(?:from|in)\\s+(\\S+)"
+        .r.findFirstMatchIn(stmt)
+        .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+      showColumns(lookup(m.group(1)))
+    } else if (lower.startsWith("show create table")) {
+      val td = lookup(stmt.trim.split("\\s+").last)
+      ResultSet(Seq((td.name, td.createTableSql))
+        .toDF("Table", "Create Table"))
+    } else if (lower.startsWith("show variables")) {
+      // deviation: filter on the NAME (the reference filters on the
+      // value, show_variables.rs:75-83 — a bug)
+      val base = globals.toSeq.sortBy(_._1)
+        .toDF("Variable_name", "Value")
+      ResultSet(likeFilter(base, "Variable_name", likePat))
+    } else if (lower.startsWith("show engines")) {
+      ResultSet(Seq(("Parquet", "DEFAULT",
+        "Columnar parquet storage on Spark", "NO", "NO", "NO"))
+        .toDF("Engine", "Support", "Comment", "Transactions", "XA", "Savepoints"))
+    } else if (lower.startsWith("show charset") ||
+      lower.startsWith("show character set")) {
+      ResultSet(Seq(("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_ai_ci", 4L))
+        .toDF("Charset", "Description", "Default collation", "Maxlen"))
+    } else if (lower.startsWith("show collation")) {
+      ResultSet(Seq(("utf8mb4_0900_ai_ci", "utf8mb4", 255L, "Yes", "Yes", 0L))
+        .toDF("Collation", "Charset", "Id", "Default", "Compiled", "Sortlen"))
+    } else if (lower.startsWith("show grants")) {
+      ResultSet(Seq("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%'")
+        .toDF("Grants for root@%"))
+    } else if (lower.startsWith("show privileges")) {
+      ResultSet(Seq(
+        ("Select", "Tables", "To retrieve rows from table"),
+        ("Insert", "Tables", "To insert data into tables"),
+        ("Update", "Tables", "To update existing rows"),
+        ("Delete", "Tables", "To delete existing rows"))
+        .toDF("Privilege", "Context", "Comment"))
+    } else if (lower.startsWith("show table status")) {
+      val db = "(?is)\\s(?:from|in)\\s+(\\w+)".r.findFirstMatchIn(stmt)
+        .map(g => ident(g.group(1)))
+        .orElse(currentSchema)
+        .getOrElse(throw Errors.noSchemaSelected)
+      val rows = tables.values.filter(_.schema == db).toSeq.sortBy(_.name)
+        .map(t => (t.name, "Parquet", t.version))
+      ResultSet(rows.toDF("Name", "Engine", "Version"))
+    } else throw Errors.generic(s"unsupported SHOW: $stmt")
+  }
+
+  // ------------------------------------------------------------------
+
+  private def writeRows(td: TableDef, rows: Seq[Seq[Any]]): Unit = {
+    val sqlRows = rows.map(r => r.map(toLiteral).mkString("(", ", ", ")"))
+      .mkString(", ")
+    val df = spark.sql(
+      s"SELECT * FROM VALUES $sqlRows AS __b(${td.columns.map(_.name).mkString(", ")})")
+    val withId = df.select(expr("replace(uuid(), '-', '')").as(RowId) +:
+      td.columns.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    withId.coalesce(1).write.mode("overwrite").parquet(tableDir(td))
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
+  // run last: needs every val above initialized
+  bootstrapOrLoad()
+}

@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine._
+
+/** End-to-end engine tests mirroring the reference's golden suite
+  * (`/root/reference/src/test/base_sql.rs`): same setup sequence
+  * (create schema test; use test; create table user …), same
+  * expected results, plus constraint/error-code coverage the
+  * reference leaves untested.
+  */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshEngine(): GraftEngine = {
+    val dir = Files.createTempDirectory("graft_wh_").toString
+    new GraftEngine(spark, dir)
+  }
+
+  lazy val eng: GraftEngine = {
+    val e = freshEngine()
+    assert(e.sql("create schema test") == AffectedRows(1))
+    assert(e.sql("use test") == AffectedRows(1))
+    e
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rows(r: GraftResult): Seq[Seq[Any]] = r match {
+    case ResultSet(df) => df.collect().toSeq.map(_.toSeq)
+    case AffectedRows(n) => fail(s"expected rows, got count $n")
+  }
+
+  // ---- base_sql.rs::show_databases golden (:13-31)
+  test("show databases lists bootstrap schemas") {
+    val e = freshEngine()
+    assert(rows(e.sql("show databases")).map(_.head) ==
+      Seq("mysql", "performance_schema"))
+  }
+
+  // ---- base_sql.rs::show_tables golden (:36-88)
+  test("create table + show tables") {
+    assert(eng.sql(
+      "create table user (id int, name char, PRIMARY KEY(id, name))") ==
+      AffectedRows(1))
+    assert(eng.sql(
+      "create table user1 (id int, name char, PRIMARY KEY(id, name))") ==
+      AffectedRows(1))
+    val r = rows(eng.sql("show tables"))
+    assert(r.map(_.head) == Seq("user", "user1"))
+  }
+
+  // ---- base_sql.rs::insert_into golden (:95-150)
+  test("insert + select * hides rowid") {
+    eng.sql("delete from user")
+    assert(eng.sql("insert into user values (1, 'lucy')") == AffectedRows(1))
+    val r = rows(eng.sql("select * from user"))
+    assert(r == Seq(Seq(1L, "lucy")))
+    // rowid exists when explicitly projected
+    val rid = rows(eng.sql("select rowid from user"))
+    assert(rid.size == 1 && rid.head.head.asInstanceOf[String].length == 32)
+  }
+
+  // ---- base_sql.rs::delete_from golden (:153-227)
+  test("delete from + count(*) = 0") {
+    val e = freshEngine()
+    e.sql("create schema t_del"); e.sql("use t_del")
+    e.sql("create table user (id int, name char, PRIMARY KEY(id, name))")
+    assert(e.sql("insert into user values (1, 'lucy')") == AffectedRows(1))
+    assert(e.sql("delete from user") == AffectedRows(1))
+    assert(rows(e.sql("select count(*) from user")) == Seq(Seq(0L)))
+  }
+
+  // ---- base_sql.rs::show_create_table golden (:236-271)
+  test("show create table reconstructs reference-format DDL") {
+    val e = freshEngine()
+    e.sql("create schema t_sct"); e.sql("use t_sct")
+    e.sql("create table user (id int, name char, stature float, PRIMARY KEY(id, name))")
+    val r = rows(e.sql("show create table user"))
+    assert(r == Seq(Seq("user",
+      "CREATE TABLE user (id INT CONSTRAINT nullable NOT NULL, " +
+        "name CHAR CONSTRAINT nullable NOT NULL, " +
+        "stature FLOAT CONSTRAINT nullable NOT NULL, " +
+        "CONSTRAINT PRIMARY PRIMARY KEY (id, name))")))
+  }
+
+  test("duplicate primary key rejected with 1062") {
+    eng.sql("create table dup1 (id int, name char, PRIMARY KEY(id))")
+    eng.sql("insert into dup1 values (1, 'a')")
+    val ex = intercept[GraftException] {
+      eng.sql("insert into dup1 values (1, 'b')")
+    }
+    assert(ex.code == 1062)
+    // intra-batch duplicates too
+    val ex2 = intercept[GraftException] {
+      eng.sql("insert into dup1 values (2, 'x'), (2, 'y')")
+    }
+    assert(ex2.code == 1062)
+    // non-conflicting insert fine
+    assert(eng.sql("insert into dup1 values (2, 'c'), (3, 'd')") == AffectedRows(2))
+  }
+
+  test("insert overwrite upserts instead of raising 1062") {
+    eng.sql("create table ow (id int, name char, PRIMARY KEY(id))")
+    eng.sql("insert into ow values (1, 'a'), (2, 'b')")
+    assert(eng.sql("insert overwrite into ow values (1, 'z')") == AffectedRows(1))
+    assert(rows(eng.sql("select id, name from ow order by id")) ==
+      Seq(Seq(1L, "z"), Seq(2L, "b")))
+  }
+
+  test("update is query-then-mutate with matched count") {
+    eng.sql("create table upd (id int, name char, bal float, PRIMARY KEY(id))")
+    eng.sql("insert into upd values (1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0)")
+    assert(eng.sql("update upd set bal = bal + 1, name = upper(name) where id <= 2") ==
+      AffectedRows(2))
+    assert(rows(eng.sql("select id, name, bal from upd order by id")) ==
+      Seq(Seq(1L, "A", 11.0), Seq(2L, "B", 21.0), Seq(3L, "c", 30.0)))
+  }
+
+  test("delete with predicate") {
+    eng.sql("create table del (id int, name char, PRIMARY KEY(id))")
+    eng.sql("insert into del values (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(eng.sql("delete from del where id > 1") == AffectedRows(2))
+    assert(rows(eng.sql("select id from del")) == Seq(Seq(1L)))
+  }
+
+  test("alter table add/drop column — existing rows read NULL") {
+    eng.sql("create table alt (id int, PRIMARY KEY(id))")
+    eng.sql("insert into alt values (1)")
+    eng.sql("alter table alt add column note char")
+    assert(rows(eng.sql("select id, note from alt")) == Seq(Seq(1L, null)))
+    eng.sql("insert into alt values (2, 'hello')")
+    assert(rows(eng.sql("select id, note from alt order by id")) ==
+      Seq(Seq(1L, null), Seq(2L, "hello")))
+    eng.sql("alter table alt drop column note")
+    assert(rows(eng.sql("select * from alt order by id")) ==
+      Seq(Seq(1L), Seq(2L)))
+  }
+
+  test("error codes: 1046, 1049, 1050, 1051, 1007, 1146") {
+    val e = freshEngine()
+    assert(intercept[GraftException](e.sql("create table t (id int)")).code == 1046)
+    assert(intercept[GraftException](e.sql("use nope")).code == 1049)
+    assert(intercept[GraftException](e.sql("drop schema nope")).code == 1049)
+    e.sql("create schema s1")
+    assert(intercept[GraftException](e.sql("create schema s1")).code == 1007)
+    e.sql("use s1")
+    e.sql("create table t (id int)")
+    assert(intercept[GraftException](e.sql("create table t (id int)")).code == 1050)
+    assert(intercept[GraftException](e.sql("drop table t2")).code == 1051)
+    assert(intercept[GraftException](e.sql("select * from missing")).code == 1146)
+  }
+
+  test("select database(), dual, and @@variables") {
+    assert(rows(eng.sql("select database()")) == Seq(Seq("test")))
+    assert(rows(eng.sql("select 1 + 1 from dual")) == Seq(Seq(2)))
+    assert(rows(eng.sql("select @@lower_case_table_names")) == Seq(Seq("1")))
+    assert(rows(eng.sql("select @@session.transaction_isolation")) ==
+      Seq(Seq("REPEATABLE-READ")))
+    // unknown var: "<version>-<name>" (variable/system.rs:41-66)
+    assert(rows(eng.sql("select @@nosuchvar")) ==
+      Seq(Seq("ebikespark-0.1.0-nosuchvar")))
+    assert(rows(eng.sql("select @myvar")) ==
+      Seq(Seq("user-defined-var-myvar")))
+  }
+
+  test("show variables / columns / table status / engines") {
+    val v = rows(eng.sql("show variables like 'lower%'"))
+    assert(v == Seq(Seq("lower_case_table_names", "1")))
+    eng.sql("create table sc (id int, name char null, PRIMARY KEY(id))")
+    val c = rows(eng.sql("show columns from sc"))
+    assert(c == Seq(
+      Seq("id", "int", "NO", "PRI", "NULL", ""),
+      Seq("name", "char", "YES", "", "NULL", "")))
+    assert(rows(eng.sql("show engines")).head.head == "Parquet")
+    assert(rows(eng.sql("show table status")).nonEmpty)
+  }
+
+  test("information_schema is queryable via plain SQL") {
+    val r = rows(eng.sql(
+      """select table_name from information_schema.tables
+        |where table_schema = 'test' and table_name like 'user%'
+        |order by table_name""".stripMargin))
+    assert(r.map(_.head).contains("user"))
+    val k = rows(eng.sql(
+      """select column_name from information_schema.key_column_usage
+        |where table_schema = 'test' and table_name = 'user'
+        |order by ordinal_position""".stripMargin))
+    assert(k.map(_.head) == Seq("id", "name"))
+  }
+
+  test("set / commit are no-ops; explain returns a plan") {
+    assert(eng.sql("set autocommit = 1") == AffectedRows(0))
+    assert(eng.sql("SET NAMES utf8mb4") == AffectedRows(0))
+    assert(eng.sql("commit") == AffectedRows(0))
+    val p = rows(eng.sql("explain select 1"))
+    assert(p.nonEmpty && p.head.size == 2)
+  }
+
+  test("prepared statements substitute parameters") {
+    eng.sql("create table ps (id int, name char, PRIMARY KEY(id))")
+    val id = eng.prepare("insert into ps values (?, ?)")
+    assert(eng.executePrepared(id, Seq(7, "x'y")) == AffectedRows(1))
+    val q = eng.prepare("select name from ps where id = ?")
+    assert(rows(eng.executePrepared(q, Seq(7))) == Seq(Seq("x'y")))
+    eng.closePrepared(id)
+  }
+
+  test("insert ... select raises a clear error (reference silently no-ops)") {
+    eng.sql("create table is1 (id int)")
+    val ex = intercept[GraftException](
+      eng.sql("insert into is1 select 1"))
+    assert(ex.code == 1105 && ex.msg.contains("VALUES"))
+  }
+
+  test("catalog persists across engine restarts") {
+    val dir = Files.createTempDirectory("graft_wh_").toString
+    val e1 = new GraftEngine(spark, dir)
+    e1.sql("create schema keep"); e1.sql("use keep")
+    e1.sql("create table kt (id int, name char null, PRIMARY KEY(id))")
+    e1.sql("insert into kt values (5, 'five')")
+    val e2 = new GraftEngine(spark, dir)
+    e2.sql("use keep")
+    assert(rows(e2.sql("select id, name from kt")) == Seq(Seq(5L, "five")))
+    assert(rows(e2.sql("show create table kt")).head(1).toString.contains("PRIMARY"))
+  }
+}
