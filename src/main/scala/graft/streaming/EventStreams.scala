@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream. The
+  * reference has no streaming surface (SURVEY §2.10) — this is the
+  * Spark-native extension path: watermarked windowed aggregation and
+  * custom session state via flatMapGroupsWithState. The same
+  * transformations run on a batch DataFrame (Spark's unified API), so
+  * the batch oracles in EventsQ validate the logic and the streaming
+  * specs validate incremental execution.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastMs: Long, nEvents: Long)
+
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+
+  /** Tumbling-window counts/sums with a watermark for late data.
+    * Works on both readStream and batch DataFrames. */
+  def windowedStats(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  /** Gap-based sessionization with explicit keyed state: a session
+    * closes after `gapMs` of inactivity. State per user is O(1) —
+    * the shape that scales to any key cardinality because state lives
+    * in the state store, partitioned by user. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastMs <= gapMs =>
+                cur = Some(s.copy(lastMs = t, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += Session(userId, s.start, s.lastMs, s.nEvents)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Flush still-open sessions (batch-mode helper for tests/backfill:
+    * emits what sessionize holds in state at end-of-input). */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    val ds = events
+    ds.groupByKey(_.user_id).flatMapGroups { (userId, rows) =>
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[Session]
+      var cur: Option[SessionState] = None
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            cur = Some(s.copy(lastMs = t, nEvents = s.nEvents + 1))
+          case Some(s) =>
+            out += Session(userId, s.start, s.lastMs, s.nEvents)
+            cur = Some(SessionState(t, t, 1))
+          case None => cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach(s => out += Session(userId, s.start, s.lastMs, s.nEvents))
+      out.result().iterator
+    }.toDF()
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+/** Unit specs for the pipeline operators not covered by the DuckDB
+  * oracle (hash-based dedup, LSH ANN, multimodal stub), plus sanity
+  * properties of the oracle-covered ones.
+  */
+class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs() = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+      (4L, "completely different content about spark shuffles and joins here"),
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs(), "doc_id", "text")
+      .orderBy(col("keep_id")).collect()
+    assert(r.length == 4) // 1&2 merge
+    assert(r.head.getAs[Long]("keep_id") == 1L &&
+      r.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash: identical texts get identical signatures, near-dups collide") {
+    val sigs = Dedup.minhashSignatures(docs(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    // signature agreement between near-dups ≈ jaccard > 0 matches
+    assert(sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } > 0)
+
+    val cand = Dedup.minhashCandidates(docs(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L))) // exact dup must be a candidate
+    assert(!cand.exists { case (a, b) => Set(a, b).contains(4L) && Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty })
+  }
+
+  test("simhash: identical → hamming 0; unrelated → large hamming") {
+    val fp = Dedup.simhash(docs(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <
+      java.lang.Long.bitCount(fp(1L) ^ fp(4L)))
+  }
+
+  test("jaccard shingle similarity: dup=1.0, near-dup in (0,1)") {
+    val sh = Dedup.withShingles(docs(), "doc_id", "text")
+    val a = sh.toDF("a_id", "a_sh")
+    val b = sh.toDF("b_id", "b_sh")
+    val j = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Dedup.jaccard(col("a_sh"), col("b_sh")).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("fingerprint is the documented rolling hash") {
+    import spark.implicits._
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df, "doc_id", "text").collect()
+    // (0*31+97)=97; (97*31+98)=3105
+    assert(fp.head.getLong(1) == 3105L)
+  }
+
+  test("language id picks the language with most marker words") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "der hund und die katze ist das tier"),
+      (3L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val r = TextAnalysis.languageId(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
+  }
+
+  test("token counts: ws vs bpe-ish segmentation") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world42 foo!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    // hello | world | 42 | foo | !
+    assert(r.getAs[Long]("bpe_tokens") == 5L)
+  }
+
+  test("ANN: lsh scores agree with brute force for shared pairs; top-k ordered") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .collect()
+    assert(bf.length == 30)
+    // per query: scores non-increasing
+    bf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 10)
+    val bfAll = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 500)
+    val joined = lsh.as("l").join(bfAll.as("b"),
+      col("l.q_id") === col("b.q_id") &&
+      col("l.neighbor_id") === col("b.neighbor_id"))
+      .select(col("l.score").as("ls"), col("b.score").as("bs"))
+      .collect()
+    // every LSH hit's cosine equals the exhaustive cosine
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("multimodal stub features are deterministic and well-formed") {
+    import spark.implicits._
+    val docsDf = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val media = MultiModal.asMedia(docsDf, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq ==
+      MultiModal.mediaSchema.fieldNames.toSeq)
+    val f = MultiModal.extractFeatures(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(1L).byte_len == 11L)
+    assert(math.abs(f(1L).feature.sum - 1.0) < 1e-9)
+    assert(f(2L).byte_len == 0L && f(2L).mean_byte == 0.0)
+    // deterministic across runs
+    val f2 = MultiModal.extractFeatures(media).collect()
+      .map(x => x.media_id -> x.feature.toSeq).toMap
+    assert(f2(1L) == f(1L).feature.toSeq)
+  }
+}

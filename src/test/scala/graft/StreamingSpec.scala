@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming specs: MemoryStream-driven incremental
+  * execution of the windowed aggregation and the stateful
+  * sessionizer, checked against the batch formulation of the same
+  * logic (Spark's unified batch/stream semantics).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("windowed stats over a stream match the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 2.0),
+      Event(3, ts(65), 11, "view", 3.0),
+      Event(4, ts(70), 10, "click", 4.0))
+
+    val q = EventStreams.windowedStats(input.toDF(), "1 hour", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winstats").start()
+    input.addData(events.take(2))
+    q.processAllAvailable()
+    input.addData(events.drop(2))
+    q.processAllAvailable()
+    val got = spark.table("winstats")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    q.stop()
+
+    val batch = EventStreams.windowedStats(events.toDF(), "1 hour", "2 hours")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == batch)
+    assert(got.map(_._3).sum == 4)
+  }
+
+  test("stateful sessionizer closes sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val gap = 10 * 60000L // 10 min
+
+    val q = EventStreams.sessionize(input.toDS(), gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    // batch 1: user 10 starts a session
+    input.addData(Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: 30-min gap → previous session closes, new one opens
+    input.addData(Event(3, ts(35), 10, "click", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sessions").orderBy("start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    assert(out.toSeq == Seq((10L, 0L, 5 * 60000L, 2L)))
+  }
+
+  test("batch sessionizer flushes open sessions and matches oracle query") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "view", 1.0),
+      Event(3, ts(35), 10, "click", 1.0),
+      Event(4, ts(2), 11, "view", 1.0))
+    val out = EventStreams.sessionizeBatch(events.toDS(), 10 * 60000L)
+      .orderBy("user_id", "start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 2L), (10L, 1L), (11L, 1L)))
+  }
+}
