@@ -48,15 +48,27 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: for each of `numHashes` hash families, the
-    * minimum xxhash64(shingle, seed=i) over the shingle set. */
+  /** MinHash signatures: hash every shingle ONCE with codegen'd
+    * xxhash64, then derive the `numHashes` families by re-hashing the
+    * 8-byte base hash with the family index as seed material (cheap —
+    * fixed 16-byte input) and take plain min() aggregates — explode +
+    * one hash aggregate, fully codegen'd, one shuffle on the id. The
+    * naive HOF formulation (array_min(transform(sh, s ->
+    * xxhash64(s, i))) per family) runs interpreted and re-hashes the
+    * full shingle text per family: ~20× slower at sf0.1 and CPU-bound
+    * at scale. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
-    withShingles(df, idCol, textCol, shingleSize)
-      .select(col(idCol), expr(
-        s"""transform(sequence(0, ${numHashes - 1}),
-           |  i -> array_min(transform(sh, s -> xxhash64(s, i))))"""
-          .stripMargin).as("sig"))
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val ex = withShingles(df, idCol, textCol, shingleSize)
+      .select(col(idCol), explode(col("sh")).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+    val aggs = (0 until numHashes).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i")
+    }
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into bands of `rowsPerBand`,
     * hash each band, emit (band_idx, band_hash, id) bucket rows.
@@ -76,8 +88,13 @@ object Dedup {
     * halve the pair space, distinct across bands. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    // cache: the self-join needs the bucket table twice and Spark has
+    // no cross-branch subplan reuse — without this the whole
+    // shingle→hash→band pipeline runs once per side (MLlib's
+    // MinHashLSH.approxSimilarityJoin caches for the same reason)
     val b = lshBuckets(
       minhashSignatures(df, idCol, textCol, numHashes), idCol, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.toDF("a_id", "band_idx", "band_hash")
     val r = b.toDF("b_id", "band_idx", "band_hash")
     l.join(r, Seq("band_idx", "band_hash"))

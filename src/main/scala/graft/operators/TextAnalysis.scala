@@ -73,13 +73,12 @@ object TextAnalysis {
       length(col(textCol)).cast("long").as("n_chars"))
 
   /** Rolling polynomial fingerprint over the document's characters:
-    * h = (h*31 + codepoint) mod 1e9+7. Pure fold inside codegen — the
-    * same fold is expressible in ANSI SQL for the oracle. */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * h = (h*31 + codepoint) mod 1e9+7 — a custom codegen Catalyst
+    * expression (graft.functions.RollingHash); the equivalent ANSI
+    * SQL fold is the oracle. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.RollingHash.registerFor(df)
     df.select(col(idCol),
-      expr(s"""CASE WHEN length($textCol) = 0 THEN CAST(0 AS BIGINT)
-              |ELSE aggregate(sequence(1, length($textCol)),
-              |  CAST(0 AS BIGINT),
-              |  (h, i) -> (h * 31 + ascii(substring($textCol, i, 1))) % 1000000007)
-              |END""".stripMargin).as("fingerprint"))
+      expr(s"graft_rolling_hash($textCol)").as("fingerprint"))
+  }
 }
