@@ -537,6 +537,33 @@ object Parity {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin)),
 
+    // ---- HLL approximate distinct (DataFusion's approx_distinct,
+    // SURVEY §2.4). No oracle — approximation differs per engine;
+    // OperatorSpec bounds the relative error against the exact count.
+    "q42_approx_distinct" -> Q(
+      (s, dir) => tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag")),
+      None),
+
+    // ---- salted two-phase aggregation (skew path; must equal the
+    // straight groupBy, which is the oracle).
+    "q43_salted_agg" -> Q(
+      (s, dir) => graft.operators.Skew.saltedSumCount(
+          tbl(s, dir, "lineitem")
+            .withColumn("qty_cents", QueryUtil.cents(col("l_quantity"))),
+          Seq("l_returnflag"), "qty_cents", 16)
+        .select(col("l_returnflag"),
+          col("sum_qty_cents").cast("long").as("sum_qty_cents"), col("cnt"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        |CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- mixed equi + non-equi join condition.
     "q41_nonequi_join" -> Q(
       (s, dir) => {

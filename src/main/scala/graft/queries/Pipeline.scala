@@ -140,6 +140,18 @@ object Pipeline {
       },
       None),
 
+    // ---- IVF ANN (coarse-quantized cells, nprobe probing).
+    "p15_ann_ivf" -> Q(
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", 10)
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("score"), 4).as("score"), col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      None),
+
     // ---- n-gram-heuristic language ID.
     "p08_langid" -> Q(
       (s, dir) => TextAnalysis.languageId(tbl(s, dir, "documents"),

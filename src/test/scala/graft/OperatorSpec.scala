@@ -126,6 +126,54 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     joined.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("IVF ANN: scores agree with brute force; bounded candidates") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+      nlist = 8, nprobe = 3).collect()
+    assert(ivf.nonEmpty && ivf.forall(_.getInt(3) <= 10))
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 500)
+    val joined = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, 8, 3).as("l")
+      .join(bf.as("b"), col("l.q_id") === col("b.q_id") &&
+        col("l.neighbor_id") === col("b.neighbor_id"))
+      .select(col("l.score"), col("b.score")).collect()
+    joined.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("approx_count_distinct is within the configured error of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+      countDistinct(col("l_partkey")).as("e")).collect().head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.1)
+  }
+
+  test("salted two-phase aggregate equals the straight groupBy") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("v", (col("l_quantity") * 100).cast("long"))
+    val salted = Skew.saltedSumCount(li, Seq("l_returnflag"), "v", 16)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val straight = li.groupBy("l_returnflag")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == straight.toSeq)
+  }
+
+  test("CosineSim expression matches the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(-1.0, 0.5, 2.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      graft.functions.CosineSim(col("a"), col("b")).as("fast"),
+      (Similarity.dotExpr("a", "b") /
+        (sqrt(Similarity.dotExpr("a", "a")) * sqrt(Similarity.dotExpr("b", "b"))))
+        .as("hof")).collect().head
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
   test("multimodal stub features are deterministic and well-formed") {
     import spark.implicits._
     val docsDf = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
