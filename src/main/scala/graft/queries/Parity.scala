@@ -537,6 +537,31 @@ object Parity {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin)),
 
+    // ---- remaining scalar surface: regexp extraction, hex, chr,
+    // btrim, bit/octet length, greatest/least (§2.8 tail).
+    "q44_more_scalars" -> Q(
+      (s, dir) => tbl(s, dir, "customer")
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          lower(hex(col("c_custkey"))).as("key_hex"),
+          expr("chr(65 + CAST(c_custkey % 26 AS INT))").as("letter"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("bt"),
+          bit_length(col("c_mktsegment")).cast("long").as("bits"),
+          octet_length(col("c_mktsegment")).cast("long").as("octets"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("c_acctbal"), lit(5000.0)).as("bal_cap"))
+        .orderBy(col("c_custkey")).limit(300),
+      Some("""SELECT c_custkey,
+        |regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |lower(to_hex(c_custkey)) AS key_hex,
+        |chr(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+        |trim(concat('  ', c_mktsegment, '  ')) AS bt,
+        |bit_length(c_mktsegment) AS bits,
+        |octet_length(encode(c_mktsegment)) AS octets,
+        |greatest(c_acctbal, 0.0) AS bal_floor,
+        |least(c_acctbal, 5000.0) AS bal_cap
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin)),
+
     // ---- HLL approximate distinct (DataFusion's approx_distinct,
     // SURVEY §2.4). No oracle — approximation differs per engine;
     // OperatorSpec bounds the relative error against the exact count.

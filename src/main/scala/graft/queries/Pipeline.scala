@@ -140,6 +140,31 @@ object Pipeline {
       },
       None),
 
+    // ---- as-of join: each view event sees the user's most recent
+    // purchase value (AsOf composes union+window — one shuffle, no
+    // nested loop; DuckDB's native ASOF JOIN is the oracle).
+    "p16_asof_join" -> Q(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.operators.AsOf.join(views, purchases, "user_id", "ts",
+            Seq("purchase_value"))
+          .select(col("user_id"), col("event_id"), col("purchase_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.user_id AS user_id, v.event_id AS event_id,
+        |  p.purchase_value AS purchase_value
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- IVF ANN (coarse-quantized cells, nprobe probing).
     "p15_ann_ivf" -> Q(
       (s, dir) => {

@@ -64,6 +64,46 @@ object EventStreams {
       }
   }
 
+  /** Production sessionization: event-time timeout driven by the
+    * watermark, so a session also closes when the stream goes quiet —
+    * not only when the user's next event arrives. State per key stays
+    * O(1); timeouts fire as the watermark passes lastEvent + gap. */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.lastMs, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.lastMs, s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None => cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Flush still-open sessions (batch-mode helper for tests/backfill:
     * emits what sessionize holds in state at end-of-input). */
   def sessionizeBatch(events: Dataset[Event], gapMs: Long): DataFrame = {

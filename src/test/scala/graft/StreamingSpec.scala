@@ -27,7 +27,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+  // offset from epoch: a ts equal to the initial watermark (0) would
+  // be dropped as late by stateful operators
+  private val Base = 86400000L
+  private def ts(minute: Int) = new Timestamp(Base + minute * 60000L)
 
   test("windowed stats over a stream match the batch run") {
     import spark.implicits._
@@ -79,7 +82,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = spark.table("sessions").orderBy("start_ms").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     q.stop()
-    assert(out.toSeq == Seq((10L, 0L, 5 * 60000L, 2L)))
+    assert(out.toSeq == Seq((10L, Base, Base + 5 * 60000L, 2L)))
+  }
+
+  test("event-time timeout closes a session when the stream goes quiet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionizeEventTime(input.toDS(), 10 * 60000L, "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("et_sessions").start()
+    // user 10's two events; user 99 far in the future drives the
+    // watermark past 10's timeout
+    input.addData(Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "view", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(120), 99, "click", 1.0))
+    q.processAllAvailable()
+    // one more batch so the timeout (armed by the advanced watermark)
+    // actually fires
+    input.addData(Event(4, ts(121), 99, "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("et_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(out.contains((10L, Base, Base + 5 * 60000L, 2L)),
+      s"expected user 10's session closed by timeout, got $out")
   }
 
   test("batch sessionizer flushes open sessions and matches oracle query") {
