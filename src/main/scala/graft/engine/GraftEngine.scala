@@ -67,6 +67,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       else if (lower.startsWith("explain")) doExplain(stmt)
       else if (lower.matches("(?s)create\\s+(schema|database)\\b.*"))
         doCreateSchema(stmt)
+      else if (lower.matches("(?s)create\\s+external\\s+table\\b.*"))
+        doCreateExternalTable(stmt)
       else if (lower.matches("(?s)create\\s+table\\b.*")) doCreateTable(stmt)
       else if (lower.matches("(?s)drop\\s+(schema|database)\\b.*"))
         doDropSchema(stmt)
@@ -166,9 +168,10 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
         r.getAs[String]("column_name")))
     val tbls = spark.read.parquet(s"$infoRoot/tables").collect()
       .map(r => (r.getAs[String]("table_schema"), r.getAs[String]("table_name"),
-        r.getAs[Long]("data_version")))
+        r.getAs[Long]("data_version"),
+        Option(r.getAs[String]("location")).filter(_.nonEmpty)))
     schemas = sch
-    tables = tbls.map { case (s, t, v) =>
+    tables = tbls.map { case (s, t, v, loc) =>
       val cds = cols.filter(c => c._1 == s && c._2 == t).sortBy(_._4)
         .map(c => ColumnDef(c._3, c._6, c._5, c._7.toInt, c._4.toInt)).toSeq
       val idx = stats.filter(x => x._1 == s && x._2 == t)
@@ -178,7 +181,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       val pk = idx.getOrElse("PRIMARY", Seq.empty)
       val uq = (idx - "PRIMARY").toSeq.sortBy(_._1)
       val next = (cds.map(_.storeId) :+ 0).max + 1
-      (s, t) -> TableDef(s, t, cds, pk, uq, next, v)
+      (s, t) -> TableDef(s, t, cds, pk, uq, next, v, loc)
     }.toMap
     (schemas ++ BuiltinSchemas).foreach(s =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$s`"))
@@ -189,10 +192,10 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   }
 
   private def tableDir(td: TableDef): String =
-    s"$dataRoot/${td.schema}/${td.name}/v${td.version}"
+    td.location.getOrElse(s"$dataRoot/${td.schema}/${td.name}/v${td.version}")
 
   private def registerTable(td: TableDef): Unit = {
-    new File(tableDir(td)).mkdirs()
+    if (!td.external) new File(tableDir(td)).mkdirs()
     spark.sql(s"DROP TABLE IF EXISTS `${td.schema}`.`${td.name}`")
     spark.catalog.createTable(s"${td.schema}.${td.name}", "parquet",
       td.visibleSchema, Map("path" -> tableDir(td)))
@@ -272,7 +275,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       Pattern.CASE_INSENSITIVE).matcher(stmt).find()
     val shadowed =
       if (needsRowid)
-        currentSchema.toSeq.flatMap(s => tables.values.filter(_.schema == s))
+        currentSchema.toSeq.flatMap(s =>
+          tables.values.filter(t => t.schema == s && !t.external))
       else Seq.empty
     shadowed.foreach(td => readFull(td).createOrReplaceTempView(td.name))
     try ResultSet(spark.sql(sqlText))
@@ -395,9 +399,46 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     AffectedRows(1)
   }
 
+  /** CREATE EXTERNAL TABLE name USING PARQUET LOCATION 'path':
+    * wrap pre-existing parquet (schema inferred) as a read-only
+    * catalog table — the migration path for data that was never
+    * written by this engine. */
+  private def doCreateExternalTable(stmt: String): GraftResult = {
+    val m = ("(?is)^create\\s+external\\s+table\\s+(if\\s+not\\s+exists\\s+)?(\\S+)\\s+" +
+      "(?:using\\s+parquet\\s+)?location\\s+'([^']+)'\\s*$").r
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val ifNotExists = m.group(1) != null
+    val (schema, name) = resolveName(m.group(2))
+    val path = m.group(3)
+    if (!schemas.contains(schema)) throw Errors.unknownDb(schema)
+    if (tables.contains((schema, name))) {
+      if (ifNotExists) return AffectedRows(0)
+      throw Errors.tableExists(name)
+    }
+    val inferred = spark.read.parquet(path).schema
+    val cols = inferred.fields.zipWithIndex.map { case (f, i) =>
+      ColumnDef(f.name.toLowerCase, f.dataType.sql.toLowerCase,
+        f.nullable, i + 1, i + 1)
+    }.toSeq
+    val td = TableDef(schema, name, cols, Seq.empty, Nil,
+      cols.size + 1, 0L, Some(path))
+    tables += (schema, name) -> td
+    registerTable(td)
+    persistInfoSchema()
+    AffectedRows(1)
+  }
+
+  private def requireWritable(td: TableDef): Unit =
+    if (td.external)
+      throw Errors.generic(
+        s"Table '${td.qualified}' is an external table and is read-only")
+
   private def dropTableImpl(td: TableDef): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `${td.schema}`.`${td.name}`")
-    deleteRecursively(new File(s"$dataRoot/${td.schema}/${td.name}"))
+    // external: unregister only, never touch the user's data files
+    if (!td.external)
+      deleteRecursively(new File(s"$dataRoot/${td.schema}/${td.name}"))
     tables -= ((td.schema, td.name))
   }
 
@@ -489,6 +530,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     val overwrite = m.group(1) != null
     val td = lookup(m.group(2))
+    requireWritable(td)
     val targetCols =
       Option(m.group(4)).map(g => splitTopLevel(g, ',').map(ident))
         .getOrElse(td.columns.map(_.name))
@@ -560,6 +602,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     val m = "(?is)^update\\s+(\\S+)\\s+set\\s+(.*)$".r.findFirstMatchIn(stmt)
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     val td = lookup(m.group(1))
+    requireWritable(td)
     val (setPart, whereOpt) = whereSplit(m.group(2))
     val assigns = splitTopLevel(setPart, ',').map { a =>
       val eq = a.indexOf('=')
@@ -588,6 +631,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     val m = "(?is)^delete\\s+from\\s+(\\S+)\\s*(.*)$".r.findFirstMatchIn(stmt)
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     val td = lookup(m.group(1))
+    requireWritable(td)
     val rest = m.group(2).trim
     val whereOpt =
       if (rest.isEmpty) None

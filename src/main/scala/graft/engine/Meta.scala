@@ -14,17 +14,26 @@ import org.apache.spark.sql.types._
 final case class ColumnDef(name: String, sqlType: String,
     nullable: Boolean, storeId: Int, ordinal: Int) {
   def sparkType: DataType = sqlType match {
+    // the reference's declared-type surface (meta_util.rs:548-563)…
     case "int" => LongType
     case "float" => DoubleType
     case "char" => StringType
-    case other => throw Errors.generic(s"not support data type: $other")
+    // …plus arbitrary Spark DDL types for EXTERNAL parquet tables
+    case other =>
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(other)
+      catch { case _: Exception =>
+        throw Errors.generic(s"not support data type: $other") }
   }
 }
 
 final case class TableDef(schema: String, name: String,
     columns: Seq[ColumnDef], primaryKey: Seq[String],
     uniques: Seq[(String, Seq[String])], nextStoreId: Int,
-    version: Long) {
+    version: Long, location: Option[String] = None) {
+
+  /** External tables wrap pre-existing parquet in place: queryable
+    * like any table, but read-only (no rowid, no DML, no COW). */
+  def external: Boolean = location.isDefined
 
   def qualified: String = s"$schema.$name"
 
@@ -33,9 +42,11 @@ final case class TableDef(schema: String, name: String,
     * is physically nullable — the reference stores absent cells as
     * missing keys and reads them back as NULL regardless of the
     * declared nullability (`add_column.rs:34-80`). */
-  def fullSchema: StructType = StructType(
-    StructField(Meta.RowId, StringType, nullable = false) +:
-      columns.map(c => StructField(c.name, c.sparkType, nullable = true)))
+  def fullSchema: StructType =
+    if (external) visibleSchema
+    else StructType(
+      StructField(Meta.RowId, StringType, nullable = false) +:
+        columns.map(c => StructField(c.name, c.sparkType, nullable = true)))
 
   /** SQL-visible schema: rowid hidden from `SELECT *`
     * (`core_util.rs:451-462` projection_has_rowid). */
@@ -49,7 +60,9 @@ final case class TableDef(schema: String, name: String,
   /** Reference-format DDL reconstruction
     * (`show_create_table.rs:49-278`; golden at
     * `src/test/base_sql.rs:264-271`). */
-  def createTableSql: String = {
+  def createTableSql: String = if (external) {
+    s"CREATE EXTERNAL TABLE $name USING PARQUET LOCATION '${location.get}'"
+  } else {
     val cols = columns.map { c =>
       val nullSql = if (c.nullable) "CONSTRAINT nullable NULL"
         else "CONSTRAINT nullable NOT NULL"
@@ -109,9 +122,11 @@ object InfoSchema {
   def tables(s: SparkSession, defs: Seq[TableDef]): DataFrame = {
     import s.implicits._
     defs.sortBy(t => (t.schema, t.name))
-      .map(t => (Catalog, t.schema, t.name, "BASE TABLE", "parquet", t.version))
+      .map(t => (Catalog, t.schema, t.name, "BASE TABLE",
+        if (t.external) "external_parquet" else "parquet", t.version,
+        t.location.getOrElse("")))
       .toDF("table_catalog", "table_schema", "table_name",
-        "table_type", "engine", "data_version")
+        "table_type", "engine", "data_version", "location")
   }
 
   def columns(s: SparkSession, defs: Seq[TableDef]): DataFrame = {

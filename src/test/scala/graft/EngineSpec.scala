@@ -224,6 +224,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.code == 1105 && ex.msg.contains("VALUES"))
   }
 
+  test("external tables: query pre-existing parquet, read-only") {
+    eng.sql("create external table li USING PARQUET LOCATION '/root/testdata/sf0.001/lineitem.parquet'")
+    eng.sql("create external table ord location '/root/testdata/sf0.001/orders.parquet'")
+    val n = rows(eng.sql("select count(*) as n from li")).head.head
+    assert(n == 6000L)
+    // joins between external tables plan through Spark as usual
+    val j = rows(eng.sql(
+      """select count(*) as n from li join ord on l_orderkey = o_orderkey
+        |where o_orderstatus = 'F'""".stripMargin)).head.head
+    assert(j.asInstanceOf[Long] > 0L)
+    // DML refused
+    val ex = intercept[GraftException](
+      eng.sql("delete from li where l_orderkey = 1"))
+    assert(ex.code == 1105 && ex.msg.contains("read-only"))
+    // SHOW CREATE reflects externality; DROP leaves the files alone
+    assert(rows(eng.sql("show create table li")).head(1).toString
+      .contains("EXTERNAL"))
+    eng.sql("drop table li")
+    assert(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
+  }
+
   test("catalog persists across engine restarts") {
     val dir = Files.createTempDirectory("graft_wh_").toString
     val e1 = new GraftEngine(spark, dir)
