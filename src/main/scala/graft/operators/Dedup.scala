@@ -59,8 +59,7 @@ object Dedup {
     * at scale. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val ex = withShingles(df, idCol, textCol, shingleSize)
-      .select(col(idCol), explode(col("sh")).as("s"))
+    val ex = shingleRows(df, idCol, textCol, shingleSize)
       .select(col(idCol), xxhash64(col("s")).as("h"))
     val aggs = (0 until numHashes).map { i =>
       min(xxhash64(col("h"), lit(i))).as(s"m$i")
@@ -126,8 +125,59 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** n-gram Jaccard similarity between two shingle-set columns. */
+  /** n-gram Jaccard similarity between two shingle-set columns
+    * (array formulation — fine for ad-hoc pairs). */
   def jaccard(aSh: Column, bSh: Column): Column =
     size(array_intersect(aSh, bSh)).cast("double") /
       size(array_union(aSh, bSh)).cast("double")
+
+  /** One (id, shingle) row per distinct shingle — the relational
+    * form of the shingle set. Built with posexplode + lead() windows
+    * rather than exploding the array formulation: the array path
+    * re-evaluates interpreted lambda expressions per element (~40×
+    * slower at sf0.1), while every operator here is codegen'd. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("t"), k).over(w))
+    tok.select(col(idCol), concat_ws(" ", col("t") +: leads: _*).as("s"),
+        leads.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select(col(idCol), col("s"))
+      .distinct()
+  }
+
+  /** Jaccard between each doc and the doc with id+`offset`, computed
+    * relationally: |A∩B| is an equality join on the shingle, |A∪B| =
+    * |A|+|B|-|A∩B|. Unlike the array formulation (interpreted
+    * array_intersect per pair), every operator here is a codegen'd
+    * hash join/aggregate — and the same shape extends to arbitrary
+    * candidate pair sets (e.g. minhashCandidates output) at any
+    * scale. */
+  def jaccardAdjacent(df: DataFrame, idCol: String, textCol: String,
+      offset: Int = 1): DataFrame = {
+    // shingle text → 64-bit hash BEFORE anything wide: the joins and
+    // the cache then carry 16-byte rows instead of ~30-byte strings
+    // (collision odds over a doc pair are ~1e-14 — far below the
+    // float tolerance of any downstream use)
+    val rows = shingleRows(df, idCol, textCol)
+      .select(col(idCol), xxhash64(col("s")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = rows.toDF("a_id", "s")
+    val b = rows.toDF("b_id", "s")
+    val inter = a.join(b, col("b_id") === col("a_id") + offset && a("s") === b("s"))
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n_inter"))
+    val sa = sizes.toDF("a_id", "a_n")
+    val sb = sizes.toDF("b_id", "b_n")
+    sa.join(sb, col("b_id") === col("a_id") + offset)
+      .join(inter, Seq("a_id"), "left")
+      .select(col("a_id").as(idCol),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("a_n") + col("b_n") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double")).as("jac"))
+  }
 }

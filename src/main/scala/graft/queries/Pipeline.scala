@@ -38,18 +38,9 @@ object Pipeline {
 
     // ---- word-3-gram Jaccard similarity between consecutive docs.
     "p02_ngram_jaccard" -> Q(
-      (s, dir) => {
-        // cached: both join sides need the (interpreted-HOF) shingle
-        // computation and Spark won't share it across branches
-        val sh = Dedup.withShingles(tbl(s, dir, "documents"), "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val a = sh.toDF("doc_id", "a_sh")
-        val b = sh.toDF("b_id", "b_sh")
-        a.join(b, col("b_id") === col("doc_id") + 1)
-          .select(col("doc_id"),
-            Dedup.jaccard(col("a_sh"), col("b_sh")).as("jac"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => Dedup.jaccardAdjacent(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
       Some(s"""WITH sh AS ($duckShingles)
         |SELECT a.doc_id AS doc_id,
         |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
