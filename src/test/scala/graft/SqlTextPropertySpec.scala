@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.SqlText
+
+/** Property tests for the statement-boundary tokenizer — the piece of
+  * the frontend that must never mis-split regardless of what literals
+  * and nesting user SQL contains. (Raw ScalaCheck generators sampled
+  * with fixed seeds: the scalatest-scalacheck bridge isn't in the
+  * offline dependency set.)
+  */
+class SqlTextPropertySpec extends AnyFunSuite {
+
+  private def samples[T](gen: Gen[T], n: Int = 100): Seq[T] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val atom: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(s => if (s.isEmpty) "x" else s.take(8)),
+    // string literal with embedded separators and escaped quotes
+    Gen.alphaNumStr.map(s => s"'${s.take(4)},)('' '"),
+    // parenthesized group with embedded commas
+    Gen.alphaNumStr.map(s => s"(a, b, ${s.take(4)})"))
+
+  test("splitTopLevel returns exactly the top-level items") {
+    samples(Gen.nonEmptyListOf(atom)).foreach { items =>
+      val joined = items.mkString(", ")
+      val split = SqlText.splitTopLevel(joined, ',')
+      assert(split.size == items.size, s"input: $joined")
+      assert(split.map(_.trim) == items.map(_.trim))
+    }
+  }
+
+  test("splitTopLevel never splits inside parens or quotes") {
+    samples(Gen.listOfN(3, atom)).foreach { items =>
+      val inner = items.mkString(", ")
+      val wrapped = s"f($inner), 'a,b', last"
+      val split = SqlText.splitTopLevel(wrapped, ',')
+      assert(split == Seq(s"f($inner)", "'a,b'", "last"), s"input: $wrapped")
+    }
+  }
+
+  test("substituteParams replaces every ? exactly once, escaping quotes") {
+    val param: Gen[Any] = Gen.oneOf[Any](
+      Gen.alphaNumStr.map(_.take(6) + "'quote"),
+      Gen.chooseNum(-1000000L, 1000000L),
+      Gen.chooseNum(-100.0, 100.0))
+    samples(Gen.listOfN(3, param)).foreach { params =>
+      val sql = "insert into t values (?, ?, ?)"
+      val out = SqlText.substituteParams(sql, params)
+      assert(SqlText.countParams(out) == 0)
+      params.foreach {
+        case n: Long => assert(out.contains(n.toString))
+        case d: Double => assert(out.contains(d.toString))
+        case _ => ()
+      }
+    }
+  }
+
+  test("countParams ignores ? inside string literals") {
+    assert(SqlText.countParams("select '?' , ? from t where a = '??'") == 1)
+  }
+
+  test("substituteVars never rewrites inside string literals") {
+    val sql = "select '@@version', '@user', 'database()' from dual"
+    val out = SqlText.substituteVars(sql, Map.empty, "v", Some("s"))
+    assert(out == sql)
+  }
+
+  test("ident strips backticks and lowercases") {
+    samples(Gen.alphaNumStr.suchThat(_.nonEmpty)).foreach { s =>
+      assert(SqlText.ident(s"`${s.toUpperCase}`") == s.toLowerCase)
+      assert(SqlText.ident(s.toUpperCase) == s.toLowerCase)
+    }
+  }
+}
