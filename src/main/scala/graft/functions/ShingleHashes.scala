@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** text → array of 64-bit hashes of the DISTINCT word n-gram shingles,
+  * in one codegen'd narrow pass.
+  *
+  * The relational formulation (posexplode tokens → lead() window per
+  * doc → concat → distinct → xxhash64) costs a shuffle for the window
+  * and a second for the distinct before any pair logic runs; the
+  * array HOF formulation (`transform(sequence(...), i ->
+  * element_at...)`) runs interpreted per element. This expression
+  * tokenizes, shingles, hashes and dedupes inside whole-stage codegen
+  * — the shingle set never exists as strings past the row, so a
+  * 100-TB corpus streams through at scan speed with zero exchanges
+  * before the aggregation that consumes the hashes.
+  *
+  * Tokenization matches `split(trim(lower(text)), "\\s+")` exactly
+  * (UTF8String trim/toLowerCase, Java regex split) — the definition
+  * the DuckDB oracle mirrors with `str_split_regex(trim(lower(text)),
+  * '\s+')`. The hash is FNV-1a 64 over the UTF-8 bytes of the
+  * space-joined shingle: set cardinalities and intersections computed
+  * on hashes equal those on strings up to a ~1e-14 collision chance.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a fold of one byte into h. */
+  @inline private def mix(h: Long, b: Byte): Long = (h ^ (b & 0xffL)) * FnvPrime
+
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    // identical token stream to split(trim(lower(text)), "\s+")
+    val toks = s.trim().toLowerCase().toString.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val tokBytes = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tokBytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    i = 0
+    while (i + n <= toks.length) {
+      var h = FnvOffset
+      var k = 0
+      while (k < n) {
+        if (k > 0) h = mix(h, ' '.toByte)
+        val tb = tokBytes(i + k)
+        var j = 0
+        while (j < tb.length) { h = mix(h, tb(j)); j += 1 }
+        k += 1
+      }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(text: Column, n: Int): Column =
+    graftshim.column(ShingleHashes(graftshim.expression(text), n))
+}

@@ -48,19 +48,28 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: hash every shingle ONCE with codegen'd
-    * xxhash64, then derive the `numHashes` families by re-hashing the
-    * 8-byte base hash with the family index as seed material (cheap —
-    * fixed 16-byte input) and take plain min() aggregates — explode +
-    * one hash aggregate, fully codegen'd, one shuffle on the id. The
-    * naive HOF formulation (array_min(transform(sh, s ->
+  /** One (id, shingle-hash) row per distinct shingle — a single
+    * codegen'd narrow pass (functions.ShingleHashes tokenizes,
+    * shingles, hashes and dedupes inside the row), then explode.
+    * No shuffle, no string shingles past the row. */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("s"))
+
+  /** MinHash signatures: hash every shingle ONCE inside the codegen'd
+    * shingle pass, then derive the `numHashes` families by re-hashing
+    * the 8-byte base hash with the family index as seed material
+    * (cheap — fixed 16-byte input) and take plain min() aggregates —
+    * explode + one hash aggregate, fully codegen'd, one shuffle on
+    * the id. The naive HOF formulation (array_min(transform(sh, s ->
     * xxhash64(s, i))) per family) runs interpreted and re-hashes the
     * full shingle text per family: ~20× slower at sf0.1 and CPU-bound
     * at scale. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val ex = shingleRows(df, idCol, textCol, shingleSize)
-      .select(col(idCol), xxhash64(col("s")).as("h"))
+    val ex = shingleHashRows(df, idCol, textCol, shingleSize)
+      .withColumnRenamed("s", "h")
     val aggs = (0 until numHashes).map { i =>
       min(xxhash64(col("h"), lit(i))).as(s"m$i")
     }
@@ -131,53 +140,40 @@ object Dedup {
     size(array_intersect(aSh, bSh)).cast("double") /
       size(array_union(aSh, bSh)).cast("double")
 
-  /** One (id, shingle) row per distinct shingle — the relational
-    * form of the shingle set. Built with posexplode + lead() windows
-    * rather than exploding the array formulation: the array path
-    * re-evaluates interpreted lambda expressions per element (~40×
-    * slower at sf0.1), while every operator here is codegen'd. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val leads = (1 until n).map(k => lead(col("t"), k).over(w))
-    tok.select(col(idCol), concat_ws(" ", col("t") +: leads: _*).as("s"),
-        leads.last.isNotNull.as("__full"))
-      .filter(col("__full"))
-      .select(col(idCol), col("s"))
-      .distinct()
-  }
-
   /** Jaccard between each doc and the doc with id+`offset`, computed
-    * relationally: |A∩B| is an equality join on the shingle, |A∪B| =
-    * |A|+|B|-|A∩B|. Unlike the array formulation (interpreted
-    * array_intersect per pair), every operator here is a codegen'd
-    * hash join/aggregate — and the same shape extends to arbitrary
-    * candidate pair sets (e.g. minhashCandidates output) at any
-    * scale. */
+    * with a single big exchange and no self-join. Each doc's shingle
+    * set is attributed to the pair(s) it participates in — as the A
+    * side of pair `id` and the B side of pair `id-offset` — then one
+    * groupBy(pair, shingle) marks which sides contain each shingle
+    * and a second (partial-aggregated, tiny) groupBy(pair) counts
+    * |A|, |B| and |A∩B|; jac = |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * The earlier formulation (shingle rows → distinct → two-sided
+    * equi self-join → three joins of the aggregates) moved the
+    * shingle table through three shuffles plus a window; this shape
+    * moves it through ONE (the tag union is map-side, and the final
+    * per-pair sums combine map-side before the second exchange). The
+    * same shape extends to arbitrary candidate pair sets (e.g.
+    * minhashCandidates output) at any scale. */
   def jaccardAdjacent(df: DataFrame, idCol: String, textCol: String,
       offset: Int = 1): DataFrame = {
-    // shingle text → 64-bit hash BEFORE anything wide: the joins and
-    // the cache then carry 16-byte rows instead of ~30-byte strings
-    // (collision odds over a doc pair are ~1e-14 — far below the
-    // float tolerance of any downstream use)
-    val rows = shingleRows(df, idCol, textCol)
-      .select(col(idCol), xxhash64(col("s")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = rows.toDF("a_id", "s")
-    val b = rows.toDF("b_id", "s")
-    val inter = a.join(b, col("b_id") === col("a_id") + offset && a("s") === b("s"))
-      .groupBy(col("a_id")).agg(count(lit(1)).as("n_inter"))
-    val sa = sizes.toDF("a_id", "a_n")
-    val sb = sizes.toDF("b_id", "b_n")
-    sa.join(sb, col("b_id") === col("a_id") + offset)
-      .join(inter, Seq("a_id"), "left")
-      .select(col("a_id").as(idCol),
-        (coalesce(col("n_inter"), lit(0L)).cast("double") /
-          (col("a_n") + col("b_n") - coalesce(col("n_inter"), lit(0L)))
-            .cast("double")).as("jac"))
+    val rows = shingleHashRows(df, idCol, textCol)
+    val tagged = rows.select(col(idCol).as("pair"), col("s"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionAll(rows.select((col(idCol) - offset).as("pair"), col("s"),
+        lit(0).as("in_a"), lit(1).as("in_b")))
+    val perShingle = tagged.groupBy(col("pair"), col("s"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    perShingle.groupBy(col("pair"))
+      .agg(
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_inter"),
+        sum(col("in_a")).as("a_n"),
+        sum(col("in_b")).as("b_n"))
+      // pairs where both docs produced ≥1 shingle, like the join form
+      .filter(col("a_n") > 0 && col("b_n") > 0)
+      .select(col("pair").as(idCol),
+        (col("n_inter").cast("double") /
+          (col("a_n") + col("b_n") - col("n_inter")).cast("double")).as("jac"))
   }
 }

@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * random-hyperplane LSH variant is the scale path: bucket the
   * vectors once (a narrow shuffle key), then search only inside the
   * query's bucket — candidate count per query is |bucket|, not |n|.
+  *
+  * Every variant merges with [[TopK.perKey]] — a bounded typed
+  * Aggregator whose map-side partial pass reduces each scan partition
+  * to a ≤k-element heap per query BEFORE any shuffle. The earlier
+  * `Window.partitionBy(q_id)` merge funneled the whole scored corpus
+  * into ≤|queries| tasks; the aggregate shape ships only
+  * O(partitions × queries × k) rows.
   */
 object Similarity {
 
@@ -41,25 +48,22 @@ object Similarity {
             |  CAST(0 AS DOUBLE), (acc, w) -> acc + w)))""".stripMargin)
 
   /** Brute-force top-k cosine neighbors for each query vector.
-    * Queries are broadcast (they are few); the corpus is scanned once
-    * — the plan is a single broadcast nested-loop + per-query top-k,
-    * which is exactly what a 1000-executor scan of 100 TB wants. */
+    * Queries are broadcast (they are few); the corpus is scanned
+    * once. Each scan partition reduces to k rows per query map-side
+    * (TopK partial aggregation), so the single shuffle carries heaps,
+    * not the scored corpus — the plan a 1000-executor scan of 100 TB
+    * wants. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("nv"))
     val q = queries.select(col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("qv"))
-    import org.apache.spark.sql.expressions.Window
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("q_id"))
       .select(col("q_id"), col("neighbor_id"),
         cosineExpr("qv", "nv").as("score"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("score"), col("rnk"))
+    TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
   }
 
   /** Random-hyperplane LSH bucket id (`numBits` sign bits). Planes
@@ -80,39 +84,43 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into
     * `nlist` cells around deterministically-sampled centroid vectors
-    * (hash-order sample — no driver-side randomness), then search
-    * only each query's `nprobe` nearest cells. The cell id is the
-    * shuffle key; candidate count per query is nprobe·(n/nlist)
-    * instead of n. Centroids are tiny and broadcast. */
+    * (md5-order sample — no driver-side randomness, and expressible
+    * in any SQL engine, so the DuckDB oracle can replay it), then
+    * search only each query's `nprobe` nearest cells. The cell id is
+    * the shuffle key; candidate count per query is nprobe·(n/nlist)
+    * instead of n. Centroids are tiny and broadcast; cell assignment
+    * is itself a TopK partial aggregate, so the corpus never shuffles
+    * ×nlist. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("nv"))
     // deterministic pseudo-random sample of nlist centroids
     val cents = broadcast(
-      c.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id")).limit(nlist)
+      c.orderBy(md5(col("neighbor_id").cast("string")), col("neighbor_id"))
+        .limit(nlist)
         .select(col("neighbor_id").as("cell"), col("nv").as("cv")))
-    def assign(df: DataFrame, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(df.columns.filterNot(_ == vec).map(col): _*)
-        .orderBy(cosineExpr(vec, "cv").desc, col("cell"))
-      df.crossJoin(cents)
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .drop("cv", "cell_rank")
+    // nearest `keep` cells per vector: score all nlist centroids in
+    // the map pass, keep a bounded heap — one shuffle of heaps per id,
+    // never id×nlist rows
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .select(col(id), col(vec), col("cell"),
+          cosineExpr(vec, "cv").as("cell_score"))
+        .groupBy(col(id))
+        .agg(first(col(vec)).as(vec),
+          TopK.topK(keep)(col("cell"), col("cell_score")).as("__cells"))
+      scored.select(col(id), col(vec),
+          explode(col("__cells.id")).as("cell"))
     }
-    val corpusCells = assign(c, "nv", 1)
+    val corpusCells = assign(c, "neighbor_id", "nv", 1)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
-    val queryCells = assign(q, "qv", nprobe)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    corpusCells.join(broadcast(queryCells), Seq("cell"))
+    val queryCells = assign(q, "q_id", "qv", nprobe)
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("q_id"))
       .select(col("q_id"), col("neighbor_id"),
         cosineExpr("qv", "nv").as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("score"), col("rnk"))
+    TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
   }
 
   /** LSH-bucketed ANN: join query buckets to corpus buckets, exact
@@ -127,15 +135,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucketExpr("qv", numBits, dims))
-    import org.apache.spark.sql.expressions.Window
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("q_id"))
       .select(col("q_id"), col("neighbor_id"),
         cosineExpr("qv", "nv").as("score"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("score"), col("rnk"))
+    TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
   }
 }

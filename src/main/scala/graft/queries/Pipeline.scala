@@ -81,13 +81,23 @@ object Pipeline {
       None),
 
     // ---- embedding near-dup: max cosine over the next 20 vectors.
+    // The pure range predicate (b_id ∈ (vec_id, vec_id+20]) has no
+    // equi key and would plan as a BroadcastNestedLoopJoin. Banding
+    // fixes that: with band = vec_id div 20, any in-range partner
+    // lives in band or band+1, so probing both bands turns the range
+    // join into ONE equi hash join plus a residual filter — the only
+    // shape that survives a 100-TB corpus.
     "p05_embedding_neardup" -> Q(
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-        val a = e.toDF("vec_id", "av")
-        val b = e.toDF("b_id", "bv")
-        a.join(b, col("b_id") > col("vec_id") && col("b_id") <= col("vec_id") + 20)
+        val a = e.select(col("vec_id"), col("v").as("av"),
+          explode(array(expr("vec_id div 20"), expr("vec_id div 20 + 1")))
+            .as("band"))
+        val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
+          expr("vec_id div 20").as("band"))
+        a.join(b, Seq("band"))
+          .filter(col("b_id") > col("vec_id") && col("b_id") <= col("vec_id") + 20)
           .groupBy(col("vec_id"))
           .agg(round(max(Similarity.cosineExpr("av", "bv")), 4).as("max_cos"))
           .orderBy(col("vec_id"))

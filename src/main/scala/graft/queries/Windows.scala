@@ -94,14 +94,25 @@ object Windows {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ---- ntile / percent_rank / cume_dist over a global total order.
+    // A bare `Window.orderBy` would move ALL orders into one task;
+    // instead compute a distributed global rank (range-bucketed
+    // two-pass, operators.Ranks) and derive all three functions from
+    // (rank, n) — valid because (o_totalprice, o_orderkey) is a total
+    // order. Bucket = price div 1000: monotone in the ordering, and
+    // ties in o_totalprice can never straddle a bucket boundary.
     "q21_ntile_pct" -> Q(
       (s, dir) => {
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        tbl(s, dir, "orders")
-          .select(col("o_orderkey"),
-            ntile(4).over(w).as("quartile"),
-            percent_rank().over(w).as("pr"),
-            cume_dist().over(w).as("cd"))
+        val ranked = graft.operators.Ranks.withGlobalRank(
+          tbl(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          expr("CAST(floor(o_totalprice / 1000) AS LONG)"),
+          Seq(col("o_totalprice"), col("o_orderkey")))
+        ranked.select(col("o_orderkey"),
+            graft.operators.Ranks.ntileFromRank(col("rank"), col("n_total"), 4)
+              .as("quartile"),
+            graft.operators.Ranks.percentRankFromRank(col("rank"), col("n_total"))
+              .as("pr"),
+            graft.operators.Ranks.cumeDistFromRank(col("rank"), col("n_total"))
+              .as("cd"))
           .orderBy(col("o_orderkey")).limit(500)
       },
       Some("""SELECT o_orderkey,
