@@ -1,7 +1,6 @@
 package graft.engine
 
 import java.io.File
-import java.util.regex.Pattern
 
 import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.{ExplainMode, ExtendedMode, SimpleMode}
@@ -45,19 +44,35 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   private var tables: Map[(String, String), TableDef] = Map.empty
   private var globals: Map[String, String] = Map.empty
 
-  /** Session default schema (reference: one per connection,
-    * `execution.rs:84-113`; this engine is single-session). */
-  var currentSchema: Option[String] = None
+  /** Default session — the engine's own "connection". Additional
+    * connections call [[newSession]] and get isolated current-schema
+    * and prepared-statement state (reference: one `Execution` per
+    * connection, `execution.rs:84-113`). */
+  val session: GraftSession = new GraftSession(this)
 
-  private var preparedSeq = 0
-  private val prepared = scala.collection.mutable.Map[Int, (String, Int)]()
+  /** Open a new, isolated session against the shared catalog. */
+  def newSession(): GraftSession = new GraftSession(this)
+
+  /** The session whose statement is currently executing. Only read or
+    * written under the engine lock — every statement (any session)
+    * runs inside `synchronized`, so per-statement state like the
+    * Spark catalog's current database can't interleave. */
+  private var active: GraftSession = session
+
+  private def currentSchema: Option[String] = active.currentSchema
 
   // ------------------------------------------------------------------
   // public API
   // ------------------------------------------------------------------
 
-  /** Execute one SQL statement. Throws GraftException on error. */
-  def sql(statementRaw: String): GraftResult = synchronized {
+  /** Execute one SQL statement in the default session. */
+  def sql(statementRaw: String): GraftResult = sqlAs(session, statementRaw)
+
+  /** Execute one SQL statement in the given session. Throws
+    * GraftException on error. */
+  private[engine] def sqlAs(ses: GraftSession,
+      statementRaw: String): GraftResult = synchronized {
+    active = ses
     val stmt = statementRaw.trim.stripSuffix(";").trim
     if (stmt.isEmpty) throw Errors.generic("empty statement")
     val lower = stmt.toLowerCase
@@ -101,23 +116,12 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     case AffectedRows(n) => throw Errors.generic(s"statement returned count $n, not rows")
   }
 
-  // prepared statements (COM_STMT_PREPARE/EXECUTE/CLOSE shape,
-  // execution.rs:790-880)
-  def prepare(statement: String): Int = synchronized {
-    preparedSeq += 1
-    prepared(preparedSeq) = (statement, countParams(statement))
-    preparedSeq
-  }
-
-  def executePrepared(id: Int, params: Seq[Any]): GraftResult = synchronized {
-    val (stmtSql, n) = prepared.getOrElse(id,
-      throw Errors.generic(s"unknown prepared statement $id"))
-    if (params.length != n)
-      throw Errors.generic(s"prepared statement $id expects $n parameters")
-    sql(substituteParams(stmtSql, params))
-  }
-
-  def closePrepared(id: Int): Unit = synchronized { prepared.remove(id) }
+  // prepared statements — delegate to the default session (the cache
+  // is per-session state, GraftSession)
+  def prepare(statement: String): Int = session.prepare(statement)
+  def executePrepared(id: Int, params: Seq[Any]): GraftResult =
+    session.executePrepared(id, params)
+  def closePrepared(id: Int): Unit = session.closePrepared(id)
 
   // ------------------------------------------------------------------
   // bootstrap / registration
@@ -217,7 +221,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   }
 
   /** Regenerate + persist the catalog tables, then (re)register them
-    * — the catalog is itself tables, like the reference. */
+    * — the catalog is itself tables, like the reference. coalesce(1)
+    * is deliberate HERE: these are metadata tables with one row per
+    * schema/table/column — bounded by catalog size, not data size. */
   private def persistInfoSchema(): Unit = {
     infoTables.foreach { n =>
       infoDf(n).coalesce(1).write.mode("overwrite").parquet(s"$infoRoot/$n")
@@ -268,32 +274,81 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
 
   private def doSelect(stmt: String): GraftResult = {
     // pin the shared Spark session catalog to THIS engine session's
-    // schema (several engines may share one SparkSession in tests)
+    // schema (several engines may share one SparkSession in tests;
+    // safe because every statement runs under the engine lock and
+    // spark.sql analyzes eagerly before the lock is released)
     spark.catalog.setCurrentDatabase(currentSchema.getOrElse("default"))
-    val sqlText = rewrite(stmt)
-    val needsRowid = Pattern.compile("\\browid\\b",
-      Pattern.CASE_INSENSITIVE).matcher(stmt).find()
-    val shadowed =
-      if (needsRowid)
-        currentSchema.toSeq.flatMap(s =>
-          tables.values.filter(t => t.schema == s && !t.external))
-      else Seq.empty
-    shadowed.foreach(td => readFull(td).createOrReplaceTempView(td.name))
+    var sqlText = rewrite(stmt)
+    // rowid shadow views: quote-aware identifier detection (a 'rowid'
+    // inside a string literal no longer triggers), applied only to
+    // tables the statement references — bare names in the session
+    // schema directly, schema-qualified names from ANY schema via a
+    // rewritten shadow-view name (temp views can't be qualified).
+    // Reference keeps rowid in the DF schema and hides it from `*`
+    // (meta_def.rs:385-395, core_util.rs:451-462); here `*` through a
+    // shadow view includes rowid — documented deviation.
+    val shadowed = scala.collection.mutable.ArrayBuffer[String]()
+    if (containsIdent(sqlText, RowId)) {
+      tables.values.filterNot(_.external).foreach { td =>
+        val shadowName = s"__rowid_${td.schema}_${td.name}"
+        val (rewritten, qualified) =
+          replaceQualifiedRef(sqlText, td.schema, td.name, shadowName)
+        if (qualified) {
+          sqlText = rewritten
+          readFull(td).createOrReplaceTempView(shadowName)
+          shadowed += shadowName
+        } else if (currentSchema.contains(td.schema) &&
+            containsIdent(sqlText, td.name)) {
+          readFull(td).createOrReplaceTempView(td.name)
+          shadowed += td.name
+        }
+      }
+    }
     try ResultSet(spark.sql(sqlText))
-    finally shadowed.foreach(td => spark.catalog.dropTempView(td.name))
+    finally shadowed.foreach(v => spark.catalog.dropTempView(v))
   }
 
   private def doExplain(stmt: String): GraftResult = {
     val m = "(?is)^explain\\s+(verbose\\s+|analyze\\s+)*".r
       .findFirstMatchIn(stmt).get
-    val verbose = stmt.toLowerCase.contains("verbose")
+    val mods = stmt.substring(0, m.end).toLowerCase
+    val verbose = mods.contains("verbose")
+    val analyze = mods.contains("analyze")
     val inner = stmt.substring(m.end)
     val df = query(inner)
-    val text = df.queryExecution
-      .explainString(if (verbose) ExtendedMode else SimpleMode)
     import spark.implicits._
-    ResultSet(text.split("\n").toSeq.map(l => ("plan", l))
-      .toDF("plan_type", "plan"))
+    if (analyze) {
+      // run the plan for real, then report it with runtime metrics —
+      // the reference executes the explain plan too (explain.rs:41-105)
+      val qe = df.queryExecution
+      qe.toRdd.count() // executes without collecting rows to the driver
+      def metricLines(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[(String, String)] = {
+        val self =
+          if (p.metrics.isEmpty) Seq.empty
+          else Seq("metric" -> (p.nodeName + ": " +
+            p.metrics.toSeq.sortBy(_._1)
+              .map { case (k, sm) => s"$k=${sm.value}" }.mkString(", ")))
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(metricLines)
+      }
+      val planRows = qe
+        .explainString(if (verbose) ExtendedMode else SimpleMode)
+        .split("\n").toSeq.map(l => ("plan", l))
+      ResultSet((planRows ++ metricLines(qe.executedPlan))
+        .toDF("plan_type", "plan"))
+    } else {
+      val text = df.queryExecution
+        .explainString(if (verbose) ExtendedMode else SimpleMode)
+      ResultSet(text.split("\n").toSeq.map(l => ("plan", l))
+        .toDF("plan_type", "plan"))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -329,7 +384,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     tables.values.filter(_.schema == name).toSeq.foreach(dropTableImpl)
     schemas -= name
     spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
-    if (currentSchema.contains(name)) currentSchema = None
+    if (currentSchema.contains(name)) active.currentSchema = None
     persistInfoSchema()
     AffectedRows(1)
   }
@@ -572,7 +627,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     // (insert.rs:195-218)
     constraintViolation(newRows, if (overwrite) None else existing, td)
 
-    val n = newRows.count()
+    // affected count is the parsed VALUES row count — no Spark job
+    val n = rows.size.toLong
     if (overwrite && existing.isDefined && td.allConstraints.nonEmpty) {
       // upsert shape: drop conflicting pre-existing rows, then append all
       var kept = existing.get
@@ -581,7 +637,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       }
       writeVersion(td, kept.unionByName(newRows))
     } else {
-      newRows.coalesce(1).write.mode("append").parquet(tableDir(td))
+      newRows.write.mode("append").parquet(tableDir(td))
       spark.catalog.refreshTable(s"${td.schema}.${td.name}")
     }
     AffectedRows(n)
@@ -644,11 +700,14 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     AffectedRows(n)
   }
 
-  /** Copy-on-write swap: write the new table image to v(N+1), flip
-    * the catalog pointer, drop the old directory. */
+  /** Copy-on-write swap: write the new table image to v(N+1) with the
+    * plan's natural parallelism (a coalesce(1) here would funnel every
+    * UPDATE/DELETE rewrite through one task — a wall at scale), flip
+    * the catalog pointer, drop the old directory. Atomicity comes from
+    * the version-directory swap, not from single-file writes. */
   private def writeVersion(td: TableDef, df: DataFrame): Unit = {
     val ntd = td.copy(version = td.version + 1)
-    df.coalesce(1).write.mode("overwrite").parquet(tableDir(ntd))
+    df.write.mode("overwrite").parquet(tableDir(ntd))
     tables += (td.schema, td.name) -> ntd
     registerTable(ntd)
     persistInfoSchema()
@@ -663,7 +722,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     val name = ident(stmt.trim.split("\\s+", 2)(1))
     if (!schemas.contains(name) && name != InfoSchemaDb)
       throw Errors.unknownDb(name)
-    currentSchema = Some(name)
+    active.currentSchema = Some(name)
     spark.catalog.setCurrentDatabase(name)
     AffectedRows(1)
   }
@@ -721,11 +780,16 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       ResultSet(Seq((td.name, td.createTableSql))
         .toDF("Table", "Create Table"))
     } else if (lower.startsWith("show variables")) {
-      // deviation: filter on the NAME (the reference filters on the
-      // value, show_variables.rs:75-83 — a bug)
+      // LIKE deviation: filter on the NAME (the reference filters on
+      // the value, show_variables.rs:75-83 — a bug). WHERE filters
+      // over (Variable_name, Value) like the reference's WHERE arm
+      // (show_variables.rs:49-118).
       val base = globals.toSeq.sortBy(_._1)
         .toDF("Variable_name", "Value")
-      ResultSet(likeFilter(base, "Variable_name", likePat))
+      val whereIdx = indexOfKeyword(stmt, "where")
+      if (whereIdx >= 0)
+        ResultSet(base.filter(expr(rewrite(stmt.substring(whereIdx + 5)))))
+      else ResultSet(likeFilter(base, "Variable_name", likePat))
     } else if (lower.startsWith("show engines")) {
       ResultSet(Seq(("Parquet", "DEFAULT",
         "Columnar parquet storage on Spark", "NO", "NO", "NO"))

@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-connection session state, split from the shared catalog the
+  * way the reference creates one `Execution` per client connection
+  * (`/root/reference/src/core/execution.rs:84-113`,
+  * `src/main.rs:88-99`): each session owns its current schema and its
+  * prepared-statement cache, while schemas/tables/data live in the
+  * shared [[GraftEngine]].
+  *
+  * Statement execution is serialized on the engine (the reference
+  * serializes storage access through a global context lock the same
+  * way, `execution.rs` → `Arc<Mutex<GlobalContext>>`); concurrency
+  * comes from Spark's distributed execution of each statement, not
+  * from interleaving statement analysis.
+  */
+class GraftSession private[engine] (val engine: GraftEngine) {
+
+  /** Session default schema — USE / error 1046 scope. */
+  @volatile var currentSchema: Option[String] = None
+
+  private var preparedSeq = 0
+  private[engine] val prepared =
+    scala.collection.mutable.Map[Int, (String, Int)]()
+
+  /** Execute one SQL statement in this session. */
+  def sql(statement: String): GraftResult = engine.sqlAs(this, statement)
+
+  /** Run and return the DataFrame of a result set. */
+  def query(statement: String): DataFrame = sql(statement) match {
+    case ResultSet(df) => df
+    case AffectedRows(n) =>
+      throw Errors.generic(s"statement returned count $n, not rows")
+  }
+
+  // prepared statements (COM_STMT_PREPARE/EXECUTE/CLOSE shape,
+  // execution.rs:790-880) — cache is per-session, like the
+  // reference's per-connection StmtContext
+  def prepare(statement: String): Int = synchronized {
+    preparedSeq += 1
+    prepared(preparedSeq) = (statement, SqlText.countParams(statement))
+    preparedSeq
+  }
+
+  def executePrepared(id: Int, params: Seq[Any]): GraftResult = {
+    val (stmtSql, n) = synchronized {
+      prepared.getOrElse(id,
+        throw Errors.generic(s"unknown prepared statement $id"))
+    }
+    if (params.length != n)
+      throw Errors.generic(s"prepared statement $id expects $n parameters")
+    sql(SqlText.substituteParams(stmtSql, params))
+  }
+
+  def closePrepared(id: Int): Unit = synchronized { prepared.remove(id) }
+}

@@ -245,6 +245,98 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
   }
 
+  test("per-connection sessions: isolated schemas and prepared caches") {
+    val e = freshEngine()
+    e.sql("create schema sa"); e.sql("create schema sb")
+    val s1 = e.newSession(); val s2 = e.newSession()
+    s1.sql("use sa"); s2.sql("use sb")
+    s1.sql("create table t (id int, PRIMARY KEY(id))")
+    s2.sql("create table t (id int, PRIMARY KEY(id))")
+    s1.sql("insert into t values (1)")
+    s2.sql("insert into t values (2)")
+    assert(rows(s1.sql("select id from t")) == Seq(Seq(1L)))
+    assert(rows(s2.sql("select id from t")) == Seq(Seq(2L)))
+    assert(rows(s1.sql("select database()")) == Seq(Seq("sa")))
+    assert(rows(s2.sql("select database()")) == Seq(Seq("sb")))
+    // prepared-statement ids and caches are per-session
+    val p1 = s1.prepare("select id from t where id = ?")
+    val p2 = s2.prepare("select id from t where id = ?")
+    assert(p1 == 1 && p2 == 1)
+    assert(rows(s1.executePrepared(p1, Seq(1))) == Seq(Seq(1L)))
+    assert(rows(s2.executePrepared(p2, Seq(2))) == Seq(Seq(2L)))
+    s2.closePrepared(p2)
+    assert(rows(s1.executePrepared(p1, Seq(1))) == Seq(Seq(1L)))
+    // concurrent statements from both sessions: no cross-talk
+    @volatile var problems = List.empty[String]
+    def worker(s: GraftSession, expect: Long) = new Thread(() => {
+      try (1 to 8).foreach { _ =>
+        val got = rows(s.sql("select id from t")).map(_.head)
+        if (got != Seq(expect)) problems ::= s"expected $expect got $got"
+      } catch { case t: Throwable => problems ::= t.toString }
+    })
+    val ts = Seq(worker(s1, 1L), worker(s2, 2L))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(problems.isEmpty, problems.mkString("; "))
+  }
+
+  test("rowid detection is quote-aware and supports qualified tables") {
+    val e = freshEngine()
+    e.sql("create schema ra"); e.sql("create schema rb")
+    e.sql("use ra")
+    e.sql("create table t1 (id int, PRIMARY KEY(id))")
+    e.sql("insert into t1 values (1)")
+    // 'rowid' inside a string literal must NOT trigger shadow views —
+    // `*` stays rowid-free
+    assert(rows(e.sql("select *, 'rowid' as lit from t1")) ==
+      Seq(Seq(1L, "rowid")))
+    // rowid on a schema-qualified table from another schema
+    e.sql("use rb")
+    e.sql("create table t2 (id int, PRIMARY KEY(id))")
+    e.sql("insert into t2 values (9)")
+    e.sql("use ra")
+    val q = rows(e.sql("select rowid, id from rb.t2"))
+    assert(q.size == 1 && q.head(1) == 9L)
+    assert(q.head.head.asInstanceOf[String].length == 32)
+    // …and bare names still shadow in the session schema
+    assert(rows(e.sql("select rowid, id from t1")).head(1) == 1L)
+  }
+
+  test("show variables where filters on name and value") {
+    val v = rows(eng.sql(
+      "show variables where Variable_name = 'lower_case_table_names'"))
+    assert(v == Seq(Seq("lower_case_table_names", "1")))
+    val v2 = rows(eng.sql("show variables where Value = 'REPEATABLE-READ'"))
+    assert(v2.map(_.head).contains("transaction_isolation"))
+  }
+
+  test("explain analyze executes the plan and reports runtime metrics") {
+    val r = rows(eng.sql("explain analyze select count(*) from user"))
+    assert(r.exists(_.head == "plan"))
+    val metrics = r.filter(_.head == "metric")
+    assert(metrics.nonEmpty)
+    assert(metrics.exists(_(1).toString.contains("numOutputRows")),
+      metrics.map(_(1)).mkString("\n"))
+  }
+
+  test("copy-on-write rewrite keeps write parallelism (multiple files)") {
+    val dir = Files.createTempDirectory("graft_wh_").toString
+    val e = new GraftEngine(spark, dir)
+    e.sql("create schema cw"); e.sql("use cw")
+    e.sql("create table big (id int, PRIMARY KEY(id))")
+    e.sql("insert into big values " +
+      (1 to 50).map(i => s"($i)").mkString(", "))
+    e.sql("insert into big values " +
+      (51 to 100).map(i => s"($i)").mkString(", "))
+    assert(e.sql("update big set id = id + 1000 where id > 98") ==
+      AffectedRows(2))
+    val v1 = new java.io.File(s"$dir/data/cw/big/v1")
+    val parts = v1.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 2, s"expected multi-file rewrite, got $parts file(s)")
+    assert(rows(e.sql("select count(*) from big")) == Seq(Seq(100L)))
+    assert(rows(e.sql("select count(*) from big where id > 1000")) ==
+      Seq(Seq(2L)))
+  }
+
   test("catalog persists across engine restarts") {
     val dir = Files.createTempDirectory("graft_wh_").toString
     val e1 = new GraftEngine(spark, dir)
