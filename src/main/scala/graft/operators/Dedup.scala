@@ -129,6 +129,33 @@ object Dedup {
       .select(col(idCol), fp.as("simhash"))
   }
 
+  /** SimHash over two polynomial hash families instead of xxhash64:
+    * 60-bit fingerprint whose low 30 bits come from the sign-sums of
+    * RollingHash(31, 1e9+7) token hashes and high 30 bits from
+    * RollingHash(37, 998244353). Same plumbing and plan shape as
+    * [[simhash]] (explode → one hash aggregate); the polynomial
+    * families are slightly weaker hashes but are expressible in ANSI
+    * SQL, so a DuckDB oracle can verify the fingerprints bit-for-bit
+    * — which xxhash64 (no DuckDB twin) cannot. */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .withColumn("h1",
+        graft.functions.RollingHash(col("tok"), 31L, 1000000007L))
+      .withColumn("h2",
+        graft.functions.RollingHash(col("tok"), 37L, 998244353L))
+    val bitSums = (0 until 60).map { j =>
+      val (h, b) = if (j < 30) (col("h1"), j) else (col("h2"), j - 30)
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val fp = (0 until 60).map { j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints (built-in
     * bit_count: codegen'd, no UDF). */
   def hamming(a: Column, b: Column): Column =

@@ -604,6 +604,26 @@ object Parity {
         |CAST(sum(l_quantity) AS BIGINT) AS qty_over
         |FROM part JOIN lineitem
         |ON p_partkey = l_partkey AND l_quantity > p_size
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---- GROUPING SETS (beyond ROLLUP/CUBE): explicit grouping-set
+    // list through the typed API; exceeds reference parity the same
+    // way q31/q32 do (SURVEY §2.4 marks these absent in DataFusion 6).
+    "q45_grouping_sets" -> Q(
+      (s, dir) => tbl(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          money(sum(cents(col("o_totalprice")))).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |${oSumCents("o_totalprice")} AS revenue
+        |FROM orders GROUP BY GROUPING SETS
+        |  ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin))
   )
 }

@@ -69,16 +69,43 @@ object Pipeline {
       None),
 
     // ---- SimHash fingerprints + hamming distance to the next doc.
+    // Uses the portable two-family polynomial hash (simhashPortable)
+    // so DuckDB can recompute the fingerprints bit-for-bit; the
+    // xxhash64 variant (Dedup.simhash) keeps its golden OperatorSpec.
     "p04_simhash" -> Q(
       (s, dir) => {
-        val fp = Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
+        val fp = Dedup.simhashPortable(tbl(s, dir, "documents"), "doc_id", "text")
         val nxt = fp.toDF("b_id", "b_simhash")
         fp.join(nxt, col("b_id") === col("doc_id") + 1, "left")
           .select(col("doc_id"), col("simhash"),
-            Dedup.hamming(col("simhash"), col("b_simhash")).as("ham_next"))
+            Dedup.hamming(col("simhash"), col("b_simhash")).cast("long")
+              .as("ham_next"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some {
+        val polyHash = (mult: Int, mod: Long, alias: String) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  list_transform(range(1, length(t)+1),
+             |    i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+             |  (a, c) -> (a*$mult + c) % $mod) AS $alias""".stripMargin
+        val bitSums = (0 until 60).map { j =>
+          val (h, b) = if (j < 30) ("h1", j) else ("h2", j - 30)
+          s"sum(CASE WHEN (($h // ${1L << b}) % 2) = 1 THEN 1 ELSE -1 END) AS b$j"
+        }.mkString(", ")
+        val fpExpr = (0 until 60).map(j =>
+          s"(CASE WHEN b$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(
+           |    str_split_regex(trim(lower(text)), '\\s+'))) AS t FROM documents),
+           |h AS (SELECT doc_id, ${polyHash(31, 1000000007L, "h1")},
+           |  ${polyHash(37, 998244353L, "h2")} FROM tok),
+           |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+           |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM bits)
+           |SELECT a.doc_id AS doc_id, a.simhash AS simhash,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham_next
+           |FROM fp a LEFT JOIN fp b ON b.doc_id = a.doc_id + 1
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- embedding near-dup: max cosine over the next 20 vectors.
     // The pure range predicate (b_id ∈ (vec_id, vec_id+20]) has no
@@ -166,7 +193,11 @@ object Pipeline {
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
         |ORDER BY user_id, event_id""".stripMargin)),
 
-    // ---- IVF ANN (coarse-quantized cells, nprobe probing).
+    // ---- IVF ANN (coarse-quantized cells, nprobe probing). The
+    // centroid sample orders by md5(vec_id) — deterministic AND
+    // SQL-expressible, so DuckDB replays the whole index build:
+    // sample 16 centroids, assign every vector to its best cell,
+    // probe each query's best 4 cells, exact top-10 inside them.
     "p15_ann_ivf" -> Q(
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
@@ -176,7 +207,28 @@ object Pipeline {
             round(col("score"), 4).as("score"), col("rnk").cast("long").as("rnk"))
           .orderBy(col("q_id"), col("rnk"))
       },
-      None),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, v AS cv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |ca AS (SELECT e.vec_id, e.v, c.cell, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cell) AS rn
+        |  FROM e CROSS JOIN cents c),
+        |corpus AS (SELECT vec_id AS neighbor_id, v AS nv, cell
+        |  FROM ca WHERE rn = 1),
+        |qa AS (SELECT e.vec_id, e.v, c.cell, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cell) AS rn
+        |  FROM e CROSS JOIN cents c WHERE e.vec_id < 50),
+        |qcells AS (SELECT vec_id AS q_id, v AS qv, cell FROM qa WHERE rn <= 4),
+        |scored AS (SELECT qc.q_id, c.neighbor_id, ${duckCos("qc.qv", "c.nv")} AS s
+        |  FROM qcells qc JOIN corpus c USING (cell)
+        |  WHERE c.neighbor_id <> qc.q_id),
+        |ranked AS (SELECT q_id, neighbor_id, s, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, round(s, 4) AS score, rnk
+        |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin)),
 
     // ---- n-gram-heuristic language ID.
     "p08_langid" -> Q(
@@ -277,7 +329,10 @@ object Pipeline {
         |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ---- multimodal feature extraction through the stub decoder
-    // (mapPartitions plumbing; deterministic fake features).
+    // (mapPartitions plumbing; deterministic fake features). The stub
+    // features are plain byte arithmetic over the UTF-8 payload, so
+    // DuckDB can recompute them from hex(encode(text)) byte pairs —
+    // the oracle checks the whole binary-column pipeline end to end.
     "p14_multimodal_features" -> Q(
       (s, dir) => MultiModal.extractFeatures(
           MultiModal.asMedia(tbl(s, dir, "documents"), "doc_id", "text"))
@@ -285,6 +340,21 @@ object Pipeline {
         .select(col("media_id"), col("byte_len"),
           round(col("mean_byte"), 4).as("mean_byte"), col("entropy_bucket"))
         .orderBy(col("media_id")),
-      None)
+      Some("""WITH x AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        |  FROM documents),
+        |by AS (SELECT media_id, n, list_transform(range(1, n+1),
+        |    i -> strpos('0123456789ABCDEF', substr(h, 2*i-1, 1))*16
+        |       + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 17) AS bytes
+        |  FROM x),
+        |hist AS (SELECT media_id, n, bytes, list_transform(range(0, 8),
+        |    j -> len(list_filter(bytes, v -> v // 32 = j))) AS counts
+        |  FROM by)
+        |SELECT media_id, CAST(n AS BIGINT) AS byte_len,
+        |  CASE WHEN n = 0 THEN 0.0
+        |    ELSE round(CAST(list_sum(bytes) AS DOUBLE) / n, 4) END AS mean_byte,
+        |  CAST(least(7, len(list_filter(counts, c -> c * 8 > n))) AS INT)
+        |    AS entropy_bucket
+        |FROM hist ORDER BY media_id""".stripMargin))
   )
 }

@@ -145,6 +145,34 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey""".stripMargin))
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- RANGE frame with numeric bounds (value-based window): all
+    // orders within 1000.00 below the current price for the customer.
+    // Integer-cents ordering keeps the range bounds and the windowed
+    // sum exact on both engines; RANGE frames are tie-deterministic
+    // by definition (peers share a frame).
+    "q46_range_frame" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(cents(col("o_totalprice")))
+          .rangeBetween(-100000, 0)
+        tbl(s, dir, "orders").filter(col("o_custkey") < 200)
+          .select(col("o_custkey"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_cents"),
+            count(lit(1)).over(w).as("n_within_1k"),
+            money(sum(cents(col("o_totalprice"))).over(w)).as("sum_within_1k"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |count(*) OVER w AS n_within_1k,
+        |CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
+        |  AS sum_within_1k
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(round(o_totalprice*100) AS BIGINT)
+        |  RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }
