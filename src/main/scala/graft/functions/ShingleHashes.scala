@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * space-joined shingle: set cardinalities and intersections computed
   * on hashes equal those on strings up to a ~1e-14 collision chance.
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int, poly: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -40,11 +41,11 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "graft_shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n, poly)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleHashes.compute($c, $n)")
+      c => s"graft.functions.ShingleHashes.compute($c, $n, $poly)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -53,31 +54,49 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L
+  private final val PolyMod = 1000000007L
 
   /** FNV-1a fold of one byte into h. */
   @inline private def mix(h: Long, b: Byte): Long = (h ^ (b & 0xffL)) * FnvPrime
 
-  def compute(s: UTF8String, n: Int): ArrayData = {
+  /** poly=false: FNV-1a 64 over UTF-8 bytes (default — stronger and
+    * cheaper; used where nothing external must re-derive the hash).
+    * poly=true: the (h*31 + codepoint) mod 1e9+7 rolling hash of the
+    * space-joined shingle — identical to RollingHash.compute over the
+    * shingle string, so an ANSI-SQL oracle can recompute every hash
+    * from the shingle text (the portable MinHash base). */
+  def compute(s: UTF8String, n: Int, poly: Boolean): ArrayData = {
     // identical token stream to split(trim(lower(text)), "\s+")
     val toks = s.trim().toLowerCase().toString.split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
-    val tokBytes = new Array[Array[Byte]](toks.length)
-    var i = 0
-    while (i < toks.length) {
-      tokBytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      i += 1
-    }
+    // per-token bytes cached once for the FNV path (each token is
+    // touched up to n times as the shingle window slides)
+    val tokBytes: Array[Array[Byte]] =
+      if (poly) null
+      else toks.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
     val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
-    i = 0
+    var i = 0
     while (i + n <= toks.length) {
-      var h = FnvOffset
+      var h = if (poly) 0L else FnvOffset
       var k = 0
       while (k < n) {
-        if (k > 0) h = mix(h, ' '.toByte)
-        val tb = tokBytes(i + k)
-        var j = 0
-        while (j < tb.length) { h = mix(h, tb(j)); j += 1 }
+        if (k > 0) {
+          if (poly) h = (h * 31 + ' ') % PolyMod else h = mix(h, ' '.toByte)
+        }
+        if (poly) {
+          val t = toks(i + k)
+          var j = 0
+          while (j < t.length) {
+            val cp = t.codePointAt(j)
+            h = (h * 31 + cp) % PolyMod
+            j += Character.charCount(cp)
+          }
+        } else {
+          val tb = tokBytes(i + k)
+          var j = 0
+          while (j < tb.length) { h = mix(h, tb(j)); j += 1 }
+        }
         k += 1
       }
       if (seen.add(h)) out += h
@@ -86,6 +105,10 @@ object ShingleHashes {
     new GenericArrayData(out.toArray)
   }
 
-  def apply(text: Column, n: Int): Column =
-    graftshim.column(ShingleHashes(graftshim.expression(text), n))
+  def compute(s: UTF8String, n: Int): ArrayData = compute(s, n, poly = false)
+
+  def apply(text: Column, n: Int): Column = apply(text, n, poly = false)
+
+  def apply(text: Column, n: Int, poly: Boolean): Column =
+    graftshim.column(ShingleHashes(graftshim.expression(text), n, poly))
 }

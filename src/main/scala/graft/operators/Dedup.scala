@@ -161,6 +161,95 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Portable MinHash + LSH banding, every step expressible in ANSI
+    * SQL so a DuckDB oracle can replay the exact candidate set:
+    * shingles hash with the polynomial rolling hash (ShingleHashes
+    * poly mode), the `numHashes` MinHash families are universal
+    * hashes (a_i·h + b_i) mod p — plain codegen'd arithmetic — and
+    * bands of `rowsPerBand` signature values become string bucket
+    * keys for the self-join. Identical plan shape to
+    * [[minhashCandidates]] (the xxhash64 variant): one shuffle to the
+    * signature aggregate, bucket-local pair join, never n². */
+  def minhashCandidatesPortable(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 32, rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val P = 1000000007L
+    def a(i: Int) = (2654435761L * (i + 1)) % P
+    def b(i: Int) = (40503L * (i + 7) + 12345L) % P
+    val ex = df.select(col(idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), shingleSize,
+        poly = true)).as("h"))
+    val aggs = (0 until numHashes).map { i =>
+      min((col("h") * a(i) + b(i)) % P).as(s"m$i")
+    }
+    val sigs = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val nBands = numHashes / rowsPerBand
+    val bandKeys = (0 until nBands).map { j =>
+      concat_ws(",", (0 until rowsPerBand).map(k =>
+        col(s"m${j * rowsPerBand + k}").cast("string")): _*)
+    }
+    val bands = sigs.select(col(idCol),
+        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = bands.toDF("a_id", "band_idx", "band_key")
+    val r = bands.toDF("b_id", "band_idx", "band_key")
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** LSH banding over a SimHash fingerprint column: split the 60-bit
+    * fingerprint into `bands` slices of `bitsPerBand`, emit one
+    * (band_idx, band_val, id) row per slice, and self-join the
+    * buckets — docs agreeing on any full band are candidates. Same
+    * bucket-local shape as [[minhashCandidates]]: the band value is a
+    * uniform shuffle key and the pair space is |bucket|², never n². */
+  def simhashBandCandidates(fp: DataFrame, idCol: String,
+      bands: Int = 4, bitsPerBand: Int = 15): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
+    // persist: the self-join reads the bucket table twice and Spark
+    // has no cross-branch subplan reuse — without this the whole
+    // fingerprint pipeline upstream runs once per side
+    val b = fp.select(col(idCol), posexplode(array((0 until bands).map(j =>
+        shiftright(col("simhash"), j * bitsPerBand).bitwiseAND(lit(mask))): _*))
+      .as(Seq("band_idx", "band_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = b.toDF("a_id", "band_idx", "band_val")
+    val r = b.toDF("b_id", "band_idx", "band_val")
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** Exact n-gram Jaccard for an ARBITRARY candidate pair set
+    * (`pairs(a_id, b_id)`) — the verification stage after any
+    * candidate miner (simhash bands, minhash LSH). |A∩B| comes from
+    * routing each pair through the (id, shingle-hash) table twice —
+    * two hash joins keyed on doc id and (id, shingle) — so cost is
+    * proportional to candidate shingles, not corpus pairs. */
+  def jaccardForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // both inputs fan out into several join branches; persist so the
+    // candidate miner upstream of `pairs` and the shingle pass run
+    // once, not once per branch
+    val p = pairs.persist(lvl)
+    val rows = shingleHashRows(df, idCol, textCol).persist(lvl)
+    val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = p
+      .join(rows.toDF("a_id", "s"), Seq("a_id"))
+      .join(rows.toDF("b_id", "s"), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    p
+      .join(sizes.toDF("a_id", "a_n"), Seq("a_id"))
+      .join(sizes.toDF("b_id", "b_n"), Seq("b_id"))
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("a_n") + col("b_n") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double")).as("jac"))
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns
     * (array formulation — fine for ad-hoc pairs). */
   def jaccard(aSh: Column, bSh: Column): Column =

@@ -26,6 +26,31 @@ object Pipeline {
     (a: String, b: String) =>
       s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
 
+  /** CTE chain `tok, h, bits, fp` recomputing Dedup.simhashPortable's
+    * 60-bit fingerprints bit-for-bit in DuckDB (two polynomial hash
+    * families, per-token sign sums). Shared by the p04 and p17
+    * oracles. */
+  private val duckSimhashFp: String = {
+    val polyHash = (mult: Int, mod: Long, alias: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, length(t)+1),
+         |    i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+         |  (a, c) -> (a*$mult + c) % $mod) AS $alias""".stripMargin
+    val bitSums = (0 until 60).map { j =>
+      val (h, b) = if (j < 30) ("h1", j) else ("h2", j - 30)
+      s"sum(CASE WHEN (($h // ${1L << b}) % 2) = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val fpExpr = (0 until 60).map(j =>
+      s"(CASE WHEN b$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(list_distinct(
+       |    str_split_regex(trim(lower(text)), '\\s+'))) AS t FROM documents),
+       |h AS (SELECT doc_id, ${polyHash(31, 1000000007L, "h1")},
+       |  ${polyHash(37, 998244353L, "h2")} FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-group on content hash.
@@ -82,29 +107,82 @@ object Pipeline {
               .as("ham_next"))
           .orderBy(col("doc_id"))
       },
+      Some(s"""WITH $duckSimhashFp
+        |SELECT a.doc_id AS doc_id, a.simhash AS simhash,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham_next
+        |FROM fp a LEFT JOIN fp b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- complete near-duplicate pipeline: portable MinHash
+    // signatures → LSH band buckets → candidate pairs → EXACT
+    // shingle-Jaccard verification — the end-to-end shape a 100-TB
+    // dedup run uses (mine cheaply, verify exactly, never touch n²
+    // pairs). MinHash banding is the right miner for Jaccard targets:
+    // on this templated corpus SimHash banding over-fires (same-
+    // language docs share sign-sum fingerprints — millions of
+    // candidates), while shingle-level MinHash yields ~2k candidates
+    // at sf0.1. Reported per-doc (candidate count + best verified
+    // similarity) so the result is non-empty on a dup-free corpus.
+    // Fully oracle-checked: DuckDB replays the polynomial shingle
+    // hashes, the universal-hash MinHash families, the banding, and
+    // the exact Jaccard.
+    "p17_neardup_pipeline" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val cand = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        val jac = Dedup.jaccardForPairs(cand, docs, "doc_id", "text")
+        val perDoc = jac.select(explode(array(
+            struct(col("a_id").as("doc_id"), col("jac")),
+            struct(col("b_id").as("doc_id"), col("jac")))).as("x"))
+          .select(col("x.doc_id").as("doc_id"), col("x.jac").as("jac"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_candidates"),
+            round(max(col("jac")), 4).as("best_jac"))
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            col("best_jac"))
+          .orderBy(col("doc_id"))
+      },
       Some {
-        val polyHash = (mult: Int, mod: Long, alias: String) =>
-          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |  list_transform(range(1, length(t)+1),
-             |    i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
-             |  (a, c) -> (a*$mult + c) % $mod) AS $alias""".stripMargin
-        val bitSums = (0 until 60).map { j =>
-          val (h, b) = if (j < 30) ("h1", j) else ("h2", j - 30)
-          s"sum(CASE WHEN (($h // ${1L << b}) % 2) = 1 THEN 1 ELSE -1 END) AS b$j"
-        }.mkString(", ")
-        val fpExpr = (0 until 60).map(j =>
-          s"(CASE WHEN b$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-          .mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(
-           |    str_split_regex(trim(lower(text)), '\\s+'))) AS t FROM documents),
-           |h AS (SELECT doc_id, ${polyHash(31, 1000000007L, "h1")},
-           |  ${polyHash(37, 998244353L, "h2")} FROM tok),
-           |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
-           |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM bits)
-           |SELECT a.doc_id AS doc_id, a.simhash AS simhash,
-           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham_next
-           |FROM fp a LEFT JOIN fp b ON b.doc_id = a.doc_id + 1
-           |ORDER BY doc_id""".stripMargin
+        val P = 1000000007L
+        def a(i: Int) = (2654435761L * (i + 1)) % P
+        def b(i: Int) = (40503L * (i + 7) + 12345L) % P
+        val sigCols = (0 until 32).map(i =>
+          s"list_min(list_transform(hs, h -> (h*${a(i)} + ${b(i)}) % $P)) AS m$i")
+          .mkString(", ")
+        val bandArms = (0 until 8).map(j =>
+          s"SELECT doc_id, $j AS band_idx, " +
+            (0 until 4).map(k => s"CAST(m${j * 4 + k} AS VARCHAR)")
+              .mkString(" || ',' || ") + " AS band_key FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH sh AS ($duckShingles),
+          |hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(1, length(s)+1),
+          |        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+          |    (a, c) -> (a*31 + c) % $P)) AS hs FROM sh),
+          |sig AS (SELECT doc_id, $sigCols FROM hs),
+          |bands AS ($bandArms),
+          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM bands a JOIN bands b
+          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |jac AS (SELECT c.a_id, c.b_id,
+          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+          |  JOIN sh sb ON sb.doc_id = c.b_id),
+          |perdoc AS (SELECT doc_id, count(*) AS n_candidates,
+          |    round(max(jac), 4) AS best_jac
+          |  FROM (SELECT a_id AS doc_id, jac FROM jac
+          |        UNION ALL SELECT b_id AS doc_id, jac FROM jac)
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id AS doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
+          |  p.best_jac AS best_jac
+          |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+          |ORDER BY doc_id""".stripMargin
       }),
 
     // ---- embedding near-dup: max cosine over the next 20 vectors.

@@ -34,6 +34,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Streaming exact dedup — the incremental twin of
+    * `operators.Dedup.exact`: drop rows whose key was already seen,
+    * with state bounded by the watermark horizon
+    * (dropDuplicatesWithinWatermark expires keys as the watermark
+    * passes, so state is O(keys-per-horizon), not O(stream)). State
+    * is hash-partitioned by the key columns — content hashes keep it
+    * uniform at any scale. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization with explicit keyed state: a session
     * closes after `gapMs` of inactivity. State per user is O(1) —
     * the shape that scales to any key cardinality because state lives

@@ -60,6 +60,41 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp(1L) == fp(2L))
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <
       java.lang.Long.bitCount(fp(1L) ^ fp(4L)))
+    // the portable (oracle-replayable) variant has the same properties
+    val pf = Dedup.simhashPortable(docs(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pf(1L) == pf(2L))
+    assert(java.lang.Long.bitCount(pf(1L) ^ pf(3L)) <
+      java.lang.Long.bitCount(pf(1L) ^ pf(4L)))
+  }
+
+  test("near-dup pipeline: band candidates + exact jaccard for pairs") {
+    val fp = Dedup.simhashPortable(docs(), "doc_id", "text")
+    val cand = Dedup.simhashBandCandidates(fp, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs agree on every band; near-dups share at least one
+    assert(cand.contains((1L, 2L)))
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L)))
+    // the portable MinHash miner (p17's candidate stage) agrees
+    val mcand = Dedup.minhashCandidatesPortable(docs(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mcand.contains((1L, 2L)))
+    assert(!mcand.exists { case (x, y) => Set(x, y) == Set(1L, 4L) })
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val j = Dedup.jaccardForPairs(pairs, docs(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) == 0.0)
+    // matches the array-formulation jaccard on the same pairs
+    val sh = Dedup.withShingles(docs(), "doc_id", "text")
+    val ref = sh.toDF("a_id", "a_sh")
+      .join(sh.toDF("b_id", "b_sh"), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Dedup.jaccard(col("a_sh"), col("b_sh")).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    j.keys.foreach(k => assert(j(k) == ref(k), s"pair $k"))
   }
 
   test("jaccard shingle similarity: dup=1.0, near-dup in (0,1)") {

@@ -122,4 +122,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(3)))
     assert(out.toSeq == Seq((10L, 2L), (10L, 1L), (11L, 1L)))
   }
+
+  test("streaming dedup drops duplicate keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF(), Seq("event_id"), "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedupstr").start()
+    input.addData(Seq(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "view", 2.0)))
+    q.processAllAvailable()
+    // same event_id arrives again in a later micro-batch, inside the
+    // watermark horizon — must be dropped; a new id must pass
+    input.addData(Seq(
+      Event(1, ts(3), 10, "click", 1.0),
+      Event(3, ts(4), 11, "view", 3.0)))
+    q.processAllAvailable()
+    val got = spark.table("dedupstr").select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    q.stop()
+    assert(got == Seq(1L, 2L, 3L))
+  }
 }
