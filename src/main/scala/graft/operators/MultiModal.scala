@@ -57,6 +57,58 @@ object MultiModal {
     hist
   }
 
+  /** Resized media row (stub): new payload + updated dimensions. */
+  case class ResizedMedia(media_id: Long, media_type: String,
+      content: Array[Byte], width: Int, height: Int)
+
+  /** STUB RESIZE — a real implementation would decode, scale, and
+    * re-encode; the deterministic stand-in keeps every `stride`-th
+    * byte. The Spark plumbing is the real part: a narrow per-row
+    * transform over the binary column — no shuffle, streams at scan
+    * speed, metadata columns updated alongside the payload. */
+  def resize(media: DataFrame, stride: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media_type", "content", "width", "height")
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        // per-partition codec init would happen here
+        rows.map { case (id, mt, bytes, w, h) =>
+          val b = if (bytes == null) Array.empty[Byte] else bytes
+          val out = new Array[Byte]((b.length + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = b(i * stride); i += 1 }
+          ResizedMedia(id, mt, out, math.max(1, w / stride),
+            math.max(1, h / stride))
+        }
+      }
+  }
+
+  /** One sampled frame of a media payload. */
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB FRAME SAMPLER — treats the payload as `frameSize`-byte
+    * frames and emits every `everyN`-th one. Real video decode slots
+    * into the same seam (flatMap: one input row → 0..n frame rows,
+    * still narrow — the explode happens inside the partition, and
+    * downstream per-frame feature extraction parallelizes on the
+    * emitted rows). */
+  def sampleFrames(media: DataFrame, frameSize: Int,
+      everyN: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val nFrames = b.length / frameSize
+        (0 until nFrames).filter(_ % everyN == 0).map { f =>
+          Frame(id, f, java.util.Arrays.copyOfRange(b,
+            f * frameSize, (f + 1) * frameSize))
+        }
+      }
+  }
+
   /** Distributed feature extraction over binary content. One decoder
     * "session" per partition (the expensive-init pattern real codecs
     * need); rows stream through without materializing the partition. */

@@ -225,4 +225,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(x => x.media_id -> x.feature.toSeq).toMap
     assert(f2(1L) == f(1L).feature.toSeq)
   }
+
+  test("multimodal resize and frame sampling preserve plumbing invariants") {
+    import spark.implicits._
+    val docsDf = Seq((1L, "abcdefghijkl"), (2L, "xy")).toDF("doc_id", "text")
+    val media = MultiModal.asMedia(docsDf, "doc_id", "text")
+    val r = MultiModal.resize(media, 3).collect().map(x => x.media_id -> x).toMap
+    assert(r(1L).content.toSeq == "adgj".getBytes("UTF-8").toSeq)
+    assert(r(1L).width == media.filter(col("media_id") === 1)
+      .head().getAs[Int]("width") / 3)
+    assert(r(2L).content.length == 1)
+    // 12 bytes / frameSize 4 = 3 frames; every 2nd → frames 0 and 2
+    val fr = MultiModal.sampleFrames(media.filter(col("media_id") === 1), 4, 2)
+      .collect().sortBy(_.frame_idx)
+    assert(fr.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(fr.head.frame.toSeq == "abcd".getBytes("UTF-8").toSeq)
+    assert(fr(1).frame.toSeq == "ijkl".getBytes("UTF-8").toSeq)
+  }
 }
