@@ -558,25 +558,30 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   // DML
   // ------------------------------------------------------------------
 
+  /** Duplicate-key validation in ONE Spark job per statement: every
+    * per-constraint probe (intra-batch duplicates, collisions with
+    * existing rows) unions into a single limit(1) collect. The naive
+    * per-constraint loop costs 2×constraints jobs per INSERT — OLTP-
+    * shaped statements care (reference does per-key point gets,
+    * insert.rs:195-218). */
   private def constraintViolation(df: DataFrame, existing: Option[DataFrame],
       td: TableDef): Unit = {
-    td.allConstraints.foreach { case (idxName, cs) =>
+    if (td.allConstraints.isEmpty) return
+    val probes = td.allConstraints.flatMap { case (idxName, cs) =>
       val csCols = cs.map(col)
-      val dupIn = df.groupBy(csCols: _*).count().filter(col("count") > 1)
-        .limit(1).collect()
-      if (dupIn.nonEmpty)
-        throw Errors.duplicateEntry(
-          cs.indices.map(i => String.valueOf(dupIn(0).get(i))).mkString("-"),
-          idxName)
-      existing.foreach { ex =>
-        val hit = df.select(csCols: _*).join(ex.select(csCols: _*), cs, "inner")
-          .limit(1).collect()
-        if (hit.nonEmpty)
-          throw Errors.duplicateEntry(
-            cs.indices.map(i => String.valueOf(hit(0).get(i))).mkString("-"),
-            idxName)
-      }
+      val key = concat_ws("-", cs.map(c => col(c).cast("string")): _*)
+      val dupIn = df.groupBy(csCols: _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .select(lit(idxName).as("__idx"), key.as("__vals"))
+      val clash = existing.map(ex =>
+        df.select(csCols: _*)
+          .join(ex.select(csCols: _*), cs, "left_semi")
+          .select(lit(idxName).as("__idx"), key.as("__vals")))
+      Seq(dupIn) ++ clash
     }
+    val hit = probes.reduce(_ unionAll _).limit(1).collect()
+    if (hit.nonEmpty)
+      throw Errors.duplicateEntry(hit(0).getString(1), hit(0).getString(0))
   }
 
   private def doInsert(stmt: String): GraftResult = {

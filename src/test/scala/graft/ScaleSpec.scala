@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-level evidence for the cluster-scale techniques the library
+  * relies on but the query battery can't show directly on flat test
+  * parquet: bucketed co-located joins (no exchange at all) and
+  * partition pruning (the scan skips directories, not just row
+  * groups). These are the knobs a 100-TB deployment turns — the specs
+  * pin the plans, not just the results.
+  */
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    spark.stop()
+  }
+
+  test("bucketed tables co-locate the join: zero exchanges in the plan") {
+    val orders = graft.queries.QueryUtil.tbl(spark, sfDir, "orders")
+    val customer = graft.queries.QueryUtil.tbl(spark, sfDir, "customer")
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("bkt_orders")
+    customer.select("c_custkey", "c_name")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("bkt_customer")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the non-broadcast path so co-location is what's tested
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bkt_orders")
+        .join(spark.table("bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey")).agg(sum(col("o_totalprice")).as("spend"))
+      val plan = j.queryExecution.explainString(SimpleMode)
+      // matching bucketing on both sides satisfies the join AND the
+      // post-join aggregate distribution on the same key:
+      // sort-merge/shuffled-hash join with NO Exchange anywhere
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("partition pruning: a partitioned write is read with PartitionFilters") {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    val li = graft.queries.QueryUtil.tbl(spark, sfDir, "lineitem")
+    li.select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir)
+      .filter(col("l_returnflag") === "A")
+      .select("l_orderkey", "l_quantity")
+    val plan = read.queryExecution.explainString(SimpleMode)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.replaceAll("\\s+", " ")
+      .matches(""".*PartitionFilters: \[[^\]]*l_returnflag[^\]]*\].*"""), plan)
+    // directory-level pruning: only the A partition's files are read
+    val scanned = read.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.nonEmpty && scanned.forall(_ == 1),
+      s"expected 1 selected partition, got $scanned")
+    assert(read.count() > 0)
+  }
+}
