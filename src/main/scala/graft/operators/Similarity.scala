@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** (A, B, p) for the LCG-derived LSH hyperplane components —
+    * shared with the DuckDB oracle SQL. */
+  val PlaneParams: (Long, Long, Long) = (2654435761L, 40503L, 1000000007L)
+
   /** Dot product of two double-array columns named `a` and `b` —
     * higher-order functions only, left-to-right accumulation (same
     * order DuckDB's list_dot_product uses, so oracles can match). */
@@ -66,16 +70,19 @@ object Similarity {
     TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
   }
 
-  /** Random-hyperplane LSH bucket id (`numBits` sign bits). Planes
-    * are derived deterministically from xxhash64(bit, dim) — no
-    * driver-side randomness, identical on every executor. */
+  /** Random-hyperplane LSH bucket id (`numBits` sign bits). Plane
+    * components are a linear-congruential sequence
+    * ((A·(j·dims+d+1)+B) mod p)/p − 0.5 — deterministic, no
+    * driver-side randomness, identical on every executor, and plain
+    * modular arithmetic, so an ANSI-SQL oracle can recompute every
+    * bucket exactly (same left-to-right fold as DuckDB list_reduce). */
   def lshBucketExpr(vecCol: String, numBits: Int, dims: Int): Column = {
+    val (pA, pB, pP) = Similarity.PlaneParams
     val bitExprs = (0 until numBits).map { j =>
-      // dot(v, plane_j) where plane_j[d] = xxhash64(j*dims+d) scaled to [-0.5, 0.5]
       s"""(CASE WHEN aggregate(
          |   zip_with($vecCol, sequence(0, ${dims - 1}),
-         |     (x, d) -> x * (CAST(xxhash64(d, ${1000003 * (17 + 1)} + $j) AS DOUBLE)
-         |                    / 1.8446744073709552E19)),
+         |     (x, d) -> x * (CAST(($pA * (${j * dims} + d + 1) + $pB) % $pP AS DOUBLE)
+         |                    / $pP.0 - 0.5)),
          |   CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0
          | THEN ${1L << j} ELSE 0 END)""".stripMargin
     }

@@ -235,6 +235,9 @@ object Pipeline {
         |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin)),
 
     // ---- LSH-bucketed ANN (scale path; recall measured in specs).
+    // The hyperplane components are LCG modular arithmetic, so DuckDB
+    // recomputes every bucket bit with the same sequential fold and
+    // replays the whole bucket→candidate→top-k pipeline.
     "p07_ann_lsh" -> Q(
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
@@ -244,7 +247,29 @@ object Pipeline {
             round(col("score"), 4).as("score"), col("rnk").cast("long").as("rnk"))
           .orderBy(col("q_id"), col("rnk"))
       },
-      None),
+      Some {
+        val (pA, pB, pP) = Similarity.PlaneParams
+        // same sequential fold as Spark's aggregate(): list_reduce
+        val bitExprs = (0 until 6).map { j =>
+          s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(range(1, 65),
+             |    i -> v[i] * (CAST(($pA * (${j * 64} + i) + $pB) % $pP AS DOUBLE)
+             |                 / $pP - 0.5))),
+             |  (acc, x) -> acc + x) >= 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |b AS (SELECT vec_id, v, CAST($bitExprs AS BIGINT) AS bucket FROM e),
+          |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 50),
+          |scored AS (SELECT q.q_id, b.vec_id AS neighbor_id,
+          |    ${duckCos("q.qv", "b.v")} AS s
+          |  FROM q JOIN b USING (bucket)
+          |  WHERE b.vec_id <> q.q_id),
+          |ranked AS (SELECT q_id, neighbor_id, s, row_number() OVER (
+          |    PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rnk
+          |  FROM scored)
+          |SELECT q_id, neighbor_id, round(s, 4) AS score, rnk
+          |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+      }),
 
     // ---- as-of join: each view event sees the user's most recent
     // purchase value (AsOf composes union+window — one shuffle, no
