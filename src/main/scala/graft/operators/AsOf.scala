@@ -56,4 +56,41 @@ object AsOf {
         leftCols.filterNot(_ == keyCol).map(c => col(s"__l_$c").as(c)) ++:
         valueCols.map(c => col(s"__c_$c").as(c)): _*)
   }
+
+  /** As-of join with a staleness bound: carried right-side values are
+    * nulled when `within(leftTime, matchedRightTime)` is not true —
+    * e.g. "the latest purchase, but only if it happened in the last
+    * hour". Same single-shuffle union + carry-forward shape as
+    * [[join]]; the matched right timestamp rides along as one extra
+    * carried column, so the bound costs no additional exchange. */
+  def joinWithTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, valueCols: Seq[String],
+      within: (Column, Column) => Column): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .select(col(keyCol) +: col(timeCol).as("__t") +: lit(1).as("__is_left") +:
+        lit(null).cast(left.schema(timeCol).dataType).as("__rt") +:
+        leftCols.filterNot(c => c == keyCol).map(c => col(c).as(s"__l_$c")) ++:
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .select(col(keyCol) +: col(timeCol).as("__t") +: lit(0).as("__is_left") +:
+        col(timeCol).as("__rt") +:
+        leftCols.filterNot(c => c == keyCol).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++:
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(col(keyCol) +: col("__t") +: col("__is_left") +:
+        last(col("__rt"), ignoreNulls = true).over(w).as("__c_rt") +:
+        leftCols.filterNot(_ == keyCol).map(c => col(s"__l_$c")) ++:
+        valueCols.map(c =>
+          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__c_$c")): _*)
+    carried.filter(col("__is_left") === 1)
+      .select(col(keyCol) +:
+        leftCols.filterNot(_ == keyCol).map(c => col(s"__l_$c").as(c)) ++:
+        valueCols.map(c =>
+          when(within(col("__t"), col("__c_rt")), col(s"__c_$c")).as(c)): _*)
+  }
 }

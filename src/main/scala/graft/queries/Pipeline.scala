@@ -296,6 +296,35 @@ object Pipeline {
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
         |ORDER BY user_id, event_id""".stripMargin)),
 
+    // ---- as-of join with a staleness bound: the most recent purchase
+    // counts only if it happened within the last hour — the shape
+    // feature pipelines use for bounded-staleness lookups. DuckDB's
+    // native ASOF JOIN plus an interval guard is the oracle.
+    "p18_asof_tolerance" -> Q(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.operators.AsOf.joinWithTolerance(views, purchases,
+            "user_id", "ts", Seq("purchase_value"),
+            (lt, rt) => unix_millis(lt) - unix_millis(rt) <= 3600000L)
+          .select(col("user_id"), col("event_id"),
+            col("purchase_value").as("purchase_value_1h"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.user_id AS user_id, v.event_id AS event_id,
+        |  CASE WHEN v.ts - p.ts <= INTERVAL 1 HOUR
+        |    THEN p.purchase_value END AS purchase_value_1h
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- IVF ANN (coarse-quantized cells, nprobe probing). The
     // centroid sample orders by md5(vec_id) — deterministic AND
     // SQL-expressible, so DuckDB replays the whole index build:
