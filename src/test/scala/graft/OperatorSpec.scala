@@ -226,6 +226,61 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f2(1L) == f(1L).feature.toSeq)
   }
 
+  test("TopK.perKey matches window row_number semantics, ties broken by id") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.5), (1L, 13L, 0.99),
+      (2L, 20L, 0.1), (2L, 21L, 0.2),
+      (3L, 30L, 0.3)
+    ).toDF("q_id", "neighbor_id", "score")
+      .repartition(4) // force multi-partition partial aggregation
+    val got = graft.operators.TopK
+      .perKey(scored, Seq("q_id"), "neighbor_id", "score", 2)
+      .orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, 13L, 0.99, 1), (1L, 10L, 0.9, 2), // tie 0.9: lower id wins
+      (2L, 21L, 0.2, 1), (2L, 20L, 0.1, 2),
+      (3L, 30L, 0.3, 1)))
+  }
+
+  test("Ranks.withGlobalRank equals a single-partition global rank") {
+    import spark.implicits._
+    val df = Seq(17, 3, 99, 3, 42, 8, 55, 8, 8, 100, 1)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+      .toDF("id", "v").repartition(4)
+    val ranked = graft.operators.Ranks.withGlobalRank(df,
+        expr("CAST(floor(v / 10) AS LONG)"), Seq(col("v"), col("id")))
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n_total")))
+    // expected: sort by (v, id), rank = position
+    val expected = Seq(17, 3, 99, 3, 42, 8, 55, 8, 8, 100, 1)
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .sortBy(identity).zipWithIndex
+      .map { case ((_, id), r) => (id, r.toLong + 1, 11L) }
+    assert(ranked.toSeq == expected)
+    // ntile/percent_rank/cume_dist derivations match Spark's built-ins
+    // computed on the same total order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0)).orderBy(col("v"), col("id"))
+    val ref = df.coalesce(1).select(col("id"),
+        ntile(4).over(w).as("q"), percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val derived = graft.operators.Ranks.withGlobalRank(df,
+        expr("CAST(floor(v / 10) AS LONG)"), Seq(col("v"), col("id")))
+      .select(col("id"),
+        graft.operators.Ranks.ntileFromRank(col("rank"), col("n_total"), 4).as("q"),
+        graft.operators.Ranks.percentRankFromRank(col("rank"), col("n_total")).as("pr"),
+        graft.operators.Ranks.cumeDistFromRank(col("rank"), col("n_total")).as("cd"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(derived == ref)
+  }
+
   test("multimodal resize and frame sampling preserve plumbing invariants") {
     import spark.implicits._
     val docsDf = Seq((1L, "abcdefghijkl"), (2L, "xy")).toDF("doc_id", "text")
