@@ -27,7 +27,8 @@ import SqlText._
   * `delete.rs`).
   *
   * Deviations from reference quirks (SURVEY §7.4): INSERT…SELECT
-  * raises a clear error instead of silently inserting nothing; DELETE
+  * actually inserts the query result instead of the reference's
+  * silent zero-row insert (`insert.rs:76-100`); DELETE
   * leaves no dangling index state; SHOW VARIABLES LIKE filters on the
   * variable *name* (the reference filters on the value —
   * `show_variables.rs:75-83` — a bug we do not replicate); a SELECT
@@ -595,57 +596,81 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       Option(m.group(4)).map(g => splitTopLevel(g, ',').map(ident))
         .getOrElse(td.columns.map(_.name))
     val rest = m.group(5).trim
-    if (!rest.toLowerCase.startsWith("values"))
-      // explicit error instead of the reference's silent zero-row
-      // insert for INSERT…SELECT (insert.rs:76-100; SURVEY §7.4)
-      throw Errors.generic("only INSERT ... VALUES is supported")
-    val rowsText = rest.substring("values".length).trim
-    val rows = splitTopLevel(rowsText, ',').map { r =>
-      val t = r.trim
-      if (!t.startsWith("(") || !t.endsWith(")"))
-        throw Errors.generic(s"bad VALUES row: $t")
-      t
-    }
-    rows.foreach { r =>
-      val n = splitTopLevel(r.substring(1, r.length - 1), ',').size
-      if (n != targetCols.size)
-        throw GraftException(1136,
-          s"Column count doesn't match value count (expected ${targetCols.size}, got $n)")
-    }
+    val restLower = rest.toLowerCase
     val unknown = targetCols.filterNot(c => td.columns.exists(_.name == c))
     if (unknown.nonEmpty) throw Errors.unknownColumn(unknown.head, td.name)
 
-    // constant-expression evaluation via Spark SQL, the way the
-    // reference folds VALUES cells through DataFusion physical exprs
-    // (insert.rs:117-166)
-    val valuesDf = spark.sql(
-      s"SELECT * FROM VALUES ${rows.mkString(", ")} AS __ins(${targetCols.mkString(", ")})")
-    val newRows = valuesDf.select(
+    // (source rows named as targetCols, affected count if known
+    // without a job)
+    val (sourceDf, knownCount) =
+      if (restLower.startsWith("values")) {
+        val rowsText = rest.substring("values".length).trim
+        val rows = splitTopLevel(rowsText, ',').map { r =>
+          val t = r.trim
+          if (!t.startsWith("(") || !t.endsWith(")"))
+            throw Errors.generic(s"bad VALUES row: $t")
+          t
+        }
+        rows.foreach { r =>
+          val n = splitTopLevel(r.substring(1, r.length - 1), ',').size
+          if (n != targetCols.size)
+            throw GraftException(1136,
+              s"Column count doesn't match value count (expected ${targetCols.size}, got $n)")
+        }
+        // constant-expression evaluation via Spark SQL, the way the
+        // reference folds VALUES cells through DataFusion physical
+        // exprs (insert.rs:117-166)
+        (spark.sql(s"SELECT * FROM VALUES ${rows.mkString(", ")} " +
+          s"AS __ins(${targetCols.mkString(", ")})"), Some(rows.size.toLong))
+      } else if (restLower.startsWith("select") ||
+        restLower.startsWith("with") || restLower.startsWith("(")) {
+        // INSERT…SELECT: the reference silently inserts NOTHING here
+        // (insert.rs:76-100) — a trap, not a feature. Executing the
+        // query and appending is the Spark-natural upgrade (SURVEY
+        // §7.4 deviation, now supported rather than erroring).
+        // Columns map by position, MySQL-style.
+        val src = doSelect(rest) match { case ResultSet(d) => d }
+        if (src.columns.length != targetCols.size)
+          throw GraftException(1136,
+            s"Column count doesn't match value count (expected ${targetCols.size}, got ${src.columns.length})")
+        (src.toDF(targetCols: _*), None)
+      } else throw Errors.generic(
+        "only INSERT ... VALUES or INSERT ... SELECT is supported")
+
+    val newRowsPlan = sourceDf.select(
       expr("replace(uuid(), '-', '')").as(RowId) +:
         td.columns.map { c =>
           if (targetCols.contains(c.name)) col(c.name).cast(c.sparkType).as(c.name)
           else lit(null).cast(c.sparkType).as(c.name)
         }: _*)
+    // SELECT sources: persist so constraint probes, the count, and the
+    // write evaluate the source once — and uuid() stays consistent
+    val newRows =
+      if (knownCount.isEmpty)
+        newRowsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else newRowsPlan
+    try {
+      val existing = if (tableHasData(td)) Some(readFull(td)) else None
+      // duplicate-key rejection (error 1062) unless INSERT OVERWRITE
+      // (insert.rs:195-218)
+      constraintViolation(newRows, if (overwrite) None else existing, td)
 
-    val existing = if (tableHasData(td)) Some(readFull(td)) else None
-    // duplicate-key rejection (error 1062) unless INSERT OVERWRITE
-    // (insert.rs:195-218)
-    constraintViolation(newRows, if (overwrite) None else existing, td)
-
-    // affected count is the parsed VALUES row count — no Spark job
-    val n = rows.size.toLong
-    if (overwrite && existing.isDefined && td.allConstraints.nonEmpty) {
-      // upsert shape: drop conflicting pre-existing rows, then append all
-      var kept = existing.get
-      td.allConstraints.foreach { case (_, cs) =>
-        kept = kept.join(newRows.select(cs.map(col): _*), cs, "left_anti")
+      val n = knownCount.getOrElse(newRows.count())
+      if (overwrite && existing.isDefined && td.allConstraints.nonEmpty) {
+        // upsert shape: drop conflicting pre-existing rows, then append all
+        var kept = existing.get
+        td.allConstraints.foreach { case (_, cs) =>
+          kept = kept.join(newRows.select(cs.map(col): _*), cs, "left_anti")
+        }
+        writeVersion(td, kept.unionByName(newRows))
+      } else {
+        newRows.write.mode("append").parquet(tableDir(td))
+        spark.catalog.refreshTable(s"${td.schema}.${td.name}")
       }
-      writeVersion(td, kept.unionByName(newRows))
-    } else {
-      newRows.write.mode("append").parquet(tableDir(td))
-      spark.catalog.refreshTable(s"${td.schema}.${td.name}")
+      AffectedRows(n)
+    } finally {
+      if (knownCount.isEmpty) newRows.unpersist()
     }
-    AffectedRows(n)
   }
 
   private def tableHasData(td: TableDef): Boolean = {

@@ -217,11 +217,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     eng.closePrepared(id)
   }
 
-  test("insert ... select raises a clear error (reference silently no-ops)") {
-    eng.sql("create table is1 (id int)")
+  test("insert ... select inserts the query result (reference silently no-ops)") {
+    eng.sql("create table is1 (id int, name char, PRIMARY KEY(id))")
+    eng.sql("create table is2 (id int, name char, PRIMARY KEY(id))")
+    eng.sql("insert into is1 values (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(eng.sql("insert into is2 select id + 10, upper(name) from is1 where id <= 2") ==
+      AffectedRows(2))
+    assert(rows(eng.sql("select id, name from is2 order by id")) ==
+      Seq(Seq(11L, "A"), Seq(12L, "B")))
+    // constraints still enforced on the SELECT source
     val ex = intercept[GraftException](
-      eng.sql("insert into is1 select 1"))
-    assert(ex.code == 1105 && ex.msg.contains("VALUES"))
+      eng.sql("insert into is2 select id + 10, name from is1 where id = 1"))
+    assert(ex.code == 1062)
+    // self-insert reads the pre-image
+    assert(eng.sql("insert into is2 select id + 100, name from is2") ==
+      AffectedRows(2))
+    assert(rows(eng.sql("select count(*) from is2")) == Seq(Seq(4L)))
+    // column-count mismatch is a clear 1136
+    val ex2 = intercept[GraftException](
+      eng.sql("insert into is2 select id from is1"))
+    assert(ex2.code == 1136)
   }
 
   test("external tables: query pre-existing parquet, read-only") {
