@@ -72,6 +72,33 @@ object TextAnalysis {
         .stripMargin).as("bpe_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
 
+  /** Corpus vocabulary heavy-hitters: the `k` most frequent tokens
+    * per group (e.g. per language) — the shape tokenizer training
+    * starts from. Tokens hash to 64-bit ids (portable RollingHash, so
+    * ties and the final join are externally replayable); the top-k
+    * merge is the bounded [[TopK]] aggregate, so the shuffle after
+    * the count carries per-partition k-heaps, not the whole
+    * vocabulary. Count ties break ascending on the token hash. */
+  def vocabTopK(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val counts = df.select(col(groupCol),
+        explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("th",
+        graft.functions.RollingHash(col("token"), 31L, 1000000007L))
+    // TopK orders by (score desc, id asc): score = count, id = the
+    // token's portable hash, so equal counts rank identically in any
+    // engine that can recompute the hash
+    val top = TopK.perKey(
+      counts.select(col(groupCol), col("th").as("id"),
+        col("n_occ").cast("double").as("score")),
+      Seq(groupCol), "id", "score", k)
+    top.join(counts.select(col(groupCol), col("th").as("id"), col("token"),
+        col("n_occ")), Seq(groupCol, "id"))
+      .select(col(groupCol), col("rnk"), col("token"), col("n_occ"))
+  }
+
   /** Rolling polynomial fingerprint over the document's characters:
     * h = (h*31 + codepoint) mod 1e9+7 — a custom codegen Catalyst
     * expression (graft.functions.RollingHash); the equivalent ANSI

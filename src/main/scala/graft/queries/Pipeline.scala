@@ -430,6 +430,53 @@ object Pipeline {
         |END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- deterministic samples: hash-threshold Bernoulli (p19) and
+    // per-language stratified top-n by hash order (p20). Both derive
+    // the pick from md5 of the key, so any engine recomputes the
+    // exact sample — df.sample() would be partitioning-dependent.
+    "p19_deterministic_sample" -> Q(
+      (s, dir) => graft.operators.Sampling
+        .deterministicSample(tbl(s, dir, "documents"), "doc_id", "2")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < '2'
+        |ORDER BY doc_id""".stripMargin)),
+
+    "p20_stratified_sample" -> Q(
+      (s, dir) => graft.operators.Sampling
+        .stratifiedSample(tbl(s, dir, "documents"), "lang", "doc_id", 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some("""SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sr
+        |  FROM documents)
+        |WHERE sr <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- vocabulary heavy-hitters: top-15 tokens per language by
+    // count (the tokenizer-training shape), merged through the
+    // bounded TopK aggregate with a portable-hash tie-break.
+    "p21_vocab_topk" -> Q(
+      (s, dir) => TextAnalysis
+        .vocabTopK(tbl(s, dir, "documents"), "lang", "text", 15)
+        .select(col("lang"), col("rnk").cast("long").as("rnk"),
+          col("token"), col("n_occ"))
+        .orderBy(col("lang"), col("rnk")),
+      Some("""WITH tok AS (SELECT lang, unnest(str_split_regex(
+        |    trim(lower(text)), '\s+')) AS token FROM documents),
+        |counts AS (SELECT lang, token, count(*) AS n_occ,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(token)+1),
+        |      i -> CAST(ascii(substr(token, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, c) -> (a*31 + c) % 1000000007) AS th
+        |  FROM tok GROUP BY lang, token),
+        |ranked AS (SELECT lang, token, n_occ, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_occ DESC, th) AS rnk
+        |  FROM counts)
+        |SELECT lang, rnk, token, n_occ FROM ranked
+        |WHERE rnk <= 15 ORDER BY lang, rnk""".stripMargin)),
+
     // ---- corpus stats per language.
     "p12_doc_stats" -> Q(
       (s, dir) => tbl(s, dir, "documents")
