@@ -281,6 +281,53 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(derived == ref)
   }
 
+  test("normalize-at-load turns cosine into a plain dot product") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3.0, 4.0, 0.0)), (2L, Seq(0.0, 5.0, 12.0)))
+      .toDF("id", "v")
+    val n = df.select(col("id"), Similarity.normalizeExpr("v").as("nv"))
+    val a = n.toDF("a_id", "a")
+    val b = n.toDF("b_id", "b")
+    val viaDot = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(Similarity.dotExpr("a", "b").as("d")).head().getDouble(0)
+    val raw = df.toDF("a_id", "a").crossJoin(df.toDF("b_id", "b"))
+      .filter(col("a_id") < col("b_id"))
+      .select(Similarity.cosineExpr("a", "b").as("c")).head().getDouble(0)
+    assert(math.abs(viaDot - raw) < 1e-12)
+    // unit length after normalization
+    val len = n.select(Similarity.dotExpr("nv", "nv").as("l"))
+      .collect().map(_.getDouble(0))
+    len.foreach(l => assert(math.abs(l - 1.0) < 1e-12))
+  }
+
+  test("clusterTuned builder carries the documented 100-TB knobs") {
+    // getOrCreate applies builder options to the shared session's SQL
+    // confs — snapshot and restore them so the rest of the suite keeps
+    // its local tuning
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.files.maxPartitionBytes",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      val s = Sessions.clusterTuned(
+          org.apache.spark.sql.SparkSession.builder(), totalCores = 400)
+        .master("local[4]").getOrCreate()
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(s.conf.get("spark.sql.shuffle.partitions").toInt >= 800)
+      assert(s.conf.get("spark.sql.files.maxPartitionBytes").contains("256"))
+      assert(s.conf.get("spark.sql.autoBroadcastJoinThreshold").toLong ==
+        64L * 1024 * 1024)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("multimodal resize and frame sampling preserve plumbing invariants") {
     import spark.implicits._
     val docsDf = Seq((1L, "abcdefghijkl"), (2L, "xy")).toDF("doc_id", "text")
