@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-pinning regression tests: the physical-plan properties the
+  * 100-TB design depends on, asserted over the real query battery so
+  * a future edit can't silently reintroduce a scale anti-pattern.
+  * Planning only — nothing executes.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case q: QueryStageExec => allNodes(q.plan)
+    case other => other.children.flatMap(allNodes)
+  })
+
+  private def planText(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("no query in the battery plans an unpartitioned window") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nodes = allNodes(fn(spark, sfDir).queryExecution.executedPlan)
+      nodes.foreach {
+        case w: WindowExec =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name plans a global single-partition WindowExec")
+        case w: WindowGroupLimitExec =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name plans a global single-partition WindowGroupLimit")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q01 pushes the date filter into the scan and prunes columns") {
+    val t = planText("q01_pricing_summary")
+    assert(t.contains("PushedFilters: [") && t.contains("l_shipdate"), t)
+    // 6 of lineitem's 11 columns survive into ReadSchema
+    val read = t.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(read.count(_ == ',') <= 6, read)
+  }
+
+  test("q35 joins every dimension via broadcast, fact table unshuffled pre-agg") {
+    val t = planText("q35_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(t).size >= 3, t)
+    assert(!t.contains("SortMergeJoin"), t)
+  }
+
+  test("p05 banded range join plans a hash join, not a nested loop") {
+    val t = planText("p05_embedding_neardup")
+    assert(!t.contains("BroadcastNestedLoopJoin"), t)
+  }
+
+  test("ANN merges are partial aggregates, not window funnels") {
+    Seq("p06_ann_bruteforce", "p07_ann_lsh", "p15_ann_ivf").foreach { q =>
+      val t = planText(q)
+      assert(t.contains("ObjectHashAggregate"), s"$q:\n$t")
+    }
+  }
+
+  test("top-k fuses into TakeOrderedAndProject") {
+    assert(planText("q11_topk_orders").contains("TakeOrderedAndProject"))
+  }
+}
