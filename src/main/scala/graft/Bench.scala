@@ -37,7 +37,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release this query's persist()ed frames: cached blocks left
+      // behind otherwise accumulate across the 60+ query battery and
+      // tax every later query with eviction + GC churn (measured ~1-4s
+      // per query at sf0.1 — isolated runs of the same queries are 3-10x
+      // faster than their in-battery times without this)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

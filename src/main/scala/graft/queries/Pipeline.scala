@@ -99,7 +99,11 @@ object Pipeline {
     // xxhash64 variant (Dedup.simhash) keeps its golden OperatorSpec.
     "p04_simhash" -> Q(
       (s, dir) => {
+        // persist: fp feeds both sides of the id+1 self-join and Spark
+        // has no cross-branch subplan reuse — without this the whole
+        // explode + 60-column sign-sum aggregate runs once per side
         val fp = Dedup.simhashPortable(tbl(s, dir, "documents"), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nxt = fp.toDF("b_id", "b_simhash")
         fp.join(nxt, col("b_id") === col("doc_id") + 1, "left")
           .select(col("doc_id"), col("simhash"),
