@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * TF-IDF term scoring, benchmark decontamination, PII scrubbing, and
+  * deterministic shard export. Like the rest of the pipeline family,
+  * every operator is a pure DataFrame transformation with a bounded
+  * shuffle story: narrow where possible, hash-keyed where not, no
+  * driver-side collects, and deterministic (hash-derived) decisions so
+  * any engine — or a later re-run over re-partitioned data — can
+  * reproduce the exact output.
+  */
+object Curation {
+
+  /** Portable 64-bit-ish token hash (h*31+codepoint mod 1e9+7) used as
+    * the deterministic tie-breaker — same polynomial fold as
+    * [[graft.functions.RollingHash]], replayable in ANSI SQL. */
+  private def tokenHash(c: Column): Column =
+    graft.functions.RollingHash(c, 31L, 1000000007L)
+
+  /** TF-IDF top-`k` terms per document.
+    *
+    * tf = in-document term count; idf = ln((N+1)/(df+1)) with df the
+    * number of documents containing the term; score = tf·idf. Ties in
+    * score rank by the portable token hash so the ordering is
+    * engine-independent.
+    *
+    * Scale shape: one explode (narrow) feeds two hash aggregates —
+    * (doc, term) counts and per-term document frequency — joined back
+    * on the term key; the corpus size N rides a broadcast 1-row
+    * aggregate (no driver action); and the per-document top-k merge is
+    * the bounded [[TopK]] aggregate, so the shuffle after scoring
+    * carries k-row heaps, not the full scored vocabulary. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+    val dfreq = tok.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"), col("n_occ"),
+        (col("n_occ") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+          .as("score"),
+        tokenHash(col("token")).as("th"))
+      // scored feeds both the TopK aggregate and the join that
+      // restores the token string — Spark has no cross-branch subplan
+      // reuse, so persist the fan-out seam
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = TopK.perKey(
+      scored.select(col(idCol), col("th").as("id"), col("score")),
+      Seq(idCol), "id", "score", k)
+    top.join(
+        scored.select(col(idCol), col("th").as("id"), col("token"),
+          col("n_occ")),
+        Seq(idCol, "id"))
+      .select(col(idCol), col("rnk"), col("token"), col("n_occ"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word `n`-gram with a benchmark document set — the standard
+    * train/test-overlap check before a training run.
+    *
+    * `isBenchmark` partitions `df` into the benchmark side (the
+    * contamination source) and the corpus side (the rows scored).
+    * Grams hash inside the codegen'd [[graft.functions.ShingleHashes]]
+    * pass, so only 8-byte keys cross the join; the benchmark gram set
+    * is broadcast — benchmark suites are small relative to a training
+    * corpus by construction, so the corpus side never shuffles at all.
+    * Output: one row per corpus document with the count of distinct
+    * overlapping grams and a 0/1 contamination flag. */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      isBenchmark: Column, n: Int = 8): DataFrame = {
+    val grams = (side: DataFrame) => side.select(col(idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), n, poly = true))
+        .as("g"))
+    val bench = grams(df.filter(isBenchmark)).select(col("g")).distinct()
+    val corpus = df.filter(!isBenchmark)
+    val hits = grams(corpus).join(broadcast(bench), Seq("g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1).otherwise(0)
+          .as("contaminated"))
+  }
+
+  /** Email / phone-number patterns shared by the scrubber and its
+    * tests. Both stay inside the regex subset that Java regex and
+    * RE2-style engines interpret identically (character classes,
+    * bounded repetition — no backreferences or lookaround), so an
+    * external engine reproduces the same redactions byte-for-byte. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII scrubbing: count and redact email addresses and phone
+    * numbers. Purely narrow (regexp extract/replace per row, no
+    * shuffle); emits match counts and the scrubbed text so a
+    * downstream write replaces the raw column. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // patterns ride lit() columns, not SQL text — Spark SQL string
+    // literals process backslash escapes and would corrupt `\.`
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("scrubbed"))
+
+  /** Deterministic shard id in [0, 16): the first hex nibble of
+    * md5(key) — uniform, engine-independent (md5 of a string is
+    * identical everywhere), and stable under any repartitioning. */
+  def shardId(key: Column): Column =
+    (instr(lit("0123456789abcdef"),
+      substring(md5(key.cast("string")), 1, 1)) - 1).cast("int")
+
+  /** Per-shard export statistics for a training-data dump: document
+    * count, total characters, distinct languages, smallest id. One
+    * partial-aggregated shuffle onto 16 keys — the map-side combine
+    * reduces each input partition to ≤16 rows before the exchange, so
+    * the tiny key space is not a skew problem. */
+  def shardStats(df: DataFrame, idCol: String, charsCol: String,
+      langCol: String): DataFrame =
+    df.groupBy(shardId(col(idCol)).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("total_chars"),
+        countDistinct(col(langCol)).as("n_langs"),
+        min(col(idCol)).as("min_doc_id"))
+
+  /** Prepare a corpus for sharded export: tag each row with its
+    * deterministic shard, cluster rows so each output file holds
+    * exactly one shard (`repartition` on the shard key), and order
+    * within the file by id for reproducible bytes. Callers write with
+    * `.write.partitionBy("shard")` — every task then streams one
+    * sorted shard into one file, the layout a 1000-executor export
+    * wants. */
+  def shardExport(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("shard", shardId(col(idCol)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+}

@@ -99,6 +99,31 @@ object TextAnalysis {
       .select(col(groupCol), col("rnk"), col("token"), col("n_occ"))
   }
 
+  /** n-gram document-frequency heavy-hitters per group: the `k` word
+    * n-grams appearing in the most documents (distinct per doc, so a
+    * gram repeated inside one document counts once) — the corpus
+    * statistic n-gram language models and contamination audits start
+    * from. Same bounded-merge shape as [[vocabTopK]]: distinct grams
+    * explode from the codegen'd shingle pass, one count aggregate,
+    * then the [[TopK]] k-heap merge with a portable-hash tie-break. */
+  def ngramDocFreqTopK(df: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val counts = df.select(col(groupCol), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col(groupCol), explode(Dedup.shingleExpr("tk", n)).as("gram"))
+      .groupBy(col(groupCol), col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("gh",
+        graft.functions.RollingHash(col("gram"), 31L, 1000000007L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = TopK.perKey(
+      counts.select(col(groupCol), col("gh").as("id"),
+        col("n_docs").cast("double").as("score")),
+      Seq(groupCol), "id", "score", k)
+    top.join(counts.select(col(groupCol), col("gh").as("id"), col("gram"),
+        col("n_docs")), Seq(groupCol, "id"))
+      .select(col(groupCol), col("rnk"), col("gram"), col("n_docs"))
+  }
+
   /** Rolling polynomial fingerprint over the document's characters:
     * h = (h*31 + codepoint) mod 1e9+7 — a custom codegen Catalyst
     * expression (graft.functions.RollingHash); the equivalent ANSI

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, MultiModal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, MultiModal, Similarity, TextAnalysis}
 import QueryUtil._
 
 /** Large-scale training-data pipeline operators (driver-mandated
@@ -538,6 +538,120 @@ object Pipeline {
         |    ELSE round(CAST(list_sum(bytes) AS DOUBLE) / n, 4) END AS mean_byte,
         |  CAST(least(7, len(list_filter(counts, c -> c * 8 > n))) AS INT)
         |    AS entropy_bucket
-        |FROM hist ORDER BY media_id""".stripMargin))
+        |FROM hist ORDER BY media_id""".stripMargin)),
+
+    // ---- TF-IDF top-5 terms per document: tf·ln((N+1)/(df+1)), tie-
+    // broken by the portable token hash. The corpus size N rides a
+    // broadcast 1-row aggregate and the per-doc merge is the bounded
+    // TopK k-heap — no global windows, no driver counts.
+    "p22_tfidf" -> Q(
+      (s, dir) => Curation.tfidfTopK(tbl(s, dir, "documents"),
+          "doc_id", "text", 5)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("token"), col("n_occ"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(str_split_regex(
+        |    trim(lower(text)), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS n_occ FROM tok GROUP BY 1,2),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token, tf.n_occ,
+        |  tf.n_occ * ln((n.n_docs + 1.0)/(dfreq.df + 1.0)) AS score,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(tf.token)+1),
+        |      i -> CAST(ascii(substr(tf.token, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, c) -> (a*31 + c) % 1000000007) AS th
+        |  FROM tf, dfreq, n WHERE dfreq.token = tf.token),
+        |ranked AS (SELECT doc_id, token, n_occ, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, th) AS rnk FROM scored)
+        |SELECT doc_id, rnk, token, n_occ, round(score, 6) AS tfidf
+        |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ---- benchmark decontamination: flag corpus docs sharing any
+    // 8-token gram with the pseudo-benchmark set (doc_id % 100 = 0).
+    // Gram hashes flow codegen'd; the benchmark gram set broadcasts,
+    // so the corpus side never shuffles. The oracle intersects the
+    // gram STRINGS — hash-vs-string equivalence is the same collision
+    // argument p02 rests on.
+    "p23_decontam" -> Q(
+      (s, dir) => Curation.decontaminate(tbl(s, dir, "documents"),
+          "doc_id", "text", col("doc_id") % 100 === 0, n = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 6, 1)),
+        |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7])) AS sh
+        |  FROM (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS tk
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 100 = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 100 <> 0) s
+        |  JOIN bench USING (g) GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 100 <> 0 ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII scrubbing: count + redact emails and phone numbers.
+    // Narrow regexp pass; md5 of the scrubbed text proves the
+    // redaction is byte-identical across engines. (This corpus is
+    // synthetic word-salad, so counts are 0 here — OperatorSpec
+    // exercises real redactions on crafted strings.)
+    "p24_pii_scrub" -> Q(
+      (s, dir) => Curation.scrubPii(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+        |CAST(len(regexp_extract_all(text,
+        |  '${Curation.EmailPattern}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(text,
+        |  '${Curation.PhonePattern}')) AS BIGINT) AS n_phones,
+        |md5(regexp_replace(regexp_replace(text,
+        |  '${Curation.EmailPattern}', '<EMAIL>', 'g'),
+        |  '${Curation.PhonePattern}', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic shard export stats: 16 md5-nibble shards,
+    // one partial-aggregated shuffle; the companion shardExport
+    // (repartition + sortWithinPartitions + partitionBy write) is
+    // spec-verified since a directory layout has no oracle table.
+    "p25_shard_stats" -> Q(
+      (s, dir) => Curation.shardStats(tbl(s, dir, "documents"),
+          "doc_id", "n_chars", "lang")
+        .orderBy(col("shard")),
+      Some("""SELECT CAST(strpos('0123456789abcdef',
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS shard,
+        |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |count(DISTINCT lang) AS n_langs, min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // ---- bigram document-frequency top-10 per language: the n-gram
+    // LM / contamination-audit statistic, merged through the bounded
+    // TopK aggregate with a portable-hash tie-break.
+    "p26_bigram_topk" -> Q(
+      (s, dir) => TextAnalysis.ngramDocFreqTopK(tbl(s, dir, "documents"),
+          "lang", "text", 2, 10)
+        .select(col("lang"), col("rnk").cast("long").as("rnk"),
+          col("gram"), col("n_docs"))
+        .orderBy(col("lang"), col("rnk")),
+      Some("""WITH sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+        |    range(1, greatest(len(tk), 1)),
+        |    i -> tk[i]||' '||tk[i+1])) AS sh
+        |  FROM (SELECT doc_id, lang, str_split_regex(trim(lower(text)), '\s+') AS tk
+        |        FROM documents)),
+        |counts AS (SELECT lang, unnest(sh) AS gram FROM sh),
+        |cnt AS (SELECT lang, gram, count(*) AS n_docs,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(gram)+1),
+        |      i -> CAST(ascii(substr(gram, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, c) -> (a*31 + c) % 1000000007) AS gh
+        |  FROM counts GROUP BY 1, 2),
+        |ranked AS (SELECT lang, gram, n_docs, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_docs DESC, gh) AS rnk FROM cnt)
+        |SELECT lang, rnk, gram, n_docs FROM ranked
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin))
   )
 }

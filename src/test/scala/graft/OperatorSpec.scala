@@ -344,4 +344,79 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr.head.frame.toSeq == "abcd".getBytes("UTF-8").toSeq)
     assert(fr(1).frame.toSeq == "ijkl".getBytes("UTF-8").toSeq)
   }
+
+  test("scrubPii redacts emails and phones, counts matches, leaves clean text") {
+    import spark.implicits._
+    val pii = Seq(
+      (1L, "contact john.doe@example.com or 555-123-4567 today"),
+      (2L, "two mails a@b.io c.d@e.org and 111 222 3333"),
+      (3L, "no sensitive content in this row")
+    ).toDF("doc_id", "text")
+    val r = Curation.scrubPii(pii, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(r(0).getAs[Long]("n_emails") == 1L)
+    assert(r(0).getAs[Long]("n_phones") == 1L)
+    assert(r(0).getAs[String]("scrubbed") ==
+      "contact <EMAIL> or <PHONE> today")
+    assert(r(1).getAs[Long]("n_emails") == 2L)
+    assert(r(1).getAs[Long]("n_phones") == 1L)
+    assert(r(2).getAs[Long]("n_emails") == 0L)
+    assert(r(2).getAs[String]("scrubbed") == "no sensitive content in this row")
+  }
+
+  test("decontaminate flags docs sharing an 8-gram with the benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "a b c d e f g h i j"),              // benchmark (id % 100 == 0)
+      (1L, "x y a b c d e f g h z"),              // contains bench 8-gram
+      (2L, "p q r s t u v w x y z")               // clean
+    ).toDF("doc_id", "text")
+    val r = Curation.decontaminate(corpus, "doc_id", "text",
+        col("doc_id") % 100 === 0)
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("n_hits"), x.getAs[Int]("contaminated"))).toMap
+    assert(!r.contains(100L)) // benchmark rows are not scored
+    assert(r(1L) == ((1L, 1)))
+    assert(r(2L) == ((0L, 0)))
+  }
+
+  test("tfidf ranks a document's unique term first") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common words only here"),
+      (3L, "common words again today")
+    ).toDF("doc_id", "text")
+    val top1 = Curation.tfidfTopK(d, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1 && col("rnk") === 1)
+      .head()
+    // zebra: tf=1 but df=1 → idf ln(4/2); common: tf=3, df=3 → ln(4/4)=0
+    assert(top1.getAs[String]("token") == "zebra")
+    assert(top1.getAs[Double]("tfidf") > 0.0)
+  }
+
+  test("shardExport writes one sorted directory per md5-nibble shard") {
+    import spark.implicits._
+    val d = (0L until 64L).map(i => (i, s"doc $i text", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    Curation.shardExport(d, "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty && shardDirs.length <= 16)
+    // each shard dir holds exactly one data file (repartition on the
+    // shard key clusters a shard into one task before the write)
+    shardDirs.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${sd.getName} has ${parts.length} files")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == 64)
+    // shard assignment round-trips the md5-nibble rule
+    val mismatch = back.filter(
+      Curation.shardId(col("doc_id")) =!= col("shard")).count()
+    assert(mismatch == 0)
+  }
 }
