@@ -118,14 +118,36 @@ object Dedup {
     val tok = df.select(col(idCol),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
+    packedSignFingerprint(tok, idCol, 64, j => (col("h"), j))
+  }
+
+  /** Shared sign-sum kernel for the SimHash family: aggregate the
+    * per-bit ones-counts with 4 independent 16-bit lanes packed into
+    * each aggregate long — `nBits/4 + 1` aggregate columns instead of
+    * `nBits`, which quarters both the codegen size and the aggregation
+    * buffer width while producing bit-identical fingerprints. Bit j of
+    * the result is set iff ones_j ≥ n/2, i.e. the ±1 sign sum is ≥ 0
+    * — the classic SimHash rule. Lanes never carry across while a
+    * document has < 2^16 distinct tokens (the aggregate input is the
+    * array_distinct'd token set of ONE document, so the bound is a
+    * per-document vocabulary, not a corpus size). */
+  private def packedSignFingerprint(tok: DataFrame, idCol: String,
+      nBits: Int, bitSource: Int => (Column, Int)): DataFrame = {
+    val nGroups = nBits / 4
+    val packs = (0 until nGroups).map { g =>
+      val lanes = (0 until 4).map { k =>
+        val (h, b) = bitSource(g * 4 + k)
+        shiftright(h, b).bitwiseAND(lit(1L)) * lit(1L << (16 * k))
+      }.reduce(_ + _)
+      sum(lanes).as(s"p$g")
     }
-    val fp = (0 until 64).map { j =>
-      when(col(s"b$j") >= 0, lit(1L * (1L << j))).otherwise(lit(0L))
+    val aggs = packs :+ count(lit(1)).as("n_tok")
+    val fp = (0 until nBits).map { j =>
+      val ones = shiftright(col(s"p${j / 4}"), 16 * (j % 4))
+        .bitwiseAND(lit(0xFFFFL))
+      when(ones * 2 >= col("n_tok"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), fp.as("simhash"))
   }
 
@@ -144,16 +166,8 @@ object Dedup {
         graft.functions.RollingHash(col("tok"), 31L, 1000000007L))
       .withColumn("h2",
         graft.functions.RollingHash(col("tok"), 37L, 998244353L))
-    val bitSums = (0 until 60).map { j =>
-      val (h, b) = if (j < 30) (col("h1"), j) else (col("h2"), j - 30)
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val fp = (0 until 60).map { j =>
-      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), fp.as("simhash"))
+    packedSignFingerprint(tok, idCol, 60,
+      j => if (j < 30) (col("h1"), j) else (col("h2"), j - 30))
   }
 
   /** Hamming distance between two 64-bit fingerprints (built-in
