@@ -117,6 +117,37 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: attribute each view to the same
+    * user's purchases from the preceding `intervalMs` — the online
+    * feature-attribution shape. Both inputs carry watermarks and the
+    * join condition bounds purchase_ts to a window ending at view_ts,
+    * so Spark derives a state watermark for BOTH sides and evicts
+    * joined state as event time advances — state is
+    * O(events-per-horizon), never O(stream). Left-outer: a view with
+    * no qualifying purchase emits with nulls once the watermark
+    * proves none can arrive. Works identically on batch frames
+    * (unified API) — the spec checks stream == batch. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+      intervalMs: Long = 3600000L,
+      watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("view_ts") &&
+        col("purchase_ts") >=
+          col("view_ts") - expr(s"INTERVAL $intervalMs MILLISECONDS"),
+      "leftOuter")
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Flush still-open sessions (batch-mode helper for tests/backfill:
     * emits what sessionize holds in state at end-of-input). */
   def sessionizeBatch(events: Dataset[Event], gapMs: Long): DataFrame = {

@@ -123,6 +123,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((10L, 2L), (10L, 1L), (11L, 1L)))
   }
 
+  test("stream-stream interval join matches the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val viewsIn = MemoryStream[Event]
+    val buysIn = MemoryStream[Event]
+    val views = Seq(
+      Event(1, ts(30), 10, "view", 0.0),   // after 10's purchase at t=5
+      Event(2, ts(30), 11, "view", 0.0),   // user 11 never purchases
+      Event(3, ts(200), 10, "view", 0.0),  // 10's purchase now stale (>1h)
+      // far-future view: the GLOBAL watermark is min(views wm,
+      // purchases wm), so BOTH sides must advance before the
+      // leftOuter null rows for views 2 and 3 can be emitted
+      Event(4, ts(600), 99, "view", 0.0))
+    val buys = Seq(
+      Event(9, ts(5), 10, "purchase", 42.0),
+      Event(8, ts(600), 99, "purchase", 1.0))
+
+    val q = EventStreams.viewPurchaseJoin(
+        viewsIn.toDF(), buysIn.toDF(), 3600000L, "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vpjoin").start()
+    viewsIn.addData(views.take(2)); buysIn.addData(buys.take(1))
+    q.processAllAvailable()
+    viewsIn.addData(views.drop(2)); buysIn.addData(buys.drop(1))
+    q.processAllAvailable()
+    // one more batch past the frontier lets outer-join state flush
+    viewsIn.addData(Event(5, ts(601), 99, "view", 0.0))
+    buysIn.addData(Event(7, ts(601), 99, "purchase", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("vpjoin").collect()
+      .map(r => (r.getLong(0), Option(r.get(4)))).toSet
+    q.stop()
+
+    val batch = EventStreams.viewPurchaseJoin(
+        views.toDF(), buys.toDF(), 3600000L, "10 minutes")
+      .collect().map(r => (r.getLong(0), Option(r.get(4)))).toSet
+    val expected: Set[(Long, Option[Any])] =
+      Set((1L, Some(42.0)), (2L, None), (3L, None))
+    assert(expected.subsetOf(got), s"missing attributed/null rows: $got")
+    // every batch-side row for the first four views appears in the
+    // stream output too (the flush events 5/7 may add their own rows)
+    assert(batch.filter(_._1 <= 4).subsetOf(got))
+  }
+
   test("streaming dedup drops duplicate keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
