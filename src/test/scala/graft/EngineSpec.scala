@@ -363,4 +363,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e2.sql("select id, name from kt")) == Seq(Seq(5L, "five")))
     assert(rows(e2.sql("show create table kt")).head(1).toString.contains("PRIMARY"))
   }
+
+  // ---- reference fix_column_name/fix_table_factor lowercase every
+  // identifier (execution.rs:509-658); the engine reaches the same
+  // visible semantics through Spark's case-insensitive resolution —
+  // pinned here so a config change can't silently diverge.
+  test("mixed-case identifiers resolve like the reference's lowercasing") {
+    val e = freshEngine()
+    e.sql("create schema mixy"); e.sql("use mixy")
+    e.sql("create table mc (id int, name char null, PRIMARY KEY(id))")
+    e.sql("insert into mc values (1, 'a')")
+    assert(rows(e.sql("SELECT ID, NAME FROM MC")) == Seq(Seq(1L, "a")))
+    assert(rows(e.sql("Select Id From Mixy.Mc Where Name = 'a'")) ==
+      Seq(Seq(1L)))
+    assert(rows(e.sql("SELECT count(*) FROM mc WHERE ID = 1")).head ==
+      Seq(1L))
+    // DML through uppercase references mutates the same table
+    assert(e.sql("UPDATE MC SET NAME = 'b' WHERE ID = 1") == AffectedRows(1))
+    assert(rows(e.sql("select name from mc")) == Seq(Seq("b")))
+  }
 }
