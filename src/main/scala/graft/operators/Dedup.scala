@@ -264,6 +264,62 @@ object Dedup {
             .cast("double")).as("jac"))
   }
 
+  /** Connected components over a verified candidate-pair edge list
+    * `pairs(a_id, b_id)` — the retention step that turns near-dup
+    * PAIRS into duplicate CLUSTERS (keep one representative per
+    * component, usually the min id).
+    *
+    * Iterative min-label propagation: every vertex starts as its own
+    * label, each round takes the min of its neighbors' labels, until
+    * fixpoint. The driver only coordinates rounds and reads one
+    * convergence COUNT per round (the Pregel shape — label rows never
+    * collect); each round is one hash join + partial-aggregated
+    * groupBy on the vertex id. Rounds needed = component diameter —
+    * near-dup clusters are template cliques, so 2-4 in practice,
+    * `maxIter` bounds pathological chains. The fixpoint (label = min
+    * id reachable) is deterministic under any partitioning. Returns
+    * (id, cluster_id) for every vertex with ≥1 edge. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the pair list FIRST: the undirected edge union reads it
+    // twice, and without the cache the (possibly expensive) candidate
+    // pipeline upstream would run once per direction
+    val p = pairs.persist(lvl)
+    // One count materializes the miner AND sizes the loop: verified
+    // near-dup graphs are usually a sliver of the corpus, so the
+    // propagation rounds repartition to ~500k edges/partition instead
+    // of inheriting the corpus-sized shuffle width — per-round job
+    // overhead stays proportional to the GRAPH, while a 100-TB pair
+    // list still fans out to thousands of partitions.
+    val nPairs = p.count()
+    val parts = math.max(1L, math.min(2000L, nPairs / 500000L + 1L)).toInt
+    val edges = p.select(col("a_id"), col("b_id"))
+      .unionAll(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .repartition(parts, col("a_id"))
+      .persist(lvl)
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.toDF("b_id", "nl"), Seq("b_id"))
+        .groupBy(col("a_id").as("id")).agg(min(col("nl")).as("nl"))
+      // carry the improved-this-round flag inside the propagation row
+      // so convergence detection is a filter over the SAME cached
+      // frame — one Spark job per round, not two
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
+        .persist(lvl)
+      done = next.filter(col("chg")).count() == 0
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns
     * (array formulation — fine for ad-hoc pairs). */
   def jaccard(aSh: Column, bSh: Column): Column =

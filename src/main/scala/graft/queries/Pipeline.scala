@@ -652,6 +652,77 @@ object Pipeline {
         |ranked AS (SELECT lang, gram, n_docs, row_number() OVER (
         |    PARTITION BY lang ORDER BY n_docs DESC, gh) AS rnk FROM cnt)
         |SELECT lang, rnk, gram, n_docs FROM ranked
-        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin))
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin)),
+
+    // ---- duplicate clusters: the end of the dedup pipeline. Mine
+    // candidates (portable MinHash banding), verify exactly (shingle
+    // Jaccard ≥ 0.5), then form connected components with iterative
+    // min-label propagation (Dedup.duplicateClusters) and keep one
+    // representative per cluster. DuckDB replays the whole chain —
+    // banding, Jaccard, and the components via a recursive
+    // transitive-closure CTE — so the cluster assignment is
+    // oracle-checked end to end.
+    "p27_dup_clusters" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val cand = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        val pairs = Dedup.jaccardForPairs(cand, docs, "doc_id", "text")
+          .filter(col("jac") >= 0.5)
+        val comp = Dedup.duplicateClusters(pairs)
+        val sizes = comp.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comp.join(sizes, Seq("cluster_id"))
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            col("cluster_size"),
+            when(col("id") === col("cluster_id"), 1).otherwise(0).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val P = 1000000007L
+        def a(i: Int) = (2654435761L * (i + 1)) % P
+        def b(i: Int) = (40503L * (i + 7) + 12345L) % P
+        val sigCols = (0 until 32).map(i =>
+          s"list_min(list_transform(hs, h -> (h*${a(i)} + ${b(i)}) % $P)) AS m$i")
+          .mkString(", ")
+        val bandArms = (0 until 8).map(j =>
+          s"SELECT doc_id, $j AS band_idx, " +
+            (0 until 4).map(k => s"CAST(m${j * 4 + k} AS VARCHAR)")
+              .mkString(" || ',' || ") + " AS band_key FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH sh AS ($duckShingles),
+          |hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(1, length(s)+1),
+          |        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+          |    (a, c) -> (a*31 + c) % $P)) AS hs FROM sh),
+          |sig AS (SELECT doc_id, $sigCols FROM hs),
+          |bands AS ($bandArms),
+          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM bands a JOIN bands b
+          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |jac AS (SELECT c.a_id, c.b_id,
+          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+          |  JOIN sh sb ON sb.doc_id = c.b_id),
+          |edges0 AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
+          |edges AS (SELECT a_id, b_id FROM edges0
+          |  UNION SELECT b_id, a_id FROM edges0),
+          |rec AS (
+          |  WITH RECURSIVE reach(src, dst) AS (
+          |    SELECT a_id AS src, a_id AS dst FROM edges
+          |    UNION
+          |    SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst)
+          |  SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src),
+          |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          |  FROM rec GROUP BY 1)
+          |SELECT rec.src AS doc_id, rec.cluster_id AS cluster_id,
+          |  sizes.cluster_size AS cluster_size,
+          |  CAST(CASE WHEN rec.src = rec.cluster_id THEN 1 ELSE 0 END
+          |    AS INTEGER) AS keep
+          |FROM rec JOIN sizes USING (cluster_id)
+          |ORDER BY doc_id""".stripMargin
+      })
   )
 }

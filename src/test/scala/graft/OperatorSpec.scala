@@ -345,6 +345,16 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr(1).frame.toSeq == "ijkl".getBytes("UTF-8").toSeq)
   }
 
+  test("duplicateClusters propagates min labels across multi-hop chains") {
+    import spark.implicits._
+    // chain 5-3-9 (diameter 2: 9 learns of 5 only through 3) plus an
+    // isolated pair 20-21
+    val pairs = Seq((3L, 5L), (3L, 9L), (20L, 21L)).toDF("a_id", "b_id")
+    val comp = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("scrubPii redacts emails and phones, counts matches, leaves clean text") {
     import spark.implicits._
     val pii = Seq(
