@@ -624,6 +624,31 @@ object Parity {
         |FROM orders GROUP BY GROUPING SETS
         |  ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST,
-        |  o_orderpriority ASC NULLS FIRST""".stripMargin))
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ---- exact grouped percentiles (median + p95). Integer-cents
+    // input makes the sort key exact; both engines interpolate with
+    // the same (n-1)*q linear rule, so the doubles agree bit-for-bit.
+    // Spark's exact `percentile` is a partial-aggregable sketch-free
+    // aggregate: per-partition value maps combine map-side, only the
+    // (value, count) maps cross the shuffle — not the raw rows.
+    "q47_percentiles" -> Q(
+      (s, dir) => tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5D)")
+            .as("p50_cents"),
+          expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.95D)")
+            .as("p95_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        |quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5)
+        |  AS p50_cents,
+        |quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.95)
+        |  AS p95_cents,
+        |count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -82,4 +82,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("top-k fuses into TakeOrderedAndProject") {
     assert(planText("q11_topk_orders").contains("TakeOrderedAndProject"))
   }
+
+  test("p23 corpus side joins the benchmark gram set without shuffling") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val nodes = allNodes(plan("p23_decontam"))
+    val inner = nodes.collectFirst {
+      case j: BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+    }.getOrElse(fail("no inner BroadcastHashJoin (benchmark grams) in p23"))
+    // the streamed (corpus) side must reach the scan with zero
+    // shuffle exchanges: grams hash inside codegen and join against
+    // the broadcast benchmark set map-side only
+    val streamedShuffles = allNodes(inner.left)
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(streamedShuffles.isEmpty,
+      s"corpus side of p23 shuffles: ${inner.left}")
+  }
+
+  test("p22 scores once: TopK heaps and the token join share the cache") {
+    val t = planText("p22_tfidf")
+    assert(t.contains("ObjectHashAggregate"), t)   // bounded TopK merge
+    assert(t.contains("InMemoryRelation"), t)      // persisted fan-out seam
+  }
 }
