@@ -136,6 +136,28 @@ object Curation {
         countDistinct(col(langCol)).as("n_langs"),
         min(col(idCol)).as("min_doc_id"))
 
+  /** Deterministic sequence packing — the pre-training batch-prep
+    * shape: within each shard, lay documents out in md5-hash order
+    * and assign each to the `binTokens`-token bin its running token
+    * count starts in (first-fit in a deterministic order, so any
+    * engine or re-run reproduces the exact packing). One partitioned
+    * window per shard; parallelism equals the shard count, which the
+    * caller sizes to the cluster via the `shard` column (e.g.
+    * [[shardId]] for 16, or any wider deterministic key). */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+      shard: Column, binTokens: Int): DataFrame = {
+    val t = df.select(col(idCol), tokens.cast("long").as("n_tok"),
+      shard.as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t.withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col(idCol), col("shard"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / binTokens).cast("long").as("bin"))
+  }
+
   /** Prepare a corpus for sharded export: tag each row with its
     * deterministic shard, cluster rows so each output file holds
     * exactly one shard (`repartition` on the shard key), and order

@@ -723,6 +723,110 @@ object Pipeline {
           |    AS INTEGER) AS keep
           |FROM rec JOIN sizes USING (cluster_id)
           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- deterministic sequence packing: per shard, hash-ordered
+    // docs accumulate into 512-token bins — the pre-training
+    // batch-prep layout, reproducible on any engine or partitioning.
+    "p29_seq_packing" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Curation.packSequences(docs, "doc_id",
+            size(graft.operators.Dedup.tokens(col("text"))),
+            Curation.shardId(col("doc_id")), 512)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(str_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS n_tok,
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER)
+        |      AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, shard, n_tok,
+        |  CAST((cum - n_tok) // 512 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- the full curation funnel: quality filter → drop non-
+    // representative near-dup cluster members → shard for export.
+    // Every stage reuses an oracle-proven piece (p09 quality, p27
+    // clusters, p25 shard), composed the way a real pre-training
+    // ingest run chains them.
+    "p28_curation_funnel" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .filter(col("n_tokens") >= 30 && col("chars_per_token") <= 8.0)
+          .select(col("doc_id"))
+        val cand = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        val pairs = Dedup.jaccardForPairs(cand, docs, "doc_id", "text")
+          .filter(col("jac") >= 0.5)
+        val dupDrop = Dedup.duplicateClusters(pairs)
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        quality.join(dupDrop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), Curation.shardId(col("doc_id")).as("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val P = 1000000007L
+        def a(i: Int) = (2654435761L * (i + 1)) % P
+        def b(i: Int) = (40503L * (i + 7) + 12345L) % P
+        val sigCols = (0 until 32).map(i =>
+          s"list_min(list_transform(hs, h -> (h*${a(i)} + ${b(i)}) % $P)) AS m$i")
+          .mkString(", ")
+        val bandArms = (0 until 8).map(j =>
+          s"SELECT doc_id, $j AS band_idx, " +
+            (0 until 4).map(k => s"CAST(m${j * 4 + k} AS VARCHAR)")
+              .mkString(" || ',' || ") + " AS band_key FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH sh AS ($duckShingles),
+          |hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(1, length(s)+1),
+          |        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+          |    (a, c) -> (a*31 + c) % $P)) AS hs FROM sh),
+          |sig AS (SELECT doc_id, $sigCols FROM hs),
+          |bands AS ($bandArms),
+          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM bands a JOIN bands b
+          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |jac AS (SELECT c.a_id, c.b_id,
+          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+          |  JOIN sh sb ON sb.doc_id = c.b_id),
+          |edges0 AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
+          |edges AS (SELECT a_id, b_id FROM edges0
+          |  UNION SELECT b_id, a_id FROM edges0),
+          |rec AS (
+          |  WITH RECURSIVE reach(src, dst) AS (
+          |    SELECT a_id AS src, a_id AS dst FROM edges
+          |    UNION
+          |    SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst)
+          |  SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src),
+          |dupdrop AS (SELECT src AS doc_id FROM rec WHERE src <> cluster_id),
+          |quality AS (SELECT doc_id FROM (
+          |    SELECT doc_id,
+          |      CAST(len(str_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+          |        AS n_tokens,
+          |      CAST(length(text) AS DOUBLE) /
+          |        CAST(len(str_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE)
+          |        AS chars_per_token
+          |    FROM documents)
+          |  WHERE n_tokens >= 30 AND chars_per_token <= 8.0)
+          |SELECT q.doc_id AS doc_id,
+          |  CAST(strpos('0123456789abcdef',
+          |    substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER)
+          |    AS shard
+          |FROM quality q ANTI JOIN dupdrop d ON d.doc_id = q.doc_id
+          |ORDER BY doc_id""".stripMargin
       })
   )
 }
