@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 table over an ordered in-memory KV store, built to
+  * demonstrate the reference's index-range-scan semantics
+  * (`/root/reference/src/store/reader/reader_util.rs:263-415`
+  * `get_seek_prefix` → `SeekType::{FullTableScan, UsingTheIndex}`)
+  * with Spark-native machinery: Catalyst pushes key predicates through
+  * `SupportsPushDownFilters`, the scan converts them to a key range
+  * and reads ONLY that slice of the ordered store, and the matched
+  * range splits into parallel input partitions (where the reference's
+  * `SledExec` was pinned to one partition, `physical_plan/sled.rs:88`).
+  * Projection pushdown (`SupportsPushDownRequiredColumns`) mirrors the
+  * reference reader's projected-column materialization
+  * (`sled.rs:51-60`).
+  *
+  * Schema is the reference's own table shape (int key + char value):
+  * `k BIGINT, v STRING`. Stores register by name in [[KvStore]];
+  * real deployments would back this with any ordered KV engine — the
+  * interesting part is the pushdown/pruning/partitioning seam, which
+  * is exactly what a V2 connector owns.
+  */
+object KvStore {
+  /** name → sorted key array + value lookup (immutable once registered). */
+  private val stores = TrieMap.empty[String, (Array[Long], Map[Long, String])]
+
+  /** Telemetry mirroring the reference's SeekType: what the last scan
+    * of each store did — range-pruned or full — and how many keys it
+    * actually read. Spec-facing; harmless single-JVM state. */
+  val lastScan = TrieMap.empty[String, (String, Long)]
+
+  def register(name: String, rows: Seq[(Long, String)]): Unit = {
+    val sorted = rows.map(_._1).distinct.sorted.toArray
+    stores(name) = (sorted, rows.toMap)
+  }
+
+  def apply(name: String): (Array[Long], Map[Long, String]) = stores(name)
+
+  val schema: StructType = new StructType()
+    .add("k", LongType, nullable = false)
+    .add("v", StringType, nullable = true)
+}
+
+class KvSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvStore.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KvTable(properties.get("name"))
+}
+
+class KvTable(name: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-kv($name)"
+  override def schema(): StructType = KvStore.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(name)
+}
+
+/** Folds pushed key predicates into a [lo, hi] range — the analogue of
+  * the reference's per-column range intersection
+  * (`reader_util.rs:102-260` create_column_range). Everything it can't
+  * fold stays a residual filter for Spark to evaluate above the scan. */
+class KvScanBuilder(name: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var projection: StructType = KvStore.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("k", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThan("k", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("k", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("k", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("k", _: java.lang.Long | _: java.lang.Integer) => true
+      case IsNotNull("k") => true
+      case _ => false
+    }
+    def num(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.longValue()
+    }
+    accepted.foreach {
+      case EqualTo("k", v) => lo = math.max(lo, num(v)); hi = math.min(hi, num(v))
+      case GreaterThan("k", v) => lo = math.max(lo, num(v) + 1)
+      case GreaterThanOrEqual("k", v) => lo = math.max(lo, num(v))
+      case LessThan("k", v) => hi = math.min(hi, num(v) - 1)
+      case LessThanOrEqual("k", v) => hi = math.min(hi, num(v))
+      case IsNotNull("k") => ()
+      case _ => ()
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    projection = requiredSchema
+
+  override def build(): Scan = new KvScan(name, lo, hi, projection)
+}
+
+class KvScan(name: String, lo: Long, hi: Long, projection: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = projection
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val kind = if (lo == Long.MinValue && hi == Long.MaxValue)
+      "FullTableScan" else s"RangeScan[$lo,$hi]"
+    s"graft-kv $name $kind cols=${projection.fieldNames.mkString(",")}"
+  }
+
+  /** Binary-search the pushed range in the sorted key array and split
+    * the matched slice into up to 4 parallel partitions — range
+    * pruning AND scan parallelism, the two things the reference leaf
+    * lacked. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (keys, _) = KvStore(name)
+    val from = lowerBound(keys, lo)
+    val until = upperBound(keys, hi)
+    val n = math.max(0, until - from)
+    val kind = if (lo == Long.MinValue && hi == Long.MaxValue)
+      "FullTableScan" else "UsingTheIndex"
+    KvStore.lastScan(name) = (kind, n.toLong)
+    if (n == 0) return Array.empty
+    val slices = math.min(4, n)
+    val step = math.max(1, (n + slices - 1) / slices)
+    (from until until by step)
+      .map(s => KvPartition(name, s, math.min(s + step, until)): InputPartition)
+      .toArray
+  }
+
+  private def lowerBound(a: Array[Long], v: Long): Int = {
+    var l = 0; var r = a.length
+    while (l < r) { val m = (l + r) >>> 1; if (a(m) < v) l = m + 1 else r = m }
+    l
+  }
+  private def upperBound(a: Array[Long], v: Long): Int = {
+    var l = 0; var r = a.length
+    while (l < r) { val m = (l + r) >>> 1; if (a(m) <= v) l = m + 1 else r = m }
+    l
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(projection)
+}
+
+case class KvPartition(name: String, from: Int, until: Int)
+    extends InputPartition
+
+class KvReaderFactory(projection: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val kp = p.asInstanceOf[KvPartition]
+    new PartitionReader[InternalRow] {
+      private val (keys, values) = KvStore(kp.name)
+      private var i = kp.from - 1
+      override def next(): Boolean = { i += 1; i < kp.until }
+      override def get(): InternalRow = {
+        val k = keys(i)
+        val cols = projection.fieldNames.map {
+          case "k" => k.asInstanceOf[Any]
+          case "v" => values.get(k).map(UTF8String.fromString).orNull
+        }
+        InternalRow.fromSeq(cols.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

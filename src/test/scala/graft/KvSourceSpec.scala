@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.KvStore
+
+/** DataSource V2 connector spec: key predicates push into the source
+  * and prune the scan to the matched range (the reference's
+  * SeekType::UsingTheIndex, reader_util.rs:263-415), projection
+  * pushdown reaches the reader, and the matched range splits into
+  * parallel partitions (the reference leaf was 1-partition).
+  */
+class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val df = {
+    KvStore.register("t", (0L until 100000L).map(i => i -> s"v$i"))
+    spark.read.format("graft.sources.KvSource").option("name", "t").load()
+  }
+
+  test("key range predicates prune the scan to the matched slice") {
+    val got = df.filter(col("k") >= 1000 && col("k") < 2000)
+      .agg(count(lit(1)), min(col("k")), max(col("k"))).head()
+    assert(got.getLong(0) == 1000 && got.getLong(1) == 1000L &&
+      got.getLong(2) == 1999L)
+    assert(KvStore.lastScan("t") == (("UsingTheIndex", 1000L)))
+  }
+
+  test("equality predicate reads exactly one key; value filters stay residual") {
+    val r = df.filter(col("k") === 42 && col("v").startsWith("v4")).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(42L))
+    assert(KvStore.lastScan("t") == (("UsingTheIndex", 1L)))
+  }
+
+  test("unbounded scan is a full table scan with parallel partitions") {
+    assert(df.count() == 100000L)
+    assert(KvStore.lastScan("t") == (("FullTableScan", 100000L)))
+    assert(df.rdd.getNumPartitions == 4) // matched slice splits 4-way
+  }
+
+  test("projection pushdown reaches the reader") {
+    val plan = df.select(col("k")).filter(col("k") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RangeScan") && plan.contains("cols=k"), plan)
+  }
+}
