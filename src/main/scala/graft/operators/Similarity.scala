@@ -130,6 +130,57 @@ object Similarity {
     TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
   }
 
+  /** Reproducible Lloyd k-means over an embedding column.
+    *
+    * MLlib's KMeans is seed- and partitioning-dependent; this variant
+    * is bit-reproducible on any engine or cluster layout: centroids
+    * initialize from the md5-order sample (the IVF trick — the cell
+    * id IS the sampled vector's id, no ranking needed), assignment is
+    * the bounded TopK(1) argmax with a (cosine desc, cell asc) tie
+    * rule, and each update accumulates per-dimension sums as
+    * integer-micro quanta — integer addition commutes, so the new
+    * centroid is independent of partitioning and exactly replayable
+    * in ANSI SQL (the p30 oracle recomputes every iteration).
+    *
+    * Scale shape per iteration: centroids broadcast (k vectors), one
+    * corpus pass scores all k cells map-side into 1-element heaps, and
+    * the update is a (cell, dim) partial-aggregated shuffle — k·dims
+    * result rows. Nothing grows with corpus size except the scans. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assignTo(cents: DataFrame): DataFrame = {
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col(idCol), col("v"), col("cell"),
+          cosineExpr("v", "cv").as("s"))
+        .groupBy(col(idCol))
+        .agg(first(col("v")).as("v"),
+          TopK.topK(1)(col("cell"), col("s")).as("__c"))
+      scored.select(col(idCol), col("v"), col("__c")(0)("id").as("cell"))
+    }
+    var cents = e
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k).select(col(idCol).as("cell"), col("v").as("cv"))
+    for (_ <- 1 until iters) {
+      val dims = assignTo(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(round(col("x") * 1000000, 0).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+      cents = dims.groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("d"),
+          (col("sx").cast("double") / col("n") / 1000000.0).as("m"))))
+          .as("dm"))
+        .select(col("cell"), expr("transform(dm, p -> p.m)").as("cv"))
+    }
+    val fin = assignTo(cents).select(col(idCol), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fin.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    fin.join(broadcast(sizes), Seq("cell"))
+      .select(col(idCol), col("cell"), col("n_members"))
+  }
+
   /** LSH-bucketed ANN: join query buckets to corpus buckets, exact
     * cosine inside the bucket, top-k per query. Trades recall for a
     * |bucket|-sized candidate set; recall is measured against

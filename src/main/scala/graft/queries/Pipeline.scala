@@ -827,6 +827,42 @@ object Pipeline {
           |    AS shard
           |FROM quality q ANTI JOIN dupdrop d ON d.doc_id = q.doc_id
           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- reproducible k-means over embeddings: md5-sampled init,
+    // TopK(1) argmax assignment, integer-micro quantized centroid
+    // means — every iteration bit-replayable, so DuckDB verifies the
+    // full 2-iteration Lloyd run (MLlib's KMeans could never be
+    // oracle-checked: seed- and partitioning-dependent).
+    "p30_kmeans" -> Q(
+      (s, dir) => Similarity.kmeansAssign(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy(col("vec_id")),
+      Some {
+        val cos = (a: String, b: String) =>
+          s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |c0 AS (SELECT vec_id AS cell, v AS cv FROM e
+          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+          |a1 AS (SELECT e.vec_id, e.v, c0.cell, row_number() OVER (
+          |    PARTITION BY e.vec_id
+          |    ORDER BY ${cos("e.v", "c0.cv")} DESC, c0.cell) AS rn
+          |  FROM e CROSS JOIN c0),
+          |asg1 AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+          |dims1 AS (SELECT cell, d,
+          |    sum(CAST(round(v[d]*1000000) AS BIGINT)) AS sx, count(*) AS n
+          |  FROM asg1, range(1, 65) t(d) GROUP BY cell, d),
+          |c1 AS (SELECT cell, list(CAST(sx AS DOUBLE)/n/1000000.0 ORDER BY d)
+          |    AS cv FROM dims1 GROUP BY cell),
+          |a2 AS (SELECT e.vec_id, c1.cell, row_number() OVER (
+          |    PARTITION BY e.vec_id
+          |    ORDER BY ${cos("e.v", "c1.cv")} DESC, c1.cell) AS rn
+          |  FROM e CROSS JOIN c1),
+          |asg2 AS (SELECT vec_id, cell FROM a2 WHERE rn = 1)
+          |SELECT a.vec_id AS vec_id, a.cell AS cell, s.n_members AS n_members
+          |FROM asg2 a JOIN (SELECT cell, count(*) AS n_members FROM asg2
+          |  GROUP BY 1) s USING (cell)
+          |ORDER BY vec_id""".stripMargin
       })
   )
 }

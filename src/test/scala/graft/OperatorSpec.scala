@@ -345,6 +345,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr(1).frame.toSeq == "ijkl".getBytes("UTF-8").toSeq)
   }
 
+  test("kmeansAssign partitions every vector once and is run-stable") {
+    import spark.implicits._
+    // two tight groups around orthogonal axes → k=2 must separate them
+    def vec(axis: Int, jitter: Double) =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else jitter.toFloat)
+    val e = (0L until 20L).map { i =>
+      (i, if (i % 2 == 0) vec(0, 0.01 * (i % 5)) else vec(32, 0.01 * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    val r1 = graft.operators.Similarity
+      .kmeansAssign(e, "vec_id", "embedding", k = 2, iters = 2).collect()
+    assert(r1.length == 20) // every vector assigned exactly once
+    val byCell = r1.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.size == 2)
+    // each cell is pure: all-even or all-odd vec_ids (the two groups)
+    byCell.values.foreach { rows =>
+      val par = rows.map(_.getAs[Long]("vec_id") % 2).distinct
+      assert(par.length == 1, rows.mkString(","))
+    }
+    // re-running over a different partitioning yields the same labels
+    val r2 = graft.operators.Similarity
+      .kmeansAssign(e.repartition(7), "vec_id", "embedding", 2, 2).collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      r2.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+  }
+
   test("duplicateClusters propagates min labels across multi-hop chains") {
     import spark.implicits._
     // chain 5-3-9 (diameter 2: 9 learns of 5 only through 3) plus an
