@@ -45,6 +45,14 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   private var tables: Map[(String, String), TableDef] = Map.empty
   private var globals: Map[String, String] = Map.empty
 
+  // Engine sessions get the banded range-join rewrite automatically
+  // (library users opt in via spark.sql.extensions or
+  // experimental.extraOptimizations) — a pure `y < x <= y+W` join in
+  // engine SQL plans as two hash joins instead of a nested loop.
+  if (!spark.experimental.extraOptimizations
+      .contains(graft.plans.BandedRangeJoin))
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.BandedRangeJoin)
+
   /** Default session — the engine's own "connection". Additional
     * connections call [[newSession]] and get isolated current-schema
     * and prepared-statement state (reference: one `Execution` per

@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Resolve the optimizer rules an extensions installer registered —
+    * `SparkSessionExtensions.buildOptimizerRules` is private[sql];
+    * re-exported so specs can assert extension wiring without
+    * constructing a dedicated SparkSession. */
+  def optimizerRules(ext: SparkSessionExtensions, session: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
 }

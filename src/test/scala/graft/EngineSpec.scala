@@ -364,6 +364,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e2.sql("show create table kt")).head(1).toString.contains("PRIMARY"))
   }
 
+  test("engine sessions rewrite pure range joins into banded hash joins") {
+    val e = freshEngine()
+    e.sql("create schema rj"); e.sql("use rj")
+    e.sql("create table ra (ka int, PRIMARY KEY(ka))")
+    e.sql("create table rb (kb int, PRIMARY KEY(kb))")
+    (1 to 5).foreach(i => e.sql(s"insert into ra values ($i)"))
+    (1 to 5).foreach(i => e.sql(s"insert into rb values ($i)"))
+    e.sql("select ka, kb from ra join rb on kb > ka and kb <= ka + 2") match {
+      case ResultSet(df) =>
+        assert(!df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"))
+        assert(df.count() == 7) // (1,2)(1,3)(2,3)(2,4)(3,4)(3,5)(4,5)
+      case other => fail(s"expected rows, got $other")
+    }
+  }
+
   // ---- reference fix_column_name/fix_table_factor lowercase every
   // identifier (execution.rs:509-658); the engine reaches the same
   // visible semantics through Spark's case-insensitive resolution —
