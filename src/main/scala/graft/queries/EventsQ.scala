@@ -73,6 +73,31 @@ object EventsQ {
         |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- retention cohorts: users grouped by first-activity week,
+    // distinct actives per week offset — the product-analytics
+    // retention matrix. Two hash aggregates + one join on user_id;
+    // the (user, week) distinct pass partial-aggregates map-side.
+    "q48_retention_cohorts" -> Q(
+      (s, dir) => {
+        val w = tbl(s, dir, "events")
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val first = w.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        w.join(first, Seq("user_id"))
+          .groupBy(col("cohort"),
+            expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("week_offset"))
+      },
+      Some("""WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |first AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+        |SELECT f.cohort AS cohort,
+        |  CAST(date_diff('day', f.cohort, w.wk) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN first f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin))
   )
 }
