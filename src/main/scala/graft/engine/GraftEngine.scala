@@ -182,9 +182,10 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     val tbls = spark.read.parquet(s"$infoRoot/tables").collect()
       .map(r => (r.getAs[String]("table_schema"), r.getAs[String]("table_name"),
         r.getAs[Long]("data_version"),
-        Option(r.getAs[String]("location")).filter(_.nonEmpty)))
+        Option(r.getAs[String]("location")).filter(_.nonEmpty),
+        r.getAs[String]("engine").stripPrefix("external_")))
     schemas = sch
-    tables = tbls.map { case (s, t, v, loc) =>
+    tables = tbls.map { case (s, t, v, loc, fmt) =>
       val cds = cols.filter(c => c._1 == s && c._2 == t).sortBy(_._4)
         .map(c => ColumnDef(c._3, c._6, c._5, c._7.toInt, c._4.toInt)).toSeq
       val idx = stats.filter(x => x._1 == s && x._2 == t)
@@ -194,7 +195,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       val pk = idx.getOrElse("PRIMARY", Seq.empty)
       val uq = (idx - "PRIMARY").toSeq.sortBy(_._1)
       val next = (cds.map(_.storeId) :+ 0).max + 1
-      (s, t) -> TableDef(s, t, cds, pk, uq, next, v, loc)
+      (s, t) -> TableDef(s, t, cds, pk, uq, next, v, loc, fmt)
     }.toMap
     (schemas ++ BuiltinSchemas).foreach(s =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$s`"))
@@ -210,8 +211,12 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   private def registerTable(td: TableDef): Unit = {
     if (!td.external) new File(tableDir(td)).mkdirs()
     spark.sql(s"DROP TABLE IF EXISTS `${td.schema}`.`${td.name}`")
-    spark.catalog.createTable(s"${td.schema}.${td.name}", "parquet",
-      td.visibleSchema, Map("path" -> tableDir(td)))
+    // csv needs header skipping on every read; schema comes from the
+    // catalog (inferred once at CREATE), not re-inferred per session
+    val opts = Map("path" -> tableDir(td)) ++
+      (if (td.format == "csv") Map("header" -> "true") else Map.empty)
+    spark.catalog.createTable(s"${td.schema}.${td.name}", td.format,
+      td.visibleSchema, opts)
   }
 
   private val infoTables = Seq("schemata", "tables", "columns", "statistics",
@@ -463,30 +468,36 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     AffectedRows(1)
   }
 
-  /** CREATE EXTERNAL TABLE name USING PARQUET LOCATION 'path':
-    * wrap pre-existing parquet (schema inferred) as a read-only
-    * catalog table — the migration path for data that was never
-    * written by this engine. */
+  /** CREATE EXTERNAL TABLE name [USING PARQUET|CSV|JSON] LOCATION
+    * 'path': wrap pre-existing files (schema inferred once) as a
+    * read-only catalog table — the migration path for data that was
+    * never written by this engine. */
   private def doCreateExternalTable(stmt: String): GraftResult = {
     val m = ("(?is)^create\\s+external\\s+table\\s+(if\\s+not\\s+exists\\s+)?(\\S+)\\s+" +
-      "(?:using\\s+parquet\\s+)?location\\s+'([^']+)'\\s*$").r
+      "(?:using\\s+(parquet|csv|json)\\s+)?location\\s+'([^']+)'\\s*$").r
       .findFirstMatchIn(stmt)
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     val ifNotExists = m.group(1) != null
     val (schema, name) = resolveName(m.group(2))
-    val path = m.group(3)
+    val fmt = Option(m.group(3)).map(_.toLowerCase).getOrElse("parquet")
+    val path = m.group(4)
     if (!schemas.contains(schema)) throw Errors.unknownDb(schema)
     if (tables.contains((schema, name))) {
       if (ifNotExists) return AffectedRows(0)
       throw Errors.tableExists(name)
     }
-    val inferred = spark.read.parquet(path).schema
+    val reader = fmt match {
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true").format("csv")
+      case other => spark.read.format(other)
+    }
+    val inferred = reader.load(path).schema
     val cols = inferred.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(f.name.toLowerCase, f.dataType.sql.toLowerCase,
         f.nullable, i + 1, i + 1)
     }.toSeq
     val td = TableDef(schema, name, cols, Seq.empty, Nil,
-      cols.size + 1, 0L, Some(path))
+      cols.size + 1, 0L, Some(path), fmt)
     tables += (schema, name) -> td
     registerTable(td)
     persistInfoSchema()

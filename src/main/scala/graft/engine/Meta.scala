@@ -29,10 +29,12 @@ final case class ColumnDef(name: String, sqlType: String,
 final case class TableDef(schema: String, name: String,
     columns: Seq[ColumnDef], primaryKey: Seq[String],
     uniques: Seq[(String, Seq[String])], nextStoreId: Int,
-    version: Long, location: Option[String] = None) {
+    version: Long, location: Option[String] = None,
+    format: String = "parquet") {
 
-  /** External tables wrap pre-existing parquet in place: queryable
-    * like any table, but read-only (no rowid, no DML, no COW). */
+  /** External tables wrap pre-existing files (parquet/csv/json) in
+    * place: queryable like any table, but read-only (no rowid, no
+    * DML, no COW). */
   def external: Boolean = location.isDefined
 
   def qualified: String = s"$schema.$name"
@@ -61,7 +63,7 @@ final case class TableDef(schema: String, name: String,
     * (`show_create_table.rs:49-278`; golden at
     * `src/test/base_sql.rs:264-271`). */
   def createTableSql: String = if (external) {
-    s"CREATE EXTERNAL TABLE $name USING PARQUET LOCATION '${location.get}'"
+    s"CREATE EXTERNAL TABLE $name USING ${format.toUpperCase} LOCATION '${location.get}'"
   } else {
     val cols = columns.map { c =>
       val nullSql = if (c.nullable) "CONSTRAINT nullable NULL"
@@ -123,7 +125,7 @@ object InfoSchema {
     import s.implicits._
     defs.sortBy(t => (t.schema, t.name))
       .map(t => (Catalog, t.schema, t.name, "BASE TABLE",
-        if (t.external) "external_parquet" else "parquet", t.version,
+        if (t.external) s"external_${t.format}" else "parquet", t.version,
         t.location.getOrElse("")))
       .toDF("table_catalog", "table_schema", "table_name",
         "table_type", "engine", "data_version", "location")

@@ -364,6 +364,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e2.sql("show create table kt")).head(1).toString.contains("PRIMARY"))
   }
 
+  test("external tables support csv and json formats, surviving restarts") {
+    import java.nio.file.Paths
+    val wh = Files.createTempDirectory("graft_wh_").toString
+    val e = new GraftEngine(spark, wh)
+    e.sql("create schema ext2"); e.sql("use ext2")
+    val dir = Files.createTempDirectory("graft_ext_").toString
+    Files.writeString(Paths.get(s"$dir/data.csv"), "id,name\n1,alpha\n2,beta\n")
+    Files.writeString(Paths.get(s"$dir/data.json"),
+      "{\"id\": 3, \"name\": \"gamma\"}\n")
+    assert(e.sql(s"create external table tc using csv location '$dir/data.csv'")
+      == AffectedRows(1))
+    assert(e.sql(s"create external table tj using json location '$dir/data.json'")
+      == AffectedRows(1))
+    assert(rows(e.sql("select id, name from tc order by id")) ==
+      Seq(Seq(1, "alpha"), Seq(2, "beta")))
+    assert(rows(e.sql("select id, name from tj")) == Seq(Seq(3L, "gamma")))
+    assert(rows(e.sql("show create table tc")).head(1).toString
+      .contains("USING CSV"))
+    // format survives a catalog reload in a fresh engine
+    val e2 = new GraftEngine(spark, wh)
+    e2.sql("use ext2")
+    assert(rows(e2.sql("select name from tc where id = 2")) == Seq(Seq("beta")))
+    // external stays read-only regardless of format
+    intercept[GraftException] { e2.sql("insert into tc values (9, 'x')") }
+  }
+
   test("engine sessions rewrite pure range joins into banded hash joins") {
     val e = freshEngine()
     e.sql("create schema rj"); e.sql("use rj")
