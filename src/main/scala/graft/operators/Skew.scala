@@ -32,4 +32,34 @@ object Skew {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).cast("long").as("cnt"))
   }
+
+  /** Key-distribution profile: the `k` heaviest keys with row counts
+    * and share of total — the diagnostic that decides whether a key
+    * needs salting or AQE skew handling before a big join/agg.
+    *
+    * Works at any key cardinality: per-key counts partial-aggregate
+    * map-side, the total rides a broadcast 1-row aggregate, and the
+    * heavy-hitter merge is the bounded [[TopK]] k-heap keyed on the
+    * portable key hash (so the shuffle after counting carries
+    * O(partitions × k) heap rows, never the full key dictionary).
+    * Count ties rank ascending on the key hash — deterministic and
+    * replayable in any engine. */
+  def profile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .withColumn("kh", graft.functions.RollingHash(
+        col(keyCol).cast("string"), 31L, 1000000007L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = df.agg(count(lit(1)).as("n_total"),
+      lit(1).as("__one"))
+    val top = TopK.perKey(
+      counts.select(lit(1).as("__one"), col("kh").as("id"),
+        col("n_rows").cast("double").as("score")),
+      Seq("__one"), "id", "score", k)
+    top.join(counts.select(col("kh").as("id"), col(keyCol), col("n_rows")),
+        Seq("id"))
+      .join(broadcast(total), Seq("__one"))
+      .select(col("rnk"), col(keyCol), col("n_rows"),
+        (col("n_rows").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+  }
 }

@@ -98,6 +98,29 @@ object EventsQ {
         |  CAST(date_diff('day', f.cohort, w.wk) // 7 AS BIGINT) AS week_offset,
         |  count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN first f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin)),
+
+    // ---- key-skew profile: the heaviest event types with share of
+    // total — the pre-join diagnostic for salting / AQE skew tuning.
+    // Bounded TopK merge over the key dictionary; total via a
+    // broadcast 1-row aggregate.
+    "p31_skew_profile" -> Q(
+      (s, dir) => graft.operators.Skew
+        .profile(tbl(s, dir, "events"), "event_type", 5)
+        .select(col("rnk").cast("long").as("rnk"), col("event_type"),
+          col("n_rows"), round(col("share"), 6).as("share"))
+        .orderBy(col("rnk")),
+      Some("""WITH c AS (SELECT event_type, count(*) AS n_rows,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(event_type)+1),
+        |      i -> CAST(ascii(substr(event_type, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, x) -> (a*31 + x) % 1000000007) AS kh
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM events),
+        |r AS (SELECT event_type, n_rows, row_number() OVER (
+        |    ORDER BY n_rows DESC, kh) AS rnk FROM c)
+        |SELECT rnk, event_type, n_rows,
+        |  round(CAST(n_rows AS DOUBLE)/n_total, 6) AS share
+        |FROM r, t WHERE rnk <= 5 ORDER BY rnk""".stripMargin))
   )
 }
