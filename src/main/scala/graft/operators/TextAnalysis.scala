@@ -124,6 +124,27 @@ object TextAnalysis {
       .select(col(groupCol), col("rnk"), col("gram"), col("n_docs"))
   }
 
+  /** Split documents into overlapping token windows — the chunker RAG
+    * indexing and pretraining context-packing start from. Each chunk
+    * takes `chunkTokens` tokens starting every `chunkTokens - overlap`
+    * tokens (the final chunk may be shorter). Pure narrow explode:
+    * tokenize → sequence of starts → slice per start, all inside
+    * whole-stage codegen, no shuffle at all. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, $chunkTokens)")
+    val step = chunkTokens - overlap
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), col("tk"),
+        explode(expr(s"sequence(1, size(tk), $step)")).as("s"))
+      .select(col(idCol),
+        ((col("s") - 1) / step).cast("long").as("chunk_idx"),
+        expr(s"concat_ws(' ', slice(tk, s, $chunkTokens))").as("chunk_text"),
+        expr(s"CAST(size(slice(tk, s, $chunkTokens)) AS BIGINT)")
+          .as("n_tokens"))
+  }
+
   /** Rolling polynomial fingerprint over the document's characters:
     * h = (h*31 + codepoint) mod 1e9+7 — a custom codegen Catalyst
     * expression (graft.functions.RollingHash); the equivalent ANSI

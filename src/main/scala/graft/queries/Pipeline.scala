@@ -829,6 +829,47 @@ object Pipeline {
           |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- overlapping token-window chunking (32-token chunks, 8-token
+    // overlap) — the RAG / context-packing chunker. Narrow explode,
+    // fully codegen'd, zero shuffles.
+    "p32_chunking" -> Q(
+      (s, dir) => TextAnalysis.chunk(tbl(s, dir, "documents"),
+          "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    str_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(range(1, len(tk)+1, 24)) AS st FROM t)
+        |SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  array_to_string(tk[st : st + 31], ' ') AS chunk_text,
+        |  CAST(len(tk[st : st + 31]) AS BIGINT) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- incremental ingest dedup: a "new batch" (doc_id % 10 = 0)
+    // dedups within itself (min-id representative per content hash)
+    // and against the existing corpus (hash anti-join) — the daily
+    // ingest shape. Hashes shuffle, never the text.
+    "p33_incremental_dedup" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val newBatch = docs.filter(col("doc_id") % 10 === 0)
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies"))
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(md5(col("text")).as("text_hash")).distinct()
+        newBatch.join(corpus, Seq("text_hash"), "left_anti")
+          .orderBy(col("keep_id"))
+      },
+      Some("""WITH newb AS (SELECT md5(text) AS text_hash,
+        |    min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM documents WHERE doc_id % 10 = 0 GROUP BY 1),
+        |corpus AS (SELECT DISTINCT md5(text) AS text_hash FROM documents
+        |  WHERE doc_id % 10 <> 0)
+        |SELECT n.text_hash AS text_hash, n.keep_id AS keep_id,
+        |  n.n_copies AS n_copies
+        |FROM newb n ANTI JOIN corpus c ON c.text_hash = n.text_hash
+        |ORDER BY keep_id""".stripMargin)),
+
     // ---- reproducible k-means over embeddings: md5-sampled init,
     // TopK(1) argmax assignment, integer-micro quantized centroid
     // means — every iteration bit-replayable, so DuckDB verifies the
