@@ -100,6 +100,32 @@ object EventsQ {
         |FROM w JOIN first f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin)),
 
+    // ---- Spark's NATIVE session_window operator (vs q38's manual
+    // lag-based islands): gap-based sessions as a first-class
+    // aggregate. Spark closes a session at lastEvent + gap EXCLUSIVE,
+    // so the oracle's island break is `>=` gap, not `>`.
+    "q49_session_window" -> Q(
+      (s, dir) => tbl(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("sw.start")).as("session_start_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_ms")),
+      Some("""WITH x AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin)),
+
     // ---- key-skew profile: the heaviest event types with share of
     // total — the pre-join diagnostic for salting / AQE skew tuning.
     // Bounded TopK merge over the key dictionary; total via a

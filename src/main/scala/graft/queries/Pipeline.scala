@@ -870,6 +870,27 @@ object Pipeline {
         |FROM newb n ANTI JOIN corpus c ON c.text_hash = n.text_hash
         |ORDER BY keep_id""".stripMargin)),
 
+    // ---- canonical text normalization: Unicode NFC (custom codegen
+    // expression — Spark has no built-in normalizer), whitespace
+    // collapse, trim, lowercase; md5 of the canonical form is the
+    // content-identity key downstream dedup would use. Narrow, no
+    // shuffle; DuckDB's nfc_normalize replays the transform exactly.
+    "p34_text_normalize" -> Q(
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(
+            graft.functions.NormalizeNFC(col("text")), "\\s+", " ")))
+            .as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_len"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))))
+        |  AS clean_md5,
+        |CAST(length(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))))
+        |  AS BIGINT) AS clean_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- reproducible k-means over embeddings: md5-sampled init,
     // TopK(1) argmax assignment, integer-micro quantized centroid
     // means — every iteration bit-replayable, so DuckDB verifies the

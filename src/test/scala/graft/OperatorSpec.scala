@@ -345,6 +345,20 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr(1).frame.toSeq == "ijkl".getBytes("UTF-8").toSeq)
   }
 
+  test("NFC normalization canonicalizes composed and decomposed forms") {
+    import spark.implicits._
+        val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"
+    val d = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        graft.functions.NormalizeNFC(col("text")).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == r(2L))        // same canonical form
+    assert(r(1L) == composed)     // NFC prefers the composed form
+    assert(r(3L) == "plain ascii")
+  }
+
   test("kmeansAssign partitions every vector once and is run-stable") {
     import spark.implicits._
     // two tight groups around orthogonal axes → k=2 must separate them
