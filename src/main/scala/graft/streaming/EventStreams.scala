@@ -117,6 +117,16 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream. Stateless — no watermark, no join state: each micro-batch
+    * hash-joins against the (broadcast) static side, and the static
+    * table may be arbitrarily large relative to the batch. The
+    * standard shape for user/product/profile enrichment in front of
+    * windowed aggregation. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join: attribute each view to the same
     * user's purchases from the preceding `intervalMs` — the online
     * feature-attribution shape. Both inputs carry watermarks and the

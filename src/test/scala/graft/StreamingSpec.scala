@@ -123,6 +123,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((10L, 2L), (10L, 1L), (11L, 1L)))
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((10L, "gold"), (11L, "silver")).toDF("user_id", "tier")
+    val q = EventStreams.enrichStream(input.toDF(), dim, "user_id")
+      .select(col("event_id"), col("tier"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    input.addData(Event(1, ts(1), 10, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(2, ts(2), 11, "view", 1.0),
+      Event(3, ts(3), 99, "view", 1.0)) // no dim row → null tier
+    q.processAllAvailable()
+    val got = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    q.stop()
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
   test("stream-stream interval join matches the batch run") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
