@@ -77,9 +77,14 @@ object Curation {
     * overlapping grams and a 0/1 contamination flag. */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
       isBenchmark: Column, n: Int = 8): DataFrame = {
+    // full 64-bit FNV gram hashes, NOT the 30-bit polynomial family:
+    // the poly hash exists so ANSI-SQL oracles can replay it, but this
+    // operator's oracle intersects gram STRINGS, so the hash only has
+    // to be collision-free — and at corpus scale the ~2^30 poly space
+    // collides (measured: 2 false positives from ~450k x 4.5k grams at
+    // sf0.1), while 2^64 keeps the expected collision count ~1e-10
     val grams = (side: DataFrame) => side.select(col(idCol),
-      explode(graft.functions.ShingleHashes(col(textCol), n, poly = true))
-        .as("g"))
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("g"))
     val bench = grams(df.filter(isBenchmark)).select(col("g")).distinct()
     val corpus = df.filter(!isBenchmark)
     val hits = grams(corpus).join(broadcast(bench), Seq("g"))
