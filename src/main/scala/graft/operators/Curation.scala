@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Portable 64-bit-ish token hash (h*31+codepoint mod 1e9+7) used as
-    * the deterministic tie-breaker — same polynomial fold as
-    * [[graft.functions.RollingHash]], replayable in ANSI SQL. */
+  /** Portable 60-bit token hash (two combined polynomial families,
+    * [[TextAnalysis.portableHash60]]) — deterministic tie-break AND
+    * collision-safe join key, replayable in ANSI SQL. */
   private def tokenHash(c: Column): Column =
-    graft.functions.RollingHash(c, 31L, 1000000007L)
+    TextAnalysis.portableHash60(c)
 
   /** TF-IDF top-`k` terms per document.
     *

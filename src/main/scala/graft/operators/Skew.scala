@@ -46,8 +46,8 @@ object Skew {
     * replayable in any engine. */
   def profile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
-      .withColumn("kh", graft.functions.RollingHash(
-        col(keyCol).cast("string"), 31L, 1000000007L))
+      .withColumn("kh",
+        TextAnalysis.portableHash60(col(keyCol).cast("string")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = df.agg(count(lit(1)).as("n_total"),
       lit(1).as("__one"))

@@ -23,6 +23,17 @@ object TextAnalysis {
   private def inList(xs: Seq[String]) =
     xs.map(x => s"'${x.replace("'", "''")}'").mkString("(", ", ", ")")
 
+  /** 60-bit portable string hash: two independent polynomial families
+    * combined (h1 << 30 | h2-ish). Each family alone lives in a ~2^30
+    * space — birthday-unsafe as a join key once a vocabulary reaches
+    * ~10^4-10^5 keys — while the combination is collision-safe to
+    * ~10^8 keys AND still exactly replayable by an ANSI-SQL oracle
+    * (two list_reduce folds). Use this wherever a portable hash is a
+    * join/tie-break key, not just a tie-break. */
+  def portableHash60(c: Column): Column =
+    graft.functions.RollingHash(c, 31L, 1000000007L) * lit(1L << 30) +
+      graft.functions.RollingHash(c, 37L, 998244353L)
+
   /** Marker-word count for one language over a tokens column name. */
   def markerCount(tokCol: String, lang: String): Column =
     expr(s"size(filter($tokCol, x -> x IN ${inList(markers(lang))}))")
@@ -74,8 +85,9 @@ object TextAnalysis {
 
   /** Corpus vocabulary heavy-hitters: the `k` most frequent tokens
     * per group (e.g. per language) — the shape tokenizer training
-    * starts from. Tokens hash to 64-bit ids (portable RollingHash, so
-    * ties and the final join are externally replayable); the top-k
+    * starts from. Tokens hash to 60-bit ids ([[portableHash60]], so
+    * ties and the final join are externally replayable AND
+    * collision-safe at vocabulary scale); the top-k
     * merge is the bounded [[TopK]] aggregate, so the shuffle after
     * the count carries per-partition k-heaps, not the whole
     * vocabulary. Count ties break ascending on the token hash. */
@@ -85,8 +97,7 @@ object TextAnalysis {
         explode(Dedup.tokens(col(textCol))).as("token"))
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("n_occ"))
-      .withColumn("th",
-        graft.functions.RollingHash(col("token"), 31L, 1000000007L))
+      .withColumn("th", portableHash60(col("token")))
     // TopK orders by (score desc, id asc): score = count, id = the
     // token's portable hash, so equal counts rank identically in any
     // engine that can recompute the hash
@@ -112,8 +123,7 @@ object TextAnalysis {
       .select(col(groupCol), explode(Dedup.shingleExpr("tk", n)).as("gram"))
       .groupBy(col(groupCol), col("gram"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("gh",
-        graft.functions.RollingHash(col("gram"), 31L, 1000000007L))
+      .withColumn("gh", portableHash60(col("gram")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = TopK.perKey(
       counts.select(col(groupCol), col("gh").as("id"),

@@ -136,11 +136,8 @@ object EventsQ {
         .select(col("rnk").cast("long").as("rnk"), col("event_type"),
           col("n_rows"), round(col("share"), 6).as("share"))
         .orderBy(col("rnk")),
-      Some("""WITH c AS (SELECT event_type, count(*) AS n_rows,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, length(event_type)+1),
-        |      i -> CAST(ascii(substr(event_type, CAST(i AS INT), 1)) AS BIGINT))),
-        |    (a, x) -> (a*31 + x) % 1000000007) AS kh
+      Some(s"""WITH c AS (SELECT event_type, count(*) AS n_rows,
+        |  ${oPoly60("event_type")} AS kh
         |  FROM events GROUP BY 1),
         |t AS (SELECT count(*) AS n_total FROM events),
         |r AS (SELECT event_type, n_rows, row_number() OVER (

@@ -467,13 +467,10 @@ object Pipeline {
         .select(col("lang"), col("rnk").cast("long").as("rnk"),
           col("token"), col("n_occ"))
         .orderBy(col("lang"), col("rnk")),
-      Some("""WITH tok AS (SELECT lang, unnest(str_split_regex(
-        |    trim(lower(text)), '\s+')) AS token FROM documents),
+      Some(s"""WITH tok AS (SELECT lang, unnest(str_split_regex(
+        |    trim(lower(text)), '\\s+')) AS token FROM documents),
         |counts AS (SELECT lang, token, count(*) AS n_occ,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, length(token)+1),
-        |      i -> CAST(ascii(substr(token, CAST(i AS INT), 1)) AS BIGINT))),
-        |    (a, c) -> (a*31 + c) % 1000000007) AS th
+        |  ${oPoly60("token")} AS th
         |  FROM tok GROUP BY lang, token),
         |ranked AS (SELECT lang, token, n_occ, row_number() OVER (
         |    PARTITION BY lang ORDER BY n_occ DESC, th) AS rnk
@@ -550,17 +547,14 @@ object Pipeline {
         .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
           col("token"), col("n_occ"), col("tfidf"))
         .orderBy(col("doc_id"), col("rnk")),
-      Some("""WITH tok AS (SELECT doc_id, unnest(str_split_regex(
-        |    trim(lower(text)), '\s+')) AS token FROM documents),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(str_split_regex(
+        |    trim(lower(text)), '\\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS n_occ FROM tok GROUP BY 1,2),
         |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (SELECT tf.doc_id, tf.token, tf.n_occ,
         |  tf.n_occ * ln((n.n_docs + 1.0)/(dfreq.df + 1.0)) AS score,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, length(tf.token)+1),
-        |      i -> CAST(ascii(substr(tf.token, CAST(i AS INT), 1)) AS BIGINT))),
-        |    (a, c) -> (a*31 + c) % 1000000007) AS th
+        |  ${oPoly60("tf.token")} AS th
         |  FROM tf, dfreq, n WHERE dfreq.token = tf.token),
         |ranked AS (SELECT doc_id, token, n_occ, score, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY score DESC, th) AS rnk FROM scored)
@@ -637,17 +631,14 @@ object Pipeline {
         .select(col("lang"), col("rnk").cast("long").as("rnk"),
           col("gram"), col("n_docs"))
         .orderBy(col("lang"), col("rnk")),
-      Some("""WITH sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+      Some(s"""WITH sh AS (SELECT doc_id, lang, list_distinct(list_transform(
         |    range(1, greatest(len(tk), 1)),
         |    i -> tk[i]||' '||tk[i+1])) AS sh
-        |  FROM (SELECT doc_id, lang, str_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM (SELECT doc_id, lang, str_split_regex(trim(lower(text)), '\\s+') AS tk
         |        FROM documents)),
         |counts AS (SELECT lang, unnest(sh) AS gram FROM sh),
         |cnt AS (SELECT lang, gram, count(*) AS n_docs,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, length(gram)+1),
-        |      i -> CAST(ascii(substr(gram, CAST(i AS INT), 1)) AS BIGINT))),
-        |    (a, c) -> (a*31 + c) % 1000000007) AS gh
+        |  ${oPoly60("gram")} AS gh
         |  FROM counts GROUP BY 1, 2),
         |ranked AS (SELECT lang, gram, n_docs, row_number() OVER (
         |    PARTITION BY lang ORDER BY n_docs DESC, gh) AS rnk FROM cnt)

@@ -45,6 +45,19 @@ object QueryUtil {
   def money(c: Column): Column = c.cast("double") / 100.0
   def money4(c: Column): Column = c.cast("double") / 10000.0
 
+  /** DuckDB replay of one polynomial RollingHash family over a string
+    * expression. */
+  def oPoly(e: String, mult: Long, mod: Long): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length($e)+1),
+       |      i -> CAST(ascii(substr($e, CAST(i AS INT), 1)) AS BIGINT))),
+       |    (a, c) -> (a*$mult + c) % $mod)""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.portableHash60 — two combined
+    * families; collision-safe join/tie-break key. */
+  def oPoly60(e: String): String =
+    s"(${oPoly(e, 31L, 1000000007L)} * 1073741824 + ${oPoly(e, 37L, 998244353L)})"
+
   /** DuckDB-side spellings of the same tricks (sum of BIGINT is
     * HUGEINT in DuckDB, hence the outer cast). */
   val oCents = "CAST(round(%s*100) AS BIGINT)"
