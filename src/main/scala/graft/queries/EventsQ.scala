@@ -126,6 +126,36 @@ object EventsQ {
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin)),
 
+    // ---- conversion funnel: of the users who viewed, how many later
+    // purchased (first purchase strictly after first view) — ordered
+    // conversion, not co-occurrence. Two tiny per-user min aggregates
+    // + one join; rate is an exact integer/integer division.
+    "q50_conversion_funnel" -> Q(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+        v.join(p, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_viewers"),
+            count(when(col("first_purchase") > col("first_view"), 1))
+              .as("n_converted"))
+          .select(col("n_viewers"), col("n_converted"),
+            (col("n_converted").cast("double") /
+              col("n_viewers").cast("double")).as("conv_rate"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT user_id, min(ts) AS first_purchase FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT count(*) AS n_viewers,
+        |  count(CASE WHEN p.first_purchase > v.first_view THEN 1 END)
+        |    AS n_converted,
+        |  CAST(count(CASE WHEN p.first_purchase > v.first_view THEN 1 END)
+        |    AS DOUBLE) / count(*) AS conv_rate
+        |FROM v LEFT JOIN p USING (user_id)""".stripMargin)),
+
     // ---- key-skew profile: the heaviest event types with share of
     // total — the pre-join diagnostic for salting / AQE skew tuning.
     // Bounded TopK merge over the key dictionary; total via a

@@ -83,6 +83,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planText("q11_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("hot queries stay inside whole-stage codegen") {
+    // scalar-heavy scans and the custom expressions (RollingHash,
+    // ShingleHashes, CosineSim) must not break codegen spans — the
+    // plan shows `[codegen id : N]` per participating operator. AQE
+    // hides codegen ids until stages execute, so plan without it.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("q01_pricing_summary", "q23_case_null", "p11_fingerprint",
+      "p02_ngram_jaccard", "p06_ann_bruteforce").foreach { q =>
+      assert(planText(q).contains("[codegen id :"), s"$q lost codegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("p23 corpus side joins the benchmark gram set without shuffling") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
