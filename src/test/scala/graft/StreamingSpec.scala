@@ -187,6 +187,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.filter(_._1 <= 4).subsetOf(got))
   }
 
+  test("native session_window streams with a watermark and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "view", 1.0),   // same session (gap 5m < 30m)
+      Event(3, ts(60), 10, "click", 1.0), // new session
+      Event(4, ts(2), 11, "view", 1.0),
+      // far-future event advances the watermark so earlier sessions
+      // close and emit in append mode
+      Event(5, ts(600), 99, "click", 1.0))
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+        col("n_events"))
+    val q = sessions(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("native_sessions").start()
+    input.addData(events.take(4)); q.processAllAvailable()
+    input.addData(events.drop(4)); q.processAllAvailable()
+    val got = spark.table("native_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = sessions(events.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every closed streaming session appears in the batch result, and
+    // all sessions the watermark could close were emitted
+    assert(got.subsetOf(batch), s"stream=$got batch=$batch")
+    assert(got.contains((10L, Base, 2L)))
+    assert(got.contains((10L, Base + 60 * 60000L, 1L)))
+    assert(got.contains((11L, Base + 2 * 60000L, 1L)))
+  }
+
   test("streaming dedup drops duplicate keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
