@@ -63,6 +63,29 @@ class BandedRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("banded rewrite equals the nested loop for random widths and data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 6).foreach { trial =>
+      val w = rnd.nextInt(40) + 1
+      val n = 150
+      def keys() = (0 until n)
+        .map(i => (i.toLong, (rnd.nextInt(600) - 300).toLong))
+      val a = keys().toDF("ia", "ka")
+      val b = keys().toDF("ib", "kb")
+      def q = a.join(b,
+        col("kb") > col("ka") && col("kb") <= col("ka") + w)
+      def fingerprint(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)), sum(col("ka") * 31 + col("kb"))).head()
+      val naive = fingerprint(q)
+      withRule {
+        assert(!q.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"), s"trial $trial w=$w not rewritten")
+        assert(fingerprint(q) == naive, s"trial $trial w=$w diverged")
+      }
+    }
+  }
+
   test("GraftSparkExtensions registers the rule") {
     val ext = new SparkSessionExtensions
     new GraftSparkExtensions()(ext)
