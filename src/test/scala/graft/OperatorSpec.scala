@@ -345,6 +345,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr(1).frame.toSeq == "ijkl".getBytes("UTF-8").toSeq)
   }
 
+  test("packSequences fills bins in hash order within each shard") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, ("tok " * (i.toInt % 40 + 1)).trim))
+      .toDF("doc_id", "text")
+    val packed = graft.operators.Curation.packSequences(
+      d, "doc_id", size(Dedup.tokens(col("text"))),
+      graft.operators.Curation.shardId(col("doc_id")), 64).collect()
+    assert(packed.length == 200) // every doc lands in exactly one bin
+    // bins are dense per shard (0..maxBin) and each non-final bin
+    // STARTS below capacity (first-fit: a doc goes into the bin its
+    // running count starts in, so bins can overflow by < one doc)
+    packed.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).distinct.sorted
+      assert(bins.toSeq == (0L to bins.max).toSeq)
+    }
+    // deterministic: same input partitioned differently → same bins
+    val again = graft.operators.Curation.packSequences(
+      d.repartition(7), "doc_id", size(Dedup.tokens(col("text"))),
+      graft.operators.Curation.shardId(col("doc_id")), 64).collect()
+    assert(packed.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq)
+  }
+
   test("NFC normalization canonicalizes composed and decomposed forms") {
     import spark.implicits._
         val composed = "caf\u00e9 r\u00e9sum\u00e9"
