@@ -147,8 +147,17 @@ object Dedup {
         .bitwiseAND(lit(0xFFFFL))
       when(ones * 2 >= col("n_tok"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // a lane carry would have corrupted the packed sums silently during
+    // aggregation; n_tok is already aggregated, so detect the violated
+    // bound here and fail loudly rather than emit a wrong fingerprint
+    val guarded = when(col("n_tok") < lit(1L << 16), fp)
+      .otherwise(raise_error(concat(
+        lit("SimHash 16-bit lane overflow: document "),
+        col(idCol).cast("string"), lit(" has "),
+        col("n_tok").cast("string"),
+        lit(" distinct tokens (>= 65536)"))).cast("long"))
     tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), fp.as("simhash"))
+      .select(col(idCol), guarded.as("simhash"))
   }
 
   /** SimHash over two polynomial hash families instead of xxhash64:
@@ -297,8 +306,9 @@ object Dedup {
       .unionAll(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .repartition(parts, col("a_id"))
       .persist(lvl)
-    var labels = edges.select(col("a_id").as("id")).distinct()
+    var labelSrc = edges.select(col("a_id").as("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
+    var labels = labelSrc
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -314,9 +324,19 @@ object Dedup {
           (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
         .persist(lvl)
       done = next.filter(col("chg")).count() == 0
+      // the count above materialized `next`, so the superseded round's
+      // cache is dead weight — release it instead of accumulating one
+      // cached frame per round
+      labelSrc.unpersist(blocking = false)
+      labelSrc = next
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters stopped at maxIter=$maxIter without converging: " +
+          "a component's diameter exceeds the round budget and the returned " +
+          "cluster labels are NOT at fixpoint — raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -32,7 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * is exactly what a V2 connector owns.
   */
 object KvStore {
-  /** name → sorted key array + value lookup (immutable once registered). */
+  /** name → sorted key array + value lookup (immutable once registered).
+    * Driver-JVM registry: only `planInputPartitions` (driver-side)
+    * reads it — matched slices ship inside each [[KvPartition]], so
+    * executors never dereference this singleton and the connector is
+    * cluster-safe. A production deployment would replace registration
+    * with connection options to a real ordered KV engine. */
   private val stores = TrieMap.empty[String, (Array[Long], Map[Long, String])]
 
   /** Telemetry mirroring the reference's SeekType: what the last scan
@@ -95,11 +100,18 @@ class KvScanBuilder(name: String) extends ScanBuilder
       case l: java.lang.Long => l
       case i: java.lang.Integer => i.longValue()
     }
+    // Strict bounds at the Long extremes can match no row at all; a
+    // naive `v + 1` / `v - 1` would wrap around and silently widen the
+    // scan to the full table while reporting the filter as pushed.
+    // Saturate to a guaranteed-empty range (lo > hi) instead.
+    def forceEmpty(): Unit = { lo = Long.MaxValue; hi = Long.MinValue }
     accepted.foreach {
       case EqualTo("k", v) => lo = math.max(lo, num(v)); hi = math.min(hi, num(v))
-      case GreaterThan("k", v) => lo = math.max(lo, num(v) + 1)
+      case GreaterThan("k", v) =>
+        if (num(v) == Long.MaxValue) forceEmpty() else lo = math.max(lo, num(v) + 1)
       case GreaterThanOrEqual("k", v) => lo = math.max(lo, num(v))
-      case LessThan("k", v) => hi = math.min(hi, num(v) - 1)
+      case LessThan("k", v) =>
+        if (num(v) == Long.MinValue) forceEmpty() else hi = math.min(hi, num(v) - 1)
       case LessThanOrEqual("k", v) => hi = math.min(hi, num(v))
       case IsNotNull("k") => ()
       case _ => ()
@@ -129,9 +141,12 @@ class KvScan(name: String, lo: Long, hi: Long, projection: StructType)
   /** Binary-search the pushed range in the sorted key array and split
     * the matched slice into up to 4 parallel partitions — range
     * pruning AND scan parallelism, the two things the reference leaf
-    * lacked. */
+    * lacked. The matched rows ship INSIDE each [[KvPartition]] (this
+    * method runs on the driver, where [[KvStore]] lives), so
+    * executor-side readers never dereference driver-JVM state and the
+    * connector works unchanged on a real cluster. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val (keys, _) = KvStore(name)
+    val (keys, values) = KvStore(name)
     val from = lowerBound(keys, lo)
     val until = upperBound(keys, hi)
     val n = math.max(0, until - from)
@@ -142,7 +157,10 @@ class KvScan(name: String, lo: Long, hi: Long, projection: StructType)
     val slices = math.min(4, n)
     val step = math.max(1, (n + slices - 1) / slices)
     (from until until by step)
-      .map(s => KvPartition(name, s, math.min(s + step, until)): InputPartition)
+      .map { s =>
+        val ks = keys.slice(s, math.min(s + step, until))
+        KvPartition(ks, ks.map(k => values.getOrElse(k, null))): InputPartition
+      }
       .toArray
   }
 
@@ -161,7 +179,9 @@ class KvScan(name: String, lo: Long, hi: Long, projection: StructType)
     new KvReaderFactory(projection)
 }
 
-case class KvPartition(name: String, from: Int, until: Int)
+/** Self-contained slice of the matched range: keys plus their values,
+  * serialized with the task. Readers need nothing from the driver. */
+case class KvPartition(keys: Array[Long], values: Array[String])
     extends InputPartition
 
 class KvReaderFactory(projection: StructType)
@@ -169,14 +189,12 @@ class KvReaderFactory(projection: StructType)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KvPartition]
     new PartitionReader[InternalRow] {
-      private val (keys, values) = KvStore(kp.name)
-      private var i = kp.from - 1
-      override def next(): Boolean = { i += 1; i < kp.until }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < kp.keys.length }
       override def get(): InternalRow = {
-        val k = keys(i)
         val cols = projection.fieldNames.map {
-          case "k" => k.asInstanceOf[Any]
-          case "v" => values.get(k).map(UTF8String.fromString).orNull
+          case "k" => kp.keys(i).asInstanceOf[Any]
+          case "v" => Option(kp.values(i)).map(UTF8String.fromString).orNull
         }
         InternalRow.fromSeq(cols.toSeq)
       }

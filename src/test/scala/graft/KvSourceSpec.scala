@@ -48,6 +48,23 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.rdd.getNumPartitions == 4) // matched slice splits 4-way
   }
 
+  test("strict bounds at Long extremes match zero rows, not the full table") {
+    // k > Long.MaxValue can match nothing; a wrapping `v + 1` fold
+    // would widen this pushed range to the whole table
+    assert(df.filter(col("k") > Long.MaxValue).count() == 0L)
+    assert(KvStore.lastScan("t")._2 == 0L)
+    assert(df.filter(col("k") < Long.MinValue).count() == 0L)
+    assert(KvStore.lastScan("t")._2 == 0L)
+  }
+
+  test("readers consume slices shipped in the partition, not driver state") {
+    // matched rows ride inside each InputPartition: values come back
+    // correct even though the executor-side reader never calls KvStore
+    val rows = df.filter(col("k") >= 7 && col("k") <= 9).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((7L, "v7"), (8L, "v8"), (9L, "v9")))
+  }
+
   test("projection pushdown reaches the reader") {
     val plan = df.select(col("k")).filter(col("k") < 10)
       .queryExecution.executedPlan.toString
