@@ -31,10 +31,8 @@ object AsOf {
       timeCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
-      .withColumn("__is_left", lit(1))
       .select(col(keyCol) +: col(timeCol).as("__t") +: lit(1).as("__is_left") +:
-        leftCols.filterNot(c => c == keyCol).map(c =>
-          (if (c == timeCol) col(c) else col(c)).as(s"__l_$c")) ++:
+        leftCols.filterNot(c => c == keyCol).map(c => col(c).as(s"__l_$c")) ++:
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
     val r = right
       .select(col(keyCol) +: col(timeCol).as("__t") +: lit(0).as("__is_left") +:

@@ -249,7 +249,15 @@ object Dedup {
     * candidate miner (simhash bands, minhash LSH). |A∩B| comes from
     * routing each pair through the (id, shingle-hash) table twice —
     * two hash joins keyed on doc id and (id, shingle) — so cost is
-    * proportional to candidate shingles, not corpus pairs. */
+    * proportional to candidate shingles, not corpus pairs.
+    *
+    * Cache note: the shingle-hash rows persist at MEMORY_AND_DISK for
+    * the 3-branch fan-out, and that cache is O(corpus shingles) — at
+    * 100 TB it spills corpus-scale data to local disk. The
+    * alternative is recomputing the narrow shingle pass once per
+    * branch (3× scan CPU, zero cache); flip to that trade-off by
+    * checkpointing/persisting upstream and dropping this persist if
+    * executor disk is the scarcer resource. */
   def jaccardForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -278,66 +286,103 @@ object Dedup {
     * PAIRS into duplicate CLUSTERS (keep one representative per
     * component, usually the min id).
     *
-    * Iterative min-label propagation: every vertex starts as its own
-    * label, each round takes the min of its neighbors' labels, until
-    * fixpoint. The driver only coordinates rounds and reads one
-    * convergence COUNT per round (the Pregel shape — label rows never
-    * collect); each round is one hash join + partial-aggregated
-    * groupBy on the vertex id. Rounds needed = component diameter —
-    * near-dup clusters are template cliques, so 2-4 in practice,
-    * `maxIter` bounds pathological chains. The fixpoint (label = min
-    * id reachable) is deterministic under any partitioning. Returns
-    * (id, cluster_id) for every vertex with ≥1 edge. */
+    * Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round every vertex re-hangs its larger neighbors, then its
+    * smaller ones, onto the minimum of its neighborhood. Rounds
+    * needed are O(log n) regardless of component DIAMETER — a
+    * 1000-vertex path closes in ~10 rounds where per-round min-label
+    * propagation (this function's previous shape) needs ~1000. Each
+    * round is two groupBy+join passes over the edge list; the driver
+    * reads one (count, checksum) scalar per round to detect the
+    * fixpoint — label rows never collect. At fixpoint the edge list
+    * IS the answer: a star forest rooted at each component's min id,
+    * deterministic under any partitioning.
+    *
+    * Returns (id, cluster_id) for every vertex with ≥1 edge. Rounds
+    * truncate lineage with `localCheckpoint()` — iterating on raw
+    * DataFrames would nest each round's plan inside the next and blow
+    * the driver up around round 10; checkpointed round state is
+    * graph-sized and executor-resident, and the ContextCleaner
+    * reclaims superseded rounds. (For failure-tolerant long chains,
+    * `sparkContext.setCheckpointDir` + `.checkpoint()` is the
+    * durable variant of the same seam.) */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist the pair list FIRST: the undirected edge union reads it
-    // twice, and without the cache the (possibly expensive) candidate
-    // pipeline upstream would run once per direction
+    // persist the pair list FIRST: the vertex set and the initial edge
+    // orientation both read it, and without the cache the (possibly
+    // expensive) candidate pipeline upstream would run once per read
     val p = pairs.persist(lvl)
-    // One count materializes the miner AND sizes the loop: verified
+    // One count materializes the miner AND sizes the rounds: verified
     // near-dup graphs are usually a sliver of the corpus, so the
-    // propagation rounds repartition to ~500k edges/partition instead
+    // contraction rounds repartition to ~500k edges/partition instead
     // of inheriting the corpus-sized shuffle width — per-round job
     // overhead stays proportional to the GRAPH, while a 100-TB pair
     // list still fans out to thousands of partitions.
     val nPairs = p.count()
     val parts = math.max(1L, math.min(2000L, nPairs / 500000L + 1L)).toInt
-    val edges = p.select(col("a_id"), col("b_id"))
-      .unionAll(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .repartition(parts, col("a_id"))
-      .persist(lvl)
-    var labelSrc = edges.select(col("a_id").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
-    var labels = labelSrc
+    val verts = p.select(col("a_id").as("id"))
+      .unionAll(p.select(col("b_id").as("id")))
+      .distinct().repartition(parts, col("id")).localCheckpoint()
+    // parent-pointer edges, child > parent; self-pairs drop out
+    var edges = p.select(
+        greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(parts, col("u")).localCheckpoint()
+    // verts and edges are materialized (localCheckpoint is eager); the
+    // upstream pair pipeline will not run again
+    p.unpersist(blocking = false)
+    // fixpoint signature: (edge count, order-free XOR checksum — edges
+    // are distinct, so the multiset is a set and xor can't cancel) —
+    // the star forest is the unique edge set that reproduces itself,
+    // so one scalar job per round detects convergence without a diff
+    // join; bit_xor also can't overflow under ANSI mode, unlike sum
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
     var iter = 0
-    var done = false
+    var done = sig._1 == 0L
     while (!done && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.toDF("b_id", "nl"), Seq("b_id"))
-        .groupBy(col("a_id").as("id")).agg(min(col("nl")).as("nl"))
-      // carry the improved-this-round flag inside the propagation row
-      // so convergence detection is a filter over the SAME cached
-      // frame — one Spark job per round, not two
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
-        .persist(lvl)
-      done = next.filter(col("chg")).count() == 0
-      // the count above materialized `next`, so the superseded round's
-      // cache is dead weight — release it instead of accumulating one
-      // cached frame per round
-      labelSrc.unpersist(blocking = false)
-      labelSrc = next
-      labels = next.select(col("id"), col("label"))
+      // large-star: m(u) = min of u's closed neighborhood; every
+      // neighbor v > u re-hangs onto m(u). Emitted (v, m) has
+      // v > u ≥ m, so orientation survives with no self-loops.
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lm = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.join(lm, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: each vertex and its smaller neighbors re-hang onto
+      // the minimum of that closed neighborhood
+      val sm = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = afterLarge.join(sm, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(sm.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .repartition(parts, col("u"))
+        .localCheckpoint() // eager: truncates this round's lineage
+      val nsig = signature(next)
+      edges = next
+      done = nsig == sig
+      sig = nsig
       iter += 1
     }
     if (!done)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"duplicateClusters stopped at maxIter=$maxIter without converging: " +
-          "a component's diameter exceeds the round budget and the returned " +
-          "cluster labels are NOT at fixpoint — raise maxIter")
-    labels.select(col("id"), col("label").as("cluster_id"))
+          "the star contraction has not reached its fixpoint and the returned " +
+          "cluster labels may not be component minima — raise maxIter")
+    // at fixpoint each child has exactly one parent (its component
+    // min); the groupBy(min) only matters on a maxIter bail-out, where
+    // a vertex can still carry two parent edges
+    verts.join(edges.toDF("id", "label"), Seq("id"), "left")
+      .groupBy(col("id")).agg(min(col("label")).as("ml"))
+      .select(col("id"), coalesce(col("ml"), col("id")).as("cluster_id"))
   }
 
   /** n-gram Jaccard similarity between two shingle-set columns

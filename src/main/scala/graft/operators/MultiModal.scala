@@ -7,11 +7,29 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: images/audio/video ride through the
   * engine as opaque `binary` columns with typed metadata. The Spark
   * side — schema, partition-preserving batch transforms, feature
-  * vectors — is real and tested; the codec itself is a deterministic
-  * STUB (this container has no image/audio libraries), clearly
-  * marked, with the exact seam a real decoder would plug into.
+  * vectors — is real and tested. The IMAGE codec is real too:
+  * PNG/JPEG payloads decode through the JDK's `javax.imageio` (no
+  * extra dependency) for feature extraction and resizing.
+  * Non-image payloads (and audio/video, whose codecs this container
+  * lacks) fall back to a deterministic byte-level stand-in, clearly
+  * marked at each seam.
   */
 object MultiModal {
+
+  /** PNG (\x89PNG) or JPEG (\xFF\xD8) magic — the two formats
+    * `javax.imageio` ships decoders for on every JDK. Checked before
+    * attempting a decode so arbitrary binary payloads skip straight
+    * to the byte-level fallback without paying for a reader probe. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length > 4 &&
+      (((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8))
+
+  private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (!looksLikeImage(bytes)) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
 
   /** Canonical media schema: content + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -33,27 +51,52 @@ object MultiModal {
       (pmod(col(idCol), lit(480)) + 32).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"))
 
-  /** Feature row produced by the (stub) decoder. */
+  /** Feature row: pixel-luminance histogram for real images, byte
+    * histogram for other payloads (see [[MultiModal.decodeBytes]]). */
   case class MediaFeatures(media_id: Long, media_type: String,
       byte_len: Long, mean_byte: Double, entropy_bucket: Int,
       feature: Array[Double])
 
-  /** STUB DECODER — deterministic fake standing in for
-    * image/audio decode + feature extraction. A real implementation
-    * would replace `decodeBytes` with (e.g.) JPEG decode + model
-    * inference; the mapPartitions plumbing — batch iteration, one
-    * codec init per partition, narrow no-shuffle execution — is the
-    * part that matters for Spark and is real. */
+  /** Feature extraction for one payload. PNG/JPEG bytes decode for
+    * real (`javax.imageio`) into an 8-bin LUMINANCE histogram over
+    * the pixels — deterministic, resolution-independent semantics a
+    * downstream near-dup or quality filter can use. Anything else
+    * (text-as-bytes fixtures, audio/video this container has no
+    * codecs for) falls back to the deterministic 8-bin BYTE histogram
+    * so the pipeline shape stays testable end to end. */
   private def decodeBytes(bytes: Array[Byte]): Array[Double] = {
-    // ??? <- real codec goes here; deterministic 8-bin byte histogram
-    // stands in so tests have stable expectations.
+    val img = decodeImage(bytes)
     val hist = new Array[Double](8)
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >> 5) += 1.0
-      i += 1
+    if (img != null) {
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer Rec.601 luma, binned to 8 buckets of 32
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(luma >> 5) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      var j = 0
+      while (j < 8) { hist(j) /= n; j += 1 }
+    } else {
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xff) >> 5) += 1.0
+        i += 1
+      }
+      if (bytes.length > 0) {
+        var j = 0
+        while (j < 8) { hist(j) /= bytes.length; j += 1 }
+      }
     }
-    if (bytes.length > 0) { var j = 0; while (j < 8) { hist(j) /= bytes.length; j += 1 } }
     hist
   }
 
@@ -61,25 +104,50 @@ object MultiModal {
   case class ResizedMedia(media_id: Long, media_type: String,
       content: Array[Byte], width: Int, height: Int)
 
-  /** STUB RESIZE — a real implementation would decode, scale, and
-    * re-encode; the deterministic stand-in keeps every `stride`-th
-    * byte. The Spark plumbing is the real part: a narrow per-row
-    * transform over the binary column — no shuffle, streams at scan
-    * speed, metadata columns updated alongside the payload. */
+  /** Downscale by an integer `stride`. PNG/JPEG payloads decode,
+    * nearest-neighbor downsample (output pixel (x,y) = input pixel
+    * (x·stride, y·stride) — deterministic, no resample kernel
+    * ambiguity) and re-encode as PNG, with the metadata dimensions
+    * taken from the actual decoded image. Non-image payloads keep the
+    * deterministic byte-stride stand-in. The Spark plumbing is shared
+    * and real either way: a narrow per-row transform over the binary
+    * column — no shuffle, streams at scan speed, metadata columns
+    * updated alongside the payload. */
   def resize(media: DataFrame, stride: Int): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "media_type", "content", "width", "height")
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
-        // per-partition codec init would happen here
+        // per-partition codec init seam (imageio readers are cached
+        // per-JVM; a heavier codec would initialize here once)
         rows.map { case (id, mt, bytes, w, h) =>
           val b = if (bytes == null) Array.empty[Byte] else bytes
-          val out = new Array[Byte]((b.length + stride - 1) / stride)
-          var i = 0
-          while (i < out.length) { out(i) = b(i * stride); i += 1 }
-          ResizedMedia(id, mt, out, math.max(1, w / stride),
-            math.max(1, h / stride))
+          val img = decodeImage(b)
+          if (img != null) {
+            val ow = math.max(1, img.getWidth / stride)
+            val oh = math.max(1, img.getHeight / stride)
+            val out = new java.awt.image.BufferedImage(ow, oh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                out.setRGB(x, y, img.getRGB(x * stride, y * stride))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedMedia(id, "image/png", bos.toByteArray, ow, oh)
+          } else {
+            val out = new Array[Byte]((b.length + stride - 1) / stride)
+            var i = 0
+            while (i < out.length) { out(i) = b(i * stride); i += 1 }
+            ResizedMedia(id, mt, out, math.max(1, w / stride),
+              math.max(1, h / stride))
+          }
         }
       }
   }

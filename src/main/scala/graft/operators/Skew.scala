@@ -21,10 +21,13 @@ object Skew {
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
       buckets: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
-    // which salt a row gets is irrelevant to the merged result; a
-    // cheap row-id mod spreads uniformly without any hashing
+    // which salt a row gets is irrelevant to the merged result, but
+    // deriving it from the row's own values — not from
+    // monotonically_increasing_id, which depends on partition layout —
+    // keeps partials (and any debugging sample of them) deterministic
+    // under repartitioning, like every other operator in this library
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      pmod(xxhash64((keys :+ valueCol).map(col): _*), lit(buckets.toLong)))
     salted
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

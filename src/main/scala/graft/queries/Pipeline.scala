@@ -51,6 +51,46 @@ object Pipeline {
        |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
+  /** CTE chain `sh, hs, sig, bands, cand` replaying
+    * Dedup.minhashCandidatesPortable exactly in DuckDB: polynomial
+    * shingle hashes, 32 universal-hash MinHash families, 8 bands of 4,
+    * bucket self-join. Shared by the p03 and p17 oracles. */
+  private val duckMinhashCand: String = {
+    val P = 1000000007L
+    def a(i: Int) = (2654435761L * (i + 1)) % P
+    def b(i: Int) = (40503L * (i + 7) + 12345L) % P
+    val sigCols = (0 until 32).map(i =>
+      s"list_min(list_transform(hs, h -> (h*${a(i)} + ${b(i)}) % $P)) AS m$i")
+      .mkString(", ")
+    val bandArms = (0 until 8).map(j =>
+      s"SELECT doc_id, $j AS band_idx, " +
+        (0 until 4).map(k => s"CAST(m${j * 4 + k} AS VARCHAR)")
+          .mkString(" || ',' || ") + " AS band_key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""sh AS ($duckShingles),
+      |hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(s)+1),
+      |        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+      |    (a, c) -> (a*31 + c) % $P)) AS hs FROM sh),
+      |sig AS (SELECT doc_id, $sigCols FROM hs),
+      |bands AS ($bandArms),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** CTE `jac` — exact shingle Jaccard for every candidate pair, the
+    * DuckDB twin of Dedup.jaccardForPairs over `cand`. Shared by the
+    * p17/p27/p28 oracles. */
+  private val duckCandJaccard: String =
+    """jac AS (SELECT c.a_id, c.b_id,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+      |  JOIN sh sb ON sb.doc_id = c.b_id)""".stripMargin
+
   val defs: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-group on content hash.
@@ -73,13 +113,16 @@ object Pipeline {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin)),
 
-    // ---- MinHash + LSH candidate mining (xxhash64-based → rows-only;
-    // per-doc candidate counts so the result is never empty even on a
-    // dup-free corpus).
+    // ---- MinHash + LSH candidate mining, per-doc candidate counts
+    // (never empty even on a dup-free corpus). Uses the portable
+    // universal-hash MinHash (Dedup.minhashCandidatesPortable) so the
+    // DuckDB oracle replays shingle hashes, signatures, banding and
+    // the bucket join bit-for-bit; the xxhash64 variant
+    // (Dedup.minhashCandidates) keeps its golden OperatorSpec.
     "p03_minhash_lsh" -> Q(
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        val cand = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
         // one pass over the pair list: explode both endpoints rather
         // than unioning two scans of the join
         val perDoc = cand
@@ -91,7 +134,15 @@ object Pipeline {
             coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some(s"""WITH $duckMinhashCand,
+        |perdoc AS (SELECT doc_id, count(*) AS n_candidates
+        |  FROM (SELECT a_id AS doc_id FROM cand
+        |        UNION ALL SELECT b_id AS doc_id FROM cand)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  coalesce(p.n_candidates, 0) AS n_candidates
+        |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- SimHash fingerprints + hamming distance to the next doc.
     // Uses the portable two-family polynomial hash (simhashPortable)
@@ -150,34 +201,8 @@ object Pipeline {
           .orderBy(col("doc_id"))
       },
       Some {
-        val P = 1000000007L
-        def a(i: Int) = (2654435761L * (i + 1)) % P
-        def b(i: Int) = (40503L * (i + 7) + 12345L) % P
-        val sigCols = (0 until 32).map(i =>
-          s"list_min(list_transform(hs, h -> (h*${a(i)} + ${b(i)}) % $P)) AS m$i")
-          .mkString(", ")
-        val bandArms = (0 until 8).map(j =>
-          s"SELECT doc_id, $j AS band_idx, " +
-            (0 until 4).map(k => s"CAST(m${j * 4 + k} AS VARCHAR)")
-              .mkString(" || ',' || ") + " AS band_key FROM sig")
-          .mkString(" UNION ALL ")
-        s"""WITH sh AS ($duckShingles),
-          |hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
-          |    list_prepend(CAST(0 AS BIGINT),
-          |      list_transform(range(1, length(s)+1),
-          |        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
-          |    (a, c) -> (a*31 + c) % $P)) AS hs FROM sh),
-          |sig AS (SELECT doc_id, $sigCols FROM hs),
-          |bands AS ($bandArms),
-          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM bands a JOIN bands b
-          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-          |   AND a.doc_id < b.doc_id),
-          |jac AS (SELECT c.a_id, c.b_id,
-          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-          |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
-          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-          |  JOIN sh sb ON sb.doc_id = c.b_id),
+        s"""WITH $duckMinhashCand,
+          |$duckCandJaccard,
           |perdoc AS (SELECT doc_id, count(*) AS n_candidates,
           |    round(max(jac), 4) AS best_jac
           |  FROM (SELECT a_id AS doc_id, jac FROM jac
@@ -647,9 +672,9 @@ object Pipeline {
 
     // ---- duplicate clusters: the end of the dedup pipeline. Mine
     // candidates (portable MinHash banding), verify exactly (shingle
-    // Jaccard ≥ 0.5), then form connected components with iterative
-    // min-label propagation (Dedup.duplicateClusters) and keep one
-    // representative per cluster. DuckDB replays the whole chain —
+    // Jaccard ≥ 0.5), then form connected components with the
+    // O(log n)-round star contraction (Dedup.duplicateClusters) and
+    // keep one representative per cluster. DuckDB replays the chain —
     // banding, Jaccard, and the components via a recursive
     // transitive-closure CTE — so the cluster assignment is
     // oracle-checked end to end.
@@ -669,34 +694,8 @@ object Pipeline {
           .orderBy(col("doc_id"))
       },
       Some {
-        val P = 1000000007L
-        def a(i: Int) = (2654435761L * (i + 1)) % P
-        def b(i: Int) = (40503L * (i + 7) + 12345L) % P
-        val sigCols = (0 until 32).map(i =>
-          s"list_min(list_transform(hs, h -> (h*${a(i)} + ${b(i)}) % $P)) AS m$i")
-          .mkString(", ")
-        val bandArms = (0 until 8).map(j =>
-          s"SELECT doc_id, $j AS band_idx, " +
-            (0 until 4).map(k => s"CAST(m${j * 4 + k} AS VARCHAR)")
-              .mkString(" || ',' || ") + " AS band_key FROM sig")
-          .mkString(" UNION ALL ")
-        s"""WITH sh AS ($duckShingles),
-          |hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
-          |    list_prepend(CAST(0 AS BIGINT),
-          |      list_transform(range(1, length(s)+1),
-          |        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
-          |    (a, c) -> (a*31 + c) % $P)) AS hs FROM sh),
-          |sig AS (SELECT doc_id, $sigCols FROM hs),
-          |bands AS ($bandArms),
-          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM bands a JOIN bands b
-          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-          |   AND a.doc_id < b.doc_id),
-          |jac AS (SELECT c.a_id, c.b_id,
-          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-          |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
-          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-          |  JOIN sh sb ON sb.doc_id = c.b_id),
+        s"""WITH $duckMinhashCand,
+          |$duckCandJaccard,
           |edges0 AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
           |edges AS (SELECT a_id, b_id FROM edges0
           |  UNION SELECT b_id, a_id FROM edges0),
@@ -765,34 +764,8 @@ object Pipeline {
           .orderBy(col("doc_id"))
       },
       Some {
-        val P = 1000000007L
-        def a(i: Int) = (2654435761L * (i + 1)) % P
-        def b(i: Int) = (40503L * (i + 7) + 12345L) % P
-        val sigCols = (0 until 32).map(i =>
-          s"list_min(list_transform(hs, h -> (h*${a(i)} + ${b(i)}) % $P)) AS m$i")
-          .mkString(", ")
-        val bandArms = (0 until 8).map(j =>
-          s"SELECT doc_id, $j AS band_idx, " +
-            (0 until 4).map(k => s"CAST(m${j * 4 + k} AS VARCHAR)")
-              .mkString(" || ',' || ") + " AS band_key FROM sig")
-          .mkString(" UNION ALL ")
-        s"""WITH sh AS ($duckShingles),
-          |hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
-          |    list_prepend(CAST(0 AS BIGINT),
-          |      list_transform(range(1, length(s)+1),
-          |        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
-          |    (a, c) -> (a*31 + c) % $P)) AS hs FROM sh),
-          |sig AS (SELECT doc_id, $sigCols FROM hs),
-          |bands AS ($bandArms),
-          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM bands a JOIN bands b
-          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-          |   AND a.doc_id < b.doc_id),
-          |jac AS (SELECT c.a_id, c.b_id,
-          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-          |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
-          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-          |  JOIN sh sb ON sb.doc_id = c.b_id),
+        s"""WITH $duckMinhashCand,
+          |$duckCandJaccard,
           |edges0 AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
           |edges AS (SELECT a_id, b_id FROM edges0
           |  UNION SELECT b_id, a_id FROM edges0),

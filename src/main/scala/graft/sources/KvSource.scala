@@ -139,12 +139,22 @@ class KvScan(name: String, lo: Long, hi: Long, projection: StructType)
   }
 
   /** Binary-search the pushed range in the sorted key array and split
-    * the matched slice into up to 4 parallel partitions — range
-    * pruning AND scan parallelism, the two things the reference leaf
-    * lacked. The matched rows ship INSIDE each [[KvPartition]] (this
-    * method runs on the driver, where [[KvStore]] lives), so
-    * executor-side readers never dereference driver-JVM state and the
-    * connector works unchanged on a real cluster. */
+    * the matched slice into parallel partitions — range pruning AND
+    * scan parallelism, the two things the reference leaf lacked. The
+    * matched rows ship INSIDE each [[KvPartition]] (this method runs
+    * on the driver, where [[KvStore]] lives), so executor-side readers
+    * never dereference driver-JVM state and the connector works
+    * unchanged on a real cluster.
+    *
+    * Partition sizing: at least 4 slices for parallelism, and never
+    * more than [[KvScan.MaxRowsPerPartition]] rows per slice, so one
+    * task's serialized payload stays bounded however large the
+    * matched range is. Shipping rows in the task is still a
+    * demo-scope ceiling (the driver materializes the whole matched
+    * range); a production connector would ship only (store ref, key
+    * subrange) per partition and have executors open their own client
+    * to the real KV service — this class is the planning seam that
+    * path would reuse unchanged. */
   override def planInputPartitions(): Array[InputPartition] = {
     val (keys, values) = KvStore(name)
     val from = lowerBound(keys, lo)
@@ -154,12 +164,13 @@ class KvScan(name: String, lo: Long, hi: Long, projection: StructType)
       "FullTableScan" else "UsingTheIndex"
     KvStore.lastScan(name) = (kind, n.toLong)
     if (n == 0) return Array.empty
-    val slices = math.min(4, n)
+    val slices = math.max(math.min(4, n),
+      (n + KvScan.MaxRowsPerPartition - 1) / KvScan.MaxRowsPerPartition)
     val step = math.max(1, (n + slices - 1) / slices)
     (from until until by step)
       .map { s =>
         val ks = keys.slice(s, math.min(s + step, until))
-        KvPartition(ks, ks.map(k => values.getOrElse(k, null))): InputPartition
+        new KvPartition(ks, ks.map(k => values.getOrElse(k, null))): InputPartition
       }
       .toArray
   }
@@ -179,9 +190,19 @@ class KvScan(name: String, lo: Long, hi: Long, projection: StructType)
     new KvReaderFactory(projection)
 }
 
+object KvScan {
+  /** Cap on rows task-serialized per input partition: 64k × (8-byte
+    * key + short value) keeps each task comfortably under Spark's
+    * large-task warning threshold. */
+  val MaxRowsPerPartition: Int = 65536
+}
+
 /** Self-contained slice of the matched range: keys plus their values,
-  * serialized with the task. Readers need nothing from the driver. */
-case class KvPartition(keys: Array[Long], values: Array[String])
+  * serialized with the task. Readers need nothing from the driver.
+  * A plain class, not a case class: array fields would make generated
+  * equals/hashCode reference-based, which silently lies if partitions
+  * are ever compared or deduped. */
+final class KvPartition(val keys: Array[Long], val values: Array[String])
     extends InputPartition
 
 class KvReaderFactory(projection: StructType)

@@ -226,6 +226,45 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f2(1L) == f(1L).feature.toSeq)
   }
 
+  // 2×2 PNG with two black and two white pixels, built through the
+  // same JDK encoder the operators decode with
+  private def tinyPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("extractFeatures decodes a real PNG into a pixel-luminance histogram") {
+    import spark.implicits._
+    val media = Seq((1L, "image/png", tinyPng()))
+      .toDF("media_id", "media_type", "content")
+    val f = MultiModal.extractFeatures(media).collect().head
+    // 2 black pixels → luma bin 0, 2 white → bin 7; a byte-histogram
+    // fallback over PNG bytes could never produce exactly this split
+    assert(f.feature(0) == 0.5 && f.feature(7) == 0.5,
+      f.feature.mkString(", "))
+    assert(f.feature.slice(1, 7).forall(_ == 0.0))
+    assert(f.byte_len == tinyPng().length.toLong)
+  }
+
+  test("resize decodes, downsamples and re-encodes a real image") {
+    import spark.implicits._
+    val media = Seq((1L, "image/png", tinyPng(), 2, 2))
+      .toDF("media_id", "media_type", "content", "width", "height")
+    val r = MultiModal.resize(media, 2).collect().head
+    assert(r.width == 1 && r.height == 1)
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.content))
+    assert(out != null, "resized payload is not a decodable image")
+    assert(out.getWidth == 1 && out.getHeight == 1)
+    // nearest-neighbor anchors at the top-left (black) pixel
+    assert((out.getRGB(0, 0) & 0xffffff) == 0x000000)
+  }
+
   test("TopK.perKey matches window row_number semantics, ties broken by id") {
     import spark.implicits._
     val scored = Seq(
@@ -415,6 +454,33 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val comp = Dedup.duplicateClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicateClusters closes a 1000-vertex path graph in O(log n) rounds") {
+    import spark.implicits._
+    // worst case for per-round label propagation: a path of length
+    // 1000 has diameter 999, so min-label propagation needs ~999
+    // rounds. The alternating small-star/large-star algorithm is
+    // O(log n): maxIter=12 both caps the rounds AND asserts
+    // convergence, because far vertices only carry label 0 at fixpoint.
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.duplicateClusters(pairs, maxIter = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 0L),
+      labels.filter(_._2 != 0L).take(5).mkString(", "))
+  }
+
+  test("salted agg is identical across input partitionings") {
+    import spark.implicits._
+    // the salt must derive from row VALUES (not partition layout), so
+    // the same data gives byte-identical partials however it arrives
+    val data = (1 to 500).map(i => (s"k${i % 3}", i.toLong))
+    val a = Skew.saltedSumCount(data.toDF("k", "v").repartition(1),
+      Seq("k"), "v").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = Skew.saltedSumCount(data.toDF("k", "v").repartition(13),
+      Seq("k"), "v").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSet == b.toSet)
   }
 
   test("scrubPii redacts emails and phones, counts matches, leaves clean text") {
