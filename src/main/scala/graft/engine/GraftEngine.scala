@@ -62,11 +62,30 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   /** Open a new, isolated session against the shared catalog. */
   def newSession(): GraftSession = new GraftSession(this)
 
-  /** The session whose statement is currently executing. Only read or
-    * written under the engine lock — every statement (any session)
-    * runs inside `synchronized`, so per-statement state like the
-    * Spark catalog's current database can't interleave. */
-  private var active: GraftSession = session
+  /** Statement concurrency. Reads — SELECT/EXPLAIN/SHOW/DESCRIBE/USE
+    * and the transaction no-ops — share the read lock and run
+    * concurrently across sessions; catalog- or data-mutating
+    * statements (DDL/DML) take the write lock and run exclusively.
+    * This narrows the reference's whole-statement global mutex
+    * (`execution.rs` → `Arc<Mutex<GlobalContext>>`) to the mutation
+    * window a Spark engine actually needs: a long UPDATE still
+    * excludes readers (they would otherwise see a half-swapped COW
+    * registration), but readers never serialize behind each other —
+    * including EXPLAIN ANALYZE, which executes its plan under the
+    * read lock. Driver-side ANALYSIS against shared Spark session
+    * state (current database + rowid shadow temp views) additionally
+    * serializes on [[analysisMutex]], held for analysis only, never
+    * for execution: the DataFrame a read statement returns executes
+    * entirely outside engine locks. */
+  private val lock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private val analysisMutex = new Object
+
+  /** The session whose statement is executing on THIS thread —
+    * thread-local so concurrent read statements from different
+    * sessions can't see each other's current schema. */
+  private val activeTL = new ThreadLocal[GraftSession]
+
+  private def active: GraftSession = activeTL.get()
 
   private def currentSchema: Option[String] = active.currentSchema
 
@@ -80,11 +99,24 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   /** Execute one SQL statement in the given session. Throws
     * GraftException on error. */
   private[engine] def sqlAs(ses: GraftSession,
-      statementRaw: String): GraftResult = synchronized {
-    active = ses
+      statementRaw: String): GraftResult = {
     val stmt = statementRaw.trim.stripSuffix(";").trim
     if (stmt.isEmpty) throw Errors.generic("empty statement")
     val lower = stmt.toLowerCase
+    val readOnly = lower.startsWith("select") || lower.startsWith("with") ||
+      lower.startsWith("values") || lower.startsWith("(") ||
+      lower.startsWith("explain") || lower.startsWith("show") ||
+      lower.startsWith("desc") || lower.startsWith("use") ||
+      lower.startsWith("set") || lower.startsWith("commit") ||
+      lower.startsWith("rollback") || lower.startsWith("begin") ||
+      lower.startsWith("start transaction")
+    val l: java.util.concurrent.locks.Lock =
+      if (readOnly) lock.readLock() else lock.writeLock()
+    // save/restore instead of set/remove: EXPLAIN re-enters sqlAs for
+    // its inner statement on the same thread
+    val prev = activeTL.get()
+    activeTL.set(ses)
+    l.lock()
     try {
       if (lower.startsWith("select") || lower.startsWith("with") ||
         lower.startsWith("values") || lower.startsWith("(")) doSelect(stmt)
@@ -116,6 +148,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
         if (cond.contains("TABLE_OR_VIEW_NOT_FOUND"))
           throw GraftException(1146, e.getMessage)
         else throw GraftException(1105, e.getMessage)
+    } finally {
+      l.unlock()
+      activeTL.set(prev)
     }
   }
 
@@ -197,12 +232,44 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       val next = (cds.map(_.storeId) :+ 0).max + 1
       (s, t) -> TableDef(s, t, cds, pk, uq, next, v, loc, fmt)
     }.toMap
+    val catalogDirty = reconcileVersions()
     (schemas ++ BuiltinSchemas).foreach(s =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$s`"))
     tables.values.foreach(registerTable)
-    registerInfoTables()
+    if (catalogDirty) persistInfoSchema() else registerInfoTables()
     globals = spark.table("performance_schema.global_variables")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Crash recovery for the COW version swap (see [[writeVersion]]):
+    * a crash can leave an orphan version directory (new image written
+    * and committed, catalog flip never persisted), a partial one (no
+    * `_SUCCESS`), or a catalog pointing at a directory a half-finished
+    * cleanup already deleted. Reconcile per table: keep the catalog's
+    * version if its directory carries the committer's `_SUCCESS`
+    * marker; otherwise fall forward to the highest committed version
+    * on disk. Every other version directory is garbage-collected.
+    * Returns whether the catalog needs re-persisting. */
+  private def reconcileVersions(): Boolean = {
+    var dirty = false
+    def committed(d: File) = new File(d, "_SUCCESS").exists()
+    tables = tables.map { case (k, td) =>
+      if (td.external) k -> td
+      else {
+        val base = new File(s"$dataRoot/${td.schema}/${td.name}")
+        val byVer = Option(base.listFiles()).getOrElse(Array.empty[File])
+          .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+          .map(f => f.getName.drop(1).toLong -> f).toMap
+        val adopt =
+          if (byVer.get(td.version).exists(committed)) td.version
+          else byVer.collect { case (v, d) if committed(d) => v }
+            .reduceOption(_ max _).getOrElse(td.version)
+        byVer.foreach { case (v, d) => if (v != adopt) deleteRecursively(d) }
+        if (adopt == td.version) k -> td
+        else { dirty = true; k -> td.copy(version = adopt) }
+      }
+    }
+    dirty
   }
 
   private def tableDir(td: TableDef): String =
@@ -220,7 +287,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   }
 
   private val infoTables = Seq("schemata", "tables", "columns", "statistics",
-    "table_constraints", "key_column_usage")
+    "table_constraints", "key_column_usage", "check_constraints",
+    "referential_constraints")
 
   private def infoDf(name: String): DataFrame = {
     val defs = tables.values.toSeq
@@ -231,6 +299,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       case "statistics" => InfoSchema.statistics(spark, defs)
       case "table_constraints" => InfoSchema.tableConstraints(spark, defs)
       case "key_column_usage" => InfoSchema.keyColumnUsage(spark, defs)
+      case "check_constraints" => InfoSchema.checkConstraints(spark)
+      case "referential_constraints" => InfoSchema.referentialConstraints(spark)
     }
   }
 
@@ -286,11 +356,13 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   private def rewrite(stmt: String): String =
     substituteVars(stmt, globals, Version, currentSchema)
 
-  private def doSelect(stmt: String): GraftResult = {
+  private def doSelect(stmt: String): GraftResult = analysisMutex.synchronized {
     // pin the shared Spark session catalog to THIS engine session's
-    // schema (several engines may share one SparkSession in tests;
-    // safe because every statement runs under the engine lock and
-    // spark.sql analyzes eagerly before the lock is released)
+    // schema (several engines may share one SparkSession, and read
+    // statements from different sessions now run concurrently) —
+    // analysisMutex makes set-current-database + analysis atomic.
+    // spark.sql analyzes eagerly, so the mutex is held for driver-side
+    // analysis only; the returned DataFrame executes outside it.
     spark.catalog.setCurrentDatabase(currentSchema.getOrElse("default"))
     var sqlText = rewrite(stmt)
     // rowid shadow views: quote-aware identifier detection (a 'rowid'
@@ -329,7 +401,18 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     val verbose = mods.contains("verbose")
     val analyze = mods.contains("analyze")
     val inner = stmt.substring(m.end)
-    val df = query(inner)
+    // dispatch the inner statement to the read handlers directly:
+    // re-entering sqlAs would attempt a read→write lock upgrade for
+    // EXPLAIN <DML> (deadlock), and the old path executed the DML
+    // before rejecting it — explain is read-only by definition
+    val innerLower = inner.trim.toLowerCase
+    val df = (if (innerLower.startsWith("show")) doShow(inner.trim)
+      else if (innerLower.startsWith("desc")) doDescribe(inner.trim)
+      else doSelect(inner)) match {
+      case ResultSet(d) => d
+      case AffectedRows(n) =>
+        throw Errors.generic(s"statement returned count $n, not rows")
+    }
     import spark.implicits._
     if (analyze) {
       // run the plan for real, then report it with runtime metrics —
@@ -753,7 +836,11 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     * plan's natural parallelism (a coalesce(1) here would funnel every
     * UPDATE/DELETE rewrite through one task — a wall at scale), flip
     * the catalog pointer, drop the old directory. Atomicity comes from
-    * the version-directory swap, not from single-file writes. */
+    * the version-directory swap, not from single-file writes: the
+    * committer's `_SUCCESS` marker in v(N+1) is the commit point, and
+    * [[reconcileVersions]] repairs any crash between these steps on
+    * the next load (catalog wins when its directory committed;
+    * orphans are GC'd; a dangling pointer falls forward). */
   private def writeVersion(td: TableDef, df: DataFrame): Unit = {
     val ntd = td.copy(version = td.version + 1)
     df.write.mode("overwrite").parquet(tableDir(ntd))
@@ -772,7 +859,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     if (!schemas.contains(name) && name != InfoSchemaDb)
       throw Errors.unknownDb(name)
     active.currentSchema = Some(name)
-    spark.catalog.setCurrentDatabase(name)
+    // courtesy for library users driving `spark` directly; engine
+    // SELECTs re-pin per statement under analysisMutex
+    analysisMutex.synchronized(spark.catalog.setCurrentDatabase(name))
     AffectedRows(1)
   }
 

@@ -9,11 +9,14 @@ import org.apache.spark.sql.DataFrame
   * prepared-statement cache, while schemas/tables/data live in the
   * shared [[GraftEngine]].
   *
-  * Statement execution is serialized on the engine (the reference
-  * serializes storage access through a global context lock the same
-  * way, `execution.rs` → `Arc<Mutex<GlobalContext>>`); concurrency
-  * comes from Spark's distributed execution of each statement, not
-  * from interleaving statement analysis.
+  * Read statements (SELECT/EXPLAIN/SHOW/…) from different sessions
+  * run concurrently under the engine's read lock; DDL/DML serialize
+  * exclusively under its write lock (the reference holds one global
+  * context mutex for everything, `execution.rs` →
+  * `Arc<Mutex<GlobalContext>>` — the mutation-window semantics are
+  * preserved, the read serialization is not). On top of that, each
+  * statement's result DataFrame executes via Spark's distributed
+  * runtime entirely outside engine locks.
   */
 class GraftSession private[engine] (val engine: GraftEngine) {
 

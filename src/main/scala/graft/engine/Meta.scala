@@ -164,6 +164,26 @@ object InfoSchema {
       "table_schema", "table_name", "constraint_type")
   }
 
+  /** Always-empty constraint tables the reference materializes for
+    * client compatibility (`/root/reference/src/datafusion_impl/
+    * catalog/information_schema.rs:135-166` make_check_constraints /
+    * make_referential_constraints) — the engine supports neither
+    * CHECK nor FOREIGN KEY, but tools expect the tables to exist. */
+  def checkConstraints(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("constraint_catalog", "constraint_schema",
+        "constraint_name", "check_clause")
+        .map(StructField(_, StringType, nullable = true))))
+
+  def referentialConstraints(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("constraint_catalog", "constraint_schema",
+        "constraint_name", "unique_constraint_catalog",
+        "unique_constraint_schema", "unique_constraint_name",
+        "match_option", "update_rule", "delete_rule", "table_name",
+        "referenced_table_name")
+        .map(StructField(_, StringType, nullable = true))))
+
   def keyColumnUsage(s: SparkSession, defs: Seq[TableDef]): DataFrame = {
     import s.implicits._
     defs.sortBy(t => (t.schema, t.name)).flatMap { t =>

@@ -406,6 +406,125 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concurrent SELECT sessions run cleanly against a DDL/DML loop") {
+    val e = freshEngine()
+    e.sql("create schema ca"); e.sql("create schema cb"); e.sql("create schema cd")
+    val sa = e.newSession(); val sb = e.newSession()
+    sa.sql("use ca"); sb.sql("use cb")
+    sa.sql("create table t (id int, PRIMARY KEY(id))")
+    sb.sql("create table t (id int, PRIMARY KEY(id))")
+    sa.sql("insert into t values (1)")
+    sb.sql("insert into t values (2)")
+    // readers resolve the bare name `t` in THEIR session schema on
+    // every statement while a third session churns the catalog with
+    // DDL + DML — any current-database cross-talk or half-swapped
+    // registration shows up as a wrong value or an exception
+    @volatile var problems = List.empty[String]
+    def reader(s: GraftSession, expect: Long) = new Thread(() => {
+      try (1 to 20).foreach { _ =>
+        val got = rows(s.sql("select id from t")).map(_.head)
+        if (got != Seq(expect)) problems ::= s"expected $expect got $got"
+      } catch { case t: Throwable => problems ::= t.toString }
+    })
+    val ddl = new Thread(() => {
+      try {
+        val s = e.newSession()
+        s.sql("use cd")
+        (1 to 8).foreach { i =>
+          s.sql(s"create table d$i (id int, PRIMARY KEY(id))")
+          s.sql(s"insert into d$i values ($i)")
+          s.sql(s"update d$i set id = id + 10")
+          s.sql(s"drop table d$i")
+        }
+      } catch { case t: Throwable => problems ::= t.toString }
+    })
+    val ts = Seq(reader(sa, 1L), reader(sb, 2L), ddl)
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(problems.isEmpty, problems.mkString("; "))
+  }
+
+  test("crash-safe COW: reload reconciles orphan, partial and dangling versions") {
+    import java.io.File
+    def copyDir(src: File, dst: File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        if (f.isDirectory) copyDir(f, new File(dst, f.getName))
+        else Files.copy(f.toPath, new File(dst, f.getName).toPath)
+      }
+    }
+    def deleteDir(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteDir)
+      f.delete()
+    }
+    val dir = Files.createTempDirectory("graft_wh_").toString
+    val e1 = new GraftEngine(spark, dir)
+    e1.sql("create schema cr"); e1.sql("use cr")
+    e1.sql("create table t (id int, PRIMARY KEY(id))")
+    e1.sql("insert into t values (1), (2), (3)")
+    e1.sql("delete from t where id = 3") // COW → v1
+    val base = new File(s"$dir/data/cr/t")
+    val v1 = new File(base, "v1")
+    // crash window A: v2 fully written+committed, catalog flip never
+    // persisted → catalog (v1) wins, orphan v2 GC'd on reload
+    copyDir(v1, new File(base, "v2"))
+    // …plus a partial uncommitted write from another imagined crash
+    copyDir(v1, new File(base, "v3"))
+    new File(base, "v3/_SUCCESS").delete()
+    val e2 = new GraftEngine(spark, dir)
+    e2.sql("use cr")
+    assert(rows(e2.sql("select count(*) from t")) == Seq(Seq(2L)))
+    assert(!new File(base, "v2").exists(), "orphan v2 not GC'd")
+    assert(!new File(base, "v3").exists(), "partial v3 not GC'd")
+    // crash window B: flip persisted… then catalog dir deleted by a
+    // half-finished cleanup; only a NEWER committed version remains →
+    // fall forward and repair the catalog
+    copyDir(v1, new File(base, "v5"))
+    deleteDir(v1)
+    val e3 = new GraftEngine(spark, dir)
+    e3.sql("use cr")
+    assert(rows(e3.sql("select count(*) from t order by 1")) == Seq(Seq(2L)))
+    // the repair persisted: a FOURTH engine loads the same state
+    assert(rows(new GraftEngine(spark, dir).newSession()
+      .sql("select count(*) from cr.t")) == Seq(Seq(2L)))
+    // and DML keeps working from the adopted version
+    assert(e3.sql("delete from t where id = 2") == AffectedRows(1))
+    assert(rows(e3.sql("select id from t")) == Seq(Seq(1L)))
+  }
+
+  test("check_constraints and referential_constraints exist and are empty") {
+    // reference materializes both as empty tables for client
+    // compatibility (information_schema.rs:135-166)
+    assert(rows(eng.sql(
+      "select * from information_schema.check_constraints")).isEmpty)
+    assert(rows(eng.sql(
+      "select * from information_schema.referential_constraints")).isEmpty)
+    assert(rows(eng.sql(
+      """select column_name from information_schema.columns
+        |where table_name = 'x_no_such'""".stripMargin)).isEmpty)
+  }
+
+  test("bootstrap variables match the reference seed list exactly") {
+    // initial.rs:1401-1505 seeds exactly these seven — full parity,
+    // pinned so neither side drifts
+    assert(rows(eng.sql("show variables")) == Seq(
+      Seq("auto_increment_increment", "0"),
+      Seq("lower_case_table_names", "1"),
+      Seq("max_allowed_packet", "67108864"),
+      Seq("system_time_zone", "CST"),
+      Seq("time_zone", "SYSTEM"),
+      Seq("transaction_isolation", "REPEATABLE-READ"),
+      Seq("transaction_read_only", "0")))
+  }
+
+  test("explain of a mutating statement is rejected without executing it") {
+    val e = freshEngine()
+    e.sql("create schema ex"); e.sql("use ex")
+    e.sql("create table t (id int, PRIMARY KEY(id))")
+    e.sql("insert into t values (1)")
+    intercept[GraftException] { e.sql("explain delete from t") }
+    assert(rows(e.sql("select count(*) from t")) == Seq(Seq(1L)))
+  }
+
   // ---- reference fix_column_name/fix_table_factor lowercase every
   // identifier (execution.rs:509-658); the engine reaches the same
   // visible semantics through Spark's case-insensitive resolution —

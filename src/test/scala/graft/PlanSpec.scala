@@ -95,6 +95,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("p04 simhash sign-sum aggregates stay inside whole-stage codegen") {
+    // the raise_error lane-overflow guard rides in the projection
+    // AFTER the aggregate; pin that it never knocks the 16-lane
+    // sign-sum HashAggregates themselves out of codegen.
+    // clearCache first: earlier tests plan the whole battery, and a
+    // cache-substituted InMemoryRelation prints its stored subtree
+    // without codegen ids, which would false-fail the assertion
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t = planText("p04_simhash")
+      val aggLines = t.linesIterator
+        .filter(_.matches("\\(\\d+\\) HashAggregate.*")).toSeq
+      assert(aggLines.nonEmpty, t)
+      assert(aggLines.forall(_.contains("[codegen id")),
+        aggLines.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("p23 corpus side joins the benchmark gram set without shuffling") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
