@@ -134,6 +134,31 @@ object TextAnalysis {
       .select(col(groupCol), col("rnk"), col("gram"), col("n_docs"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", §A1.1 repetition filters): the
+    * fraction of duplicate token occurrences, duplicate word-3-gram
+    * occurrences, and duplicate lines per document — the standard
+    * "remove boilerplate/spam" pre-training quality gates. All three
+    * are exact integer-ratio doubles from per-row array ops: narrow,
+    * fully codegen'd, zero shuffle, linear in document length, and
+    * replayable in ANSI SQL (len/list_distinct folds). */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val dup = (total: Column, distinct: Column) =>
+      when(total > 0,
+        round((total - distinct).cast("double") / total.cast("double"), 4))
+        .otherwise(lit(0.0))
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("tk"),
+        split(col(textCol), "\n").as("ln"))
+      .select(col(idCol),
+        dup(size(col("tk")), size(array_distinct(col("tk"))))
+          .as("dup_token_frac"),
+        dup(greatest(size(col("tk")) - 2, lit(0)),
+          size(Dedup.shingleExpr("tk", 3))).as("dup_3gram_frac"),
+        dup(size(col("ln")), size(array_distinct(col("ln"))))
+          .as("dup_line_frac"))
+  }
+
   /** Split documents into overlapping token windows — the chunker RAG
     * indexing and pretraining context-packing start from. Each chunk
     * takes `chunkTokens` tokens starting every `chunkTokens - overlap`

@@ -855,6 +855,37 @@ object Pipeline {
         |  AS BIGINT) AS clean_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Gopher-style repetition quality gates (Rae et al. 2021):
+    // duplicate-token / duplicate-3-gram / duplicate-line fractions
+    // per document — the standard boilerplate/spam filters a
+    // pre-training curation run applies before dedup. Narrow per-row
+    // array math, zero shuffle; DuckDB replays the exact ratios.
+    "p35_repetition" -> Q(
+      (s, dir) => TextAnalysis.repetitionSignals(
+          tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    str_split_regex(trim(lower(text)), '\s+') AS tk,
+        |    str_split(text, chr(10)) AS ln
+        |  FROM documents),
+        |g AS (SELECT doc_id, tk, ln,
+        |    greatest(len(tk) - 2, 0) AS tot3,
+        |    len(list_distinct(list_transform(
+        |      range(1, greatest(len(tk) - 1, 1)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS dist3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(tk) > 0 THEN
+        |    round((len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk), 4)
+        |    ELSE 0.0 END AS dup_token_frac,
+        |  CASE WHEN tot3 > 0 THEN
+        |    round((tot3 - dist3)::DOUBLE / tot3, 4)
+        |    ELSE 0.0 END AS dup_3gram_frac,
+        |  CASE WHEN len(ln) > 0 THEN
+        |    round((len(ln) - len(list_distinct(ln)))::DOUBLE / len(ln), 4)
+        |    ELSE 0.0 END AS dup_line_frac
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
     // ---- reproducible k-means over embeddings: md5-sampled init,
     // TopK(1) argmax assignment, integer-micro quantized centroid
     // means — every iteration bit-replayable, so DuckDB verifies the

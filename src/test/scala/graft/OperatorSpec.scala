@@ -129,6 +129,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
   }
 
+  test("repetition signals: duplicate token/3-gram/line fractions") {
+    import spark.implicits._
+    val d = Seq(
+      // "spam spam spam spam": 4 tokens 1 distinct → dup_token 0.75;
+      // 2 3-grams both "spam spam spam" → dup_3gram 0.5; 1 line → 0
+      (1L, "spam spam spam spam"),
+      // all distinct tokens and grams, two distinct lines
+      (2L, "one two three four\nfive six seven eight"),
+      // 6 tokens 4 distinct → 1/3; 4 3-grams all distinct → 0;
+      // 3 lines 2 distinct → 1/3
+      (3L, "alpha beta\nalpha beta\ngamma delta"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+      .map(x => (x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+    assert(r(0) == ((0.75, 0.5, 0.0)))
+    assert(r(1) == ((0.0, 0.0, 0.0)))
+    assert(r(2) == ((0.3333, 0.0, 0.3333)))
+    assert(r(3) == ((0.0, 0.0, 0.0)))
+  }
+
   test("token counts: ws vs bpe-ish segmentation") {
     import spark.implicits._
     val df = Seq((1L, "hello world42 foo!")).toDF("doc_id", "text")
