@@ -181,6 +181,111 @@ object Similarity {
       .select(col(idCol), col("cell"), col("n_members"))
   }
 
+  /** PQ (product-quantization) ANN — the memory-compressed scale path
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011). Vectors L2-normalize, split into `m`
+    * subspaces, and each subvector quantizes to the nearest of
+    * `codes` codebook entries, so the search-time corpus is m small
+    * codes per vector — at the defaults (m=8, 16 codes, 64-dim
+    * float) that is 8 bytes instead of 256, a 32× compression that
+    * decides whether a 100-TB embedding corpus fits an ANN tier at
+    * all. Queries never touch raw corpus vectors: each query
+    * precomputes an m×codes lookup table of subspace distances and
+    * ADC (asymmetric-distance) scoring sums m table lookups per
+    * candidate.
+    *
+    * Determinism + oracle: the codebook is the md5-order sample's
+    * subvectors (the IVF/k-means sampling trick — no RNG anywhere),
+    * code assignment tie-breaks on the first minimal entry
+    * (array_position of the min), and every fold is the same
+    * left-to-right double accumulation the DuckDB oracle replays —
+    * codebook, codes, LUTs and the final ADC ranking are all
+    * bit-reproducible (p36).
+    *
+    * Scale shape: the codebook collect is bounded by codes·dims (16
+    * vectors — a broadcast-sized constant, NOT a corpus action);
+    * encoding is one narrow pass, no shuffle; the ADC scan broadcasts
+    * queries+LUTs and merges with bounded [[TopK]] heaps, so the one
+    * shuffle carries O(partitions × queries × k) heap rows. Recall
+    * vs [[bruteForceTopK]] is measured in the spec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, codes: Int = 16,
+      dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val sub = dims / m
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("v0"))
+      .withColumn("nv", normalizeExpr("v0")).drop("v0")
+    // deterministic codebook: subvectors of the md5-order sample.
+    // driver-side collect of `codes` vectors — bounded by codes·dims,
+    // the same budget a broadcast would use
+    val sample: Seq[Seq[Double]] = c
+      .orderBy(md5(col("neighbor_id").cast("string")), col("neighbor_id"))
+      .limit(codes).select(col("nv")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val cbT: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(mi => sample.map(_.slice(mi * sub, (mi + 1) * sub)))
+    val cbCol = typedLit(cbT)
+    // per-subspace squared distances of a vector column to every
+    // codebook entry: m × codes doubles, left-to-right accumulation
+    def subDists(vecName: String): Column = expr(
+      s"""transform(sequence(0, ${m - 1}), mi ->
+         |  transform(sequence(1, $codes), j ->
+         |    aggregate(sequence(1, $sub), CAST(0 AS DOUBLE), (acc, dd) ->
+         |      acc +
+         |      (element_at($vecName, mi * $sub + dd) -
+         |       element_at(element_at(element_at(__cb, mi + 1), j), dd)) *
+         |      (element_at($vecName, mi * $sub + dd) -
+         |       element_at(element_at(element_at(__cb, mi + 1), j), dd)))))"""
+        .stripMargin)
+    // compressed corpus: id + m codebook indices (1-based), vectors
+    // dropped — this is the artifact that scales
+    val enc = c.withColumn("__cb", cbCol)
+      .withColumn("__d", subDists("nv"))
+      .select(col("neighbor_id"), expr(
+        "transform(__d, ds -> CAST(array_position(ds, array_min(ds)) AS INT))")
+        .as("code"))
+    val q = queries.select(col(idCol).as("q_id"),
+        asDouble(col(vecCol)).as("v0"))
+      .withColumn("qv", normalizeExpr("v0")).drop("v0")
+      .withColumn("__cb", cbCol)
+      .select(col("q_id"), subDists("qv").as("__lut"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"), expr(
+        s"""-aggregate(sequence(1, $m), CAST(0 AS DOUBLE), (acc, mi) ->
+           |  acc + element_at(element_at(__lut, mi),
+           |                   element_at(code, mi)))""".stripMargin)
+        .as("score"))
+    TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
+  }
+
+  /** PQ shortlist + exact rerank — the production ANN query path:
+    * [[pqTopK]] scans the 32×-compressed code table for each query's
+    * `shortlist` ADC candidates, then ONLY those candidates load
+    * their raw vectors for exact cosine scoring and the final top-k.
+    * Exact-quality ranking with corpus-scan work bounded by the code
+    * table and exact-scoring work bounded by queries × shortlist:
+    * the candidate set broadcasts, so the rerank is one more narrow
+    * corpus scan with zero shuffle, then a bounded [[TopK]] merge.
+    * Final recall = the shortlist's recall (measured in the spec);
+    * deterministic end to end, oracle-replayed by p37. */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 100, m: Int = 8,
+      codes: Int = 64, dims: Int = 64): DataFrame = {
+    val cand = pqTopK(corpus, queries, idCol, vecCol, shortlist,
+      m, codes, dims).select(col("q_id"), col("neighbor_id"))
+    val cn = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("nv"))
+    val qn = queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val scored = cn.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosineExpr("qv", "nv").as("score"))
+    TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
+  }
+
   /** LSH-bucketed ANN: join query buckets to corpus buckets, exact
     * cosine inside the bucket, top-k per query. Trades recall for a
     * |bucket|-sized candidate set; recall is measured against

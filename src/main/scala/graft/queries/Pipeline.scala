@@ -886,6 +886,106 @@ object Pipeline {
         |    ELSE 0.0 END AS dup_line_frac
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- PQ (product-quantization) ANN: the memory-compressed scale
+    // path (8 codes of 16 entries over 64 dims = 32× smaller corpus
+    // at search time). Codebook = md5-order sample subvectors, codes
+    // = first-argmin assignment, scoring = per-query LUT + ADC sums —
+    // all deterministic left-to-right double math, so DuckDB replays
+    // the full index build AND the ranking. Recall vs brute force is
+    // measured in OperatorSpec.
+    "p36_ann_pq" -> Q(
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 10)
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("score"), 4).as("score"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+        |n AS (SELECT vec_id, list_transform(raw, x ->
+        |    x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
+        |s AS (SELECT vec_id, v FROM n
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cbl AS (SELECT list(v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |  AS cb FROM s),
+        |dists AS (SELECT n.vec_id, t.mi,
+        |    list_transform(range(1, 17), j ->
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 9), dd ->
+        |          (n.v[t.mi*8+dd] - cbl.cb[j][t.mi*8+dd]) *
+        |          (n.v[t.mi*8+dd] - cbl.cb[j][t.mi*8+dd]))),
+        |        (a, b) -> a + b)) AS dl
+        |  FROM n, range(0, 8) t(mi), cbl),
+        |codel AS (SELECT vec_id,
+        |    list(list_position(dl, list_min(dl)) ORDER BY mi) AS code
+        |  FROM dists GROUP BY vec_id),
+        |qlut AS (SELECT vec_id AS q_id, list(dl ORDER BY mi) AS lut
+        |  FROM dists WHERE vec_id < 5 GROUP BY vec_id),
+        |scored AS (SELECT q.q_id, c.vec_id AS neighbor_id,
+        |    -list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, 9), mi -> q.lut[mi][c.code[mi]])),
+        |      (a, b) -> a + b) AS sc
+        |  FROM qlut q, codel c WHERE c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, neighbor_id, sc, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sc DESC, neighbor_id) AS rnk FROM scored)
+        |SELECT q_id, neighbor_id, round(sc, 4) AS score, rnk
+        |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- PQ shortlist + exact rerank: the production ANN query path
+    // (64-entry codebooks, ADC top-100 shortlist, exact cosine on the
+    // shortlist only). DuckDB replays the codebook, codes, LUT
+    // shortlist AND the exact rerank.
+    "p37_ann_pq_rerank" -> Q(
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        Similarity.pqRerankTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 10)
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("score"), 4).as("score"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+        |n AS (SELECT vec_id, list_transform(raw, x ->
+        |    x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
+        |s AS (SELECT vec_id, v FROM n
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+        |cbl AS (SELECT list(v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |  AS cb FROM s),
+        |dists AS (SELECT n.vec_id, t.mi,
+        |    list_transform(range(1, 65), j ->
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 9), dd ->
+        |          (n.v[t.mi*8+dd] - cbl.cb[j][t.mi*8+dd]) *
+        |          (n.v[t.mi*8+dd] - cbl.cb[j][t.mi*8+dd]))),
+        |        (a, b) -> a + b)) AS dl
+        |  FROM n, range(0, 8) t(mi), cbl),
+        |codel AS (SELECT vec_id,
+        |    list(list_position(dl, list_min(dl)) ORDER BY mi) AS code
+        |  FROM dists GROUP BY vec_id),
+        |qlut AS (SELECT vec_id AS q_id, list(dl ORDER BY mi) AS lut
+        |  FROM dists WHERE vec_id < 5 GROUP BY vec_id),
+        |scored AS (SELECT q.q_id, c.vec_id AS neighbor_id,
+        |    -list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, 9), mi -> q.lut[mi][c.code[mi]])),
+        |      (a, b) -> a + b) AS sc
+        |  FROM qlut q, codel c WHERE c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, neighbor_id, sc, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sc DESC, neighbor_id) AS rnk FROM scored),
+        |short AS (SELECT q_id, neighbor_id FROM ranked WHERE rnk <= 100),
+        |rer AS (SELECT s2.q_id, s2.neighbor_id,
+        |    list_dot_product(qe.raw, ne.raw) /
+        |      (sqrt(list_dot_product(qe.raw, qe.raw)) *
+        |       sqrt(list_dot_product(ne.raw, ne.raw))) AS sc2
+        |  FROM short s2 JOIN e qe ON qe.vec_id = s2.q_id
+        |  JOIN e ne ON ne.vec_id = s2.neighbor_id),
+        |ranked2 AS (SELECT q_id, neighbor_id, sc2, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sc2 DESC, neighbor_id) AS rnk FROM rer)
+        |SELECT q_id, neighbor_id, round(sc2, 4) AS score, rnk
+        |FROM ranked2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin)),
+
     // ---- reproducible k-means over embeddings: md5-sampled init,
     // TopK(1) argmax assignment, integer-micro quantized centroid
     // means — every iteration bit-replayable, so DuckDB verifies the

@@ -183,6 +183,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     joined.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("PQ ANN: rerank recall beats raw ADC; both deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    // random gaussian vectors are PQ's WORST case (no cluster
+    // structure for the codebook to exploit); measured on this
+    // corpus: ADC@10 ≈ 0.24, shortlist-100 + exact rerank ≈ 0.835.
+    // Bounds sit under the measured values to allow testdata
+    // regeneration drift, and the ordering assertion is the real
+    // claim: reranking a shortlist beats trusting raw ADC.
+    val adc = recallOf(Similarity.pqTopK(e, q, "vec_id", "embedding", 10,
+      codes = 64))
+    val rer = recallOf(Similarity.pqRerankTopK(e, q, "vec_id", "embedding", 10))
+    assert(rer > adc, s"rerank $rer should beat raw ADC $adc")
+    assert(rer >= 0.7, s"rerank recall $rer below floor")
+    // determinism: same output under a different input partitioning
+    val a = Similarity.pqRerankTopK(e.repartition(7), q, "vec_id",
+      "embedding", 10).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Similarity.pqRerankTopK(e.repartition(2), q, "vec_id",
+      "embedding", 10).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("IVF ANN: scores agree with brute force; bounded candidates") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
