@@ -239,12 +239,17 @@ object Similarity {
          |       element_at(element_at(element_at(__cb, mi + 1), j), dd)))))"""
         .stripMargin)
     // compressed corpus: id + m codebook indices (1-based), vectors
-    // dropped — this is the artifact that scales
+    // dropped — this is the artifact that scales. Encoding and ADC
+    // are custom codegen expressions (functions.PqEncode / PqAdc):
+    // the HOF formulation walks an m×codes distance matrix through
+    // interpreted lambdas PER ROW, which is the corpus-side hot path;
+    // the expressions are bit-identical (same folds, same
+    // first-minimum argmin) and stay inside whole-stage codegen. The
+    // HOF subDists stays for the per-QUERY LUTs, where row count is
+    // the query count.
     val enc = c.withColumn("__cb", cbCol)
-      .withColumn("__d", subDists("nv"))
-      .select(col("neighbor_id"), expr(
-        "transform(__d, ds -> CAST(array_position(ds, array_min(ds)) AS INT))")
-        .as("code"))
+      .select(col("neighbor_id"),
+        graft.functions.PqEncode(col("nv"), col("__cb")).as("code"))
     val q = queries.select(col(idCol).as("q_id"),
         asDouble(col(vecCol)).as("v0"))
       .withColumn("qv", normalizeExpr("v0")).drop("v0")
@@ -252,11 +257,8 @@ object Similarity {
       .select(col("q_id"), subDists("qv").as("__lut"))
     val scored = enc.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("q_id"))
-      .select(col("q_id"), col("neighbor_id"), expr(
-        s"""-aggregate(sequence(1, $m), CAST(0 AS DOUBLE), (acc, mi) ->
-           |  acc + element_at(element_at(__lut, mi),
-           |                   element_at(code, mi)))""".stripMargin)
-        .as("score"))
+      .select(col("q_id"), col("neighbor_id"),
+        (-graft.functions.PqAdc(col("__lut"), col("code"))).as("score"))
     TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
   }
 
