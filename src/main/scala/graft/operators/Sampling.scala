@@ -30,6 +30,49 @@ object Sampling {
       hexThreshold: String): DataFrame =
     df.filter(hashWeight(col(keyCol)) < lit(hexThreshold.toLowerCase))
 
+  /** Hex threshold such that `md5(key) < threshold` holds with
+    * probability `frac` exactly (8-nibble quantile of the md5 space).
+    * Shared verbatim with SQL oracles so both engines compare against
+    * the identical literal. */
+  def hexThreshold(frac: Double): String = {
+    require(frac >= 0 && frac < 1, s"frac $frac must be in [0,1)")
+    f"${math.floor(frac * 4294967296d).toLong}%08x"
+  }
+
+  /** Deterministic training-mixture construction: the domain-weights
+    * step of a pre-training data recipe (sample web at 1.0, books at
+    * 0.6, oversample code at 2.5, …). Each source contributes
+    * `floor(w)` full copies plus one hash-sampled fractional copy —
+    * oversampling IS duplication in mixture recipes, distinguished by
+    * a `copy` index so downstream packing can interleave epochs. The
+    * sampling decision is md5 of (key, copy): per-row, no shuffle, no
+    * RNG, identical on any cluster layout or engine, so the exact
+    * mixture is replayable (and oracle-checkable) anywhere. Output is
+    * the union of the tagged copies — still a narrow plan over every
+    * source. */
+  def mixture(sources: Seq[(String, DataFrame, Double)],
+      keyCol: String): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    val parts = sources.flatMap { case (name, df, w) =>
+      require(w >= 0, s"weight $w for $name must be >= 0")
+      val full = math.floor(w).toInt
+      val frac = w - full
+      val fullCopies = (0 until full).map(c =>
+        df.select(lit(name).as("source") +: lit(c).as("copy") +:
+          df.columns.map(col): _*))
+      val fracCopy =
+        if (frac > 0)
+          Seq(df.filter(
+            md5(concat(col(keyCol).cast("string"), lit(":" + full))) <
+              lit(hexThreshold(frac)))
+            .select(lit(name).as("source") +: lit(full).as("copy") +:
+              df.columns.map(col): _*))
+        else Nil
+      fullCopies ++ fracCopy
+    }
+    parts.reduce(_ unionAll _)
+  }
+
   /** Deterministic stratified sample: exactly `n` rows per stratum
     * (fewer if the stratum is smaller), chosen by hash order so the
     * pick is stable. One shuffle on the stratum key; each stratum's

@@ -986,6 +986,42 @@ object Pipeline {
         |SELECT q_id, neighbor_id, round(sc2, 4) AS score, rnk
         |FROM ranked2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin)),
 
+    // ---- deterministic training-mixture construction: the
+    // domain-weights recipe step (keep web, subsample books 0.6,
+    // oversample code 2.5 — fractional copies hash-sampled on
+    // md5(key, copy)). The three "domains" are doc_id mod 3 slices of
+    // the documents table; DuckDB replays every copy and threshold.
+    "p38_mixture" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+          .select(col("doc_id"))
+        graft.operators.Sampling.mixture(Seq(
+            ("web", slice(0), 1.0),
+            ("books", slice(1), 0.6),
+            ("code", slice(2), 2.5)), "doc_id")
+          .orderBy(col("source"), col("copy"), col("doc_id"))
+      },
+      Some {
+        val t06 = graft.operators.Sampling.hexThreshold(0.6)
+        val t05 = graft.operators.Sampling.hexThreshold(0.5)
+        s"""SELECT 'web' AS source, 0 AS copy, doc_id FROM documents
+          |  WHERE doc_id % 3 = 0
+          |UNION ALL
+          |SELECT 'books', 0, doc_id FROM documents
+          |  WHERE doc_id % 3 = 1
+          |    AND md5(CAST(doc_id AS VARCHAR) || ':0') < '$t06'
+          |UNION ALL
+          |SELECT 'code', 0, doc_id FROM documents WHERE doc_id % 3 = 2
+          |UNION ALL
+          |SELECT 'code', 1, doc_id FROM documents WHERE doc_id % 3 = 2
+          |UNION ALL
+          |SELECT 'code', 2, doc_id FROM documents
+          |  WHERE doc_id % 3 = 2
+          |    AND md5(CAST(doc_id AS VARCHAR) || ':2') < '$t05'
+          |ORDER BY source, copy, doc_id""".stripMargin
+      }),
+
     // ---- reproducible k-means over embeddings: md5-sampled init,
     // TopK(1) argmax assignment, integer-micro quantized centroid
     // means — every iteration bit-replayable, so DuckDB verifies the

@@ -129,6 +129,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
   }
 
+  test("mixture: weights become copies + hash-sampled fractions, deterministically") {
+    import spark.implicits._
+    val src = (0L until 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val mixed = Sampling.mixture(Seq(
+      ("a", src, 1.0), ("b", src, 0.25), ("c", src, 2.0)), "id")
+    val bySrc = mixed.groupBy("source", "copy").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(bySrc(("a", 0)) == 1000L)         // weight 1.0 = one full copy
+    assert(bySrc(("c", 0)) == 1000L && bySrc(("c", 1)) == 1000L)
+    val frac = bySrc(("b", 0)).toDouble / 1000
+    assert(frac > 0.18 && frac < 0.32, s"0.25-weight sample kept $frac")
+    assert(!bySrc.contains(("b", 1)) && !bySrc.contains(("c", 2)))
+    // deterministic under repartitioning
+    val again = Sampling.mixture(Seq(("b", src.repartition(7), 0.25)), "id")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val first = mixed.filter(col("source") === "b")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(again.toSeq == first.toSeq)
+  }
+
   test("repetition signals: duplicate token/3-gram/line fractions") {
     import spark.implicits._
     val d = Seq(
