@@ -73,7 +73,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("ANN merges are partial aggregates, not window funnels") {
-    Seq("p06_ann_bruteforce", "p07_ann_lsh", "p15_ann_ivf").foreach { q =>
+    Seq("p06_ann_bruteforce", "p07_ann_lsh", "p15_ann_ivf",
+      "p36_ann_pq", "p37_ann_pq_rerank").foreach { q =>
       val t = planText(q)
       assert(t.contains("ObjectHashAggregate"), s"$q:\n$t")
     }
