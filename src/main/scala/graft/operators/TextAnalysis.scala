@@ -180,6 +180,66 @@ object TextAnalysis {
           .as("n_tokens"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016): learn the
+    * first `numMerges` byte-pair merges over the corpus vocabulary.
+    *
+    * Scale shape: ONE corpus-sized aggregation builds the
+    * (word, freq) vocabulary table; every merge round after that is a
+    * vocabulary-sized pair count (adjacent-symbol explode → sum(freq)
+    * → deterministic argmax: count desc, then pair lexicographic) and
+    * the driver reads exactly one row per round. Words carry their
+    * symbol segmentation as a delimiter-wrapped string
+    * (SOH sym SOHSOH sym SOH …), so applying a merge is a
+    * literal non-overlapping left-to-right string replace — each
+    * symbol owns BOTH its delimiters, which makes the replace exactly
+    * canonical BPE ([a,a,a,a] + (a,a) → [aa,aa]) AND bit-replayable
+    * by any engine with plain replace() (the p39 oracle unrolls every
+    * round in DuckDB). Rounds chain `replace` columns on the cached
+    * vocabulary — lineage grows linearly with merges, so no
+    * checkpointing is needed at tokenizer-realistic merge counts.
+    *
+    * Returns (merge_left, merge_right, pair_count) in learned order. */
+  def bpeMerges(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String, Long)] = {
+    val D = "\u0001"
+    val words = df.select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(D), concat_ws(D + D,
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit(D)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var d = words
+    var done = false
+    var r = 0
+    while (r < numMerges && !done) {
+      val best = d
+        .select(col("freq"), split(trim(col("s"), D), D + D).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(sy) - 1),
+            |  i -> struct(element_at(sy, i) AS a,
+            |              element_at(sy, i + 1) AS b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((a, b, cnt))
+        d = d.withColumn("s", regexp_replace(col("s"),
+          lit(java.util.regex.Pattern.quote(D + a + D + D + b + D)),
+          lit(java.util.regex.Matcher.quoteReplacement(D + a + b + D))))
+        r += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.toSeq
+  }
+
   /** Rolling polynomial fingerprint over the document's characters:
     * h = (h*31 + codepoint) mod 1e9+7 — a custom codegen Catalyst
     * expression (graft.functions.RollingHash); the equivalent ANSI

@@ -1022,6 +1022,52 @@ object Pipeline {
           |ORDER BY source, copy, doc_id""".stripMargin
       }),
 
+    // ---- distributed BPE merge training (8 merges): one corpus
+    // aggregation builds the vocabulary, then vocabulary-sized rounds
+    // learn (pair, count) merges with a deterministic argmax. DuckDB
+    // unrolls all 8 rounds (symbol strings are SOH-delimited so merge
+    // application is a plain non-overlapping replace) and reproduces
+    // the learned merge table exactly.
+    "p39_bpe_merges" -> Q(
+      (s, dir) => {
+        val merges = TextAnalysis.bpeMerges(tbl(s, dir, "documents"),
+          "text", 8)
+        import s.implicits._
+        merges.zipWithIndex.map { case ((a, b, c), i) =>
+          ((i + 1).toLong, a, b, c)
+        }.toDF("rnk", "merge_left", "merge_right", "pair_count")
+          .orderBy(col("rnk"))
+      },
+      Some {
+        val rounds = (0 until 8).map { r =>
+          s"""syms$r AS MATERIALIZED (SELECT freq,
+             |    str_split(trim(s, chr(1)), chr(1)||chr(1)) AS sy
+             |  FROM words$r),
+             |pairs$r AS MATERIALIZED (SELECT sy[i] AS a, sy[i+1] AS b,
+             |    CAST(sum(freq) AS BIGINT) AS cnt
+             |  FROM syms$r, unnest(range(1, len(sy))) t(i) GROUP BY 1, 2),
+             |best$r AS MATERIALIZED (SELECT CAST(${r + 1} AS BIGINT) AS rnk, a, b, cnt
+             |  FROM pairs$r ORDER BY cnt DESC, a, b LIMIT 1),
+             |words${r + 1} AS MATERIALIZED (SELECT freq, replace(s,
+             |    chr(1)||(SELECT a FROM best$r)||chr(1)||chr(1)||
+             |      (SELECT b FROM best$r)||chr(1),
+             |    chr(1)||(SELECT a FROM best$r)||
+             |      (SELECT b FROM best$r)||chr(1)) AS s
+             |  FROM words$r)""".stripMargin
+        }.mkString(",\n")
+        val sel = (0 until 8).map(r =>
+          s"SELECT rnk, a AS merge_left, b AS merge_right, cnt AS pair_count FROM best$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH words0 AS MATERIALIZED (SELECT count(*) AS freq,
+           |    chr(1) || array_to_string(list_transform(range(1, length(w)+1),
+           |      i -> substr(w, CAST(i AS INT), 1)), chr(1)||chr(1)) || chr(1) AS s
+           |  FROM (SELECT unnest(str_split_regex(trim(lower(text)), '\\s+')) AS w
+           |        FROM documents)
+           |  WHERE length(w) >= 1 GROUP BY w),
+           |$rounds
+           |$sel ORDER BY rnk""".stripMargin
+      }),
+
     // ---- reproducible k-means over embeddings: md5-sampled init,
     // TopK(1) argmax assignment, integer-micro quantized centroid
     // means — every iteration bit-replayable, so DuckDB verifies the

@@ -171,6 +171,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(3) == ((0.0, 0.0, 0.0)))
   }
 
+  test("bpeMerges learns canonical merges with deterministic tie-breaks") {
+    import spark.implicits._
+    // hand-derived BPE on {low×3, lower×2, newest×1}:
+    // r1: (l,o)=5 ties (o,w)=5 → lexicographic 'l'<'o' picks (l,o)
+    // r2: (lo,w)=5  r3: (e,r)=2 ties (low,e)=2 → 'e'<'low'
+    // r4: (low,er)=2
+    val d = Seq("low low low lower lower newest").toDF("text")
+    val m = TextAnalysis.bpeMerges(d, "text", 4)
+    assert(m == Seq(("l", "o", 5L), ("lo", "w", 5L),
+      ("e", "r", 2L), ("low", "er", 2L)))
+    // canonical non-overlapping application: [a,a,a,a] + (a,a) →
+    // [aa,aa], so the SECOND merge must be (aa,aa), not (aa,a)
+    val rep = TextAnalysis.bpeMerges(Seq("aaaa").toDF("text"), "text", 2)
+    assert(rep == Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+  }
+
   test("token counts: ws vs bpe-ish segmentation") {
     import spark.implicits._
     val df = Seq((1L, "hello world42 foo!")).toDF("doc_id", "text")
