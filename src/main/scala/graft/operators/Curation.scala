@@ -163,6 +163,55 @@ object Curation {
         floor((col("cum") - col("n_tok")) / binTokens).cast("long").as("bin"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-like its hashed token distribution is.
+    * Token features hash into `buckets` buckets; the target slice
+    * (`isTarget`) and the full corpus each define a smoothed unigram
+    * distribution over buckets; a document's log-importance weight is
+    * Σ_b c_b·(ln p̂_target(b) − ln p̂_corpus(b)) with add-one
+    * smoothing. Downstream selection keeps the top-weighted rows (or
+    * Gumbel-resamples on the weights) — here we emit the weight.
+    *
+    * Scale shape: one narrow explode feeds two hash aggregates —
+    * per-(doc, bucket) counts (integer, exact) and the
+    * `buckets`-row distribution table, which rides a broadcast join
+    * back onto the counts. The per-document sum folds LEFT-TO-RIGHT
+    * over the bucket-sorted (count, log-ratio) array, so the double
+    * math is an identical op sequence under any partitioning — the
+    * weight is bit-reproducible by any engine, not just stable to
+    * 1e-12. No windows, no driver actions, no corpus-sized cache.
+    *
+    * Returns (id, n_tokens, weight) with weight rounded to 6. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 64): DataFrame = {
+    val tok = df.select(col(idCol), isTarget.as("is_t"),
+        explode(Dedup.tokens(col(textCol))).as("token"))
+      .select(col(idCol), col("is_t"),
+        pmod(tokenHash(col("token")), lit(buckets.toLong)).as("b"))
+    // bucket distribution: integer counts, exact under any combine
+    // order; ~`buckets` rows, broadcast to the scoring join
+    val dist = tok.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lr = dist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + 1.0) / (col("nt") + buckets.toDouble)) -
+          log((col("cr") + 1.0) / (col("nr") + buckets.toDouble))).as("lr"))
+    val docCounts = tok.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+    docCounts.join(broadcast(lr), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        // deterministic fold: sort the (bucket, term) pairs, then sum
+        // left to right — identical double-op sequence everywhere
+        round(expr(
+          "aggregate(array_sort(collect_list(struct(b, c, lr)))," +
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c * x.lr)"), 6)
+          .as("weight"))
+  }
+
   /** Prepare a corpus for sharded export: tag each row with its
     * deterministic shard, cluster rows so each output file holds
     * exactly one shard (`repartition` on the shard key), and order

@@ -48,6 +48,57 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Span-level exact dedup (the RefinedWeb/C4 retention shape at a
+    * fixed granularity): cut each document into non-overlapping
+    * `width`-token spans, keep only the globally-FIRST occurrence of
+    * each distinct span (min (doc, position) over the whole corpus),
+    * and reassemble every document from its surviving spans. Unlike
+    * whole-document [[exact]] dedup this removes boilerplate that
+    * repeats INSIDE otherwise-distinct documents — headers, footers,
+    * templated passages — which is where most of the duplication in a
+    * web corpus actually lives.
+    *
+    * Scale shape: spans shuffle once on their md5 (so the exchange
+    * carries 16-byte keys + positions, bounded by corpus token count,
+    * never pairs), the first-occurrence argmin is a partial-aggregated
+    * `min(struct(id, pos))`, and reassembly is one shuffle back on the
+    * doc id with an ordered in-group fold. No windows, no self-join,
+    * no driver state — the same plan survives any corpus size.
+    *
+    * Returns (id, n_spans, n_kept, kept_md5) where kept_md5 is the
+    * md5 of the reassembled (space-joined) surviving text — md5('')
+    * for a document whose every span was seen earlier elsewhere. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 16): DataFrame = {
+    // non-overlapping width-token spans, positions 0..ceil(n/width)-1;
+    // sequence(0, -1) would count DOWN for an empty token array, so
+    // guard short docs with an explicit single-span branch
+    val spans = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"), posexplode(expr(
+        s"""CASE WHEN size(tk) <= $width THEN array(concat_ws(' ', tk))
+           |ELSE transform(sequence(0, CAST(ceil(size(tk) / $width.0D) AS INT) - 1),
+           |  i -> concat_ws(' ', slice(tk, i * $width + 1, $width))) END"""
+          .stripMargin)).as(Seq("pos", "span")))
+    // global first occurrence per distinct span: one shuffle keyed on
+    // the 128-bit content hash (never the span text), argmin combines
+    // map-side
+    val firsts = spans
+      .groupBy(md5(col("span")).as("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("fst"))
+    spans
+      .join(firsts, md5(col("span")) === col("h"))
+      .withColumn("keep",
+        (col("fst.id") === col("id")) && (col("fst.pos") === col("pos")))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(filter(array_sort(collect_list(struct(pos, span, keep)))," +
+            " x -> x.keep), x -> x.span)"))).as("kept_md5"))
+  }
+
   /** One (id, shingle-hash) row per distinct shingle — a single
     * codegen'd narrow pass (functions.ShingleHashes tokenizes,
     * shingles, hashes and dedupes inside the row), then explode.
