@@ -26,10 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`sled.rs:51-60`).
   *
   * Schema is the reference's own table shape (int key + char value):
-  * `k BIGINT, v STRING`. Stores register by name in [[KvStore]];
-  * real deployments would back this with any ordered KV engine — the
-  * interesting part is the pushdown/pruning/partitioning seam, which
-  * is exactly what a V2 connector owns.
+  * `k BIGINT, v STRING`. Two backings: the in-memory [[KvStore]]
+  * registry (demo/spec seam, rows ship inside tasks) and the durable
+  * [[KvSegment]] file (`option("path", ...)`) — the persistent
+  * analogue of the reference's sled store, where tasks carry only
+  * (path, row range) and executors pread their own slice, which is
+  * the shape that survives a real cluster.
   */
 object KvStore {
   /** name → sorted key array + value lookup (immutable once registered).
@@ -57,28 +59,46 @@ object KvStore {
     .add("v", StringType, nullable = true)
 }
 
+/** Where a KV table's rows live. The in-memory registry is the
+  * original demo seam; [[FileBacking]] is the durable path — a
+  * [[KvSegment]] file on shared storage that every executor opens
+  * itself, so scan tasks carry only (path, row range) and nothing is
+  * materialized on the driver. */
+sealed trait KvBacking { def label: String }
+final case class MemBacking(name: String) extends KvBacking {
+  def label: String = name
+}
+final case class FileBacking(path: String) extends KvBacking {
+  def label: String = path
+}
+
 class KvSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KvStore.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new KvTable(properties.get("name"))
+      properties: util.Map[String, String]): Table = {
+    val backing = Option(properties.get("path")) match {
+      case Some(p) => FileBacking(p)
+      case None => MemBacking(properties.get("name"))
+    }
+    new KvTable(backing)
+  }
 }
 
-class KvTable(name: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-kv($name)"
+class KvTable(backing: KvBacking) extends Table with SupportsRead {
+  override def name(): String = s"graft-kv(${backing.label})"
   override def schema(): StructType = KvStore.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(name)
+    new KvScanBuilder(backing)
 }
 
 /** Folds pushed key predicates into a [lo, hi] range — the analogue of
   * the reference's per-column range intersection
   * (`reader_util.rs:102-260` create_column_range). Everything it can't
   * fold stays a residual filter for Spark to evaluate above the scan. */
-class KvScanBuilder(name: String) extends ScanBuilder
+class KvScanBuilder(backing: KvBacking) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = Long.MinValue
@@ -125,17 +145,17 @@ class KvScanBuilder(name: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     projection = requiredSchema
 
-  override def build(): Scan = new KvScan(name, lo, hi, projection)
+  override def build(): Scan = new KvScan(backing, lo, hi, projection)
 }
 
-class KvScan(name: String, lo: Long, hi: Long, projection: StructType)
+class KvScan(backing: KvBacking, lo: Long, hi: Long, projection: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = projection
   override def toBatch: Batch = this
   override def description(): String = {
     val kind = if (lo == Long.MinValue && hi == Long.MaxValue)
       "FullTableScan" else s"RangeScan[$lo,$hi]"
-    s"graft-kv $name $kind cols=${projection.fieldNames.mkString(",")}"
+    s"graft-kv ${backing.label} $kind cols=${projection.fieldNames.mkString(",")}"
   }
 
   /** Binary-search the pushed range in the sorted key array and split
@@ -156,23 +176,37 @@ class KvScan(name: String, lo: Long, hi: Long, projection: StructType)
     * to the real KV service — this class is the planning seam that
     * path would reuse unchanged. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val (keys, values) = KvStore(name)
+    val keys = backing match {
+      case MemBacking(name) => KvStore(name)._1
+      case FileBacking(path) => KvSegment.keys(path)
+    }
     val from = lowerBound(keys, lo)
     val until = upperBound(keys, hi)
     val n = math.max(0, until - from)
     val kind = if (lo == Long.MinValue && hi == Long.MaxValue)
       "FullTableScan" else "UsingTheIndex"
-    KvStore.lastScan(name) = (kind, n.toLong)
+    KvStore.lastScan(backing.label) = (kind, n.toLong)
     if (n == 0) return Array.empty
     val slices = math.max(math.min(4, n),
       (n + KvScan.MaxRowsPerPartition - 1) / KvScan.MaxRowsPerPartition)
     val step = math.max(1, (n + slices - 1) / slices)
-    (from until until by step)
-      .map { s =>
-        val ks = keys.slice(s, math.min(s + step, until))
-        new KvPartition(ks, ks.map(k => values.getOrElse(k, null))): InputPartition
-      }
-      .toArray
+    backing match {
+      case MemBacking(name) =>
+        // Demo registry: rows ship inside the task (driver-materialized).
+        val values = KvStore(name)._2
+        (from until until by step)
+          .map { s =>
+            val ks = keys.slice(s, math.min(s + step, until))
+            new KvPartition(ks, ks.map(k => values.getOrElse(k, null))): InputPartition
+          }
+          .toArray
+      case FileBacking(path) =>
+        // Durable segment: a task carries only (path, row range) — the
+        // production shape. Executors pread their own slice.
+        (from until until by step)
+          .map(s => new KvFilePartition(path, s, math.min(s + step, until)): InputPartition)
+          .toArray
+    }
   }
 
   private def lowerBound(a: Array[Long], v: Long): Int = {
@@ -205,21 +239,37 @@ object KvScan {
 final class KvPartition(val keys: Array[Long], val values: Array[String])
     extends InputPartition
 
+/** Durable-segment task payload: nothing but the file path and the
+  * row-index range this task owns. Serialized size is O(1) regardless
+  * of range width — the cluster-scale property the in-memory demo
+  * partition lacks. */
+final class KvFilePartition(val path: String, val from: Int, val until: Int)
+    extends InputPartition
+
 class KvReaderFactory(projection: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val kp = p.asInstanceOf[KvPartition]
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case kp: KvPartition =>
+        rowsReader(kp.keys.length, i => kp.keys(i), i => kp.values(i))
+      case fp: KvFilePartition =>
+        // Executor-side open: no driver state touched.
+        val slice = new KvSegment.SliceReader(fp.path, fp.from, fp.until)
+        rowsReader(slice.size, i => slice.keys(i), i => slice.value(i))
+    }
+
+  private def rowsReader(n: Int, key: Int => Long,
+      value: Int => String): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var i = -1
-      override def next(): Boolean = { i += 1; i < kp.keys.length }
+      override def next(): Boolean = { i += 1; i < n }
       override def get(): InternalRow = {
         val cols = projection.fieldNames.map {
-          case "k" => kp.keys(i).asInstanceOf[Any]
-          case "v" => Option(kp.values(i)).map(UTF8String.fromString).orNull
+          case "k" => key(i).asInstanceOf[Any]
+          case "v" => Option(value(i)).map(UTF8String.fromString).orNull
         }
         InternalRow.fromSeq(cols.toSeq)
       }
       override def close(): Unit = ()
     }
-  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.KvStore
+import graft.sources.{KvFilePartition, KvScanBuilder, KvSegment, KvStore, FileBacking}
 
 /** DataSource V2 connector spec: key predicates push into the source
   * and prune the scan to the matched range (the reference's
@@ -69,5 +69,65 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.select(col("k")).filter(col("k") < 10)
       .queryExecution.executedPlan.toString
     assert(plan.contains("RangeScan") && plan.contains("cols=k"), plan)
+  }
+
+  // ---- durable segment backing --------------------------------------
+
+  private lazy val segPath = {
+    val dir = java.nio.file.Files.createTempDirectory("gkvseg").toString
+    val p = s"$dir/t.seg"
+    KvSegment.write(p, (0L until 50000L).map(i =>
+      i -> (if (i % 1000 == 7) null else s"v$i")))
+    p
+  }
+
+  private lazy val fdf = spark.read.format("graft.sources.KvSource")
+    .option("path", segPath).load()
+
+  test("durable segment: range scan prunes and survives a fresh planner") {
+    val got = fdf.filter(col("k") >= 300 && col("k") < 700)
+      .agg(count(lit(1)), min(col("k")), max(col("k"))).head()
+    assert(got.getLong(0) == 400 && got.getLong(1) == 300L && got.getLong(2) == 699L)
+    assert(KvStore.lastScan(segPath) == (("UsingTheIndex", 400L)))
+    // Simulate a driver restart: drop every cached key index and
+    // re-plan purely from the file on disk.
+    KvSegment.invalidate()
+    assert(fdf.filter(col("k") === 123).select(col("v")).head().getString(0) == "v123")
+    assert(KvStore.lastScan(segPath) == (("UsingTheIndex", 1L)))
+  }
+
+  test("durable segment: NULL values round-trip and full scans parallelize") {
+    assert(fdf.count() == 50000L)
+    assert(KvStore.lastScan(segPath) == (("FullTableScan", 50000L)))
+    assert(fdf.rdd.getNumPartitions == 4)
+    val nulls = fdf.filter(col("v").isNull).agg(count(lit(1)), min(col("k"))).head()
+    assert(nulls.getLong(0) == 50L && nulls.getLong(1) == 7L)
+  }
+
+  test("durable segment: task payload is (path, range), never rows") {
+    val b = new KvScanBuilder(FileBacking(segPath))
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    b.pushFilters(Array(GreaterThanOrEqual("k", 10L), LessThan("k", 40010L)))
+    val parts = b.build().toBatch.planInputPartitions()
+    assert(parts.length == 4)
+    val fps = parts.map(_.asInstanceOf[KvFilePartition])
+    assert(fps.map(p => p.until - p.from).sum == 40000)
+    assert(fps.forall(_.path == segPath))
+    // Serialized partition stays O(1) no matter how wide the range is.
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(fps.head); oos.close()
+    assert(bos.size() < 1024, s"partition payload ${bos.size()} bytes")
+  }
+
+  test("durable segment: write is atomic-publish and rewrite invalidates the cache") {
+    val dir = java.nio.file.Files.createTempDirectory("gkvseg2").toString
+    val p = s"$dir/u.seg"
+    KvSegment.write(p, Seq(1L -> "a", 2L -> "b"))
+    val d = spark.read.format("graft.sources.KvSource").option("path", p).load()
+    assert(d.count() == 2L)
+    assert(!new java.io.File(p + ".tmp").exists())
+    KvSegment.write(p, (0L until 10L).map(i => i -> s"w$i"))
+    assert(d.count() == 10L) // (length, mtime)-stamped cache re-reads
   }
 }
