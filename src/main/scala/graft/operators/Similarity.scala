@@ -181,6 +181,45 @@ object Similarity {
       .select(col(idCol), col("cell"), col("n_members"))
   }
 
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding corpus with
+    * [[kmeansAssign]], then mark as duplicates the vectors whose
+    * cosine similarity to an earlier-id vector IN THE SAME CLUSTER
+    * meets `tau`. Clustering is what makes the pairwise step
+    * tractable: candidate pairs are in-cluster only, so the join is a
+    * hash shuffle on the cell id and the pair count is Σ|cell|², not
+    * n² — `k` is the scale knob (the paper runs k ≈ n/⟨cluster⟩ at
+    * web scale; skewed cells AQE-split like any hot hash key).
+    *
+    * Keep rule: within a cluster the smallest vec_id of a near-dup
+    * pair survives ("keep first" — deterministic, engine-independent).
+    * Output: (id, cell, is_kept), one row per corpus vector.
+    *
+    * Determinism + oracle: assignment is the bit-replayable
+    * [[kmeansAssign]] (md5-order init, integer-micro centroid means),
+    * and each pair score is the same left-to-right double cosine the
+    * DuckDB oracle computes — the p41 oracle replays both Lloyd
+    * iterations AND the in-cluster pair scan exactly. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, tau: Double = 0.99): DataFrame = {
+    val asg = kmeansAssign(corpus, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cell"))
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val withV = asg.join(e, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lhs = withV.select(col("cell"), col(idCol).as("a_id"),
+      col("v").as("av"))
+    val rhs = withV.select(col("cell"), col(idCol).as("b_id"),
+      col("v").as("bv"))
+    val removed = lhs.join(rhs, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosineExpr("av", "bv") >= tau)
+      .select(col("b_id").as(idCol)).distinct()
+    withV.join(removed.withColumn("__dup", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__dup").isNull.as("is_kept"))
+  }
+
   /** PQ (product-quantization) ANN — the memory-compressed scale path
     * (Jégou et al., "Product Quantization for Nearest Neighbor
     * Search", TPAMI 2011). Vectors L2-normalize, split into `m`

@@ -249,4 +249,73 @@ object TextAnalysis {
     df.select(col(idCol),
       expr(s"graft_rolling_hash($textCol)").as("fingerprint"))
   }
+
+  /** CCNet-style language-model quality scoring (Wenzek et al. 2019,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): score every document by its perplexity under an
+    * n-gram LM, then split the corpus into head / middle / tail
+    * terciles of the score. CCNet's LM is a pretrained KenLM 5-gram;
+    * here the LM is a bigram model with add-½ smoothing trained on
+    * the corpus itself (self-perplexity — the shape decontamination
+    * and quality sweeps use when no external LM ships with the
+    * engine).
+    *
+    * Determinism is engineered so an ANSI-SQL oracle replays the
+    * doubles bit-for-bit: with k=½ the bigram probability is a ratio
+    * of exact integers, P(b|a) = (2·c(ab)+1) / (2·c(a)+V), so each
+    * bigram's log-prob ln(2·c(ab)+1) − ln(2·c(a)+V) is a difference
+    * of logs OF INTEGERS — both engines evaluate them on identical
+    * doubles. Each log-prob quantizes to integer micro-nats BEFORE
+    * any aggregation (the p30-kmeans trick), so the per-document sum
+    * is exact integer math and order/partitioning-independent; the
+    * final avg is one exact-integer IEEE division. Terciles come from
+    * [[Ranks.withGlobalRank]]+[[Ranks.ntileFromRank]] — standard SQL
+    * ntile semantics with no unpartitioned window.
+    *
+    * Scale shape: two corpus count aggregates (doc-bigram, unigram —
+    * one hash shuffle each), the LM table built by a bigram⋈unigram
+    * hash join with the vocab size broadcast as a scalar, scoring as
+    * a hash join on the bigram key (the LM is vocabulary-sized data,
+    * never driver-side), and a partial-aggregated per-doc sum.
+    * Nothing is O(corpus) on any single node. */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    // per-doc bigram multiplicities: the scoring-side working set is
+    // one row per DISTINCT bigram per doc, not per occurrence
+    val docBigrams = toks
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b))"))
+        .as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col(idCol), col("a"), col("b"))
+      .agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigramCounts = docBigrams.groupBy(col("a"), col("b"))
+      .agg(sum(col("m")).as("c_ab"))
+    val unigramCounts = toks.select(explode(col("tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_a"))
+    val vocab = unigramCounts.agg(count(lit(1)).as("v_size"))
+    val lm = bigramCounts
+      .join(unigramCounts, col("a") === col("t"))
+      .crossJoin(broadcast(vocab))
+      .select(col("a"), col("b"),
+        round((log(col("c_ab") * 2 + 1) - log(col("c_a") * 2 + col("v_size")))
+          * 1000000, 0).cast("long").as("lp_micro"))
+    val scored = docBigrams.join(lm, Seq("a", "b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m") * col("lp_micro")).as("lp_total"),
+        sum(col("m")).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        (-col("lp_total").cast("double") / col("n_bigrams").cast("double")
+          / 1000000.0).as("avg_nll"))
+    // head = lowest-perplexity tercile, CCNet's keep-set
+    val ranked = Ranks.withGlobalRank(scored,
+      floor(col("avg_nll") * 10), Seq(col("avg_nll"), col(idCol)))
+    val tert = Ranks.ntileFromRank(col("rank"), col("n_total"), 3)
+    ranked.select(col(idCol), col("n_bigrams"), col("avg_nll"),
+      when(tert === 1, "head").when(tert === 2, "middle")
+        .otherwise("tail").as("ppl_bucket"))
+  }
 }

@@ -26,6 +26,31 @@ object Pipeline {
     (a: String, b: String) =>
       s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
 
+  /** CTE chain `e, c0, a1, asg1, dims1, c1, a2, asg2` replaying
+    * Similarity.kmeansAssign (k=8, iters=2) exactly in DuckDB:
+    * md5-order init, argmax cosine assignment with cell tie-break,
+    * integer-micro centroid means. Shared by the p30 and p41
+    * oracles. */
+  private val duckKmeansAsg: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, v AS cv FROM e
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |a1 AS (SELECT e.vec_id, e.v, c0.cell, row_number() OVER (
+      |    PARTITION BY e.vec_id
+      |    ORDER BY ${duckCos("e.v", "c0.cv")} DESC, c0.cell) AS rn
+      |  FROM e CROSS JOIN c0),
+      |asg1 AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+      |dims1 AS (SELECT cell, d,
+      |    sum(CAST(round(v[d]*1000000) AS BIGINT)) AS sx, count(*) AS n
+      |  FROM asg1, range(1, 65) t(d) GROUP BY cell, d),
+      |c1 AS (SELECT cell, list(CAST(sx AS DOUBLE)/n/1000000.0 ORDER BY d)
+      |    AS cv FROM dims1 GROUP BY cell),
+      |a2 AS (SELECT e.vec_id, c1.cell, row_number() OVER (
+      |    PARTITION BY e.vec_id
+      |    ORDER BY ${duckCos("e.v", "c1.cv")} DESC, c1.cell) AS rn
+      |  FROM e CROSS JOIN c1),
+      |asg2 AS (SELECT vec_id, cell FROM a2 WHERE rn = 1)""".stripMargin
+
   /** CTE chain `tok, h, bits, fp` recomputing Dedup.simhashPortable's
     * 60-bit fingerprints bit-for-bit in DuckDB (two polynomial hash
     * families, per-token sign sums). Shared by the p04 and p17
@@ -1078,29 +1103,75 @@ object Pipeline {
           "vec_id", "embedding", k = 8, iters = 2)
         .orderBy(col("vec_id")),
       Some {
-        val cos = (a: String, b: String) =>
-          s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |c0 AS (SELECT vec_id AS cell, v AS cv FROM e
-          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-          |a1 AS (SELECT e.vec_id, e.v, c0.cell, row_number() OVER (
-          |    PARTITION BY e.vec_id
-          |    ORDER BY ${cos("e.v", "c0.cv")} DESC, c0.cell) AS rn
-          |  FROM e CROSS JOIN c0),
-          |asg1 AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
-          |dims1 AS (SELECT cell, d,
-          |    sum(CAST(round(v[d]*1000000) AS BIGINT)) AS sx, count(*) AS n
-          |  FROM asg1, range(1, 65) t(d) GROUP BY cell, d),
-          |c1 AS (SELECT cell, list(CAST(sx AS DOUBLE)/n/1000000.0 ORDER BY d)
-          |    AS cv FROM dims1 GROUP BY cell),
-          |a2 AS (SELECT e.vec_id, c1.cell, row_number() OVER (
-          |    PARTITION BY e.vec_id
-          |    ORDER BY ${cos("e.v", "c1.cv")} DESC, c1.cell) AS rn
-          |  FROM e CROSS JOIN c1),
-          |asg2 AS (SELECT vec_id, cell FROM a2 WHERE rn = 1)
+        s"""WITH $duckKmeansAsg
           |SELECT a.vec_id AS vec_id, a.cell AS cell, s.n_members AS n_members
           |FROM asg2 a JOIN (SELECT cell, count(*) AS n_members FROM asg2
           |  GROUP BY 1) s USING (cell)
+          |ORDER BY vec_id""".stripMargin
+      }),
+
+    // ---- CCNet-style LM quality split (Wenzek et al. 2019): score
+    // every doc's perplexity under an add-½-smoothed bigram LM
+    // trained on the corpus, split into head/middle/tail terciles.
+    // With k=½ each bigram log-prob is a difference of logs of exact
+    // integers quantized to micro-nats before summing, so DuckDB
+    // reproduces every double bit-for-bit.
+    "p40_lm_perplexity" -> Q(
+      (s, dir) => TextAnalysis.lmPerplexity(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some {
+        """WITH tok AS (SELECT doc_id,
+          |    str_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+          |tok2 AS (SELECT * FROM tok WHERE len(tk) >= 2),
+          |bg AS (SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+          |  FROM tok2, unnest(range(1, len(tk))) t(i)),
+          |db AS (SELECT doc_id, a, b, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+          |cab AS (SELECT a, b, CAST(sum(m) AS BIGINT) AS c_ab
+          |  FROM db GROUP BY 1, 2),
+          |ca AS (SELECT t, count(*) AS c_a
+          |  FROM (SELECT unnest(tk) AS t FROM tok2) GROUP BY 1),
+          |v AS (SELECT count(*) AS v_size FROM ca),
+          |lm AS (SELECT a, b, CAST(round(
+          |    (ln(2*c_ab + 1) - ln(2*c_a + v_size)) * 1000000) AS BIGINT)
+          |    AS lp_micro
+          |  FROM cab JOIN ca ON cab.a = ca.t CROSS JOIN v),
+          |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+          |    CAST(sum(m * lp_micro) AS BIGINT) AS lp_total
+          |  FROM db JOIN lm USING (a, b) GROUP BY 1),
+          |scored AS (SELECT doc_id, n_bigrams,
+          |    (-CAST(lp_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+          |      / 1000000.0 AS avg_nll
+          |  FROM sc),
+          |r AS (SELECT doc_id, n_bigrams, avg_nll,
+          |    ntile(3) OVER (ORDER BY avg_nll, doc_id) AS t3 FROM scored)
+          |SELECT doc_id, n_bigrams, avg_nll,
+          |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+          |    AS ppl_bucket
+          |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- SemDeDup (Abbas et al. 2023): k-means clusters bound the
+    // pairwise cosine scan to in-cluster pairs; smallest vec_id of a
+    // near-dup pair survives. DuckDB replays both Lloyd iterations
+    // AND the in-cluster pair scan.
+    "p41_semdedup" -> Q(
+      (s, dir) => Similarity.semDedup(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2, tau = 0.35)
+        .select(col("vec_id"), col("cell"),
+          col("is_kept").cast("long").as("is_kept"))
+        .orderBy(col("vec_id")),
+      Some {
+        s"""WITH $duckKmeansAsg,
+          |dup AS (SELECT DISTINCT b.vec_id
+          |  FROM asg2 a JOIN asg2 b ON a.cell = b.cell
+          |    AND a.vec_id < b.vec_id
+          |  JOIN e ea ON ea.vec_id = a.vec_id
+          |  JOIN e eb ON eb.vec_id = b.vec_id
+          |  WHERE ${duckCos("ea.v", "eb.v")} >= 0.35)
+          |SELECT g.vec_id AS vec_id, g.cell AS cell,
+          |  CAST(d.vec_id IS NULL AS BIGINT) AS is_kept
+          |FROM asg2 g LEFT JOIN dup d ON g.vec_id = d.vec_id
           |ORDER BY vec_id""".stripMargin
       })
   )

@@ -534,6 +534,52 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       r2.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
   }
 
+  test("semDedup keeps the smallest id of each in-cluster near-dup pair") {
+    import spark.implicits._
+    // two orthogonal groups; within each, ids {0,2,4} / {1,3,5} are
+    // identical directions (cos = 1) so only the smallest id survives,
+    // while the lone jittered outlier (ids 6,7) stays below tau
+    def vec(axis: Int, scale: Double) =
+      Array.tabulate(64)(i => if (i == axis) scale.toFloat else 0.0f)
+    def far(axis: Int) =
+      Array.tabulate(64)(i =>
+        if (i == axis) 0.4f else if (i == (axis + 7) % 64) 1.0f else 0.0f)
+    val e = (Seq(0L, 2L, 4L).map(i => (i, vec(0, 1.0 + i))) ++
+      Seq(1L, 3L, 5L).map(i => (i, vec(32, 1.0 + i))) ++
+      Seq((6L, far(0)), (7L, far(32)))).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(e, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.9)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r.size == 8)
+    assert(r(0L) && r(1L)) // smallest id per dup-group survives
+    assert(!r(2L) && !r(4L) && !r(3L) && !r(5L)) // later ids removed
+    assert(r(6L) && r(7L)) // below tau: kept
+  }
+
+  test("lmPerplexity: repeated text scores lower nll than novel text; terciles balance") {
+    import spark.implicits._
+    val common = "the cat sat on the mat and the cat sat again"
+    val docs = ((1L to 9L).map(i => (i, common)) :+
+      (10L, "zebra quark mixes bagel xylophone under quark bagel zebra mixes"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lmPerplexity(docs, "doc_id", "text")
+    val byId = r.collect().map(x => x.getLong(0) ->
+      (x.getDouble(2), x.getString(3))).toMap
+    // the 9 identical docs dominate the LM → their bigrams are likely,
+    // the odd doc's bigrams are mostly unseen → highest nll, tail
+    assert(byId(10L)._1 > byId(1L)._1)
+    assert(byId(10L)._2 == "tail")
+    // tercile sizes differ by at most one (ntile semantics)
+    val sizes = r.groupBy(col("ppl_bucket")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.sum == 10 && (sizes.max - sizes.min) <= 1)
+    // partitioning-independent: same doubles under a different layout
+    val r2 = TextAnalysis.lmPerplexity(docs.repartition(7), "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getDouble(2))).sortBy(_._1).toSeq
+    assert(r2 == r.collect().map(x => (x.getLong(0), x.getDouble(2)))
+      .sortBy(_._1).toSeq)
+  }
+
   test("duplicateClusters propagates min labels across multi-hop chains") {
     import spark.implicits._
     // chain 5-3-9 (diameter 2: 9 learns of 5 only through 3) plus an
