@@ -72,6 +72,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t.contains("BroadcastNestedLoopJoin"), t)
   }
 
+  /** Nested-loop shapes a scale-safe plan may contain: the deliberate
+    * broadcast Cross fan-outs (k centroids / a 1-row scalar against
+    * the corpus). Anything else — an unbroadcast CartesianProduct or
+    * a theta BroadcastNestedLoopJoin — is a scale killer. */
+  private def assertOnlyBroadcastCross(t: String): Unit = {
+    assert(!t.contains("CartesianProduct"), t)
+    t.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach {
+      l => assert(l.contains("Cross"), s"non-cross nested loop: $l")
+    }
+  }
+
+  /** Simple-mode plan text: one line per node INCLUDING the join
+    * type (FormattedMode moves it into the detail section). */
+  private def simplePlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .executedPlan.toString
+
+  test("p41 semdedup pair scan is an equi join on the cell id, no nested loop") {
+    val t = simplePlan("p41_semdedup")
+    assertOnlyBroadcastCross(t)
+    // the in-cluster pair join itself is an equi join keyed on cell
+    assert(t.contains("SortMergeJoin") || t.contains("ShuffledHashJoin"), t)
+  }
+
+  test("p40 LM scoring joins hash keys and pre-aggregates per doc") {
+    val t = simplePlan("p40_lm_perplexity")
+    // bigram-key joins must be equi joins; the only nested loop is
+    // the broadcast vocab-size scalar cross join
+    assertOnlyBroadcastCross(t)
+    // per-doc sum is partially aggregated before its exchange
+    assert(t.contains("partial_sum"), t)
+  }
+
   test("ANN merges are partial aggregates, not window funnels") {
     Seq("p06_ann_bruteforce", "p07_ann_lsh", "p15_ann_ivf",
       "p36_ann_pq", "p37_ann_pq_rerank").foreach { q =>
