@@ -250,6 +250,43 @@ object TextAnalysis {
       expr(s"graft_rolling_hash($textCol)").as("fingerprint"))
   }
 
+  /** Tokenize the corpus with a trained BPE merge table — the apply
+    * side of [[bpeMerges]] (Sennrich et al. 2016): count how many BPE
+    * tokens each document becomes under the learned vocabulary, the
+    * number every packing/budgeting stage downstream of tokenizer
+    * training needs.
+    *
+    * Scale shape — the reason this is cheap: merges apply to the
+    * DISTINCT-WORD table (vocabulary-sized), not the corpus. Each
+    * merge is one narrow non-overlapping literal replace over the
+    * delimiter-wrapped symbol string (identical semantics in the
+    * oracle's `replace`), then documents join the (word → token
+    * count) map on the word key — a hash join against a
+    * vocabulary-sized dimension, with per-doc sums partially
+    * aggregated. Nothing reprocesses corpus text per merge. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String, Long)]): DataFrame = {
+    val D = ""
+    val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+    val dm = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("m"))
+    val vocab = dm.select(col("w")).distinct()
+      .select(col("w"), concat(lit(D), concat_ws(D + D,
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit(D)).as("s"))
+    val merged = merges.foldLeft(vocab) { case (v, (a, b, _)) =>
+      v.withColumn("s", regexp_replace(col("s"),
+        lit(java.util.regex.Pattern.quote(D + a + D + D + b + D)),
+        lit(java.util.regex.Matcher.quoteReplacement(D + a + b + D))))
+    }
+    val wt = merged.select(col("w"),
+      size(split(trim(col("s"), D), D + D)).cast("long").as("ntok"))
+    dm.join(wt, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_words"),
+        sum(col("m") * col("ntok")).as("n_bpe_tokens"))
+  }
+
   /** CCNet-style language-model quality scoring (Wenzek et al. 2019,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web
     * Crawl Data"): score every document by its perplexity under an

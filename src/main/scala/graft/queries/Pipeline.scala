@@ -26,6 +26,39 @@ object Pipeline {
     (a: String, b: String) =>
       s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
 
+  /** CTE chain `words0 … words8` (+ per-round `syms/pairs/best`)
+    * replaying TextAnalysis.bpeMerges(8) in DuckDB: SOH-delimited
+    * symbol strings, adjacent-pair counts, deterministic argmax,
+    * non-overlapping literal replace. Carries the original word `w`
+    * through every round so apply-side oracles (p42) can map
+    * word → token count; p39 reads only the `best*` rows. Shared by
+    * the p39 and p42 oracles. */
+  private val duckBpe8: String = {
+    val rounds = (0 until 8).map { r =>
+      s"""syms$r AS MATERIALIZED (SELECT freq,
+         |    str_split(trim(s, chr(1)), chr(1)||chr(1)) AS sy
+         |  FROM words$r),
+         |pairs$r AS MATERIALIZED (SELECT sy[i] AS a, sy[i+1] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM syms$r, unnest(range(1, len(sy))) t(i) GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (SELECT CAST(${r + 1} AS BIGINT) AS rnk, a, b, cnt
+         |  FROM pairs$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |words${r + 1} AS MATERIALIZED (SELECT w, freq, replace(s,
+         |    chr(1)||(SELECT a FROM best$r)||chr(1)||chr(1)||
+         |      (SELECT b FROM best$r)||chr(1),
+         |    chr(1)||(SELECT a FROM best$r)||
+         |      (SELECT b FROM best$r)||chr(1)) AS s
+         |  FROM words$r)""".stripMargin
+    }.mkString(",\n")
+    s"""words0 AS MATERIALIZED (SELECT w, count(*) AS freq,
+       |    chr(1) || array_to_string(list_transform(range(1, length(w)+1),
+       |      i -> substr(w, CAST(i AS INT), 1)), chr(1)||chr(1)) || chr(1) AS s
+       |  FROM (SELECT unnest(str_split_regex(trim(lower(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
   /** CTE chain `e, c0, a1, asg1, dims1, c1, a2, asg2` replaying
     * Similarity.kmeansAssign (k=8, iters=2) exactly in DuckDB:
     * md5-order init, argmax cosine assignment with cell tie-break,
@@ -1064,32 +1097,10 @@ object Pipeline {
           .orderBy(col("rnk"))
       },
       Some {
-        val rounds = (0 until 8).map { r =>
-          s"""syms$r AS MATERIALIZED (SELECT freq,
-             |    str_split(trim(s, chr(1)), chr(1)||chr(1)) AS sy
-             |  FROM words$r),
-             |pairs$r AS MATERIALIZED (SELECT sy[i] AS a, sy[i+1] AS b,
-             |    CAST(sum(freq) AS BIGINT) AS cnt
-             |  FROM syms$r, unnest(range(1, len(sy))) t(i) GROUP BY 1, 2),
-             |best$r AS MATERIALIZED (SELECT CAST(${r + 1} AS BIGINT) AS rnk, a, b, cnt
-             |  FROM pairs$r ORDER BY cnt DESC, a, b LIMIT 1),
-             |words${r + 1} AS MATERIALIZED (SELECT freq, replace(s,
-             |    chr(1)||(SELECT a FROM best$r)||chr(1)||chr(1)||
-             |      (SELECT b FROM best$r)||chr(1),
-             |    chr(1)||(SELECT a FROM best$r)||
-             |      (SELECT b FROM best$r)||chr(1)) AS s
-             |  FROM words$r)""".stripMargin
-        }.mkString(",\n")
         val sel = (0 until 8).map(r =>
           s"SELECT rnk, a AS merge_left, b AS merge_right, cnt AS pair_count FROM best$r")
           .mkString("\nUNION ALL\n")
-        s"""WITH words0 AS MATERIALIZED (SELECT count(*) AS freq,
-           |    chr(1) || array_to_string(list_transform(range(1, length(w)+1),
-           |      i -> substr(w, CAST(i AS INT), 1)), chr(1)||chr(1)) || chr(1) AS s
-           |  FROM (SELECT unnest(str_split_regex(trim(lower(text)), '\\s+')) AS w
-           |        FROM documents)
-           |  WHERE length(w) >= 1 GROUP BY w),
-           |$rounds
+        s"""WITH $duckBpe8
            |$sel ORDER BY rnk""".stripMargin
       }),
 
@@ -1149,6 +1160,63 @@ object Pipeline {
           |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
           |    AS ppl_bucket
           |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- BPE encode: tokenize the corpus with the merges p39
+    // trains. Merges apply to the distinct-word table (vocab-sized),
+    // docs join the word→token-count map on the word key. The oracle
+    // replays training (shared chain with p39, carrying w) and reads
+    // token counts straight off the final symbol strings.
+    "p42_bpe_encode" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val merges = TextAnalysis.bpeMerges(docs, "text", 8)
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH $duckBpe8,
+          |wt AS (SELECT w, CAST(len(str_split(trim(s, chr(1)),
+          |    chr(1)||chr(1))) AS BIGINT) AS ntok FROM words8),
+          |dt AS (SELECT doc_id,
+          |    unnest(str_split_regex(trim(lower(text)), '\\s+')) AS w
+          |  FROM documents),
+          |dm AS (SELECT doc_id, w, count(*) AS m FROM dt
+          |  WHERE length(w) >= 1 GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_words,
+          |  CAST(sum(m * ntok) AS BIGINT) AS n_bpe_tokens
+          |FROM dm JOIN wt USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- DSIR importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): hashed-unigram
+    // bucket distributions for target (lang='en') vs raw corpus;
+    // per-doc log importance weight = Σ c_b · log-ratio, folded in
+    // bucket order so the double sequence is engine-independent.
+    "p43_dsir" -> Q(
+      (s, dir) => Curation.dsirWeights(tbl(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", buckets = 64)
+        .orderBy(col("doc_id")),
+      Some {
+        s"""WITH tk AS (SELECT doc_id, lang = 'en' AS is_t,
+          |    unnest(str_split_regex(trim(lower(text)), '\\s+')) AS token
+          |  FROM documents),
+          |tk2 AS (SELECT doc_id, is_t,
+          |    ${QueryUtil.oPoly60("token")} % 64 AS b FROM tk),
+          |dist AS (SELECT b,
+          |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+          |    count(*) AS cr FROM tk2 GROUP BY 1),
+          |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+          |    CAST(sum(cr) AS BIGINT) AS nr FROM dist),
+          |lr AS (SELECT b, ln((ct + 1.0) / (nt + 64.0)) -
+          |    ln((cr + 1.0) / (nr + 64.0)) AS lr
+          |  FROM dist CROSS JOIN tot),
+          |dc AS (SELECT doc_id, b, count(*) AS c FROM tk2 GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list(c * lr ORDER BY b)), (a, x) -> a + x), 6) AS weight
+          |FROM dc JOIN lr USING (b) GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin
       }),
 
     // ---- SemDeDup (Abbas et al. 2023): k-means clusters bound the

@@ -580,6 +580,38 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(_._1).toSeq)
   }
 
+  test("bpeEncode counts tokens under the learned merges, hand-derived") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab ab cd"), (2L, "abab abab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", 2)
+    // pair (a,b) appears in abab(×2 per word, 3 words) and ab → most
+    // frequent first merge; round 2 then merges (ab,ab) inside abab
+    assert(merges.map(m => (m._1, m._2)) == Seq(("a", "b"), ("ab", "ab")))
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // abab → [abab] (1 token), ab → [ab], cd → [c, d]
+    assert(enc.toSeq == Seq((1L, 3L, 4L), (2L, 2L, 2L)))
+  }
+
+  test("dsirWeights favors docs that look like the target distribution") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "xx xx xx xx", true), (2L, "xx xx yy xx", true),
+      (3L, "yy yy yy yy", false), (4L, "xx yy yy yy", false),
+      (5L, "xx xx xx yy", false)
+    ).toDF("doc_id", "text", "tgt")
+    val r = Curation.dsirWeights(docs, "doc_id", "text", col("tgt"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // target is xx-heavy: the all-xx doc outweighs the all-yy doc,
+    // and weights order by xx fraction
+    assert(r(1L) > r(5L) && r(5L) > r(4L) && r(4L) > r(3L))
+    // partitioning-independent to the last bit (ordered fold)
+    val r2 = Curation.dsirWeights(docs.repartition(7), "doc_id", "text",
+      col("tgt")).collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r == r2)
+  }
+
   test("duplicateClusters propagates min labels across multi-hop chains") {
     import spark.implicits._
     // chain 5-3-9 (diameter 2: 9 learns of 5 only through 3) plus an
