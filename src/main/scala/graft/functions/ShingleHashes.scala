@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * space-joined shingle: set cardinalities and intersections computed
   * on hashes equal those on strings up to a ~1e-14 collision chance.
   */
-case class ShingleHashes(child: Expression, n: Int, poly: Boolean = false)
+case class ShingleHashes(child: Expression, n: Int, poly: Boolean = false,
+    distinct: Boolean = true)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -41,11 +42,11 @@ case class ShingleHashes(child: Expression, n: Int, poly: Boolean = false)
   override def prettyName: String = "graft_shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], n, poly)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n, poly, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleHashes.compute($c, $n, $poly)")
+      c => s"graft.functions.ShingleHashes.compute($c, $n, $poly, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -65,7 +66,15 @@ object ShingleHashes {
     * space-joined shingle — identical to RollingHash.compute over the
     * shingle string, so an ANSI-SQL oracle can recompute every hash
     * from the shingle text (the portable MinHash base). */
-  def compute(s: UTF8String, n: Int, poly: Boolean): ArrayData = {
+  def compute(s: UTF8String, n: Int, poly: Boolean): ArrayData =
+    compute(s, n, poly, distinct = true)
+
+  /** distinct=false: every window's hash in document order (one per
+    * n-gram POSITION — the positional stream span-level exact dedup
+    * consumes); distinct=true: first occurrence only (the set the
+    * Jaccard/MinHash family consumes). */
+  def compute(s: UTF8String, n: Int, poly: Boolean,
+      distinct: Boolean): ArrayData = {
     // identical token stream to split(trim(lower(text)), "\s+")
     val toks = s.trim().toLowerCase().toString.split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
@@ -74,7 +83,8 @@ object ShingleHashes {
     val tokBytes: Array[Array[Byte]] =
       if (poly) null
       else toks.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
+    val seen = if (distinct)
+      new java.util.HashSet[java.lang.Long](toks.length * 2) else null
     val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
     var i = 0
     while (i + n <= toks.length) {
@@ -99,7 +109,7 @@ object ShingleHashes {
         }
         k += 1
       }
-      if (seen.add(h)) out += h
+      if (!distinct || seen.add(h)) out += h
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -111,4 +121,8 @@ object ShingleHashes {
 
   def apply(text: Column, n: Int, poly: Boolean): Column =
     graftshim.column(ShingleHashes(graftshim.expression(text), n, poly))
+
+  def apply(text: Column, n: Int, poly: Boolean, distinct: Boolean): Column =
+    graftshim.column(
+      ShingleHashes(graftshim.expression(text), n, poly, distinct))
 }

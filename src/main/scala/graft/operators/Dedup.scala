@@ -438,6 +438,38 @@ object Dedup {
 
   /** n-gram Jaccard similarity between two shingle-set columns
     * (array formulation — fine for ad-hoc pairs). */
+  /** Exact-substring duplication profile (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr criterion, approximated at n-token granularity):
+    * for every document, the fraction of its n-gram POSITIONS whose
+    * gram occurs more than once corpus-wide (cross-doc spans and
+    * within-doc repeats both count, as in the paper's suffix-array
+    * scan). Documents shorter than n tokens emit no row.
+    *
+    * Where the paper builds a corpus suffix array, the distributed
+    * shape is: one codegen pass emits each position's 8-byte gram
+    * hash ([[graft.functions.ShingleHashes]] positional mode — gram
+    * strings never leave the row), one hash aggregate counts
+    * occurrences per gram, and one hash join tags every position with
+    * its gram's corpus count — all keyed on the 8-byte hash, so the
+    * shuffled bytes are O(positions × 8 B), not O(text × n). The
+    * poly hash keeps every hash ANSI-SQL-replayable. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val g = df.select(col(idCol),
+        explode(graft.functions.ShingleHashes(col(textCol), n, poly = true,
+          distinct = false)).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+    g.join(counts, Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col(idCol), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+  }
+
   def jaccard(aSh: Column, bSh: Column): Column =
     size(array_intersect(aSh, bSh)).cast("double") /
       size(array_union(aSh, bSh)).cast("double")

@@ -1219,6 +1219,31 @@ object Pipeline {
           |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- exact-substring duplication profile (Lee et al. 2021): the
+    // fraction of each doc's 8-gram positions whose gram occurs more
+    // than once corpus-wide. Positional poly hashes from the codegen
+    // ShingleHashes pass; DuckDB recomputes every hash from gram text.
+    "p44_dup_spans" -> Q(
+      (s, dir) => Dedup.duplicatedSpans(tbl(s, dir, "documents"),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id")),
+      Some {
+        s"""WITH tok AS (SELECT doc_id,
+          |    str_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+          |g0 AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gr
+          |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
+          |g AS (SELECT doc_id,
+          |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+          |c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_grams,
+          |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_dup_grams,
+          |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE) AS dup_frac
+          |FROM g JOIN c USING (gh) GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- SemDeDup (Abbas et al. 2023): k-means clusters bound the
     // pairwise cosine scan to in-cluster pairs; smallest vec_id of a
     // near-dup pair survives. DuckDB replays both Lloyd iterations

@@ -580,6 +580,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(_._1).toSeq)
   }
 
+  test("duplicatedSpans flags cross-doc and within-doc repeated n-grams") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),   // "a b c" shared with doc 2 → 1 of 2 dup
+      (2L, "a b c x"),
+      (3L, "z z z z z"), // all three positions are the same gram
+      (4L, "q w")        // shorter than n → no row
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(d, "doc_id", "text", n = 3)
+      .orderBy(col("doc_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 3L, 3L, 1.0)))
+  }
+
   test("bpeEncode counts tokens under the learned merges, hand-derived") {
     import spark.implicits._
     val docs = Seq((1L, "abab ab cd"), (2L, "abab abab")).toDF("doc_id", "text")
