@@ -53,6 +53,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("no query in the battery plans an unbroadcast cartesian product") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.catalyst.plans.Cross
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nodes = allNodes(fn(spark, sfDir).queryExecution.executedPlan)
+      nodes.foreach {
+        case c: CartesianProductExec =>
+          fail(s"$name plans CartesianProductExec: ${c.simpleStringWithNodeId()}")
+        case j: BroadcastNestedLoopJoinExec =>
+          // the ONLY nested loops a scale-safe plan may contain: a
+          // deliberate broadcast Cross fan-out (k centroids, the q07
+          // dim×dim cross, p06's broadcast queries with a != residual),
+          // a conditionless inner (scalar fan-out), or a theta join
+          // whose build side is provably ONE row (a no-grouping
+          // aggregate — q33's `> (SELECT avg …)`). Anything else is an
+          // accidental theta join that should have been equi-keyed.
+          import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+          val buildSide = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          val scalarBuild = allNodes(buildSide).exists {
+            case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+            case _ => false
+          }
+          assert(j.joinType == Cross || j.condition.isEmpty || scalarBuild,
+            s"$name plans a theta nested loop: ${j.joinType} cond=${j.condition}")
+        case _ => ()
+      }
+    }
+  }
+
   test("q01 pushes the date filter into the scan and prunes columns") {
     val t = planText("q01_pricing_summary")
     assert(t.contains("PushedFilters: [") && t.contains("l_shipdate"), t)
