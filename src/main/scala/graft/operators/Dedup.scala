@@ -453,7 +453,13 @@ object Dedup {
     * occurrences per gram, and one hash join tags every position with
     * its gram's corpus count — all keyed on the 8-byte hash, so the
     * shuffled bytes are O(positions × 8 B), not O(text × n). The
-    * poly hash keeps every hash ANSI-SQL-replayable. */
+    * poly hash keeps every hash ANSI-SQL-replayable.
+    *
+    * Cache note: the positional stream persists at MEMORY_AND_DISK
+    * because both the count aggregate and the tagging join consume
+    * it; that cache is O(corpus positions × 12 B) — at 100 TB prefer
+    * the recompute trade (drop the persist; the codegen pass is
+    * scan-speed) or checkpoint to cluster storage. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val g = df.select(col(idCol),
