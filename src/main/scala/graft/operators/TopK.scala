@@ -90,4 +90,83 @@ object TopK {
         col("__n.score").as(scoreCol),
         (col("__pos") + 1).as(rnkCol)): _*)
   }
+
+  /** One space-saving heavy hitter: estimated count plus the maximum
+    * overestimation (`est_count - max_err` is a guaranteed lower
+    * bound on the true count). */
+  case class Hit(id: Long, count: Long, err: Long)
+
+  /** Space-saving heavy hitters (Metwally, Agrawal & El Abbadi 2005,
+    * "Efficient Computation of Frequent and Top-k Elements in Data
+    * Streams"): track at most `capacity` counters per group; an
+    * unseen id evicts the current minimum and inherits its count as
+    * its error bound. The summary is mergeable (counts and errors
+    * add; overflow trims to the best `capacity` — Agarwal et al.
+    * 2012, "Mergeable Summaries"), so it rides Spark's partial+final
+    * aggregation AND Structured Streaming state: per-group state is
+    * O(capacity) forever, the property that makes per-window heavy
+    * hitters viable on an unbounded 100-TB stream where an exact
+    * groupBy(id) would grow state with the key universe.
+    *
+    * Exactness contract: when a group's distinct-id count stays
+    * ≤ capacity no eviction ever happens, every error is 0, and the
+    * result is the EXACT top-k (the stream==batch spec pins this);
+    * past capacity, counts overestimate by at most `err`. Eviction
+    * and ranking tie-break (count desc, id asc) are deterministic,
+    * but under overflow results legitimately depend on arrival
+    * order — the documented approximation, not an engine artifact. */
+  class SpaceSavingAgg(k: Int, capacity: Int) extends Aggregator[
+      Long, scala.collection.mutable.HashMap[Long, (Long, Long)], Seq[Hit]] {
+    require(0 < k && k <= capacity, s"need 0 < k <= capacity, got $k/$capacity")
+
+    override def zero: scala.collection.mutable.HashMap[Long, (Long, Long)] =
+      scala.collection.mutable.HashMap.empty
+
+    override def reduce(m: scala.collection.mutable.HashMap[Long, (Long, Long)],
+        id: Long): scala.collection.mutable.HashMap[Long, (Long, Long)] = {
+      m.get(id) match {
+        case Some((c, e)) => m(id) = (c + 1, e)
+        case None if m.size < capacity => m(id) = (1L, 0L)
+        case None =>
+          val (vid, (vc, _)) = m.minBy { case (i, (c, _)) => (c, i) }
+          m.remove(vid)
+          m(id) = (vc + 1, vc)
+      }
+      m
+    }
+
+    override def merge(a: scala.collection.mutable.HashMap[Long, (Long, Long)],
+        b: scala.collection.mutable.HashMap[Long, (Long, Long)])
+        : scala.collection.mutable.HashMap[Long, (Long, Long)] = {
+      b.foreach { case (id, (c, e)) =>
+        a.get(id) match {
+          case Some((c0, e0)) => a(id) = (c0 + c, e0 + e)
+          case None => a(id) = (c, e)
+        }
+      }
+      if (a.size > capacity) {
+        val keep = a.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
+        a.clear(); a ++= keep
+      }
+      a
+    }
+
+    override def finish(m: scala.collection.mutable.HashMap[Long, (Long, Long)])
+        : Seq[Hit] =
+      m.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k)
+        .map { case (i, (c, e)) => Hit(i, c, e) }
+
+    override def bufferEncoder
+        : Encoder[scala.collection.mutable.HashMap[Long, (Long, Long)]] =
+      Encoders.kryo[scala.collection.mutable.HashMap[Long, (Long, Long)]]
+    override def outputEncoder: Encoder[Seq[Hit]] =
+      ExpressionEncoder[Seq[Hit]]()
+  }
+
+  /** Per-group space-saving heavy hitters:
+    * `df.groupBy(keys).agg(spaceSaving(k, cap)(id))` — an
+    * `array<struct<id,count,err>>` ranked (count desc, id asc). */
+  def spaceSaving(k: Int, capacity: Int)(id: Column): Column =
+    udaf(new SpaceSavingAgg(k, capacity), Encoders.scalaLong)
+      .apply(id.cast("long"))
 }

@@ -174,6 +174,27 @@ object EventsQ {
         |    ORDER BY n_rows DESC, kh) AS rnk FROM c)
         |SELECT rnk, event_type, n_rows,
         |  round(CAST(n_rows AS DOUBLE)/n_total, 6) AS share
-        |FROM r, t WHERE rnk <= 5 ORDER BY rnk""".stripMargin))
+        |FROM r, t WHERE rnk <= 5 ORDER BY rnk""".stripMargin)),
+
+    // ---- bounded-state heavy hitters per hour: the batch twin of
+    // EventStreams.windowedHeavyHitters (space-saving summaries,
+    // O(capacity) state per window). With capacity above the
+    // distinct-user count the result is the EXACT top-3 — which is
+    // what lets a plain SQL oracle verify the approximate machinery.
+    "q51_heavy_hitters" -> Q(
+      (s, dir) => graft.streaming.EventStreams
+        .windowedHeavyHitters(tbl(s, dir, "events"), "1 hour", "2 hours",
+          k = 3, capacity = 4096)
+        .select(unix_millis(col("window_start")).as("hour_ms"),
+          col("rnk").cast("long").as("rnk"), col("user_id"),
+          col("est_count"), col("max_err"))
+        .orderBy(col("hour_ms"), col("rnk")),
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) AS h, user_id,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT h, user_id, cnt, row_number() OVER (
+        |    PARTITION BY h ORDER BY cnt DESC, user_id) AS rnk FROM c)
+        |SELECT epoch_ms(h) AS hour_ms, CAST(rnk AS BIGINT) AS rnk,
+        |  user_id, cnt AS est_count, CAST(0 AS BIGINT) AS max_err
+        |FROM r WHERE rnk <= 3 ORDER BY hour_ms, rnk""".stripMargin))
   )
 }

@@ -34,6 +34,29 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Per-window heavy hitters with bounded state — the streaming
+    * shape of "top users per hour" on an unbounded stream. State per
+    * window is one space-saving summary (O(capacity), see
+    * [[graft.operators.TopK.SpaceSavingAgg]]), NOT a counter per
+    * distinct user, so the query's state store stays flat however
+    * many ids flow through; the watermark expires whole windows.
+    * Works identically on a batch DataFrame (the stream==batch spec
+    * twin), and is exact whenever a window's distinct ids fit
+    * `capacity`. */
+  def windowedHeavyHitters(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours", k: Int = 3,
+      capacity: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.operators.TopK.spaceSaving(k, capacity)(col("user_id"))
+        .as("hh"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("hh")).as(Seq("i", "h")))
+      .select(col("window_start"), (col("i") + 1).as("rnk"),
+        col("h.id").as("user_id"), col("h.count").as("est_count"),
+        col("h.err").as("max_err"))
+
   /** Streaming exact dedup — the incremental twin of
     * `operators.Dedup.exact`: drop rows whose key was already seen,
     * with state bounded by the watermark horizon

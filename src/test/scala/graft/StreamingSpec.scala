@@ -63,6 +63,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._3).sum == 4)
   }
 
+  test("windowed heavy hitters stream == batch, exact under capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // hour 1: user 10 ×3, 20 ×2, 30 ×1; hour 2: user 20 ×2, 40 ×1
+    val events = Seq(
+      Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "view", 1.0),
+      Event(3, ts(3), 10, "click", 1.0), Event(4, ts(4), 20, "click", 1.0),
+      Event(5, ts(5), 20, "view", 1.0), Event(6, ts(6), 30, "click", 1.0),
+      Event(7, ts(61), 20, "click", 1.0), Event(8, ts(62), 20, "view", 1.0),
+      Event(9, ts(63), 40, "click", 1.0))
+    val q = EventStreams.windowedHeavyHitters(input.toDF(), "1 hour",
+        "2 hours", k = 2, capacity = 64)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh").start()
+    input.addData(events.take(4))
+    q.processAllAvailable()
+    input.addData(events.drop(4))
+    q.processAllAvailable()
+    val got = spark.table("hh").orderBy("window_start", "rnk")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    q.stop()
+    // capacity (64) > distinct users per window → EXACT top-2 with
+    // zero error, regardless of micro-batch boundaries
+    assert(got == Seq(
+      (Base, 1, 10L, 3L, 0L), (Base, 2, 20L, 2L, 0L),
+      (Base + 3600000L, 1, 20L, 2L, 0L), (Base + 3600000L, 2, 40L, 1L, 0L)))
+    val batch = EventStreams.windowedHeavyHitters(events.toDF(), "1 hour",
+        "2 hours", k = 2, capacity = 64)
+      .orderBy("window_start", "rnk")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == batch)
+  }
+
+  test("space-saving state stays bounded and bounds its error under overflow") {
+    val agg = new graft.operators.TopK.SpaceSavingAgg(3, 4)
+    // 100 distinct ids + a genuinely heavy id 7 (×50), capacity 4
+    var m = agg.zero
+    (0L until 100L).foreach { i => m = agg.reduce(m, i) }
+    (1 to 50).foreach { _ => m = agg.reduce(m, 7L) }
+    assert(m.size <= 4) // state never exceeds capacity
+    val top = agg.finish(m)
+    // the heavy id surfaces on top, its guaranteed lower bound
+    // (count - err) is positive and its estimate covers the truth
+    assert(top.head.id == 7L)
+    assert(top.head.count >= 50L && top.head.count - top.head.err <= 50L)
+    // merge of two summaries trims back to capacity
+    var m2 = agg.zero
+    (200L until 300L).foreach { i => m2 = agg.reduce(m2, i) }
+    assert(agg.merge(m, m2).size <= 4)
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
