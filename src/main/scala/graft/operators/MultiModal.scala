@@ -198,4 +198,78 @@ object MultiModal {
         }
       }
   }
+
+  /** One media row's 64-bit average-hash; None when the payload isn't
+    * a decodable PNG/JPEG. */
+  case class MediaHash(media_id: Long, ahash: Option[Long])
+
+  /** 64-bit aHash of one image: sample an 8×8 nearest-neighbor grid
+    * of Rec.601 integer lumas, bit i set iff grid cell i is strictly
+    * brighter than the integer mean. All-integer math — bit-stable
+    * across JVMs and platforms (no resample kernel, no float). */
+  private def aHashOf(bytes: Array[Byte]): Option[Long] = {
+    val img = decodeImage(bytes)
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val g = new Array[Int](64)
+      var i = 0
+      var sum = 0
+      while (i < 64) {
+        val x = math.min((i % 8) * w / 8, w - 1)
+        val y = math.min((i / 8) * h / 8, h - 1)
+        val rgb = img.getRGB(x, y)
+        g(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        sum += g(i)
+        i += 1
+      }
+      val mean = sum / 64
+      var bits = 0L
+      i = 0
+      while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
+      Some(bits)
+    }
+  }
+
+  /** Perceptual fingerprints for an image corpus: the aHash of every
+    * decodable payload (narrow per-row pass over the binary column,
+    * streams at scan speed). Undecodable payloads yield a NULL hash
+    * so downstream dedup can skip them without dropping the row. */
+  def imageAHash(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          MediaHash(id,
+            aHashOf(if (bytes == null) Array.empty[Byte] else bytes))
+        }
+      }
+  }
+
+  /** Perceptual image near-dup: band each 64-bit aHash into 4×16-bit
+    * LSH slices (the [[Dedup.simhashBandCandidates]] machinery, so
+    * candidate pairs are bucket-local — |bucket|², never n²), then
+    * verify candidates with the exact hamming distance. Catches
+    * re-encodes, minor crops and brightness-preserving edits — the
+    * image-side twin of text SimHash dedup. Any pair within hamming
+    * `maxDist` of each other on the 64-bit hash survives; threshold 6
+    * ≈ "same image up to small edits" in the aHash literature. */
+  def aHashNearDup(media: DataFrame, maxDist: Int = 6): DataFrame = {
+    val fp = imageAHash(media).toDF()
+      .filter(col("ahash").isNotNull)
+      .select(col("media_id"), col("ahash").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.simhashBandCandidates(fp, "media_id",
+      bands = 4, bitsPerBand = 16)
+    val a = fp.select(col("media_id").as("a_id"), col("simhash").as("ha"))
+    val b = fp.select(col("media_id").as("b_id"), col("simhash").as("hb"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
 }

@@ -472,6 +472,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr(1).frame.toSeq == "ijkl".getBytes("UTF-8").toSeq)
   }
 
+  test("aHash near-dup pairs re-encodes and small edits, separates different images") {
+    import spark.implicits._
+    // real PNGs through the real javax.imageio codec
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val grad = png(64, 64)((x, _) => gray(x * 4))          // L→R gradient
+    val gradBig = png(128, 128)((x, _) => gray(x * 2))     // same image, 2× scale
+    val gradEdit = png(64, 64)((x, y) =>                   // small local edit
+      if (x < 4 && y < 4) gray(255) else gray(x * 4))
+    val inverse = png(64, 64)((x, _) => gray(255 - x * 4)) // different image
+    val junk = "not an image".getBytes("UTF-8")
+    val media = Seq(
+      (1L, grad), (2L, gradBig), (3L, gradEdit), (4L, inverse), (5L, junk)
+    ).toDF("media_id", "content")
+    // identical content at different resolutions → identical hash
+    val hashes = MultiModal.imageAHash(media).collect()
+      .map(m => m.media_id -> m.ahash).toMap
+    assert(hashes(1L) == hashes(2L) && hashes(1L).isDefined)
+    assert(hashes(5L).isEmpty) // undecodable → NULL, not a crash
+    val pairs = MultiModal.aHashNearDup(media, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // re-encode/rescale
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // small edit
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // inverse stays apart
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // junk excluded
+  }
+
   test("packSequences fills bins in hash order within each shard") {
     import spark.implicits._
     val d = (0L until 200L).map(i => (i, ("tok " * (i.toInt % 40 + 1)).trim))
