@@ -101,8 +101,9 @@ object TopK {
     * Streams"): track at most `capacity` counters per group; an
     * unseen id evicts the current minimum and inherits its count as
     * its error bound. The summary is mergeable (counts and errors
-    * add; overflow trims to the best `capacity` — Agarwal et al.
-    * 2012, "Mergeable Summaries"), so it rides Spark's partial+final
+    * add; one-sided ids inherit the other side's counter floor;
+    * overflow trims to the best `capacity` — Agarwal et al. 2012,
+    * "Mergeable Summaries"), so it rides Spark's partial+final
     * aggregation AND Structured Streaming state: per-group state is
     * O(capacity) forever, the property that makes per-window heavy
     * hitters viable on an unbounded 100-TB stream where an exact
@@ -138,12 +139,24 @@ object TopK {
     override def merge(a: scala.collection.mutable.HashMap[Long, (Long, Long)],
         b: scala.collection.mutable.HashMap[Long, (Long, Long)])
         : scala.collection.mutable.HashMap[Long, (Long, Long)] = {
-      b.foreach { case (id, (c, e)) =>
-        a.get(id) match {
-          case Some((c0, e0)) => a(id) = (c0 + c, e0 + e)
-          case None => a(id) = (c, e)
+      // An id absent from a full summary may still have occurred up to
+      // that summary's minimum counter times (it could have been
+      // evicted at any point below the floor) — one-sided ids inherit
+      // the other side's floor as extra count AND extra error, which
+      // is what preserves `estimate >= true >= estimate - err` across
+      // merges (Agarwal et al. 2012, Mergeable Summaries).
+      def floor(m: scala.collection.mutable.HashMap[Long, (Long, Long)]): Long =
+        if (m.size < capacity) 0L else m.valuesIterator.map(_._1).min
+      val fa = floor(a)
+      val fb = floor(b)
+      val bOnly = b.filter { case (id, _) => !a.contains(id) }
+      a.mapValuesInPlace { case (id, (c, e)) =>
+        b.get(id) match {
+          case Some((c2, e2)) => (c + c2, e + e2)
+          case None => (c + fb, e + fb)
         }
       }
+      bOnly.foreach { case (id, (c, e)) => a(id) = (c + fa, e + fa) }
       if (a.size > capacity) {
         val keep = a.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
         a.clear(); a ++= keep

@@ -117,6 +117,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.merge(m, m2).size <= 4)
   }
 
+  test("space-saving invariants hold on random streams and random merge splits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val agg = new graft.operators.TopK.SpaceSavingAgg(5, 8)
+    // skewed random streams over a key space larger than capacity
+    val stream: Gen[List[Long]] = Gen.listOfN(400,
+      Gen.frequency(6 -> Gen.choose(0L, 3L), 4 -> Gen.choose(0L, 50L)))
+    (0 until 30).foreach { i =>
+      {
+        val xs = stream.apply(Gen.Parameters.default, Seed(i.toLong)).get
+        val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        // random split into two partitions, each reduced, then merged —
+        // the partial+final path Spark and streaming state actually run
+        val (l, r) = xs.zipWithIndex.partition(_._2 % 3 == 0)
+        def summarize(ys: Seq[Long]) =
+          ys.foldLeft(agg.zero)((m, x) => agg.reduce(m, x))
+        val merged = agg.merge(summarize(l.map(_._1)), summarize(r.map(_._1)))
+        assert(merged.size <= 8) // state bound survives merge
+        merged.foreach { case (id, (c, e)) =>
+          val t = truth(id)
+          assert(c >= t, s"estimate $c under-counts true $t for $id")
+          assert(c - e <= t, s"lower bound ${c - e} exceeds true $t for $id")
+        }
+      }
+    }
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
