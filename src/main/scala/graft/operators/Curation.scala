@@ -212,6 +212,51 @@ object Curation {
           .as("weight"))
   }
 
+  /** Domain drift diagnostic: KL(P_group ‖ P_corpus) over hashed
+    * unigram buckets, per group — how far each source's token
+    * distribution sits from the corpus mix, the number mixture
+    * tuning (and drift monitoring between ingest snapshots) reads
+    * before reweighting. Add-1 smoothing over `buckets` hashed
+    * buckets, same bucket space as [[dsirWeights]].
+    *
+    * Determinism: bucket counts are exact integers; each bucket's
+    * term p_g·(ln p_g − ln p) is computed with the same op sequence
+    * in both engines, and the per-group sum folds in bucket order —
+    * so the doubles are engine- and partitioning-independent. Scale:
+    * two bucket aggregates (O(groups × buckets) rows), the group ×
+    * bucket grid built against the broadcast corpus table — nothing
+    * is corpus-sized after the token pass. */
+  def domainDivergence(df: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 64): DataFrame = {
+    val tok = df.select(col(groupCol),
+        explode(Dedup.tokens(col(textCol))).as("token"))
+      .select(col(groupCol),
+        pmod(tokenHash(col("token")), lit(buckets.toLong)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = tok.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val nTot = corpus.agg(sum(col("cb")).as("n"))
+    val grp = tok.groupBy(col(groupCol), col("b")).agg(count(lit(1)).as("cgb"))
+    val ng = grp.groupBy(col(groupCol)).agg(sum(col("cgb")).as("ng"))
+    // the FULL bucket grid, including buckets no token hashed into:
+    // both smoothed distributions must range over all `buckets` cells
+    // or the truncated sum is not a KL (and can go negative)
+    val allB = df.sparkSession.range(buckets).select(col("id").as("b"))
+    val base = ng.crossJoin(broadcast(allB))
+      .join(broadcast(corpus), Seq("b"), "left")
+      .join(grp, Seq(groupCol, "b"), "left")
+      .na.fill(0L, Seq("cgb", "cb"))
+      .crossJoin(broadcast(nTot))
+    val pg = (col("cgb") + 1.0) / (col("ng") + buckets.toDouble)
+    val pb = (col("cb") + 1.0) / (col("n") + buckets.toDouble)
+    base.select(col(groupCol), col("b"), col("ng"),
+        (pg * (log(pg) - log(pb))).as("t"))
+      .groupBy(col(groupCol))
+      .agg(min(col("ng")).as("n_tokens"),
+        round(expr(
+          "aggregate(array_sort(collect_list(struct(b, t)))," +
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"), 6).as("kl"))
+  }
+
   /** Prepare a corpus for sharded export: tag each row with its
     * deterministic shard, cluster rows so each output file holds
     * exactly one shard (`repartition` on the shard key), and order

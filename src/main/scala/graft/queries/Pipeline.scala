@@ -1244,6 +1244,43 @@ object Pipeline {
           |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- domain drift: KL(source ‖ corpus) over hashed unigram
+    // buckets — the mixture-tuning / drift-monitoring diagnostic.
+    // Same bucket space as p43; per-source sums fold in bucket order.
+    "p45_domain_kl" -> Q(
+      (s, dir) => Curation.domainDivergence(tbl(s, dir, "documents"),
+          "source", "text", buckets = 64)
+        .orderBy(col("source")),
+      Some {
+        s"""WITH tk AS (SELECT source,
+          |    unnest(str_split_regex(trim(lower(text)), '\\s+')) AS token
+          |  FROM documents),
+          |tk2 AS (SELECT source,
+          |    ${QueryUtil.oPoly60("token")} % 64 AS b FROM tk),
+          |corpus AS (SELECT b, count(*) AS cb FROM tk2 GROUP BY 1),
+          |n AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM corpus),
+          |grp AS (SELECT source, b, count(*) AS cgb FROM tk2 GROUP BY 1, 2),
+          |ng AS (SELECT source, CAST(sum(cgb) AS BIGINT) AS ng
+          |  FROM grp GROUP BY 1),
+          |bs AS (SELECT unnest(range(0, 64)) AS b),
+          |base AS (SELECT ng.source, bs.b, ng.ng,
+          |    COALESCE(corpus.cb, 0) AS cb,
+          |    COALESCE(grp.cgb, 0) AS cgb, n.n
+          |  FROM ng CROSS JOIN bs
+          |  LEFT JOIN corpus ON corpus.b = bs.b
+          |  LEFT JOIN grp ON grp.source = ng.source AND grp.b = bs.b
+          |  CROSS JOIN n),
+          |t AS (SELECT source, b, ng,
+          |    ((cgb + 1.0) / (ng + 64.0)) *
+          |      (ln((cgb + 1.0) / (ng + 64.0)) -
+          |       ln((cb + 1.0) / (n + 64.0))) AS t
+          |  FROM base)
+          |SELECT source, CAST(min(ng) AS BIGINT) AS n_tokens,
+          |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list(t ORDER BY b)), (a, x) -> a + x), 6) AS kl
+          |FROM t GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // ---- SemDeDup (Abbas et al. 2023): k-means clusters bound the
     // pairwise cosine scan to in-cluster pairs; smallest vec_id of a
     // near-dup pair survives. DuckDB replays both Lloyd iterations

@@ -614,6 +614,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(_._1).toSeq)
   }
 
+  test("domainDivergence ranks the off-mix source above the representative one") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "xx xx xx xx xx xx"), ("a", "xx xx xx xx"),   // xx-only
+      ("b", "yy yy yy yy"),                               // yy-only (rarer)
+      ("c", "xx yy xx yy xx yy xx xx")                    // ≈ corpus mix
+    ).toDF("source", "text")
+    val r = Curation.domainDivergence(docs, "source", "text")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    // the corpus is xx-heavy: the yy-only source diverges most, the
+    // mixed source least
+    assert(r("b") > r("a") && r("a") > r("c"))
+    assert(r("c") >= 0.0) // KL is non-negative
+    val r2 = Curation.domainDivergence(docs.repartition(5), "source", "text")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r == r2) // bit-identical under any partitioning
+  }
+
   test("duplicatedSpans flags cross-doc and within-doc repeated n-grams") {
     import spark.implicits._
     val d = Seq(
