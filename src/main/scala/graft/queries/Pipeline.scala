@@ -1244,6 +1244,41 @@ object Pipeline {
           |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- C4/RefinedWeb-style span dedup: the REMOVAL twin of the
+    // p44 profile — non-overlapping 16-token spans, global first
+    // occurrence survives (argmin over the span md5), documents
+    // reassemble from their kept spans. kept_md5 fingerprints the
+    // surviving text so the oracle verifies reassembly byte-for-byte.
+    "p46_span_dedup" -> Q(
+      (s, dir) => Dedup.spanDedup(tbl(s, dir, "documents"),
+          "doc_id", "text", width = 16)
+        .orderBy(col("id")),
+      Some {
+        """WITH tok AS (SELECT doc_id AS id,
+          |    str_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+          |spans AS (
+          |  SELECT id, i AS pos,
+          |      array_to_string(tk[(i*16+1):(i*16+16)], ' ') AS span
+          |    FROM tok, unnest(range(0, CAST(ceil(len(tk)/16.0) AS BIGINT))) t(i)
+          |    WHERE len(tk) > 16
+          |  UNION ALL
+          |  SELECT id, 0 AS pos, array_to_string(tk, ' ') AS span
+          |    FROM tok WHERE len(tk) <= 16),
+          |firsts AS (SELECT h, id AS fid, pos AS fpos FROM (
+          |    SELECT md5(span) AS h, id, pos, row_number() OVER (
+          |        PARTITION BY md5(span) ORDER BY id, pos) AS rn
+          |      FROM spans) WHERE rn = 1),
+          |tagged AS (SELECT s.id, s.pos, s.span,
+          |    (f.fid = s.id AND f.fpos = s.pos) AS keep
+          |  FROM spans s JOIN firsts f ON md5(s.span) = f.h)
+          |SELECT id, count(*) AS n_spans,
+          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  md5(COALESCE(array_to_string(
+          |    list(span ORDER BY pos) FILTER (WHERE keep), ' '), ''))
+          |    AS kept_md5
+          |FROM tagged GROUP BY id ORDER BY id""".stripMargin
+      }),
+
     // ---- domain drift: KL(source ‖ corpus) over hashed unigram
     // buckets — the mixture-tuning / drift-monitoring diagnostic.
     // Same bucket space as p43; per-source sums fold in bucket order.

@@ -632,6 +632,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == r2) // bit-identical under any partitioning
   }
 
+  test("spanDedup keeps global first occurrences and reassembles the survivors") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),       // span "a b c d" — first owner (lowest id)
+      (2L, "a b c d"),       // exact dup doc → everything removed
+      (3L, "a b c d e f g"), // 2 spans; its "a b c d" belongs to doc 1
+      (4L, "x y z w")        // unrelated
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d, "doc_id", "text", width = 4)
+      .orderBy(col("id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(r.toSeq == Seq(
+      (1L, 1L, 1L, m("a b c d")),
+      (2L, 1L, 0L, m("")), // every span seen earlier → empty survivor
+      (3L, 2L, 1L, m("e f g")), // reassembles from the surviving tail
+      (4L, 1L, 1L, m("x y z w"))))
+  }
+
   test("duplicatedSpans flags cross-doc and within-doc repeated n-grams") {
     import spark.implicits._
     val d = Seq(
