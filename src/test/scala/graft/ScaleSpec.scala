@@ -63,6 +63,42 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runtime bloom filter injects on a selective fact-dim sort-merge join") {
+    // At 100 TB the big lever on a selective join is Spark's runtime
+    // bloom filter: the filtered build side publishes a bloom filter
+    // that prunes fact rows BEFORE the shuffle. The size thresholds
+    // are tuned for real deployments (app side > 10 GB), so scale
+    // them down to let the tiny test corpus demonstrate the plan
+    // shape the production confs produce.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevApp = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val li = graft.queries.QueryUtil.tbl(spark, sfDir, "lineitem")
+      val ord = graft.queries.QueryUtil.tbl(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$opt")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevApp match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      }
+    }
+  }
+
   test("partition pruning: a partitioned write is read with PartitionFilters") {
     val dir = Files.createTempDirectory("graft_part_").toString
     val li = graft.queries.QueryUtil.tbl(spark, sfDir, "lineitem")
