@@ -48,6 +48,59 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Bloom-prefiltered incremental dedup: flag every row of a new
+    * ingest `batch` as novel or already present in `corpus`, without
+    * ever shuffling either side at corpus scale.
+    *
+    * The cross-run production pattern: a bloom filter over the corpus
+    * content hashes (built once per ingest cycle via the distributed
+    * `stat.bloomFilter` treeAggregate — the filter itself is the only
+    * driver-side state, sized by `expectedItems`/`fpp`, e.g. ~1.2 GB
+    * for 10⁹ docs at 1% fpp) probes each batch row in a narrow
+    * codegen pass ([[graft.functions.BloomProbe]]). Bloom negatives
+    * are DEFINITELY novel — no join needed, and on a typical ingest
+    * that is almost every row. Only the plausible-duplicate remainder
+    * (true dups + fpp·batch false positives) needs exact
+    * verification, and that shortlist is small enough to broadcast:
+    * the corpus streams through one broadcast hash join with ZERO
+    * shuffle, and the confirmed-duplicate hashes come back to tag the
+    * batch. The result is EXACT — the bloom only prunes work, it
+    * never decides membership (no-false-negative property asserted by
+    * OperatorSpec).
+    *
+    * Without the bloom, the same answer needs batch ⋈ corpus on the
+    * content hash — a full shuffle of the corpus side every ingest
+    * cycle. With it, corpus cost is two shuffle-free scans (build +
+    * verify stream).
+    *
+    * Returns one row per batch row: (id, text_hash, is_novel) with
+    * is_novel ∈ {0,1} (long, oracle-friendly). */
+  def bloomNovelty(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long,
+      fpp: Double = 0.03): DataFrame = {
+    val corpusHash = corpus.select(md5(col(textCol)).as("text_hash"))
+    val bloom = corpusHash.stat.bloomFilter("text_hash", expectedItems, fpp)
+    val probed = batch
+      .select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .withColumn("maybe_dup",
+        graft.functions.BloomProbe(col("text_hash"), bloom))
+    // Exact verification only for bloom positives. The shortlist is
+    // broadcast so the (huge) corpus side never shuffles; if an
+    // ingest were ever dup-dominated enough to overflow the broadcast
+    // threshold, drop the hint and AQE falls back to a shuffled hash
+    // join — still correct, just paying the exchange the bloom
+    // normally avoids.
+    val candidates = probed.filter(col("maybe_dup"))
+      .select(col("text_hash")).distinct()
+    val dupHashes = corpusHash
+      .join(broadcast(candidates), Seq("text_hash"))
+      .select(col("text_hash")).distinct()
+      .withColumn("confirmed_dup", lit(true))
+    probed.join(dupHashes, Seq("text_hash"), "left")
+      .select(col(idCol), col("text_hash"),
+        col("confirmed_dup").isNull.cast("long").as("is_novel"))
+  }
+
   /** Span-level exact dedup (the RefinedWeb/C4 retention shape at a
     * fixed granularity): cut each document into non-overlapping
     * `width`-token spans, keep only the globally-FIRST occurrence of

@@ -892,6 +892,31 @@ object Pipeline {
         |FROM newb n ANTI JOIN corpus c ON c.text_hash = n.text_hash
         |ORDER BY keep_id""".stripMargin)),
 
+    // ---- bloom-prefiltered incremental dedup: the cross-run twin of
+    // p33 at the next scale tier. A corpus bloom filter (distributed
+    // treeAggregate build, codegen probe) culls the new batch to its
+    // plausible-duplicate shortlist; only that shortlist is exactly
+    // verified, broadcast against the streaming corpus scan — so
+    // neither side shuffles. The bloom only prunes; the result is
+    // exact, and the oracle is the plain anti-join it replaces.
+    "p47_bloom_dedup" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Dedup.bloomNovelty(
+            docs.filter(col("doc_id") % 10 =!= 3),
+            docs.filter(col("doc_id") % 10 === 3),
+            "doc_id", "text", expectedItems = 100000L, fpp = 0.03)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH batch AS (SELECT doc_id, md5(text) AS text_hash
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |corpus AS (SELECT DISTINCT md5(text) AS text_hash FROM documents
+        |  WHERE doc_id % 10 <> 3)
+        |SELECT b.doc_id AS doc_id, b.text_hash AS text_hash,
+        |  CAST(c.text_hash IS NULL AS BIGINT) AS is_novel
+        |FROM batch b LEFT JOIN corpus c ON c.text_hash = b.text_hash
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- canonical text normalization: Unicode NFC (custom codegen
     // expression — Spark has no built-in normalizer), whitespace
     // collapse, trim, lowercase; md5 of the canonical form is the

@@ -809,4 +809,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Curation.shardId(col("doc_id")) =!= col("shard")).count()
     assert(mismatch == 0)
   }
+
+  test("bloomNovelty: exact result, no false negatives, fpp bounded") {
+    import spark.implicits._
+    // 400 corpus docs; batch = 100 dups of the corpus + 100 novel
+    val corpus = (0L until 400L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((1000L until 1100L).map(i =>
+        (i, s"corpus document number ${i - 1000}")) ++ // dup of corpus
+      (2000L until 2100L).map(i => (i, s"novel document number $i")))
+      .toDF("doc_id", "text")
+    val r = Dedup.bloomNovelty(corpus, batch, "doc_id", "text",
+        expectedItems = 400L, fpp = 0.03)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r.size == 200)
+    // exactness: every true dup flagged 0, every novel row flagged 1 —
+    // bloom false positives MUST be cleaned up by the verify join
+    (1000L until 1100L).foreach(i => assert(r(i) == 0L, s"dup $i"))
+    (2000L until 2100L).foreach(i => assert(r(i) == 1L, s"novel $i"))
+  }
+
+  test("BloomProbe has no false negatives and honors the fpp order") {
+    import spark.implicits._
+    val member = (0L until 1000L).map(i => s"member $i").toDF("h")
+    val bloom = member.stat.bloomFilter("h", 1000L, 0.03)
+    // every inserted value must probe true (the dedup-safety property)
+    val misses = member
+      .filter(!graft.functions.BloomProbe(col("h"), bloom)).count()
+    assert(misses == 0)
+    // non-members: positive rate should be near fpp, not near 1
+    val nonMember = (0L until 2000L).map(i => s"other $i").toDF("h")
+    val falsePos = nonMember
+      .filter(graft.functions.BloomProbe(col("h"), bloom)).count()
+    assert(falsePos < 2000L * 0.03 * 5,
+      s"false-positive rate ${falsePos / 2000.0} far above fpp")
+  }
 }

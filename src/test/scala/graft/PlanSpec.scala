@@ -203,4 +203,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.contains("ObjectHashAggregate"), t)   // bounded TopK merge
     assert(t.contains("InMemoryRelation"), t)      // persisted fan-out seam
   }
+
+  test("p47 bloom probe is codegen'd and the corpus verify never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val t = planText("p47_bloom_dedup")
+    // the probe runs as a native expression inside the batch-side scan
+    // project, not a UDF
+    assert(t.contains("graft_bloom_probe"), t)
+    assert(!t.contains("BatchEvalPython") && !t.contains("ScalaUDF"), t)
+    val nodes = allNodes(plan("p47_bloom_dedup"))
+    // exact verification streams the corpus against the broadcast
+    // bloom-positive shortlist: the corpus side of the inner join must
+    // reach its scan with zero exchanges
+    val inner = nodes.collectFirst {
+      case j: BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+    }.getOrElse(fail("no inner BroadcastHashJoin (verify shortlist) in p47"))
+    val streamedShuffles = allNodes(inner.left)
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(streamedShuffles.isEmpty,
+      s"corpus side of p47 verify shuffles: ${inner.left}")
+  }
 }
