@@ -268,4 +268,54 @@ object Curation {
     df.withColumn("shard", shardId(col(idCol)))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
+
+  /** Deterministic CONTENT-keyed train/val/test assignment: the
+    * split is a function of the text's portable rolling hash (mod 10:
+    * 0–7 train, 8 val, 9 test ≈ 80/10/10), so byte-identical
+    * documents land in the same split on any engine, any
+    * partitioning, any re-run — exact duplicates can never straddle
+    * the eval boundary by construction. Narrow, zero shuffle. */
+  def assignSplit(textCol: Column): Column =
+    when(graft.functions.RollingHash(textCol, 31L, 1000000007L) % 10 <= 7,
+      lit("train"))
+      .when(graft.functions.RollingHash(textCol, 31L, 1000000007L) % 10 === 8,
+        lit("val"))
+      .otherwise(lit("test"))
+
+  /** Split assignment + NEAR-duplicate leakage audit — the eval-
+    * hygiene check a training run needs before trusting its val/test
+    * numbers: a hash split keeps exact dups together, but near-dups
+    * (differing by a byte) hash apart and leak benchmark-adjacent
+    * text into train. Mines candidate pairs with the oracle-proven
+    * portable MinHash LSH ([[Dedup.minhashCandidatesPortable]]),
+    * verifies each with exact shingle Jaccard
+    * ([[Dedup.jaccardForPairs]]), and flags every document whose
+    * verified (≥ `tau`) near-dup lives in a DIFFERENT split.
+    *
+    * Scale shape: split assignment is a narrow pass; leak mining is
+    * the bucketed LSH pipeline (never n² pairs); the split tags join
+    * the verified pairs on doc id (hash join on a uniform key); and
+    * the per-doc rollup is one partial-aggregated count. Returns one
+    * row per document: (id, split, n_cross_leaks, is_leak). */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.5): DataFrame = {
+    val splits = df.select(col(idCol),
+      assignSplit(col(textCol)).as("split"))
+    val verified = Dedup.jaccardForPairs(
+        Dedup.minhashCandidatesPortable(df, idCol, textCol),
+        df, idCol, textCol)
+      .filter(col("jac") >= tau)
+    val cross = verified
+      .join(splits.toDF("a_id", "a_split"), Seq("a_id"))
+      .join(splits.toDF("b_id", "b_split"), Seq("b_id"))
+      .filter(col("a_split") =!= col("b_split"))
+    val perDoc = cross.select(explode(array(col("a_id"), col("b_id")))
+        .as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_cross_leaks"))
+    splits.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("split"),
+        coalesce(col("n_cross_leaks"), lit(0L)).as("n_cross_leaks"),
+        (coalesce(col("n_cross_leaks"), lit(0L)) > 0).cast("long")
+          .as("is_leak"))
+  }
 }

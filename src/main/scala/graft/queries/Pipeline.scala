@@ -917,6 +917,43 @@ object Pipeline {
         |FROM batch b LEFT JOIN corpus c ON c.text_hash = b.text_hash
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- deterministic train/val/test split + near-dup leakage
+    // audit: content-hash split (exact dups can't straddle splits by
+    // construction), then the oracle-proven MinHash→LSH→exact-Jaccard
+    // miner flags documents whose verified near-dup (jac ≥ 0.5) lives
+    // in a DIFFERENT split — the eval-hygiene gate before trusting
+    // val/test numbers. DuckDB replays the split hash, the full
+    // candidate mine, the exact Jaccard, and the cross-split rollup.
+    "p48_split_leakage" -> Q(
+      (s, dir) => Curation.splitLeakage(tbl(s, dir, "documents"),
+          "doc_id", "text", tau = 0.5)
+        .orderBy(col("doc_id")),
+      Some {
+        s"""WITH $duckMinhashCand,
+          |$duckCandJaccard,
+          |sp AS (SELECT doc_id, CASE
+          |    WHEN ${QueryUtil.oPoly("text", 31L, 1000000007L)} % 10 <= 7
+          |      THEN 'train'
+          |    WHEN ${QueryUtil.oPoly("text", 31L, 1000000007L)} % 10 = 8
+          |      THEN 'val'
+          |    ELSE 'test' END AS split
+          |  FROM documents),
+          |cross_leaks AS (SELECT j.a_id, j.b_id
+          |  FROM jac j JOIN sp sa ON sa.doc_id = j.a_id
+          |  JOIN sp sb ON sb.doc_id = j.b_id
+          |  WHERE j.jac >= 0.5 AND sa.split <> sb.split),
+          |perdoc AS (SELECT doc_id, count(*) AS n_cross_leaks FROM (
+          |    SELECT a_id AS doc_id FROM cross_leaks
+          |    UNION ALL SELECT b_id AS doc_id FROM cross_leaks)
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id AS doc_id, sp.split AS split,
+          |  coalesce(p.n_cross_leaks, 0) AS n_cross_leaks,
+          |  CAST(coalesce(p.n_cross_leaks, 0) > 0 AS BIGINT) AS is_leak
+          |FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+          |LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+          |ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- canonical text normalization: Unicode NFC (custom codegen
     // expression — Spark has no built-in normalizer), whitespace
     // collapse, trim, lowercase; md5 of the canonical form is the

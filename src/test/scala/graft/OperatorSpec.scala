@@ -829,6 +829,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     (2000L until 2100L).foreach(i => assert(r(i) == 1L, s"novel $i"))
   }
 
+  test("splitLeakage: content split is stable; cross-split near-dups flagged") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val d = Seq(
+      (1L, base + "alpha ending one"),
+      (2L, base + "alpha ending two"), // near-dup of 1 (high jaccard)
+      (3L, "completely unrelated content about spark shuffles and joins " +
+        "with many extra tokens to avoid any shingle overlap at all"),
+      (4L, base + "alpha ending one") // EXACT dup of 1 → same split always
+    ).toDF("doc_id", "text")
+    val r = Curation.splitLeakage(d, "doc_id", "text", tau = 0.5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    // exact dups share the content hash → identical split, never a leak
+    assert(r(1L)._1 == r(4L)._1)
+    // doc 3 has no near-dup anywhere → never a leak
+    assert(r(3L)._2 == 0L && r(3L)._3 == 0L)
+    // docs 1/2 are verified near-dups: leak flags iff splits differ
+    val leak12 = r(1L)._1 != r(2L)._1
+    assert((r(1L)._3 == 1L) == leak12 || r(1L)._2 > 0L == leak12)
+    assert((r(2L)._3 == 1L) == leak12)
+    // output is deterministic under repartitioning
+    val r2 = Curation.splitLeakage(d.repartition(7), "doc_id", "text", 0.5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == r2)
+  }
+
   test("BloomProbe has no false negatives and honors the fpp order") {
     import spark.implicits._
     val member = (0L until 1000L).map(i => s"member $i").toDF("h")
