@@ -355,4 +355,41 @@ object TextAnalysis {
       when(tert === 1, "head").when(tert === 2, "middle")
         .otherwise("tail").as("ppl_bucket"))
   }
+
+  /** Markup-strip text extraction — the raw-crawl→text step (WET-file
+    * shape) every web-corpus pipeline runs before any quality or
+    * dedup pass: drop `<script>`/`<style>` blocks wholesale, strip
+    * remaining tags, decode the six common HTML entities, collapse
+    * whitespace. Regexes stay inside the RE2-compatible subset (no
+    * backreferences, non-greedy + `(?s)` only) so an ANSI-SQL engine
+    * replays the transform byte-for-byte.
+    *
+    * Entity order matters: `&amp;` decodes LAST so a literal
+    * `&amp;lt;` in the source yields `&lt;` (one decode pass —
+    * browser semantics), not `<`.
+    *
+    * Narrow per-row regex chain, zero shuffle, scan-speed at any
+    * corpus size. Returns (id, clean_text, n_tags, removed_frac):
+    * tag count after block removal, and the fraction of raw bytes
+    * the extraction dropped (a crawl-quality signal — boilerplate-
+    * heavy pages lose most of their bytes here). */
+  def stripMarkup(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    val noBlocks = regexp_replace(
+      regexp_replace(col(htmlCol), "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    df.select(col(idCol), col(htmlCol), noBlocks.as("__nb"),
+        decoded.as("__dec"))
+      .select(col(idCol),
+        trim(regexp_replace(col("__dec"), "\\s+", " ")).as("clean_text"),
+        regexp_count(col("__nb"), lit("<[^>]*>")).cast("long").as("n_tags"),
+        col(htmlCol).as("__raw"))
+      .select(col(idCol), col("clean_text"), col("n_tags"),
+        round(lit(1.0) - length(col("clean_text")).cast("double") /
+          length(col("__raw")).cast("double"), 6).as("removed_frac"))
+  }
 }

@@ -917,6 +917,60 @@ object Pipeline {
         |FROM batch b LEFT JOIN corpus c ON c.text_hash = b.text_hash
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- markup-strip text extraction (the raw-crawl → WET step):
+    // the corpus text is wrapped in deterministic HTML (script/style
+    // blocks, attributes, entities) and the operator must recover the
+    // clean text — script/style removal, tag strip, one-pass entity
+    // decode, whitespace collapse. Narrow regex chain, zero shuffle;
+    // DuckDB replays every regex (RE2-safe subset) byte-for-byte.
+    "p49_markup_strip" -> Q(
+      (s, dir) => {
+        val html = concat(
+          lit("<!DOCTYPE html><html><head><script type=\"text/javascript\">" +
+            "var x = 1 < 2;</script><style>.c{color:red}</style></head>" +
+            "<body><h1 class=\"title\">"),
+          col("lang"),
+          lit("</h1><p id=\"d"), col("doc_id").cast("string"), lit("\">"),
+          col("text"),
+          lit("</p><div>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; " +
+            "&#39;s&#39;</div></body></html>"))
+        TextAnalysis.stripMarkup(
+            tbl(s, dir, "documents").select(col("doc_id"), html.as("html")),
+            "doc_id", "html")
+          .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+            length(col("clean_text")).cast("long").as("clean_chars"),
+            col("n_tags"), col("removed_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        """WITH h AS (SELECT doc_id,
+          |    '<!DOCTYPE html><html><head><script type="text/javascript">'
+          |    || 'var x = 1 < 2;</script><style>.c{color:red}</style></head>'
+          |    || '<body><h1 class="title">' || lang || '</h1><p id="d'
+          |    || CAST(doc_id AS VARCHAR) || '">' || text
+          |    || '</p><div>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; '
+          |    || '&#39;s&#39;</div></body></html>' AS html
+          |  FROM documents),
+          |nb AS (SELECT doc_id, html, regexp_replace(regexp_replace(html,
+          |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |    '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nb FROM h),
+          |d AS (SELECT doc_id, html,
+          |    len(regexp_extract_all(nb, '<[^>]*>')) AS n_tags,
+          |    replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(nb, '<[^>]*>', ' ', 'g'),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS dec
+          |  FROM nb),
+          |c AS (SELECT doc_id, html, n_tags,
+          |    trim(regexp_replace(dec, '\s+', ' ', 'g')) AS clean FROM d)
+          |SELECT doc_id, md5(clean) AS clean_md5,
+          |  CAST(length(clean) AS BIGINT) AS clean_chars,
+          |  CAST(n_tags AS BIGINT) AS n_tags,
+          |  round(1.0 - CAST(length(clean) AS DOUBLE) /
+          |    CAST(length(html) AS DOUBLE), 6) AS removed_frac
+          |FROM c ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- deterministic train/val/test split + near-dup leakage
     // audit: content-hash split (exact dups can't straddle splits by
     // construction), then the oracle-proven MinHash→LSH→exact-Jaccard

@@ -829,6 +829,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     (2000L until 2100L).foreach(i => assert(r(i) == 1L, s"novel $i"))
   }
 
+  test("stripMarkup: blocks dropped, tags stripped, entities one-pass decoded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "<html><head><script>if (1 < 2) alert('x');</script>" +
+        "<style>.a{b:c}</style></head><body><p class=\"x\">Hello" +
+        "<br/>world</p></body></html>"),
+      (2L, "Tom &amp; Jerry say &lt;hi&gt; &quot;loud&quot;&nbsp;" +
+        "&#39;ok&#39; &amp;lt;once&amp;gt;"),
+      (3L, "plain text, no markup at all")
+    ).toDF("doc_id", "html")
+    val r = TextAnalysis.stripMarkup(d, "doc_id", "html")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2)))).toMap
+    // script body (with its unescaped '<') and style vanish wholesale;
+    // tags become separators
+    assert(r(1L)._1 == "Hello world", r(1L))
+    // html, head, /head, body, p, br/, /p, /body, /html = 9 tags left
+    assert(r(1L)._2 == 9L, s"tag count ${r(1L)._2}")
+    // ONE decode pass: &amp;lt; yields the literal &lt;, never <
+    assert(r(2L)._1 == "Tom & Jerry say <hi> \"loud\" 'ok' &lt;once&gt;",
+      r(2L))
+    assert(r(3L)._1 == "plain text, no markup at all" && r(3L)._2 == 0L)
+  }
+
   test("splitLeakage: content split is stable; cross-split near-dups flagged") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 4
