@@ -345,4 +345,53 @@ object Similarity {
         cosineExpr("qv", "nv").as("score"))
     TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
   }
+
+  /** Embedding preprocessing — the standard conditioning pass before
+    * any ANN/clustering stage: mean-center each dimension over the
+    * corpus, L2-normalize, truncate to the first `keepDims`
+    * components (the Matryoshka/MRL deployment trick), re-normalize.
+    *
+    * Reproducibility: the per-dimension corpus means come from
+    * integer-micro sums (the kmeans trick — quantize each component
+    * to round(x·1e6) before the sum), so the means — and everything
+    * derived from them — are bit-identical under any partitioning and
+    * in any engine. The means ride a broadcast `dims`-row aggregate
+    * (no driver action); centering/normalizing is a narrow zip; the
+    * whole pass adds ZERO shuffles beyond the means aggregate.
+    *
+    * Returns (id, v_prep = ready-to-index truncated unit vector,
+    * norm_centered = pre-truncation L2 norm, kept_mass = |first
+    * keepDims of the unit vector| — the fraction of the embedding's
+    * mass the truncation keeps, the MRL quality diagnostic). */
+  def preprocess(corpus: DataFrame, idCol: String, vecCol: String,
+      keepDims: Int): DataFrame = {
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val means = e
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(sum(round(col("x") * 1e6, 0).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("d"), col("sx"), col("n"))))
+        .as("ms"))
+      .select(expr(
+        "transform(ms, m -> CAST(m.sx AS DOUBLE) / m.n / 1000000.0)")
+        .as("mean_v"))
+    val centered = e.join(broadcast(means))
+      .select(col(idCol),
+        expr("zip_with(v, mean_v, (x, m) -> x - m)").as("cv"))
+      .select(col(idCol), col("cv"),
+        sqrt(expr("""aggregate(zip_with(cv, cv, (p, q) -> p * q),
+          CAST(0 AS DOUBLE), (acc, w) -> acc + w)""")).as("norm_centered"))
+    centered
+      .select(col(idCol), col("norm_centered"),
+        expr(s"slice(transform(cv, x -> x / norm_centered), 1, $keepDims)")
+          .as("tv"))
+      .select(col(idCol), col("norm_centered"),
+        sqrt(expr("""aggregate(zip_with(tv, tv, (p, q) -> p * q),
+          CAST(0 AS DOUBLE), (acc, w) -> acc + w)""")).as("kept_mass"),
+        col("tv"))
+      .select(col(idCol),
+        expr("transform(tv, x -> x / kept_mass)").as("v_prep"),
+        col("norm_centered"), col("kept_mass"))
+  }
 }

@@ -356,6 +356,40 @@ object TextAnalysis {
         .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Per-document token-entropy — the lexical-diversity quality
+    * signal (low unigram entropy = repeated boilerplate, keyword
+    * stuffing, template spam; a standard companion to the Gopher
+    * repetition gates). entropy = −Σ (c/n)·ln(c/n) over the doc's
+    * token distribution.
+    *
+    * Determinism: each term is quantized to integer micro-nats BEFORE
+    * the per-doc sum (the p40/p45 trick), so the double total is
+    * identical under any partitioning/summation order and any engine
+    * computing the same (c, n) integers.
+    *
+    * Scale shape: one narrow explode feeds a (doc, token) hash
+    * aggregate and a per-doc rollup — both partial-aggregated,
+    * shuffle keys uniform. No windows, no arrays held whole. */
+  def tokenEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    // the join and both aggregates hash on the doc id, so the
+    // exchange is planned once and reused across all three
+    counts.join(totals, Seq(idCol))
+      .select(col(idCol), col("n"), col("n_distinct"),
+        round(col("c").cast("double") / col("n") *
+          log(col("n").cast("double") / col("c").cast("double")) * 1e6, 0)
+          .cast("long").as("term_micro"))
+      .groupBy(col(idCol))
+      .agg(min(col("n")).as("n_tokens"),
+        min(col("n_distinct")).as("n_distinct"),
+        (sum(col("term_micro")) / lit(1e6)).as("entropy"))
+  }
+
   /** Markup-strip text extraction — the raw-crawl→text step (WET-file
     * shape) every web-corpus pipeline runs before any quality or
     * dedup pass: drop `<script>`/`<style>` blocks wholesale, strip

@@ -649,6 +649,38 @@ object Parity {
         |  AS p95_cents,
         |count(*) AS n
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin))
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- UNPIVOT: wide per-nation metrics back to long form — the
+    // melt every metrics/report table eventually needs. Spark's
+    // Dataset.unpivot runs as a narrow Expand (each input row fans
+    // out in place, no shuffle beyond the upstream aggregate); the
+    // oracle uses the SQL-standard UNPIVOT clause.
+    "q52_unpivot" -> Q(
+      (s, dir) => {
+        val wide = tbl(s, dir, "customer")
+          .join(tbl(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(cents(col("c_acctbal"))).as("sum_bal_cents"),
+            max(cents(col("c_acctbal"))).as("max_bal_cents"))
+        wide.unpivot(
+            Array(col("n_name")),
+            Array(col("n_cust"), col("sum_bal_cents"),
+              col("max_bal_cents")),
+            "metric", "value")
+          .orderBy(col("n_name"), col("metric"))
+      },
+      Some("""WITH w AS (SELECT n_name, count(*) AS n_cust,
+        |    CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_cents,
+        |    max(CAST(round(c_acctbal*100) AS BIGINT)) AS max_bal_cents
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, metric, value
+        |FROM w UNPIVOT (value FOR metric
+        |  IN (n_cust, sum_bal_cents, max_bal_cents))
+        |ORDER BY n_name, metric""".stripMargin))
   )
 }

@@ -917,6 +917,30 @@ object Pipeline {
         |FROM batch b LEFT JOIN corpus c ON c.text_hash = b.text_hash
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- per-doc token entropy: the lexical-diversity quality
+    // signal (low entropy = boilerplate/keyword-stuffed spam). Terms
+    // quantize to integer micro-nats before the per-doc sum (p40's
+    // trick) so the doubles match under any partitioning and engine.
+    "p50_token_entropy" -> Q(
+      (s, dir) => TextAnalysis.tokenEntropy(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    unnest(str_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS nd FROM c GROUP BY 1),
+        |t AS (SELECT c.doc_id,
+        |    CAST(round(CAST(c.c AS DOUBLE) / n.n *
+        |      ln(CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS tm,
+        |    n.n, n.nd
+        |  FROM c JOIN n ON n.doc_id = c.doc_id)
+        |SELECT doc_id, min(n) AS n_tokens, min(nd) AS n_distinct,
+        |  CAST(sum(tm) AS BIGINT) / 1000000.0 AS entropy
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- markup-strip text extraction (the raw-crawl → WET step):
     // the corpus text is wrapped in deterministic HTML (script/style
     // blocks, attributes, entities) and the operator must recover the
@@ -1431,6 +1455,52 @@ object Pipeline {
           |    list(t ORDER BY b)), (a, x) -> a + x), 6) AS kl
           |FROM t GROUP BY source ORDER BY source""".stripMargin
       }),
+
+    // ---- embedding preprocessing: mean-center (integer-micro corpus
+    // means, broadcast), L2-normalize, Matryoshka-truncate to 32 of
+    // 64 dims, re-normalize. kept_mass is the MRL quality diagnostic
+    // (how much of the unit vector the truncation keeps). Zero
+    // shuffles beyond the means aggregate; DuckDB replays every fold.
+    "p51_embed_preprocess" -> Q(
+      (s, dir) => Similarity.preprocess(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", keepDims = 32)
+        .select(col("vec_id"),
+          round(col("norm_centered"), 6).as("norm_centered"),
+          round(col("kept_mass"), 6).as("kept_mass"),
+          expr("""aggregate(v_prep, CAST(0 AS BIGINT),
+            (acc, x) -> acc + CAST(round(x * 1000000, 0) AS BIGINT))""")
+            .as("vprep_sum_micro"))
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |m AS (SELECT d,
+        |    CAST(sum(CAST(round(v[d]*1000000) AS BIGINT)) AS BIGINT) AS sx,
+        |    count(*) AS n
+        |  FROM e, range(1, 65) t(d) GROUP BY d),
+        |mv AS (SELECT list(CAST(sx AS DOUBLE)/n/1000000.0 ORDER BY d)
+        |    AS mean_v FROM m),
+        |c AS (SELECT vec_id,
+        |    list_transform(range(1, 65), d -> v[d] - mean_v[d]) AS cv
+        |  FROM e CROSS JOIN mv),
+        |c2 AS (SELECT vec_id, cv,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(cv, x -> x*x)), (a, b) -> a + b))
+        |      AS norm_centered FROM c),
+        |t AS (SELECT vec_id, norm_centered,
+        |    list_transform(cv[1:32], x -> x / norm_centered) AS tv
+        |  FROM c2),
+        |t2 AS (SELECT vec_id, norm_centered, tv,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(tv, x -> x*x)), (a, b) -> a + b))
+        |      AS kept_mass FROM t),
+        |p AS (SELECT vec_id, norm_centered, kept_mass,
+        |    list_transform(tv, x -> x / kept_mass) AS vp FROM t2)
+        |SELECT vec_id, round(norm_centered, 6) AS norm_centered,
+        |  round(kept_mass, 6) AS kept_mass,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(vp, x -> CAST(round(x*1000000) AS BIGINT))),
+        |    (a, b) -> a + b) AS BIGINT) AS vprep_sum_micro
+        |FROM p ORDER BY vec_id""".stripMargin)),
 
     // ---- SemDeDup (Abbas et al. 2023): k-means clusters bound the
     // pairwise cosine scan to in-cluster pairs; smallest vec_id of a

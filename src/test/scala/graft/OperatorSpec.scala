@@ -829,6 +829,53 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     (2000L until 2100L).foreach(i => assert(r(i) == 1L, s"novel $i"))
   }
 
+  test("preprocess: unit-norm truncated vectors, kept_mass ≤ 1, stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val d = (0L until 40L).map(i =>
+        (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.preprocess(d, "vec_id", "embedding", keepDims = 32)
+    val rows = r.collect()
+    assert(rows.length == 40)
+    rows.foreach { x =>
+      val vp = x.getSeq[Double](1)
+      assert(vp.length == 32)
+      val norm = math.sqrt(vp.map(v => v * v).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"v_prep norm $norm")
+      val kept = x.getDouble(3)
+      assert(kept > 0.0 && kept <= 1.0 + 1e-9, s"kept_mass $kept")
+    }
+    // bit-identical under repartitioning (integer-micro means)
+    val a = r.select(col("vec_id"), col("norm_centered")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = Similarity.preprocess(d.repartition(7), "vec_id",
+        "embedding", 32)
+      .select(col("vec_id"), col("norm_centered")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("tokenEntropy: zero for constant docs, ln(k) for uniform, stable") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),                 // constant → 0
+      (2L, "a b"),                     // uniform 2 → ln 2
+      (3L, "a a b b c c d d")          // uniform 4 → ln 4
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((4L, 1L, 0.0)))
+    // micro-nat quantization: each term rounds before the sum
+    assert(math.abs(r(2L)._3 - math.log(2)) < 2e-6 && r(2L)._2 == 2L)
+    assert(math.abs(r(3L)._3 - math.log(4)) < 4e-6 && r(3L)._1 == 8L)
+    // identical under repartitioning (integer-sum determinism)
+    val r2 = TextAnalysis.tokenEntropy(d.repartition(5), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r.forall { case (k, v) => r2(k) == v._3 })
+  }
+
   test("stripMarkup: blocks dropped, tags stripped, entities one-pass decoded") {
     import spark.implicits._
     val d = Seq(
