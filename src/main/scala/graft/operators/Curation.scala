@@ -269,6 +269,74 @@ object Curation {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
 
+  /** Distributed batch-perceptron quality classifier — the
+    * model-based filtering family (fastText-style classifiers in
+    * CCNet/LLaMA pipelines) reduced to its bit-exact core: hashed
+    * bag-of-words features (token counts over `buckets` portable-hash
+    * buckets + bias), labels from `labelCol` (+1/−1), and `rounds`
+    * synchronous batch updates w ← w + Σ_misclassified y·x with
+    * margin rule y·(w·x) ≤ 0.
+    *
+    * Everything is INTEGER arithmetic — counts, dot products, weight
+    * sums — so training is exactly reproducible under any
+    * partitioning and replayable in ANSI SQL (no float gradients, no
+    * libm). That is the property that lets the oracle verify a
+    * distributed TRAINING loop, not just inference.
+    *
+    * Scale shape: features are one narrow explode + a doc-keyed hash
+    * aggregate (dense `buckets+1` arrays, built once and persisted);
+    * each round broadcasts the (buckets+1)-long weight row, computes
+    * margins in a narrow zip, and reduces misclassified rows to one
+    * per-dimension sum — a `buckets+1`-key aggregate feeding a 1-row
+    * map. No driver actions, no windows; rounds are a fixed
+    * hyperparameter, not data-dependent.
+    *
+    * Returns (id, y, score, pred): final integer activation w·x and
+    * its sign. */
+  def perceptronQuality(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, buckets: Int = 16, rounds: Int = 3): DataFrame = {
+    val dims = buckets + 1 // + bias
+    val counts = df
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("t"))
+      .select(col(idCol),
+        pmod(tokenHash(col("t")), lit(buckets.toLong)).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"))
+    val feat = df.select(col(idCol), labelCol.cast("long").as("y"))
+      .join(counts, Seq(idCol))
+      .select(col(idCol), col("y"), expr(
+        s"""concat(transform(sequence(0, ${buckets - 1}),
+           |  bb -> coalesce(element_at(m, CAST(bb AS BIGINT)),
+           |                 CAST(0 AS BIGINT))),
+           |  array(CAST(1 AS BIGINT)))""".stripMargin).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dot = expr("""aggregate(zip_with(w, x, (a, b) -> a * b),
+      CAST(0 AS BIGINT), (acc, v) -> acc + v)""")
+    var w = df.sparkSession.range(1).select(expr(
+      s"transform(sequence(1, $dims), i -> CAST(0 AS BIGINT))").as("w"))
+    for (_ <- 1 to rounds) {
+      val mis = feat.crossJoin(broadcast(w))
+        .select(col("y"), col("x"), (col("y") * dot).as("margin"))
+        .filter(col("margin") <= 0)
+      // one row always, even when nothing is misclassified: a global
+      // aggregate over zero rows yields an empty update map
+      val delta = mis
+        .select(col("y"), posexplode(col("x")).as(Seq("d", "xd")))
+        .groupBy(col("d")).agg(sum(col("y") * col("xd")).as("s"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("d"), col("s"))))).as("dm"))
+      w = w.crossJoin(broadcast(delta)).select(expr(
+        s"""zip_with(w, transform(sequence(0, ${dims - 1}),
+           |  dd -> coalesce(element_at(dm, dd), CAST(0 AS BIGINT))),
+           |  (a, b) -> a + b)""".stripMargin).as("w"))
+    }
+    feat.crossJoin(broadcast(w))
+      .select(col(idCol), col("y"), dot.as("score"),
+        when(dot > 0, 1L).otherwise(-1L).as("pred"))
+  }
+
   /** Deterministic CONTENT-keyed train/val/test assignment: the
     * split is a function of the text's portable rolling hash (mod 10:
     * 0–7 train, 8 val, 9 test ≈ 80/10/10), so byte-identical

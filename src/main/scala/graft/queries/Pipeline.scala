@@ -149,7 +149,72 @@ object Pipeline {
       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
       |  JOIN sh sb ON sb.doc_id = c.b_id)""".stripMargin
 
+  /** CTE chain replaying Curation.perceptronQuality (16 hashed
+    * buckets + bias, 3 batch rounds) exactly in DuckDB: dense integer
+    * feature vectors, per-round margin scan, misclassified-set
+    * gradient map, integer weight update. Training is all-integer, so
+    * the unrolled replay is exact — the oracle verifies the TRAINING
+    * loop, not just inference. */
+  private val duckPerceptron: String = {
+    val opoly60 = QueryUtil.oPoly60("t")
+    val dot = (wRel: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 18), i -> $wRel.w[i] * f.x[i])),
+         |      (a, b) -> a + b)""".stripMargin
+    val rounds = (0 until 3).map { r =>
+      s"""s$r AS (SELECT f.doc_id, f.y, f.x, ${dot("w")} AS dot
+         |  FROM feat f CROSS JOIN w$r w),
+         |g$r AS (SELECT i, CAST(sum(y * x[i]) AS BIGINT) AS s
+         |  FROM s$r, range(1, 18) t(i) WHERE y * dot <= 0 GROUP BY i),
+         |gm$r AS (SELECT map(
+         |    coalesce(list(i ORDER BY i), CAST([] AS BIGINT[])),
+         |    coalesce(list(s ORDER BY i), CAST([] AS BIGINT[]))) AS gm
+         |  FROM g$r),
+         |w${r + 1} AS (SELECT list_transform(range(1, 18),
+         |    i -> w.w[i] + coalesce(map_extract(g.gm, i)[1], 0)) AS w
+         |  FROM w$r w CROSS JOIN gm$r g)""".stripMargin
+    }.mkString(",\n")
+    s"""tk AS (SELECT doc_id, unnest(
+       |    str_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents),
+       |bc AS (SELECT doc_id, $opoly60 % 16 AS b, count(*) AS c
+       |  FROM tk GROUP BY 1, 2),
+       |fm AS (SELECT doc_id, map(list(b ORDER BY b), list(c ORDER BY b))
+       |    AS m FROM bc GROUP BY doc_id),
+       |feat AS (SELECT d.doc_id,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    list_transform(range(0, 16),
+       |      bb -> CAST(coalesce(map_extract(fm.m, bb)[1], 0) AS BIGINT)) ||
+       |      [CAST(1 AS BIGINT)] AS x
+       |  FROM documents d JOIN fm ON fm.doc_id = d.doc_id),
+       |w0 AS (SELECT list_transform(range(1, 18), i -> CAST(0 AS BIGINT))
+       |    AS w),
+       |$rounds,
+       |fin AS (SELECT f.doc_id, f.y, f.x, ${dot("w")} AS dot
+       |  FROM feat f CROSS JOIN w3 w)""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+
+    // ---- model-based quality classifier: distributed batch
+    // perceptron over hashed bag-of-words features, 3 synchronous
+    // integer rounds — fastText-style filtering reduced to an
+    // exactly-reproducible core. The oracle unrolls and replays the
+    // full TRAINING loop (all-integer), then the final activations.
+    "p52_perceptron" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Curation.perceptronQuality(docs, "doc_id", "text",
+            when(col("lang") === "en", 1L).otherwise(-1L),
+            buckets = 16, rounds = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH $duckPerceptron
+          |SELECT doc_id, CAST(y AS BIGINT) AS y, dot AS score,
+          |  CAST(CASE WHEN dot > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+          |FROM fin ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- exact dedup: hash-group on content hash.
     "p01_dedup_exact" -> Q(

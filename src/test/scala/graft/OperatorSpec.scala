@@ -829,6 +829,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     (2000L until 2100L).foreach(i => assert(r(i) == 1L, s"novel $i"))
   }
 
+  test("perceptronQuality: separable data converges; training is stable") {
+    import spark.implicits._
+    val d = ((0L until 20L).map(i => (i, "alpha beta gamma alpha", 1L)) ++
+      (20L until 40L).map(i => (i, "delta epsilon zeta zeta", -1L)))
+      .toDF("doc_id", "text", "y_true")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.perceptronQuality(df, "doc_id", "text", col("y_true"),
+          buckets = 16, rounds = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+    val r = run(d)
+    // linearly separable (disjoint token sets) → perfect after 3 rounds
+    (0L until 20L).foreach(i => assert(r(i)._2 == 1L, s"doc $i: ${r(i)}"))
+    (20L until 40L).foreach(i => assert(r(i)._2 == -1L, s"doc $i: ${r(i)}"))
+    // integer training → bit-identical activations on any partitioning
+    assert(run(d.repartition(7)) == r)
+  }
+
   test("preprocess: unit-norm truncated vectors, kept_mass ≤ 1, stable") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
