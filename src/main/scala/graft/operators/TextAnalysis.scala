@@ -362,33 +362,34 @@ object TextAnalysis {
     * repetition gates). entropy = −Σ (c/n)·ln(c/n) over the doc's
     * token distribution.
     *
-    * Determinism: each term is quantized to integer micro-nats BEFORE
-    * the per-doc sum (the p40/p45 trick), so the double total is
-    * identical under any partitioning/summation order and any engine
-    * computing the same (c, n) integers.
+    * Rewritten with the identity −Σ (c/n)·ln(c/n) = ln n − (Σ c·ln c)/n
+    * so the whole statistic is TWO chained hash aggregates on one
+    * scan — (doc, token) counts, then a per-doc rollup of (n,
+    * distinct, Σ c·ln c) — with no join and no second pass (the naive
+    * form needs per-doc totals joined back to the counts, which
+    * recomputes the explode once per branch and tempts the planner
+    * into broadcasting a corpus-sized side).
     *
-    * Scale shape: one narrow explode feeds a (doc, token) hash
-    * aggregate and a per-doc rollup — both partial-aggregated,
-    * shuffle keys uniform. No windows, no arrays held whole. */
+    * Determinism: each c·ln(c) term is quantized to integer
+    * micro-nats BEFORE the per-doc sum (the p40/p45 trick), so the
+    * result is identical under any partitioning/summation order and
+    * any engine computing the same (c, n) integers. */
   def tokenEntropy(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val counts = df
-      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("t"))
+      textCol: String): DataFrame =
+    df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy(col(idCol))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
-    // the join and both aggregates hash on the doc id, so the
-    // exchange is planned once and reused across all three
-    counts.join(totals, Seq(idCol))
-      .select(col(idCol), col("n"), col("n_distinct"),
-        round(col("c").cast("double") / col("n") *
-          log(col("n").cast("double") / col("c").cast("double")) * 1e6, 0)
-          .cast("long").as("term_micro"))
+      .select(col(idCol), col("c"),
+        round(col("c").cast("double") * log(col("c").cast("double")) * 1e6,
+          0).cast("long").as("term_micro"))
       .groupBy(col(idCol))
-      .agg(min(col("n")).as("n_tokens"),
-        min(col("n_distinct")).as("n_distinct"),
-        (sum(col("term_micro")) / lit(1e6)).as("entropy"))
-  }
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("term_micro")).as("s_micro"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        // round to 6dp: ln(n) is the one unquantized libm call left in
+        // the result, and engines may differ in its last ulp
+        round(log(col("n_tokens").cast("double")) -
+          col("s_micro") / lit(1e6) / col("n_tokens"), 6).as("entropy"))
 
   /** Markup-strip text extraction — the raw-crawl→text step (WET-file
     * shape) every web-corpus pipeline runs before any quality or

@@ -994,17 +994,17 @@ object Pipeline {
         |    unnest(str_split_regex(trim(lower(text)), '\s+')) AS t
         |  FROM documents),
         |c AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
-        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-        |    count(*) AS nd FROM c GROUP BY 1),
-        |t AS (SELECT c.doc_id,
-        |    CAST(round(CAST(c.c AS DOUBLE) / n.n *
-        |      ln(CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE)) * 1000000)
-        |      AS BIGINT) AS tm,
-        |    n.n, n.nd
-        |  FROM c JOIN n ON n.doc_id = c.doc_id)
-        |SELECT doc_id, min(n) AS n_tokens, min(nd) AS n_distinct,
-        |  CAST(sum(tm) AS BIGINT) / 1000000.0 AS entropy
-        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+        |r AS (SELECT doc_id, c,
+        |    CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS tm
+        |  FROM c),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct, CAST(sum(tm) AS BIGINT) AS s_micro
+        |  FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) -
+        |    s_micro / 1000000.0 / n_tokens, 6) AS entropy
+        |FROM g ORDER BY doc_id""".stripMargin)),
 
     // ---- markup-strip text extraction (the raw-crawl → WET step):
     // the corpus text is wrapped in deterministic HTML (script/style

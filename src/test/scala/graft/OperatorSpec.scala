@@ -884,7 +884,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = TextAnalysis.tokenEntropy(d, "doc_id", "text")
       .collect().map(x => x.getLong(0) ->
         ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
-    assert(r(1L) == ((4L, 1L, 0.0)))
+    assert(r(1L)._1 == 4L && r(1L)._2 == 1L &&
+      math.abs(r(1L)._3) < 1e-5) // quantization leaves ~1e-6 residue
     // micro-nat quantization: each term rounds before the sum
     assert(math.abs(r(2L)._3 - math.log(2)) < 2e-6 && r(2L)._2 == 2L)
     assert(math.abs(r(3L)._3 - math.log(4)) < 4e-6 && r(3L)._1 == 8L)
