@@ -269,6 +269,34 @@ object Curation {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
 
+  /** Z-order layout diagnostic: interleave two long keys into the
+    * Morton z-value ([[graft.functions.ZOrderBits]]), cut the z-space
+    * into `buckets` contiguous ranges, and report each bucket's row
+    * count and per-dimension min/max. A z-sorted export keeps BOTH
+    * dimensions bounded inside every contiguous range — exactly the
+    * property that makes parquet row-group min/max stats prune
+    * selective filters on EITHER column, where a single-key sort
+    * helps only its own column. Pair with [[shardExport]]-style
+    * `sortWithinPartitions(z)` when writing the layout; this operator
+    * is the audit that the interleave actually localizes.
+    *
+    * One narrow codegen pass computes z; the max-z rides a broadcast
+    * 1-row aggregate; the stats are one partial-aggregated groupBy on
+    * the bucket id. */
+  def zorderBucketStats(df: DataFrame, aCol: String, bCol: String,
+      buckets: Int): DataFrame = {
+    val z = df.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .withColumn("z", graft.functions.ZOrderBits(col("a"), col("b")))
+    val mz = z.agg(max(col("z")).as("mz"))
+    z.join(broadcast(mz))
+      .withColumn("bucket", expr(s"z div ((mz div $buckets) + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+  }
+
   /** Distributed batch-perceptron quality classifier — the
     * model-based filtering family (fastText-style classifiers in
     * CCNet/LLaMA pipelines) reduced to its bit-exact core: hashed

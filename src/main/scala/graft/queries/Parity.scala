@@ -574,6 +574,25 @@ object Parity {
         .orderBy(col("l_returnflag")),
       None),
 
+    // ---- approximate percentiles (Greenwald-Khanna sketch): the
+    // scale path when q47's exact percentile map would blow up on a
+    // high-cardinality value domain — sketch state is bounded by the
+    // accuracy parameter, not the domain. Engine-specific sketch →
+    // rows-only check; the error-bound spec in OperatorSpec pins
+    // accuracy against the exact aggregate.
+    "q53_approx_percentile" -> Q(
+      (s, dir) => tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("""approx_percentile(CAST(round(o_totalprice*100) AS BIGINT),
+            array(0.5D, 0.95D), 10000)""").as("approx_cents"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          col("approx_cents")(0).as("p50_cents"),
+          col("approx_cents")(1).as("p95_cents"), col("n"))
+        .orderBy(col("o_orderpriority")),
+      None),
+
     // ---- salted two-phase aggregation (skew path; must equal the
     // straight groupBy, which is the oracle).
     "q43_salted_agg" -> Q(

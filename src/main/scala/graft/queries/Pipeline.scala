@@ -196,6 +196,31 @@ object Pipeline {
 
   val defs: Map[String, Q] = Map(
 
+    // ---- Z-order layout audit: Morton-interleave (l_partkey,
+    // l_suppkey), cut the z-space into 64 contiguous ranges, report
+    // per-range row counts and per-dimension min/max — the proof that
+    // a z-sorted export keeps BOTH columns bounded per range (what
+    // makes parquet min/max skipping work on either filter). DuckDB
+    // replays the 31-term interleave fold bit-for-bit.
+    "p53_zorder" -> Q(
+      (s, dir) => Curation.zorderBucketStats(tbl(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", buckets = 64)
+        .orderBy(col("bucket")),
+      Some("""WITH z AS (SELECT l_partkey AS ka, l_suppkey AS kb,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 31), i ->
+        |        (((l_partkey >> i) & 1) << (2*i)) |
+        |        (((l_suppkey >> i) & 1) << (2*i + 1)))),
+        |      (x, y) -> x | y) AS z
+        |  FROM lineitem),
+        |m AS (SELECT max(z) AS mz FROM z),
+        |t AS (SELECT ka, kb, z // ((mz // 64) + 1) AS bucket
+        |  FROM z CROSS JOIN m)
+        |SELECT bucket, count(*) AS n,
+        |  min(ka) AS min_a, max(ka) AS max_a,
+        |  min(kb) AS min_b, max(kb) AS max_b
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // ---- model-based quality classifier: distributed batch
     // perceptron over hashed bag-of-words features, 3 synchronous
     // integer rounds — fastText-style filtering reduced to an

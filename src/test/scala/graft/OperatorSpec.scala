@@ -272,6 +272,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(a - e) / e < 0.1)
   }
 
+  test("approx_percentile tracks the exact percentile within accuracy") {
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("cents", expr("CAST(round(o_totalprice*100) AS BIGINT)"))
+    val r = ord.agg(
+      expr("approx_percentile(cents, array(0.5D, 0.95D), 10000)").as("a"),
+      expr("percentile(cents, array(0.5D, 0.95D))").as("e")).collect().head
+    val a = r.getSeq[Long](0)
+    val e = r.getSeq[Double](1)
+    // GK with accuracy 10000 → rank error ≤ n/10000; on this data the
+    // value error stays well under 1%
+    a.zip(e).foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) / exact < 0.01,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("salted two-phase aggregate equals the straight groupBy") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .withColumn("v", (col("l_quantity") * 100).cast("long"))
@@ -827,6 +843,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bloom false positives MUST be cleaned up by the verify join
     (1000L until 1100L).foreach(i => assert(r(i) == 0L, s"dup $i"))
     (2000L until 2100L).foreach(i => assert(r(i) == 1L, s"novel $i"))
+  }
+
+  test("zorder: documented interleave; buckets localize both dimensions") {
+    import spark.implicits._
+    // bit golden: a=3 (011), b=5 (101) → z bits b2 a2 b1 a1 b0 a0 =
+    // 100111 = 39
+    assert(graft.functions.ZOrderBits.compute(3L, 5L) == 39L)
+    assert(graft.functions.ZOrderBits.compute(0L, 1L) == 2L)
+    assert(graft.functions.ZOrderBits.compute(1L, 0L) == 1L)
+    // a full 64×64 grid cut into 16 z-ranges: every bucket must be one
+    // 16×16 tile — BOTH dimensions span ≤ 15 (a single-key sort would
+    // leave the other dimension spanning the full 0..63)
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("ka", "kb")
+    val r = Curation.zorderBucketStats(grid, "ka", "kb", buckets = 16)
+      .collect()
+    assert(r.length == 16)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n") == 256L)
+      assert(x.getAs[Long]("max_a") - x.getAs[Long]("min_a") == 15L, x)
+      assert(x.getAs[Long]("max_b") - x.getAs[Long]("min_b") == 15L, x)
+    }
   }
 
   test("perceptronQuality: separable data converges; training is stable") {

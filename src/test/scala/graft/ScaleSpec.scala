@@ -99,6 +99,43 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The other 100-TB skew lever (besides explicit salting, q43/p31):
+    // AQE's runtime skew-join split. Production thresholds (256 MB
+    // skewed-partition floor) are scaled down so the tiny corpus can
+    // demonstrate the mechanism; the assertion is on the executed
+    // plan — the skewed partition must actually split (skew=true).
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val pad = "x" * 64
+      // one hot key carrying ~50k padded rows vs 99 cold keys
+      val left = ((0 until 50000).map(i => (0L, s"$pad$i")) ++
+        (1 to 99).flatMap(k => (0 until 20).map(i => (k.toLong, s"v$i"))))
+        .toDF("k", "payload")
+      val right = (0 to 99).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+      // max(payload) keeps the wide column flowing through the join,
+      // so column pruning can't shrink the skewed shuffle partition
+      val j = left.join(right, Seq("k")).groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), max(col("payload")).as("p"))
+      assert(j.collect().length == 100)
+      val executed = j.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$executed")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("partition pruning: a partitioned write is read with PartitionFilters") {
     val dir = Files.createTempDirectory("graft_part_").toString
     val li = graft.queries.QueryUtil.tbl(spark, sfDir, "lineitem")
