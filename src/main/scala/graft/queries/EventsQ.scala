@@ -54,6 +54,52 @@ object EventsQ {
         |    FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- time-series gap-fill / resample: densify each user's
+    // purchase history onto an hourly grid (sequence explode — rows
+    // are GENERATED, not present in the source) and carry the last
+    // observed value forward into silent hours. The feature-store /
+    // monitoring resample shape. The grid explode is narrow per user;
+    // the carry-forward is one user-partitioned window — no
+    // unpartitioned ordering anywhere.
+    "q54_gapfill" -> Q(
+      (s, dir) => {
+        val hours = tbl(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"),
+            unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+          .agg(money(sum(cents(col("value")))).as("hour_value"))
+        val grid = hours.groupBy(col("user_id"))
+          .agg(min(col("hour_ms")).as("h0"), max(col("hour_ms")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), lit(3600000L)))
+              .as("hour_ms"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("hour_ms"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hours, Seq("user_id", "hour_ms"), "left")
+          .select(col("user_id"), col("hour_ms"),
+            col("hour_value").isNotNull.cast("long").as("observed"),
+            last(col("hour_value"), ignoreNulls = true).over(w)
+              .as("filled_value"))
+          .orderBy(col("user_id"), col("hour_ms"))
+      },
+      Some(s"""WITH hrs AS (SELECT user_id,
+        |    epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |    ${oSumCents("value")} AS hour_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(
+        |    min(hour_ms), max(hour_ms), 3600000)) AS hour_ms
+        |  FROM hrs GROUP BY user_id)
+        |SELECT g.user_id AS user_id, g.hour_ms AS hour_ms,
+        |  CAST(h.hour_value IS NOT NULL AS BIGINT) AS observed,
+        |  last_value(h.hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM grid g LEFT JOIN hrs h
+        |  ON h.user_id = g.user_id AND h.hour_ms = g.hour_ms
+        |ORDER BY user_id, hour_ms""".stripMargin)),
+
     // ---- pivot: event_type counts to columns per user.
     "q39_pivot_event_types" -> Q(
       (s, dir) => tbl(s, dir, "events")

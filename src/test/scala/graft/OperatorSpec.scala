@@ -955,6 +955,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2L)._1 == "Tom & Jerry say <hi> \"loud\" 'ok' &lt;once&gt;",
       r(2L))
     assert(r(3L)._1 == "plain text, no markup at all" && r(3L)._2 == 0L)
+    // edges: unmatched '<' is not a tag; '&amp' without ';' is not an
+    // entity; both survive extraction untouched
+    val e = TextAnalysis.stripMarkup(
+        Seq((9L, "1 < 2 and A&ampB stay put")).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .collect().head
+    assert(e.getString(1) == "1 < 2 and A&ampB stay put")
+    assert(e.getLong(2) == 0L)
   }
 
   test("splitLeakage: content split is stable; cross-split near-dups flagged") {
