@@ -845,6 +845,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     (2000L until 2100L).foreach(i => assert(r(i) == 1L, s"novel $i"))
   }
 
+  test("observe() reports funnel telemetry without a second pass") {
+    // production pipelines need kept/dropped counts per stage; a
+    // second count() job doubles the scan at 100 TB. observe()
+    // piggybacks the metrics on the one real pass.
+    val obs = org.apache.spark.sql.Observation("quality_stage")
+    val filtered = docs()
+      .observe(obs, count(lit(1)).as("n_in"),
+        sum(when(length(col("text")) > 20, 1L).otherwise(0L))
+          .as("n_pass"))
+      .filter(length(col("text")) > 20)
+    val kept = filtered.count()
+    val m = obs.get
+    assert(m("n_in") == 5L)
+    assert(m("n_pass") == kept)
+  }
+
   test("zorder: documented interleave; buckets localize both dimensions") {
     import spark.implicits._
     // bit golden: a=3 (011), b=5 (101) → z bits b2 a2 b1 a1 b0 a0 =

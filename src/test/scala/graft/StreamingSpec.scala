@@ -326,4 +326,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(got == Seq(1L, 2L, 3L))
   }
+
+  test("dedup state survives a checkpointed stop/restart") {
+    // the production property behind every streaming operator here:
+    // state lives in the checkpointed state store, so a crash or
+    // planned restart resumes exactly — a key seen BEFORE the restart
+    // still dedups an arrival AFTER it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    val emitted = new scala.collection.concurrent.TrieMap[Long, Long]()
+    def start() = EventStreams
+      .dedupStream(input.toDF(), Seq("event_id"), "2 hours")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.select("event_id").collect()
+          .foreach(r => emitted.put(r.getLong(0), id))
+      }.start()
+    val q1 = start()
+    input.addData(Seq(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "view", 2.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    input.addData(Seq(
+      Event(1, ts(3), 10, "click", 1.0), // dup of a PRE-restart key
+      Event(3, ts(4), 11, "view", 3.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.keySet == Set(1L, 2L, 3L),
+      s"emitted ${emitted.keySet}")
+  }
 }
