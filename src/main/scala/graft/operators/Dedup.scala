@@ -101,6 +101,33 @@ object Dedup {
         col("confirmed_dup").isNull.cast("long").as("is_novel"))
   }
 
+  /** Blocked fuzzy join — the entity-resolution / record-linkage
+    * primitive: candidate pairs come from an equi join on
+    * caller-supplied BLOCKING keys (prefix, phonetic code, length
+    * bucket, …), then every candidate is verified with exact
+    * Levenshtein distance ≤ `maxDist`. Blocking-then-verify is the
+    * standard production shape: the blocking key is the shuffle key,
+    * the pair space is Σ|block|² instead of |L|·|R|, and recall is a
+    * property of the caller's key choice (a deleted first character
+    * escapes a first-char block — pick keys that survive the edits
+    * you expect, or union several blockings).
+    *
+    * `blockKeys` maps a name column to the blocking key expression,
+    * applied identically to both sides. Returns
+    * (left id, right id, left name, right name, dist). */
+  def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
+      lId: String, lCol: String, rId: String, rCol: String,
+      blockKey: Column => Column, maxDist: Int): DataFrame = {
+    val l = left.select(col(lId), col(lCol),
+      blockKey(col(lCol)).as("__blk"))
+    val r = right.select(col(rId), col(rCol),
+      blockKey(col(rCol)).as("__blk"))
+    l.join(r, Seq("__blk"))
+      .select(col(lId), col(rId), col(lCol), col(rCol),
+        levenshtein(col(lCol), col(rCol)).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Span-level exact dedup (the RefinedWeb/C4 retention shape at a
     * fixed granularity): cut each document into non-overlapping
     * `width`-token spans, keep only the globally-FIRST occurrence of

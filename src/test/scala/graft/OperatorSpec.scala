@@ -845,6 +845,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     (2000L until 2100L).foreach(i => assert(r(i) == 1L, s"novel $i"))
   }
 
+  test("blockedFuzzyJoin: exact edit-distance verify; recall bound by block key") {
+    import spark.implicits._
+    val l = Seq((1L, "martha"), (2L, "jonathan")).toDF("l_id", "l_name")
+    val r = Seq((10L, "marhta"),    // transposition → dist 2
+      (11L, "jonatan"),             // deletion → dist 1
+      (12L, "xartha"))              // dist 1 BUT first char edited
+      .toDF("r_id", "r_name")
+    val got = Dedup.blockedFuzzyJoin(l, r, "l_id", "l_name",
+        "r_id", "r_name", name => substring(name, 1, 1), maxDist = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(4)))
+      .toSet
+    assert(got == Set((1L, 10L, 2L), (2L, 11L, 1L)))
+    // the first-char edit escapes the first-char block — the
+    // documented recall property of blocking, not a verify bug
+    assert(!got.exists(_._2 == 12L))
+  }
+
   test("observe() reports funnel telemetry without a second pass") {
     // production pipelines need kept/dropped counts per stage; a
     // second count() job doubles the scan at 100 TB. observe()
