@@ -198,9 +198,13 @@ object Pipeline {
 
     // ---- entity resolution: blocked fuzzy join. The right side is a
     // deterministically misspelled twin of every supplier name (3rd
-    // char dropped); blocking on the surviving 2-char prefix bounds
-    // the pair space to Σ|block|², and exact Levenshtein ≤ 2 verifies
-    // each candidate — the record-linkage blocking-then-verify shape.
+    // char dropped); blocking on the 2-char SUFFIX — which survives a
+    // middle deletion AND distributes ~100 ways where the shared
+    // "Su" prefix would collapse every name into one skewed block —
+    // bounds the pair space to Σ|block|², and exact Levenshtein ≤ 2
+    // verifies each candidate: the record-linkage
+    // blocking-then-verify shape, with the block key doing the same
+    // job k does in the LSH miners.
     "p54_fuzzy_join" -> Q(
       (s, dir) => {
         val sup = tbl(s, dir, "supplier")
@@ -211,15 +215,15 @@ object Pipeline {
               concat(substring(col("s_name"), 1, 2),
                 substring(col("s_name"), 4, 1000000)).as("r_name")),
             "l_id", "l_name", "r_id", "r_name",
-            name => substring(name, 1, 2), maxDist = 2)
+            name => substring(name, -2, 2), maxDist = 2)
           .orderBy(col("l_id"), col("r_id"))
       },
       Some("""WITH l AS (SELECT s_suppkey AS l_id, s_name AS l_name,
-        |    substr(s_name, 1, 2) AS blk FROM supplier),
+        |    right(s_name, 2) AS blk FROM supplier),
         |r AS (SELECT s_suppkey AS r_id,
         |    substr(s_name, 1, 2) || substr(s_name, 4) AS r_name
         |  FROM supplier),
-        |r2 AS (SELECT r_id, r_name, substr(r_name, 1, 2) AS blk FROM r)
+        |r2 AS (SELECT r_id, r_name, right(r_name, 2) AS blk FROM r)
         |SELECT l_id, r_id, l_name, r_name,
         |  CAST(levenshtein(l_name, r_name) AS BIGINT) AS dist
         |FROM l JOIN r2 USING (blk)
