@@ -395,8 +395,12 @@ object Curation {
     * row per document: (id, split, n_cross_leaks, is_leak). */
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.5): DataFrame = {
+    // three branches read the split tags (both pair sides + the final
+    // rollup); persisting the (id, split) rows — bytes per doc — keeps
+    // the full-text rolling hash to ONE scan instead of three
     val splits = df.select(col(idCol),
-      assignSplit(col(textCol)).as("split"))
+        assignSplit(col(textCol)).as("split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = Dedup.jaccardForPairs(
         Dedup.minhashCandidatesPortable(df, idCol, textCol),
         df, idCol, textCol)

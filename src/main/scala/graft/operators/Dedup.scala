@@ -73,6 +73,12 @@ object Dedup {
     * cycle. With it, corpus cost is two shuffle-free scans (build +
     * verify stream).
     *
+    * The probed batch relation feeds two branches (shortlist + final
+    * tag) and is deliberately NOT persisted: the pass is a narrow
+    * scan-speed projection, and recomputing it is cheaper than a
+    * batch-sized cache at ingest scale. Persist upstream if the batch
+    * input itself is expensive to produce.
+    *
     * Returns one row per batch row: (id, text_hash, is_novel) with
     * is_novel ∈ {0,1} (long, oracle-friendly). */
   def bloomNovelty(corpus: DataFrame, batch: DataFrame, idCol: String,
