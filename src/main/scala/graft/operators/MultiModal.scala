@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: images/audio/video ride through the
   * engine as opaque `binary` columns with typed metadata. The Spark
   * side — schema, partition-preserving batch transforms, feature
-  * vectors — is real and tested. The IMAGE codec is real too:
-  * PNG/JPEG payloads decode through the JDK's `javax.imageio` (no
-  * extra dependency) for feature extraction and resizing.
-  * Non-image payloads (and audio/video, whose codecs this container
-  * lacks) fall back to a deterministic byte-level stand-in, clearly
-  * marked at each seam.
+  * vectors — is real and tested. Two codecs are real too, both pure
+  * JDK (no extra dependency): PNG/JPEG decode through
+  * `javax.imageio` (features, resize, aHash) and WAV/PCM decode
+  * through `javax.sound.sampled` (magnitude-histogram features).
+  * Everything else (compressed audio, video — codecs genuinely
+  * absent from this container) falls back to a deterministic
+  * byte-level stand-in, clearly marked at each seam.
   */
 object MultiModal {
 
@@ -30,6 +31,48 @@ object MultiModal {
     else
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
+
+  /** RIFF/WAVE magic — the container `javax.sound.sampled` ships a
+    * decoder for on every JDK (PCM only; compressed audio codecs are
+    * genuinely absent from this container and stay on the byte
+    * fallback). */
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length > 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Decode a WAV payload to signed 16-bit samples (first channel),
+    * or null when the payload isn't decodable PCM. All-integer. */
+  private def decodeWavSamples(bytes: Array[Byte]): Array[Int] =
+    if (!looksLikeWav(bytes)) null
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) null
+        else {
+          val raw = in.readAllBytes()
+          val frame = fmt.getFrameSize // bytes per frame, all channels
+          val n = raw.length / frame
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val o = i * frame
+            // first channel, respecting container endianness
+            out(i) =
+              if (fmt.isBigEndian) (raw(o) << 8) | (raw(o + 1) & 0xff)
+              else (raw(o + 1) << 8) | (raw(o) & 0xff)
+            i += 1
+          }
+          out
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
 
   /** Canonical media schema: content + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -87,14 +130,29 @@ object MultiModal {
       var j = 0
       while (j < 8) { hist(j) /= n; j += 1 }
     } else {
-      var i = 0
-      while (i < bytes.length) {
-        hist((bytes(i) & 0xff) >> 5) += 1.0
-        i += 1
-      }
-      if (bytes.length > 0) {
+      val samples = decodeWavSamples(bytes)
+      if (samples != null && samples.length > 0) {
+        // real PCM decode: 8-bin histogram of |sample| magnitude
+        // (16-bit → buckets of 4096) — the audio twin of the luma
+        // histogram, all-integer and sample-rate independent
+        var i = 0
+        while (i < samples.length) {
+          val mag = math.min(math.abs(samples(i)), 32767)
+          hist(mag >> 12) += 1.0
+          i += 1
+        }
         var j = 0
-        while (j < 8) { hist(j) /= bytes.length; j += 1 }
+        while (j < 8) { hist(j) /= samples.length; j += 1 }
+      } else {
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) >> 5) += 1.0
+          i += 1
+        }
+        if (bytes.length > 0) {
+          var j = 0
+          while (j < 8) { hist(j) /= bytes.length; j += 1 }
+        }
       }
     }
     hist

@@ -313,6 +313,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(0) == r.getDouble(1))
   }
 
+  test("audio WAV payloads decode for real: magnitude histogram features") {
+    import spark.implicits._
+    def wavBytes(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val raw = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(raw.putShort)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw.array()), fmt,
+        samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // amplitude 20000 → |s|>>12 = bucket 4; amplitude 1000 → bucket 0
+    val rows = Seq(
+      (1L, "audio/wav", wavBytes(Array.fill(100)(20000.toShort))),
+      (2L, "audio/wav", wavBytes(Array.fill(100)(1000.toShort))),
+      (3L, "application/bin", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "media_type", "content")
+    val f = MultiModal.extractFeatures(rows).collect()
+      .map(x => x.media_id -> x.feature).toMap
+    assert(f(1L)(4) == 1.0 && f(1L)(0) == 0.0, f(1L).toSeq)
+    assert(f(2L)(0) == 1.0, f(2L).toSeq)
+    // a non-RIFF payload keeps the byte-histogram fallback
+    assert(math.abs(f(3L).sum - 1.0) < 1e-9)
+  }
+
   test("multimodal stub features are deterministic and well-formed") {
     import spark.implicits._
     val docsDf = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
