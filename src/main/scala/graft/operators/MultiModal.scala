@@ -330,4 +330,65 @@ object MultiModal {
       .filter(col("hamming") <= maxDist)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** 64-bit energy-delta fingerprint of one WAV payload — the classic
+    * acoustic-fingerprint shape (Haitsma-Kalker family reduced to its
+    * sign bits): split the samples into 65 equal windows, sum |s| per
+    * window (integer energies), bit i set iff energy(i+1) >
+    * energy(i). Amplitude-scale SENSITIVE only through ties (the
+    * comparison survives any monotone volume change that preserves
+    * energy ordering), time-alignment sensitive like every
+    * fixed-window fingerprint. All-integer, bit-stable across JVMs. */
+  private def energyHashOf(bytes: Array[Byte]): Option[Long] = {
+    val s = decodeWavSamples(bytes)
+    if (s == null || s.length < 65) None
+    else {
+      val e = new Array[Long](65)
+      var i = 0
+      while (i < s.length) {
+        // window index via integer math; last partial window folds in
+        e(math.min(i * 65 / s.length, 64)) += math.abs(s(i).toLong)
+        i += 1
+      }
+      var bits = 0L
+      i = 0
+      while (i < 64) { if (e(i + 1) > e(i)) bits |= (1L << i); i += 1 }
+      Some(bits)
+    }
+  }
+
+  /** Acoustic fingerprints for an audio corpus: energy-delta hash of
+    * every decodable WAV payload (narrow per-row pass); NULL for
+    * undecodable payloads, mirroring [[imageAHash]]. */
+  def audioEnergyHash(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          MediaHash(id,
+            energyHashOf(if (bytes == null) Array.empty[Byte] else bytes))
+        }
+      }
+  }
+
+  /** Acoustic near-dup: the audio twin of [[aHashNearDup]] — the same
+    * banded-LSH + exact-hamming machinery over the energy-delta
+    * fingerprint. Catches re-encodes and volume changes of the same
+    * recording; |bucket|² pair space, never n². */
+  def audioNearDup(media: DataFrame, maxDist: Int = 6): DataFrame = {
+    val fp = audioEnergyHash(media).toDF()
+      .filter(col("ahash").isNotNull)
+      .select(col("media_id"), col("ahash").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.simhashBandCandidates(fp, "media_id",
+      bands = 4, bitsPerBand = 16)
+    val a = fp.select(col("media_id").as("a_id"), col("simhash").as("ha"))
+    val b = fp.select(col("media_id").as("b_id"), col("simhash").as("hb"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
 }

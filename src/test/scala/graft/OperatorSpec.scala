@@ -343,6 +343,42 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(f(3L).sum - 1.0) < 1e-9)
   }
 
+  test("audio near-dup: volume-scaled twin collides, reversed signal separates") {
+    import spark.implicits._
+    def wavOf(amp: Int => Int): Array[Byte] = {
+      val samples = Array.tabulate[Short](6500)(i => amp(i / 100).toShort)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val raw = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(raw.putShort)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw.array()), fmt, 6500L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // even per-window amplitudes so a ÷2 volume change is EXACT and
+    // preserves every energy comparison
+    def base(w: Int) = ((w * 37) % 97 + 1) * 4
+    val rows = Seq(
+      (1L, "audio/wav", wavOf(base)),
+      (2L, "audio/wav", wavOf(w => base(w) / 2)),   // half volume
+      (3L, "audio/wav", wavOf(w => base(64 - w))),  // reversed
+      (4L, "text/plain", "not audio".getBytes))
+      .toDF("media_id", "media_type", "content")
+    val h = MultiModal.audioEnergyHash(rows).collect()
+      .map(x => x.media_id -> x.ahash).toMap
+    assert(h(1L).isDefined && h(1L) == h(2L)) // volume-invariant
+    assert(h(3L) != h(1L))
+    assert(h(4L).isEmpty) // undecodable → NULL, row preserved
+    val pairs = MultiModal.audioNearDup(rows, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => Set(p._1, p._2).contains(3L)))
+  }
+
   test("multimodal stub features are deterministic and well-formed") {
     import spark.implicits._
     val docsDf = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
