@@ -54,6 +54,27 @@ object EventsQ {
         |    FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- semi-structured extraction: the props column is a JSON
+    // string; from_json with an explicit schema is the typed path
+    // (one parse per row inside codegen, columns prune after the
+    // parse) vs get_json_object's per-path string scans. Aggregates
+    // the extracted field per event type.
+    "q55_json_extract" -> Q(
+      (s, dir) => tbl(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
     // ---- time-series gap-fill / resample: densify each user's
     // purchase history onto an hourly grid (sequence explode — rows
     // are GENERATED, not present in the source) and carry the last
