@@ -269,6 +269,28 @@ object Curation {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
 
+  /** Distribution-based outlier gate (winsorization): flag rows whose
+    * `valueCol` falls outside the corpus [`loQ`, `hiQ`] exact
+    * percentile band, and clip to the band — the standard
+    * length-outlier curation step (truncated docs at one end,
+    * concatenation accidents at the other). The bounds come from ONE
+    * exact-percentile aggregate (partial-aggregable value maps — see
+    * q47) broadcast as a single row; the gate itself is a narrow
+    * comparison, so the whole pass adds no data shuffle. */
+  def outlierGate(df: DataFrame, idCol: String, valueCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, ${loQ}D)").as("lo"),
+      expr(s"percentile($valueCol, ${hiQ}D)").as("hi"))
+    df.select(col(idCol), col(valueCol))
+      .join(broadcast(bounds))
+      .select(col(idCol), col(valueCol),
+        (col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+          .cast("long").as("is_outlier"),
+        least(greatest(col(valueCol).cast("double"), col("lo")),
+          col("hi")).as("clipped"))
+  }
+
   /** Z-order layout diagnostic: interleave two long keys into the
     * Morton z-value ([[graft.functions.ZOrderBits]]), cut the z-space
     * into `buckets` contiguous ranges, and report each bucket's row

@@ -196,6 +196,22 @@ object Pipeline {
 
   val defs: Map[String, Q] = Map(
 
+    // ---- distribution-based length-outlier gate (winsorization):
+    // exact p05/p95 corpus bounds via one broadcast aggregate, narrow
+    // flag+clip per row. DuckDB's quantile_cont interpolates with the
+    // same (n-1)·q rule over the exact integer sort key, so the
+    // bounds — and the clipped doubles — match bit-for-bit (q47).
+    "p55_outlier_gate" -> Q(
+      (s, dir) => Curation.outlierGate(tbl(s, dir, "documents"),
+          "doc_id", "n_chars", loQ = 0.05, hiQ = 0.95)
+        .orderBy(col("doc_id")),
+      Some("""WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+        |    quantile_cont(n_chars, 0.95) AS hi FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(n_chars < lo OR n_chars > hi AS BIGINT) AS is_outlier,
+        |  least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS clipped
+        |FROM documents CROSS JOIN b ORDER BY doc_id""".stripMargin)),
+
     // ---- entity resolution: blocked fuzzy join. The right side is a
     // deterministically misspelled twin of every supplier name (3rd
     // char dropped); blocking on the 2-char SUFFIX — which survives a

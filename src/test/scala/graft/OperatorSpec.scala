@@ -911,6 +911,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     (2000L until 2100L).foreach(i => assert(r(i) == 1L, s"novel $i"))
   }
 
+  test("outlierGate flags the distribution tails and clips to the band") {
+    import spark.implicits._
+    // 1..100 with two wild outliers
+    val d = ((1L to 100L).map(i => (i, i)) ++
+      Seq((101L, 100000L), (102L, -5000L))).toDF("id", "v")
+    val r = Curation.outlierGate(d, "id", "v", 0.05, 0.95)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(101L)._1 == 1L && r(102L)._1 == 1L)
+    // clipped values land exactly on the band edges
+    assert(r(101L)._2 == r.values.map(_._2).max)
+    assert(r(102L)._2 == r.values.map(_._2).min)
+    // the bulk of the 1..100 ramp passes
+    assert((20L to 80L).forall(i => r(i)._1 == 0L))
+  }
+
   test("blockedFuzzyJoin: exact edit-distance verify; recall bound by block key") {
     import spark.implicits._
     val l = Seq((1L, "martha"), (2L, "jonathan")).toDF("l_id", "l_name")
