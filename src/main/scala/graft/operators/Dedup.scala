@@ -124,13 +124,18 @@ object Dedup {
   def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
       lId: String, lCol: String, rId: String, rCol: String,
       blockKey: Column => Column, maxDist: Int): DataFrame = {
-    val l = left.select(col(lId), col(lCol),
+    // Internal aliases (like __blk) so a self-join where both sides
+    // carry the SAME column names (natural for entity resolution)
+    // doesn't make the post-join select ambiguous; aliased back to
+    // the caller's names in the output.
+    val l = left.select(col(lId).as("__l_id"), col(lCol).as("__l_nm"),
       blockKey(col(lCol)).as("__blk"))
-    val r = right.select(col(rId), col(rCol),
+    val r = right.select(col(rId).as("__r_id"), col(rCol).as("__r_nm"),
       blockKey(col(rCol)).as("__blk"))
     l.join(r, Seq("__blk"))
-      .select(col(lId), col(rId), col(lCol), col(rCol),
-        levenshtein(col(lCol), col(rCol)).cast("long").as("dist"))
+      .select(col("__l_id").as(lId), col("__r_id").as(rId),
+        col("__l_nm").as(lCol), col("__r_nm").as(rCol),
+        levenshtein(col("__l_nm"), col("__r_nm")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

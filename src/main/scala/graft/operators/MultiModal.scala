@@ -346,8 +346,12 @@ object MultiModal {
       val e = new Array[Long](65)
       var i = 0
       while (i < s.length) {
-        // window index via integer math; last partial window folds in
-        e(math.min(i * 65 / s.length, 64)) += math.abs(s(i).toLong)
+        // window index via integer math; last partial window folds in.
+        // Long multiply: i * 65 overflows Int past ~33M frames (~12
+        // minutes at 44.1 kHz mono) and a legitimate long recording
+        // would crash the task with a negative index.
+        e(math.min((i.toLong * 65 / s.length).toInt, 64)) +=
+          math.abs(s(i).toLong)
         i += 1
       }
       var bits = 0L

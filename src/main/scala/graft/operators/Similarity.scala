@@ -382,16 +382,24 @@ object Similarity {
       .select(col(idCol), col("cv"),
         sqrt(expr("""aggregate(zip_with(cv, cv, (p, q) -> p * q),
           CAST(0 AS DOUBLE), (acc, w) -> acc + w)""")).as("norm_centered"))
+    // Degenerate inputs guard: a vector EQUAL to the corpus mean has
+    // norm_centered = 0, and one whose first keepDims centered
+    // components are all zero has kept_mass = 0 — either division
+    // would silently emit NaN/Infinity components that poison every
+    // downstream ANN/clustering distance. Emit NULL v_prep instead
+    // (the caller filters or inspects norm_centered/kept_mass).
     centered
       .select(col(idCol), col("norm_centered"),
-        expr(s"slice(transform(cv, x -> x / norm_centered), 1, $keepDims)")
+        when(col("norm_centered") > 0d,
+          expr(s"slice(transform(cv, x -> x / norm_centered), 1, $keepDims)"))
           .as("tv"))
       .select(col(idCol), col("norm_centered"),
         sqrt(expr("""aggregate(zip_with(tv, tv, (p, q) -> p * q),
           CAST(0 AS DOUBLE), (acc, w) -> acc + w)""")).as("kept_mass"),
         col("tv"))
       .select(col(idCol),
-        expr("transform(tv, x -> x / kept_mass)").as("v_prep"),
+        when(col("kept_mass") > 0d,
+          expr("transform(tv, x -> x / kept_mass)")).as("v_prep"),
         col("norm_centered"), col("kept_mass"))
   }
 }

@@ -194,9 +194,19 @@ object TextAnalysis {
     * symbol owns BOTH its delimiters, which makes the replace exactly
     * canonical BPE ([a,a,a,a] + (a,a) → [aa,aa]) AND bit-replayable
     * by any engine with plain replace() (the p39 oracle unrolls every
-    * round in DuckDB). Rounds chain `replace` columns on the cached
-    * vocabulary — lineage grows linearly with merges, so no
-    * checkpointing is needed at tokenizer-realistic merge counts.
+    * round in DuckDB).
+    *
+    * Scale CONTRACT (the honest one): merge rounds are INHERENTLY
+    * sequential — round r+1's pair counts depend on round r's merge —
+    * so training costs O(numMerges) driver-paced vocabulary-sized
+    * jobs; no engine escapes that, only the per-round cost varies.
+    * What must NOT grow with numMerges is the PLAN: rounds chain one
+    * `regexp_replace` column each, and at a tokenizer-realistic ~32k
+    * merges a 32k-deep expression tree would kill Catalyst analysis
+    * long before the data hurts. The vocabulary is therefore
+    * `localCheckpoint`ed every [[BpeCheckpointEvery]] rounds, capping
+    * plan depth at O(32) regardless of numMerges (proven by the
+    * 256-merge bounded-plan spec in OperatorSpec).
     *
     * Returns (merge_left, merge_right, pair_count) in learned order. */
   def bpeMerges(df: DataFrame, textCol: String,
@@ -234,11 +244,21 @@ object TextAnalysis {
           lit(java.util.regex.Pattern.quote(D + a + D + D + b + D)),
           lit(java.util.regex.Matcher.quoteReplacement(D + a + b + D))))
         r += 1
+        // Cap plan depth: truncate the chained-replace lineage every
+        // BpeCheckpointEvery rounds so analysis cost stays O(32) per
+        // round at any numMerges (the vocab is tiny relative to the
+        // corpus — the checkpoint is a vocabulary-sized write).
+        if (r % BpeCheckpointEvery == 0) d = d.localCheckpoint(true)
       }
     }
     words.unpersist(blocking = false)
     merges.toSeq
   }
+
+  /** Merge rounds between lineage truncations in [[bpeMerges]] /
+    * [[bpeEncode]] — the knob that keeps the chained-replace plan
+    * O(this) deep instead of O(numMerges). */
+  val BpeCheckpointEvery = 32
 
   /** Rolling polynomial fingerprint over the document's characters:
     * h = (h*31 + codepoint) mod 1e9+7 — a custom codegen Catalyst
@@ -263,7 +283,10 @@ object TextAnalysis {
     * oracle's `replace`), then documents join the (word → token
     * count) map on the word key — a hash join against a
     * vocabulary-sized dimension, with per-doc sums partially
-    * aggregated. Nothing reprocesses corpus text per merge. */
+    * aggregated. Nothing reprocesses corpus text per merge. Like
+    * [[bpeMerges]], the chained replaces are `localCheckpoint`ed
+    * every [[BpeCheckpointEvery]] merges so the plan stays O(32)
+    * deep at a real tokenizer's ~32k-entry merge table. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String, Long)]): DataFrame = {
     val D = ""
@@ -274,10 +297,13 @@ object TextAnalysis {
       .select(col("w"), concat(lit(D), concat_ws(D + D,
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
         lit(D)).as("s"))
-    val merged = merges.foldLeft(vocab) { case (v, (a, b, _)) =>
-      v.withColumn("s", regexp_replace(col("s"),
-        lit(java.util.regex.Pattern.quote(D + a + D + D + b + D)),
-        lit(java.util.regex.Matcher.quoteReplacement(D + a + b + D))))
+    val merged = merges.zipWithIndex.foldLeft(vocab) {
+      case (v, ((a, b, _), i)) =>
+        val v2 = v.withColumn("s", regexp_replace(col("s"),
+          lit(java.util.regex.Pattern.quote(D + a + D + D + b + D)),
+          lit(java.util.regex.Matcher.quoteReplacement(D + a + b + D))))
+        if ((i + 1) % BpeCheckpointEvery == 0) v2.localCheckpoint(true)
+        else v2
     }
     val wt = merged.select(col("w"),
       size(split(trim(col("s"), D), D + D)).cast("long").as("ntok"))

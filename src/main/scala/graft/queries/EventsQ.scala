@@ -59,6 +59,13 @@ object EventsQ {
     // (one parse per row inside codegen, columns prune after the
     // parse) vs get_json_object's per-path string scans. Aggregates
     // the extracted field per event type.
+    // PARITY ASSUMPTION: Spark's from_json with `k BIGINT` yields
+    // NULL for a quoted value ({"k": "7"}) or malformed JSON, while
+    // the DuckDB oracle's CAST(props->>'k' AS BIGINT) casts quoted
+    // numbers and ERRORS on malformed JSON — the two agree only
+    // because the fixture emits uniform unquoted-int {"k": n}.
+    // QueriesSpec ("q55 fixture shape") asserts that shape so a
+    // datagen change fails loudly instead of silently diverging.
     "q55_json_extract" -> Q(
       (s, dir) => tbl(s, dir, "events")
         .select(col("event_type"),

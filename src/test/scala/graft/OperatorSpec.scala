@@ -762,6 +762,67 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enc.toSeq == Seq((1L, 3L, 4L), (2L, 2L, 2L)))
   }
 
+  test("BPE at scale: 256 merges stay plan-depth-bounded and match an " +
+      "in-memory reference across checkpoint boundaries") {
+    import spark.implicits._
+    // 64 distinct-ish 12-char words → ~700 reducible symbols, far
+    // more than the 256 merge rounds requested; crosses the
+    // BpeCheckpointEvery=32 truncation boundary 8 times.
+    val words = (0 until 64).map { i =>
+      (0 until 12).map(j => ('a' + ((i * 7 + j * 5 + i * j) % 26)).toChar)
+        .mkString
+    }
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(df, "text", 256)
+    assert(got.length == 256)
+
+    // In-memory canonical BPE over the same vocabulary: count
+    // adjacent pairs weighted by word freq, argmax on (count desc,
+    // pair lexicographic), merge non-overlapping left-to-right.
+    var vocab: Map[Vector[String], Long] =
+      words.groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector, ws.length.toLong)
+      }
+    val expected = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    (0 until 256).foreach { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (sy, f) =>
+        sy.indices.dropRight(1).foreach { i =>
+          counts((sy(i), sy(i + 1))) =
+            counts.getOrElse((sy(i), sy(i + 1)), 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, x, y) }
+        expected += ((a, b, c))
+        vocab = vocab.groupBy { case (sy, _) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < sy.length) {
+            if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += sy(i); i += 1 }
+          }
+          out.result()
+        }.map { case (sy, m) => (sy, m.values.sum) }
+      }
+    }
+    assert(got == expected.toSeq)
+
+    // Plan depth stays bounded: unchecked, 256 chained replaces mean
+    // 256+ Project nodes in bpeEncode's vocabulary lineage; with the
+    // every-32-rounds localCheckpoint the analyzed plan collapses to
+    // O(32) nodes regardless of merge count.
+    val enc = TextAnalysis.bpeEncode(df, "doc_id", "text", got)
+    val nNodes = enc.queryExecution.analyzed.collect { case p => p }.size
+    assert(nNodes < 120, s"analyzed plan has $nNodes nodes — lineage " +
+      "truncation regressed")
+    val row = enc.collect().head
+    assert(row.getLong(1) == 64L) // n_words
+    assert(row.getLong(2) >= 64L) // n_bpe_tokens ≥ one per word
+  }
+
   test("dsirWeights favors docs that look like the target distribution") {
     import spark.implicits._
     val docs = Seq(
@@ -1025,6 +1086,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("vec_id"), col("norm_centered")).collect()
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(a == b)
+    // degenerate guard: a vector EQUAL to the corpus mean (here two
+    // identical vectors, so both center to zero) gets NULL v_prep —
+    // never NaN/Infinity components leaking into downstream ANN
+    val deg = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val dr = Similarity.preprocess(deg, "vec_id", "embedding", 4).collect()
+    assert(dr.length == 2)
+    dr.foreach { x =>
+      assert(x.isNullAt(1), "degenerate v_prep must be NULL")
+      assert(x.getDouble(2) == 0.0) // norm_centered
+      assert(x.isNullAt(3), "degenerate kept_mass must be NULL")
+    }
   }
 
   test("tokenEntropy: zero for constant docs, ln(k) for uniform, stable") {

@@ -36,4 +36,19 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
     }
   }
+
+  test("q55 fixture shape: props is uniform unquoted-int {\"k\": n}") {
+    // q55's Spark/DuckDB parity depends on the props column never
+    // holding quoted numbers or malformed JSON (see EventsQ q55
+    // comment). Assert the typed parse succeeds on EVERY row so a
+    // future datagen change fails here, loudly, not as a silent
+    // oracle divergence.
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.QueryUtil.tbl(spark, sfDir, "events")
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k"), col("props"))
+    assert(ev.filter(col("k").isNull).count() == 0L,
+      "events.props no longer parses as typed {k: BIGINT} on every row")
+  }
 }
