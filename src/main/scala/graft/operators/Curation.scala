@@ -276,7 +276,14 @@ object Curation {
     * concatenation accidents at the other). The bounds come from ONE
     * exact-percentile aggregate (partial-aggregable value maps — see
     * q47) broadcast as a single row; the gate itself is a narrow
-    * comparison, so the whole pass adds no data shuffle. */
+    * comparison, so the whole pass adds no data shuffle.
+    *
+    * MEMORY CONTRACT: exact percentile's value→count map is
+    * O(distinct values) — fine for the integer lengths/counts this
+    * gate targets, a memory risk on an unbounded continuous column;
+    * there, swap the bounds aggregate for `approx_percentile`
+    * (bounded sketch, q53's spec'd error) — the clip semantics are
+    * unchanged. */
   def outlierGate(df: DataFrame, idCol: String, valueCol: String,
       loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
     val bounds = df.agg(

@@ -399,15 +399,24 @@ object Dedup {
     * alternative is recomputing the narrow shingle pass once per
     * branch (3× scan CPU, zero cache); flip to that trade-off by
     * checkpointing/persisting upstream and dropping this persist if
-    * executor disk is the scarcer resource. */
+    * executor disk is the scarcer resource. `shingleStorage` is that
+    * knob without a caller-side rewrite: pass
+    * `StorageLevel.DISK_ONLY` when the shingle cache must not compete
+    * for executor memory, or `StorageLevel.NONE` to recompute the
+    * narrow shingle pass per branch instead of caching at all. */
   def jaccardForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      shingleStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both inputs fan out into several join branches; persist so the
     // candidate miner upstream of `pairs` and the shingle pass run
     // once, not once per branch
     val p = pairs.persist(lvl)
-    val rows = shingleHashRows(df, idCol, textCol).persist(lvl)
+    val rows0 = shingleHashRows(df, idCol, textCol)
+    val rows =
+      if (shingleStorage == org.apache.spark.storage.StorageLevel.NONE) rows0
+      else rows0.persist(shingleStorage)
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val inter = p
       .join(rows.toDF("a_id", "s"), Seq("a_id"))

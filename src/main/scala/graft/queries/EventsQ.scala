@@ -82,13 +82,13 @@ object EventsQ {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),
 
-    // ---- time-series gap-fill / resample: densify each user's
-    // purchase history onto an hourly grid (sequence explode — rows
-    // are GENERATED, not present in the source) and carry the last
-    // observed value forward into silent hours. The feature-store /
-    // monitoring resample shape. The grid explode is narrow per user;
-    // the carry-forward is one user-partitioned window — no
-    // unpartitioned ordering anywhere.
+    // ---- time-series gap-fill / resample ([[graft.operators
+    // .Resample.resampleHourlyLocf]]): densify each user's purchase
+    // history onto an hourly grid and carry the last observed value
+    // forward into silent hours. The battery entry runs UNCAPPED
+    // (explicit Long.MaxValue — the fixture's spans are short); real
+    // deployments pass maxGridHours to bound a sparse years-long
+    // key's generated rows (see the operator's scaladoc + spec).
     "q54_gapfill" -> Q(
       (s, dir) => {
         val hours = tbl(s, dir, "events")
@@ -96,19 +96,8 @@ object EventsQ {
           .groupBy(col("user_id"),
             unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
           .agg(money(sum(cents(col("value")))).as("hour_value"))
-        val grid = hours.groupBy(col("user_id"))
-          .agg(min(col("hour_ms")).as("h0"), max(col("hour_ms")).as("h1"))
-          .select(col("user_id"),
-            explode(sequence(col("h0"), col("h1"), lit(3600000L)))
-              .as("hour_ms"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("hour_ms"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(hours, Seq("user_id", "hour_ms"), "left")
-          .select(col("user_id"), col("hour_ms"),
-            col("hour_value").isNotNull.cast("long").as("observed"),
-            last(col("hour_value"), ignoreNulls = true).over(w)
-              .as("filled_value"))
+        graft.operators.Resample.resampleHourlyLocf(hours, "user_id",
+            "hour_ms", "hour_value", maxGridHours = Long.MaxValue)
           .orderBy(col("user_id"), col("hour_ms"))
       },
       Some(s"""WITH hrs AS (SELECT user_id,

@@ -651,6 +651,12 @@ object Parity {
     // Spark's exact `percentile` is a partial-aggregable sketch-free
     // aggregate: per-partition value maps combine map-side, only the
     // (value, count) maps cross the shuffle — not the raw rows.
+    // MEMORY CONTRACT: that value→count map is O(distinct values per
+    // group). Integer cents on a bounded price domain keeps it small
+    // here; on an unbounded/continuous domain the map grows with the
+    // group and exact percentile becomes a per-group memory risk —
+    // switch to the approx_percentile twin (q53, bounded GK sketch
+    // with a spec'd error bound) at that point.
     "q47_percentiles" -> Q(
       (s, dir) => tbl(s, dir, "orders")
         .groupBy(col("o_orderpriority"))

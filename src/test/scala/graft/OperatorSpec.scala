@@ -1100,6 +1100,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("resampleHourlyLocf: LOCF fill; maxGridHours caps a sparse " +
+      "long-span key") {
+    import spark.implicits._
+    val H = 3600000L
+    val hours = Seq(
+      (1L, 0L * H, 10.0), (1L, 3L * H, 20.0),   // normal: 4-hour span
+      (2L, 0L * H, 1.0), (2L, 100000L * H, 2.0) // sparse ~11-year span
+    ).toDF("user_id", "hour_ms", "v")
+    val un = Resample.resampleHourlyLocf(hours, "user_id", "hour_ms", "v")
+    val u1 = un.filter(col("user_id") === 1L).orderBy("hour_ms").collect()
+    assert(u1.map(_.getLong(1)).toSeq == Seq(0L, H, 2 * H, 3 * H))
+    assert(u1.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L, 1L)) // observed
+    assert(u1.map(_.getDouble(3)).toSeq == Seq(10.0, 10.0, 10.0, 20.0))
+    // uncapped, the sparse key generates its full 100001-hour grid —
+    // the exact inflation the cap exists for
+    assert(un.filter(col("user_id") === 2L).count() == 100001L)
+    val cap = Resample.resampleHourlyLocf(hours, "user_id", "hour_ms",
+      "v", maxGridHours = 24L)
+    val u2 = cap.filter(col("user_id") === 2L).orderBy("hour_ms").collect()
+    assert(u2.length == 24) // grid rows per key ≤ cap
+    assert(u2.last.getLong(1) == 100000L * H) // anchored at last obs
+    // the old observation fell outside the capped window: fill stays
+    // NULL until the first in-window observation (documented)
+    assert(u2.init.forall(_.isNullAt(3)))
+    assert(u2.last.getDouble(3) == 2.0)
+    // a short-span key is untouched by the cap
+    assert(cap.filter(col("user_id") === 1L).count() == 4L)
+  }
+
   test("tokenEntropy: zero for constant docs, ln(k) for uniform, stable") {
     import spark.implicits._
     val d = Seq(
