@@ -376,6 +376,92 @@ object MultiModal {
       }
   }
 
+  /** splitmix-style integer scramble — deterministic pixel/sample
+    * material for the synthetic media corpora below; pure integer
+    * math, bit-stable across JVMs and partitionings. */
+  private def mix(k: Long, a: Int, b: Int): Int = {
+    var h = k * 0x9E3779B97F4A7C15L + a * 0xC2B2AE3D27D4EB4FL +
+      b * 0x165667B19E3779F9L
+    h ^= (h >>> 31); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 29)
+    (h & 0x7fffffffL).toInt
+  }
+
+  private def pngOf(k: Long, brightnessShift: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        // gray in [0,191] + shift ≤ 8 — never clips, so a uniform
+        // brightness shift moves every 8×8 luma AND the integer mean
+        // by exactly the same amount: aHash is invariant by
+        // construction (hamming 0 between base and twin)
+        val g = mix(k, x, y) % 192 + brightnessShift
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavOf(k: Long, volume: Int): Array[Byte] = {
+    // 256 samples in ±4000·volume — doubling stays far from Short
+    // overflow, and |2s| = 2|s| exactly, so window-energy ORDER (all
+    // the fingerprint reads) is preserved: hamming 0 by construction
+    val samples = Array.tabulate(256)(t =>
+      ((mix(k, t, 17) % 8000 - 4000) * volume).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true, false)
+    val raw = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(raw.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw.array()), fmt,
+      samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic image corpus derived from an id column —
+    * battery plumbing for [[aHashNearDup]] when the corpus has no
+    * media column (TESTDATA's tables carry none): each source id k
+    * yields TWO real 16×16 PNG payloads, media_id 2k (base) and 2k+1
+    * (a uniform-brightness re-encode of the same content), so
+    * (2k, 2k+1) are planted perceptual near-dup pairs while distinct
+    * k's hash-derived pixels make cross-pairs far in hamming space.
+    * Encoding runs executor-side in mapPartitions (JDK-only ImageIO),
+    * narrow and deterministic under any partitioning. */
+  def syntheticImageCorpus(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .flatMap { k =>
+        Seq((2 * k, "image/png", pngOf(k, 0)),
+          (2 * k + 1, "image/png", pngOf(k, 8)))
+      }
+      .toDF("media_id", "media_type", "content")
+  }
+
+  /** Audio twin of [[syntheticImageCorpus]]: real RIFF/WAV PCM
+    * payloads, media_id 2k (base) and 2k+1 (the same recording at 2×
+    * volume) — planted [[audioNearDup]] pairs. */
+  def syntheticAudioCorpus(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .flatMap { k =>
+        Seq((2 * k, "audio/wav", wavOf(k, 1)),
+          (2 * k + 1, "audio/wav", wavOf(k, 2)))
+      }
+      .toDF("media_id", "media_type", "content")
+  }
+
   /** Acoustic near-dup: the audio twin of [[aHashNearDup]] — the same
     * banded-LSH + exact-hamming machinery over the energy-delta
     * fingerprint. Catches re-encodes and volume changes of the same

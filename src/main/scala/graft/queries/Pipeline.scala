@@ -196,6 +196,30 @@ object Pipeline {
 
   val defs: Map[String, Q] = Map(
 
+    // ---- perceptual image near-dup over REAL PNG payloads: the
+    // corpus tables carry no media column, so the battery derives a
+    // deterministic synthetic image corpus from the document ids
+    // (each id → a base 16×16 PNG + a brightness-shifted re-encode =
+    // a planted near-dup pair), then runs the banded-LSH + exact-
+    // hamming miner. Engine-specific hashes → rows-only check (like
+    // q42); the planted-pair recall itself is pinned by spec.
+    "p56_image_neardup" -> Q(
+      (s, dir) => MultiModal.aHashNearDup(
+          MultiModal.syntheticImageCorpus(
+            tbl(s, dir, "documents").select(col("doc_id")), "doc_id"),
+          maxDist = 6)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // ---- acoustic near-dup over REAL RIFF/WAV PCM payloads — the
+    // audio twin of p56 (base recording + 2× volume re-master per
+    // id), energy-delta fingerprints through the same LSH machinery.
+    "p57_audio_neardup" -> Q(
+      (s, dir) => MultiModal.audioNearDup(
+          MultiModal.syntheticAudioCorpus(
+            tbl(s, dir, "documents").select(col("doc_id")), "doc_id"),
+          maxDist = 6)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // ---- distribution-based length-outlier gate (winsorization):
     // exact p05/p95 corpus bounds via one broadcast aggregate, narrow
     // flag+clip per row. DuckDB's quantile_cont interpolates with the

@@ -1100,6 +1100,33 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("synthetic media corpora: planted twin pairs are recalled by " +
+      "both near-dup miners at hamming 0") {
+    import spark.implicits._
+    val ids = (0L until 30L).toDF("doc_id")
+    val img = MultiModal.aHashNearDup(
+        MultiModal.syntheticImageCorpus(ids, "doc_id"), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val imgPairs = img.map(p => (p._1, p._2)).toSet
+    (0L until 30L).foreach { k =>
+      assert(imgPairs.contains((2 * k, 2 * k + 1)) ||
+        imgPairs.contains((2 * k + 1, 2 * k)),
+        s"image twin pair for id $k not recalled")
+    }
+    // the brightness shift is aHash-invariant by construction
+    img.filter(p => p._1 / 2 == p._2 / 2).foreach(p => assert(p._3 == 0L))
+    val aud = MultiModal.audioNearDup(
+        MultiModal.syntheticAudioCorpus(ids, "doc_id"), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val audPairs = aud.map(p => (p._1, p._2)).toSet
+    (0L until 30L).foreach { k =>
+      assert(audPairs.contains((2 * k, 2 * k + 1)) ||
+        audPairs.contains((2 * k + 1, 2 * k)),
+        s"audio twin pair for id $k not recalled")
+    }
+    aud.filter(p => p._1 / 2 == p._2 / 2).foreach(p => assert(p._3 == 0L))
+  }
+
   test("resampleHourlyLocf: LOCF fill; maxGridHours caps a sparse " +
       "long-span key") {
     import spark.implicits._
