@@ -97,6 +97,76 @@ object KvSegment {
     * start. Readers never cache — every task opens the file. */
   def invalidate(): Unit = keyCache.clear()
 
+  // ---- multi-segment tables (the growth path) -----------------------
+
+  /** Segment files of a multi-segment table directory, ascending by
+    * sequence number. A multi-segment table is a directory of numbered
+    * write-once segments (`000001.seg`, `000002.seg`, …); a key
+    * present in several segments is visible from the HIGHEST-numbered
+    * one (LSM newest-wins upsert — no tombstones: a NULL value is a
+    * stored NULL, not a delete). */
+  def listSegments(dir: String): Seq[String] = {
+    val fs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    fs.filter(f => f.isFile && f.getName.matches("\\d{6}\\.seg"))
+      .sortBy(_.getName).map(_.getPath).toSeq
+  }
+
+  private def nextSegPath(dir: String): String = {
+    val next = listSegments(dir).lastOption
+      .map(p => new java.io.File(p).getName.stripSuffix(".seg").toInt + 1)
+      .getOrElse(1)
+    new java.io.File(dir, f"$next%06d.seg").getPath
+  }
+
+  /** Append one write-once segment to a multi-segment table — the
+    * ingest path: new rows land as a fresh sorted segment instead of
+    * rewriting the table, and shadow older segments' equal keys at
+    * read time. Publish is the same write-once-rename as [[write]].
+    * Returns the published path. */
+  def appendSegment(dir: String, rows: Seq[(Long, String)]): String = {
+    new java.io.File(dir).mkdirs()
+    val p = nextSegPath(dir)
+    write(p, rows)
+    p
+  }
+
+  /** Full materialized read of one segment — compaction-scope utility
+    * (a driver-side O(segment) read; scans never use this). */
+  def readAll(path: String): Array[(Long, String)] = {
+    val n = keys(path).length
+    val sr = new SliceReader(path, 0, n)
+    Array.tabulate(n)(i => (sr.keys(i), sr.value(i)))
+  }
+
+  /** Compact a multi-segment table to one segment: newest-wins merge
+    * of every live segment, published write-once-rename as the NEXT
+    * sequence number BEFORE the merged-away files are deleted — so a
+    * crash anywhere in between leaves a directory that still reads
+    * exactly the merged state (the survivor shadows everything it
+    * merged, and re-running compact converges). Returns the merged
+    * segment's path.
+    *
+    * Concurrency contract: a scan PLANNED after compaction reads the
+    * identical merged view; a scan planned before (whose partitions
+    * pin the old paths) fails on the deleted files — the same
+    * contract as deleting parquet files under a planned scan. Run
+    * compaction in the same maintenance windows as any file-level
+    * rewrite, or keep old segments until readers drain. */
+  def compact(dir: String): String = {
+    val segs = listSegments(dir)
+    require(segs.nonEmpty, s"$dir: no segments to compact")
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+    segs.foreach(p => readAll(p).foreach { case (k, v) => m(k) = v })
+    val out = nextSegPath(dir)
+    write(out, m.toSeq)
+    segs.foreach { p =>
+      new java.io.File(p).delete()
+      keyCache.remove(p)
+    }
+    out
+  }
+
   /** Executor-side slice reader for rows [from, until): opens the
     * file, preads exactly the key slice, offset slice, null-bitmap
     * bytes and blob window it needs, then iterates. Total extra I/O

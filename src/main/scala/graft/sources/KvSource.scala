@@ -71,15 +71,24 @@ final case class MemBacking(name: String) extends KvBacking {
 final case class FileBacking(path: String) extends KvBacking {
   def label: String = path
 }
+/** Multi-segment table directory ([[KvSegment.listSegments]]): the
+  * growth path — ingest appends numbered write-once segments, reads
+  * merge them newest-wins at plan time, compaction folds them back to
+  * one. `option("dir", ...)`. */
+final case class DirBacking(dir: String) extends KvBacking {
+  def label: String = dir
+}
 
 class KvSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KvStore.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val backing = Option(properties.get("path")) match {
-      case Some(p) => FileBacking(p)
-      case None => MemBacking(properties.get("name"))
+    val backing = (Option(properties.get("dir")),
+        Option(properties.get("path"))) match {
+      case (Some(d), _) => DirBacking(d)
+      case (None, Some(p)) => FileBacking(p)
+      case _ => MemBacking(properties.get("name"))
     }
     new KvTable(backing)
   }
@@ -176,9 +185,14 @@ class KvScan(backing: KvBacking, lo: Long, hi: Long, projection: StructType)
     * to the real KV service — this class is the planning seam that
     * path would reuse unchanged. */
   override def planInputPartitions(): Array[InputPartition] = {
+    backing match {
+      case DirBacking(dir) => return planSegmentMerge(dir)
+      case _ => ()
+    }
     val keys = backing match {
       case MemBacking(name) => KvStore(name)._1
       case FileBacking(path) => KvSegment.keys(path)
+      case DirBacking(_) => throw new IllegalStateException("unreachable")
     }
     val from = lowerBound(keys, lo)
     val until = upperBound(keys, hi)
@@ -207,6 +221,64 @@ class KvScan(backing: KvBacking, lo: Long, hi: Long, projection: StructType)
           .map(s => new KvFilePartition(path, s, math.min(s + step, until)): InputPartition)
           .toArray
     }
+  }
+
+  /** Multi-segment planning: the driver-side newest-wins merge of key
+    * ranges. Walking segments newest → oldest, a key in the pushed
+    * [lo, hi] range is VISIBLE in the first (newest) segment that
+    * contains it; each segment contributes only the row indices of
+    * its visible keys, grouped into contiguous RUNS so executors
+    * pread exactly the matching slices of the matching segments —
+    * shadowed rows and out-of-range rows are never read. Planning
+    * cost is O(keys in range across segments) against the cached key
+    * indexes (the same planning-index budget as single-segment
+    * tables); task payloads stay (path, runs), O(runs) not O(rows). */
+  private def planSegmentMerge(dir: String): Array[InputPartition] = {
+    val segs = KvSegment.listSegments(dir)
+    val seen = new java.util.HashSet[Long]()
+    var total = 0L
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    segs.reverse.foreach { path =>
+      val ks = KvSegment.keys(path)
+      val from = lowerBound(ks, lo)
+      val until = upperBound(ks, hi)
+      var starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var runStart = -1
+      var prev = -2
+      var cnt = 0
+      def flushPartition(): Unit = {
+        if (starts.nonEmpty) {
+          parts += new KvRunsPartition(path, starts.toArray, ends.toArray)
+          starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+        }
+        cnt = 0
+      }
+      var i = from
+      while (i < until) {
+        if (seen.add(ks(i))) {
+          total += 1
+          if (runStart < 0) runStart = i
+          else if (i != prev + 1) {
+            starts += runStart; ends += prev + 1; runStart = i
+          }
+          prev = i
+          cnt += 1
+          if (cnt == KvScan.MaxRowsPerPartition) {
+            starts += runStart; ends += i + 1; runStart = -1; prev = -2
+            flushPartition()
+          }
+        }
+        i += 1
+      }
+      if (runStart >= 0) { starts += runStart; ends += prev + 1 }
+      flushPartition()
+    }
+    val kind = if (lo == Long.MinValue && hi == Long.MaxValue)
+      "FullTableScan" else "UsingTheIndex"
+    KvStore.lastScan(backing.label) = (kind, total)
+    parts.toArray
   }
 
   private def lowerBound(a: Array[Long], v: Long): Int = {
@@ -246,6 +318,13 @@ final class KvPartition(val keys: Array[Long], val values: Array[String])
 final class KvFilePartition(val path: String, val from: Int, val until: Int)
     extends InputPartition
 
+/** Multi-segment task payload: one segment path plus the contiguous
+  * row-index runs this task owns (`[starts(i), ends(i))`, ascending,
+  * disjoint). Shadowed rows were excluded at plan time, so the reader
+  * preads exactly these slices and nothing else. */
+final class KvRunsPartition(val path: String, val starts: Array[Int],
+    val ends: Array[Int]) extends InputPartition
+
 class KvReaderFactory(projection: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -256,6 +335,28 @@ class KvReaderFactory(projection: StructType)
         // Executor-side open: no driver state touched.
         val slice = new KvSegment.SliceReader(fp.path, fp.from, fp.until)
         rowsReader(slice.size, i => slice.keys(i), i => slice.value(i))
+      case rp: KvRunsPartition =>
+        // One pread'd SliceReader per contiguous run, consumed lazily.
+        iterReader(rp.starts.indices.iterator.flatMap { r =>
+          val s = new KvSegment.SliceReader(rp.path, rp.starts(r), rp.ends(r))
+          (0 until s.size).iterator.map(i => (s.keys(i), s.value(i)))
+        })
+    }
+
+  private def iterReader(it: Iterator[(Long, String)])
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var cur: (Long, String) = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = {
+        val cols = projection.fieldNames.map {
+          case "k" => cur._1.asInstanceOf[Any]
+          case "v" => Option(cur._2).map(UTF8String.fromString).orNull
+        }
+        InternalRow.fromSeq(cols.toSeq)
+      }
+      override def close(): Unit = ()
     }
 
   private def rowsReader(n: Int, key: Int => Long,

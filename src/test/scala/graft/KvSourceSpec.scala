@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.{KvFilePartition, KvScanBuilder, KvSegment, KvStore, FileBacking}
+import graft.sources.{DirBacking, FileBacking, KvFilePartition, KvRunsPartition, KvScanBuilder, KvSegment, KvStore}
 
 /** DataSource V2 connector spec: key predicates push into the source
   * and prune the scan to the matched range (the reference's
@@ -118,6 +118,79 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val oos = new java.io.ObjectOutputStream(bos)
     oos.writeObject(fps.head); oos.close()
     assert(bos.size() < 1024, s"partition payload ${bos.size()} bytes")
+  }
+
+  // ---- multi-segment tables (growth path) ---------------------------
+
+  private def threeSegments(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("gkvdir").toString
+    KvSegment.appendSegment(dir, (0L until 100L).map(i => i -> s"a$i"))
+    KvSegment.appendSegment(dir, (50L until 150L).map(i => i -> s"b$i"))
+    KvSegment.appendSegment(dir, (120L until 130L).map(i => i -> s"c$i"))
+    dir
+  }
+
+  private lazy val segDir = threeSegments()
+  private lazy val ddf = spark.read.format("graft.sources.KvSource")
+    .option("dir", segDir).load()
+
+  test("multi-segment: newest segment shadows older ones per key") {
+    assert(ddf.count() == 150L)
+    assert(KvStore.lastScan(segDir) == (("FullTableScan", 150L)))
+    val m = ddf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 150)
+    assert(m(10L) == "a10")   // only in oldest
+    assert(m(60L) == "b60")   // seg2 shadows seg1
+    assert(m(125L) == "c125") // seg3 shadows seg2
+    assert(m(149L) == "b149") // seg3's narrow range doesn't over-shadow
+  }
+
+  test("multi-segment: range scan reads only matching slices of " +
+      "matching segments") {
+    val got = ddf.filter(col("k") >= 55 && col("k") <= 124).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 55..119 visible from seg2, 120..124 from seg3; seg1's 55..99 are
+    // all shadowed by seg2
+    assert(got.size == 70)
+    assert(got(55L) == "b55" && got(119L) == "b119" &&
+      got(120L) == "c120" && got(124L) == "c124")
+    assert(KvStore.lastScan(segDir) == (("UsingTheIndex", 70L)))
+    // plan-level: the fully-shadowed oldest segment contributes NO
+    // partition, and the runs cover exactly the 70 visible rows
+    val b = new KvScanBuilder(DirBacking(segDir))
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    b.pushFilters(Array(GreaterThanOrEqual("k", 55L),
+      LessThanOrEqual("k", 124L)))
+    val parts = b.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[KvRunsPartition])
+    val names = parts.map(p => new java.io.File(p.path).getName).toSet
+    assert(names == Set("000002.seg", "000003.seg"), names)
+    val rows = parts.map(p =>
+      p.starts.zip(p.ends).map { case (s, e) => e - s }.sum).sum
+    assert(rows == 70)
+  }
+
+  test("multi-segment: compaction folds to one segment preserving the " +
+      "merged view, crash-safely ordered") {
+    val dir = threeSegments()
+    def load() = spark.read.format("graft.sources.KvSource")
+      .option("dir", dir).load()
+    val before = load().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val merged = KvSegment.compact(dir)
+    // publish-then-delete: the merged file is the next sequence number,
+    // so even a crash before the deletes reads the same state
+    assert(new java.io.File(merged).getName == "000004.seg")
+    assert(KvSegment.listSegments(dir) == Seq(merged))
+    KvSegment.invalidate() // fresh-driver replan from disk
+    // scans planned AFTER compaction read the identical merged view
+    // (an already-planned scan pins the old files — see compact's
+    // scaladoc; that is the parquet-rewrite contract too)
+    val d = load()
+    val after = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before)
+    assert(d.filter(col("k") === 125).head().getString(1) == "c125")
+    assert(KvStore.lastScan(dir) == (("UsingTheIndex", 1L)))
   }
 
   test("durable segment: write is atomic-publish and rewrite invalidates the cache") {
