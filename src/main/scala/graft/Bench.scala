@@ -25,13 +25,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JVM + parquet footer caches + codegen paths
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm-up: JVM + parquet footer caches + codegen paths (documents
+    // fallback for partial scale-up dirs that lack the TPC-H tables)
+    val warm = if (new java.io.File(s"$sfDir/lineitem.parquet").exists())
+      "lineitem" else "documents"
+    spark.read.parquet(s"$sfDir/$warm.parquet").count()
 
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional filter (same contract as Verify): SPARK_GRAFT_ONLY=p27,p28
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir))
       catch { case e: Throwable =>

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off 10× scale-up generator for the empirical scale validation
+  * (BENCH_NOTES.md): derives an sf1-equivalent copy of the pipeline
+  * tables (documents / embeddings / events / supplier) from sf0.1 by
+  * unioning `copies` STRUCTURALLY INDEPENDENT variants — each copy
+  * preserves the source's intra-copy duplicate/near-dup structure,
+  * while cross-copy rows are made deliberately dissimilar so the
+  * near-dup pair space grows linearly like a real 10× corpus would,
+  * not quadratically like naive concatenation of identical copies:
+  *
+  *  - documents: per-copy token bijection (`t -> t || 'q' || c`) —
+  *    shingle sets of different copies are disjoint, so MinHash/
+  *    SimHash/Jaccard find exactly 10× the pairs, never cross-copy
+  *    cliques; token repetition structure inside a document (what
+  *    BPE/LM/quality ops measure) is untouched.
+  *  - embeddings: per-copy orthogonal transform (coordinate rotation
+  *    + deterministic sign flips) — intra-copy cosine geometry is
+  *    EXACTLY preserved (ANN/SemDeDup/k-means see 10 independent
+  *    corpora of the original geometry), cross-copy cosines are
+  *    decorrelated.
+  *  - events: id/user offsets per copy (new users, same temporal
+  *    shape per user).
+  *  - supplier: regenerated TPC-H-format names from the offset keys,
+  *    so p54's suffix blocking keys distribute over the larger
+  *    keyspace the way real TPC-H data would.
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [dstDir] [copies]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val copyDf = broadcast(spark.range(copies).toDF("c"))
+
+    // ---- documents: token bijection per copy --------------------------
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(copyDf)
+      .select(
+        (col("doc_id") + col("c") * nDoc).as("doc_id"),
+        expr("array_join(transform(split(text, ' '), " +
+          "t -> concat(t, 'q', c)), ' ')").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    // ---- embeddings: per-copy orthogonal transform --------------------
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val shift = math.max(1, dim / copies)
+    emb.crossJoin(copyDf)
+      .select(
+        (col("vec_id") + col("c") * nVec).as("vec_id"),
+        expr(
+          s"""transform(sequence(0, $dim - 1), i -> CAST(
+             |  element_at(embedding,
+             |    CAST(pmod(i + c * $shift, $dim) AS INT) + 1) *
+             |  (CASE WHEN pmod((i + 1) * (c * 2654435761), 97) < 48
+             |        THEN -1.0D ELSE 1.0D END) AS FLOAT))""".stripMargin)
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // ---- events: fresh users per copy (ts stays BIGINT nanos — the
+    // same shape QueryUtil.tbl normalizes on read) ----------------------
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nEv = ev.agg(max("event_id")).head().getLong(0) + 1
+    val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    ev.crossJoin(copyDf)
+      .select(
+        (col("event_id") + col("c") * nEv).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("c") * nUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // ---- supplier: regenerated names over the offset keyspace ---------
+    val sup = spark.read.parquet(s"$src/supplier.parquet")
+    val nSup = sup.agg(max("s_suppkey")).head().getLong(0) + 1
+    sup.crossJoin(copyDf)
+      .select(
+        (col("s_suppkey") + col("c") * nSup).as("s_suppkey"),
+        format_string("Supplier#%09d",
+          col("s_suppkey") + col("c") * nSup).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+
+    println(s"""{"scalegen":"$dst","copies":$copies}""")
+    spark.stop()
+  }
+}

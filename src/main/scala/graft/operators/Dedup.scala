@@ -118,6 +118,13 @@ object Dedup {
     * escapes a first-char block — pick keys that survive the edits
     * you expect, or union several blockings).
     *
+    * Scale contract: block-key CARDINALITY must grow with the corpus.
+    * A fixed key (e.g. a 2-char suffix ≈ 100 blocks) makes Σ|block|²
+    * quadratic in corpus size — measured at the 10× scale-up
+    * (BENCH_NOTES.md r9): the p54 battery shape ran 14.9× slower at
+    * 10× rows, and re-keying to a 3-char suffix (10× more blocks)
+    * recovered 4.5× of it at identical semantics.
+    *
     * `blockKeys` maps a name column to the blocking key expression,
     * applied identically to both sides. Returns
     * (left id, right id, left name, right name, dist). */
