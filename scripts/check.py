@@ -17,7 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; ScaleGen scale-up dirs
+        # are Spark-written DIRECTORIES of part files — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, bad = [], []
     for name in sorted(os.listdir(out_dir)):
