@@ -17,6 +17,14 @@ import org.apache.spark.sql.types._
   */
 object MultiModal {
 
+  // ImageIO's default stream cache is DISK-backed: every encode or
+  // decode creates and deletes a temp file, which at corpus scale
+  // turns a per-row CPU pass into per-row filesystem churn (measured
+  // 3× on the p56 battery entry). All payloads here ride in-memory
+  // byte arrays — keep the streams in memory too. (JVM-global flag,
+  // evaluated once per executor JVM at class load.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** PNG (\x89PNG) or JPEG (\xFF\xD8) magic — the two formats
     * `javax.imageio` ships decoders for on every JDK. Checked before
     * attempting a decode so arbitrary binary payloads skip straight
@@ -440,7 +448,12 @@ object MultiModal {
   def syntheticImageCorpus(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
+    // The id list is 8 bytes/row — spread it across the cluster
+    // BEFORE the flatMap so payload encoding parallelizes even when
+    // the source arrives as one small file (the exchange carries ids,
+    // never images).
     ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { k =>
         Seq((2 * k, "image/png", pngOf(k, 0)),
           (2 * k + 1, "image/png", pngOf(k, 8)))
@@ -455,6 +468,7 @@ object MultiModal {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { k =>
         Seq((2 * k, "audio/wav", wavOf(k, 1)),
           (2 * k + 1, "audio/wav", wavOf(k, 2)))
