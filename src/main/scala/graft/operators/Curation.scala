@@ -447,4 +447,49 @@ object Curation {
         (coalesce(col("n_cross_leaks"), lit(0L)) > 0).cast("long")
           .as("is_leak"))
   }
+
+  /** URL canonicalization + host extraction — the crawl-curation
+    * normalization step upstream of host-level quotas and URL-keyed
+    * dedup (C4/CCNet-family pipelines dedup by canonical URL before
+    * any text pass; one logical page otherwise appears under dozens
+    * of tracking-tagged spellings). Scheme and host lowercase (the
+    * path stays case-sensitive per RFC 3986), `www.` stripped,
+    * fragments dropped, tracking parameters (utm_*, ref, fbclid,
+    * gclid) removed, surviving query params SORTED so parameter
+    * order can't split one URL into many, trailing path slashes
+    * collapsed. All narrow codegen'd string ops — zero shuffle; the
+    * host column is the natural key for per-host quota aggregation
+    * downstream.
+    *
+    * Precondition: absolute `scheme://host/...` URLs (host ends at
+    * the first '/'; a query string requires at least the '/' path).
+    * Returns (id, canon_url, host). */
+  def canonicalizeUrls(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame =
+    df.select(col(idCol), col(urlCol).as("__u"))
+      .withColumn("__scheme", lower(expr("substring_index(__u, '://', 1)")))
+      .withColumn("__hp",
+        expr("substring_index(substring_index(__u, '://', -1), '#', 1)"))
+      .withColumn("__hostraw", lower(expr("substring_index(__hp, '/', 1)")))
+      .withColumn("host",
+        expr("regexp_replace(__hostraw, '^www\\\\.', '')"))
+      .withColumn("__pathq",
+        expr("substring(__hp, length(__hostraw) + 1)"))
+      .withColumn("__path",
+        expr("regexp_replace(substring_index(__pathq, '?', 1), '/+$', '')"))
+      .withColumn("__q", expr(
+        "CASE WHEN instr(__pathq, '?') > 0 " +
+          "THEN substring(__pathq, instr(__pathq, '?') + 1) ELSE '' END"))
+      .withColumn("__params", expr(
+        """sort_array(filter(split(__q, '&'), p -> p != ''
+          |  AND NOT startswith(p, 'utm_') AND NOT startswith(p, 'ref=')
+          |  AND NOT startswith(p, 'fbclid=')
+          |  AND NOT startswith(p, 'gclid=')))""".stripMargin))
+      .select(col(idCol),
+        expr(
+          """concat(__scheme, '://', host, __path,
+            |  CASE WHEN size(__params) > 0
+            |    THEN concat('?', array_join(__params, '&'))
+            |    ELSE '' END)""".stripMargin).as("canon_url"),
+        col("host"))
 }

@@ -220,6 +220,59 @@ object Pipeline {
           maxDist = 6)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // ---- URL canonicalization + host-level counts: the corpus has
+    // no URL column, so deterministic messy URLs are synthesized
+    // in-query from (source, doc_id, lang) — mixed-case scheme/host,
+    // www. prefix, trailing path slash, tracking params, unsorted
+    // params — then canonicalized (Curation.canonicalizeUrls) and
+    // joined with broadcast per-host doc counts (the per-host quota
+    // input). DuckDB replays every string op exactly.
+    "p58_url_canon" -> Q(
+      (s, dir) => {
+        val urls = tbl(s, dir, "documents")
+          .select(col("doc_id"), concat(
+            lit("HTTPS://WWW."), col("source"), lit(".Example.COM/Docs/"),
+            col("doc_id").cast("string"), lit("/?utm_source=feed&ref="),
+            col("lang"), lit("&b=2&a=1")).as("url"))
+        val canon = Curation.canonicalizeUrls(urls, "doc_id", "url")
+        val hostDocs = canon.groupBy(col("host"))
+          .agg(count(lit(1)).as("host_docs"))
+        canon.join(broadcast(hostDocs), Seq("host"))
+          .select(col("doc_id"), col("canon_url"), col("host"),
+            col("host_docs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id, 'HTTPS://WWW.' || source ||
+        |    '.Example.COM/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |    '/?utm_source=feed&ref=' || lang || '&b=2&a=1' AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, lower(split_part(url, '://', 1)) AS scheme,
+        |    split_part(split_part(url, '://', 2), '#', 1) AS hp FROM u),
+        |d AS (SELECT doc_id, scheme, hp,
+        |    lower(split_part(hp, '/', 1)) AS hostraw FROM c),
+        |e AS (SELECT doc_id, scheme,
+        |    regexp_replace(hostraw, '^www\.', '') AS host,
+        |    substr(hp, length(hostraw) + 1) AS pathq FROM d),
+        |f AS (SELECT doc_id, scheme, host,
+        |    regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path,
+        |    CASE WHEN strpos(pathq, '?') > 0
+        |      THEN substr(pathq, strpos(pathq, '?') + 1)
+        |      ELSE '' END AS q FROM e),
+        |g AS (SELECT doc_id, scheme, host, path,
+        |    list_sort(list_filter(str_split(q, '&'), p -> p <> ''
+        |      AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'ref=')
+        |      AND NOT starts_with(p, 'fbclid=')
+        |      AND NOT starts_with(p, 'gclid='))) AS params
+        |  FROM f),
+        |h AS (SELECT doc_id, scheme || '://' || host || path ||
+        |    CASE WHEN len(params) > 0 THEN '?' ||
+        |      array_to_string(params, '&') ELSE '' END AS canon_url,
+        |    host FROM g)
+        |SELECT doc_id, canon_url, host, hd.host_docs AS host_docs
+        |FROM h JOIN (SELECT host, count(*) AS host_docs FROM h
+        |  GROUP BY host) hd USING (host)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- distribution-based length-outlier gate (winsorization):
     // exact p05/p95 corpus bounds via one broadcast aggregate, narrow
     // flag+clip per row. DuckDB's quantile_cont interpolates with the

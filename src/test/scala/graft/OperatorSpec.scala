@@ -1100,6 +1100,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("canonicalizeUrls: case, www, fragment, tracking params, " +
+      "param order, trailing slash") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Ex.COM/A/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://ex.com/A/b?a=1&b=2"),   // already canonical twin of 1
+      (3L, "http://ex.com/plain"),          // no query, no fragment
+      (4L, "https://Ex.Com/p/?ref=z&fbclid=y&gclid=w&utm_campaign=c"),
+      (5L, "https://ex.com/CaseSensitivePath")
+    ).toDF("id", "url")
+    val r = Curation.canonicalizeUrls(urls, "id", "url").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getString(2)))).toMap
+    assert(r(1L) == (("https://ex.com/A/b?a=1&b=2", "ex.com")))
+    // one logical page, two spellings → ONE canonical key
+    assert(r(1L) == r(2L))
+    assert(r(3L) == (("http://ex.com/plain", "ex.com")))
+    // all params were tracking → no '?' survives
+    assert(r(4L) == (("https://ex.com/p", "ex.com")))
+    // path case preserved (RFC 3986: only scheme+host case-fold)
+    assert(r(5L)._1 == "https://ex.com/CaseSensitivePath")
+  }
+
   test("synthetic media corpora: planted twin pairs are recalled by " +
       "both near-dup miners at hamming 0") {
     import spark.implicits._
