@@ -100,6 +100,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t.contains("SortMergeJoin"), t)
   }
 
+  test("p58 host counts broadcast back; corpus side never hash-shuffles") {
+    val t = planText("p58_url_canon")
+    // the ONLY hash exchange is the host-count aggregate; the per-doc
+    // canonicalization stays narrow and the join back is broadcast
+    assert(t.contains("BroadcastHashJoin"), t)
+    assert(!t.contains("SortMergeJoin"), t)
+    assert("hashpartitioning".r.findAllIn(t).size <= 2, t)
+  }
+
   test("p05 banded range join plans a hash join, not a nested loop") {
     val t = planText("p05_embedding_neardup")
     assert(!t.contains("BroadcastNestedLoopJoin"), t)
