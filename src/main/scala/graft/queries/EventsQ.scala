@@ -117,6 +117,34 @@ object EventsQ {
         |  ON h.user_id = g.user_id AND h.hour_ms = g.hour_ms
         |ORDER BY user_id, hour_ms""".stripMargin)),
 
+    // ---- DataSource V2 index range scan, oracle-checked end to end:
+    // a durable KvSegment is built from orders (the KV-store build is
+    // a fixture materialization — the reference's sled store is
+    // driver-written the same way; the SCAN path that follows ships
+    // only (path, row range) per task), then read through the
+    // connector with a pushed key range: Catalyst folds the
+    // predicates into [1000, 4999], the planner binary-searches the
+    // key index and preads only the matched slice, split 4-ways. The
+    // oracle is the same range over the source table — proving
+    // pushdown + slicing return exactly the relational answer.
+    "q56_kv_rangescan" -> Q(
+      (s, dir) => {
+        val seg = s"/tmp/graft_kvseg_${math.abs(dir.hashCode)}.seg"
+        if (!new java.io.File(seg).exists()) {
+          val rows = tbl(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"))
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+          graft.sources.KvSegment.write(seg, rows)
+        }
+        s.read.format("graft.sources.KvSource").option("path", seg).load()
+          .filter(col("k") >= 1000 && col("k") < 5000)
+          .select(col("k"), col("v"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT o_orderkey AS k, o_orderpriority AS v FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 5000
+        |ORDER BY k""".stripMargin)),
+
     // ---- pivot: event_type counts to columns per user.
     "q39_pivot_event_types" -> Q(
       (s, dir) => tbl(s, dir, "events")
