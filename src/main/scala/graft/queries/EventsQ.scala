@@ -145,6 +145,36 @@ object EventsQ {
         |WHERE o_orderkey >= 1000 AND o_orderkey < 5000
         |ORDER BY k""".stripMargin)),
 
+    // ---- multi-segment KV newest-wins merge, oracle-checked: the
+    // base segment carries all orders, a second (newer) segment
+    // overrides keys [2000, 3000) with rewritten values — the LSM
+    // upsert shape. The scan must read the override from the newer
+    // segment, the rest from the base, and never emit a shadowed
+    // row; the oracle expresses the same merge as a CASE over the
+    // source table.
+    "q57_kv_multiseg" -> Q(
+      (s, dir) => {
+        val d = s"/tmp/graft_kvdir_${math.abs(dir.hashCode)}"
+        if (graft.sources.KvSegment.listSegments(d).isEmpty) {
+          val rows = tbl(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"))
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+          graft.sources.KvSegment.appendSegment(d, rows)
+          graft.sources.KvSegment.appendSegment(d,
+            rows.filter(x => x._1 >= 2000L && x._1 < 3000L)
+              .map { case (k, v) => (k, "X-" + v) })
+        }
+        s.read.format("graft.sources.KvSource").option("dir", d).load()
+          .filter(col("k") >= 1000 && col("k") < 5000)
+          .select(col("k"), col("v"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT o_orderkey AS k,
+        |CASE WHEN o_orderkey >= 2000 AND o_orderkey < 3000
+        |  THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS v
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000
+        |ORDER BY k""".stripMargin)),
+
     // ---- pivot: event_type counts to columns per user.
     "q39_pivot_event_types" -> Q(
       (s, dir) => tbl(s, dir, "events")
