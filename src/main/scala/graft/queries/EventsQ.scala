@@ -155,7 +155,10 @@ object EventsQ {
     "q57_kv_multiseg" -> Q(
       (s, dir) => {
         val d = s"/tmp/graft_kvdir_${math.abs(dir.hashCode)}"
-        if (graft.sources.KvSegment.listSegments(d).isEmpty) {
+        // < 2 (not isEmpty): a crash between the two appends leaves a
+        // 1-segment dir; re-appending BOTH is self-healing because the
+        // override lands newest either way (newest-wins merge)
+        if (graft.sources.KvSegment.listSegments(d).size < 2) {
           val rows = tbl(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderpriority"))
             .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
