@@ -118,25 +118,26 @@ object EventsQ {
         |ORDER BY user_id, hour_ms""".stripMargin)),
 
     // ---- DataSource V2 index range scan, oracle-checked end to end:
-    // a durable KvSegment is built from orders (the KV-store build is
-    // a fixture materialization — the reference's sled store is
-    // driver-written the same way; the SCAN path that follows ships
-    // only (path, row range) per task), then read through the
-    // connector with a pushed key range: Catalyst folds the
-    // predicates into [1000, 4999], the planner binary-searches the
-    // key index and preads only the matched slice, split 4-ways. The
-    // oracle is the same range over the source table — proving
-    // pushdown + slicing return exactly the relational answer.
+    // a durable KvSegment table is built from orders by the
+    // DISTRIBUTED writer (KvSegmentWriter: range-partition + sort
+    // within partitions + per-task segment publish — no driver
+    // collect anywhere), then read through the connector with a
+    // pushed key range: Catalyst folds the predicates into
+    // [1000, 4999], the planner fence-clips the exact slice and
+    // splits it 4-ways. The oracle is the same range over the source
+    // table — proving pushdown + slicing return exactly the
+    // relational answer.
     "q56_kv_rangescan" -> Q(
       (s, dir) => {
-        val seg = s"/tmp/graft_kvseg_${math.abs(dir.hashCode)}.seg"
-        if (!new java.io.File(seg).exists()) {
-          val rows = tbl(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_orderpriority"))
-            .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-          graft.sources.KvSegment.write(seg, rows)
+        val d = kvFixtureDir(dir, "kvseg")
+        if (!kvFixtureReady(d)) {
+          graft.sources.KvSegmentWriter.writeDataFrame(
+            tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+              col("o_orderpriority").as("v")), d, numSegments = 1)
+          kvFixtureSeal(d)
         }
-        s.read.format("graft.sources.KvSource").option("path", seg).load()
+        s.read.format("graft.sources.KvSource")
+          .option("path", new java.io.File(d, "000001.seg").getPath).load()
           .filter(col("k") >= 1000 && col("k") < 5000)
           .select(col("k"), col("v"))
           .orderBy(col("k"))
@@ -145,27 +146,26 @@ object EventsQ {
         |WHERE o_orderkey >= 1000 AND o_orderkey < 5000
         |ORDER BY k""".stripMargin)),
 
-    // ---- multi-segment KV newest-wins merge, oracle-checked: the
-    // base segment carries all orders, a second (newer) segment
-    // overrides keys [2000, 3000) with rewritten values — the LSM
-    // upsert shape. The scan must read the override from the newer
-    // segment, the rest from the base, and never emit a shadowed
-    // row; the oracle expresses the same merge as a CASE over the
-    // source table.
+    // ---- multi-segment KV newest-wins merge, oracle-checked: four
+    // range-partitioned base segments carry all orders (distributed
+    // build, no driver collect), a fifth (newer) segment overrides
+    // keys [2000, 3000) with rewritten values — the LSM upsert shape.
+    // The scan must read the override from the newer segment, the
+    // rest from the base, and never emit a shadowed row; the oracle
+    // expresses the same merge as a CASE over the source table.
     "q57_kv_multiseg" -> Q(
       (s, dir) => {
-        val d = s"/tmp/graft_kvdir_${math.abs(dir.hashCode)}"
-        // < 2 (not isEmpty): a crash between the two appends leaves a
-        // 1-segment dir; re-appending BOTH is self-healing because the
-        // override lands newest either way (newest-wins merge)
-        if (graft.sources.KvSegment.listSegments(d).size < 2) {
-          val rows = tbl(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_orderpriority"))
-            .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-          graft.sources.KvSegment.appendSegment(d, rows)
-          graft.sources.KvSegment.appendSegment(d,
-            rows.filter(x => x._1 >= 2000L && x._1 < 3000L)
-              .map { case (k, v) => (k, "X-" + v) })
+        val d = kvFixtureDir(dir, "kvdir")
+        if (!kvFixtureReady(d)) {
+          val orders = tbl(s, dir, "orders")
+            .select(col("o_orderkey").as("k"), col("o_orderpriority").as("v"))
+          graft.sources.KvSegmentWriter.writeDataFrame(orders, d,
+            numSegments = 4)
+          graft.sources.KvSegmentWriter.writeDataFrame(
+            orders.filter(col("k") >= 2000 && col("k") < 3000)
+              .withColumn("v", concat(lit("X-"), col("v"))),
+            d, numSegments = 1)
+          kvFixtureSeal(d)
         }
         s.read.format("graft.sources.KvSource").option("dir", d).load()
           .filter(col("k") >= 1000 && col("k") < 5000)
@@ -321,4 +321,41 @@ object EventsQ {
         |  user_id, cnt AS est_count, CAST(0 AS BIGINT) AS max_err
         |FROM r WHERE rnk <= 3 ORDER BY hour_ms, rnk""".stripMargin))
   )
+
+  /** KV fixture directory keyed by a CONTENT fingerprint of the source
+    * orders table (per-file name + length + mtime), not the testdata
+    * path's hashCode — so regenerated testdata at the same path gets a
+    * fresh fixture instead of silently reusing a stale segment, and
+    * distinct dirs can't collide onto one fixture via abs(hashCode)
+    * (abs(Int.MinValue) is negative; hex has no such edge). */
+  private def kvFixtureDir(dir: String, tag: String): String = {
+    val src = new java.io.File(s"$dir/orders.parquet")
+    val files =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      else Array(src)
+    var h = 1125899906842597L
+    files.foreach { f =>
+      f.getName.foreach(c => h = h * 31 + c)
+      h = h * 31 + f.length()
+      h = h * 31 + f.lastModified()
+    }
+    s"/tmp/graft_${tag}_${java.lang.Long.toHexString(h)}"
+  }
+
+  /** A fixture is complete only once sealed: a crash mid-build leaves
+    * no marker, in which case any partial segments are wiped HERE so
+    * the rebuild starts from sequence 000001 on an empty dir — simpler
+    * and stronger than counting segments. */
+  private def kvFixtureReady(d: String): Boolean = {
+    if (new java.io.File(d, "_SUCCESS").exists()) true
+    else {
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .foreach(_.delete())
+      false
+    }
+  }
+
+  private def kvFixtureSeal(d: String): Unit =
+    new java.io.File(d, "_SUCCESS").createNewFile()
 }

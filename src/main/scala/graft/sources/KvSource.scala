@@ -43,8 +43,10 @@ object KvStore {
   private val stores = TrieMap.empty[String, (Array[Long], Map[Long, String])]
 
   /** Telemetry mirroring the reference's SeekType: what the last scan
-    * of each store did — range-pruned or full — and how many keys it
-    * actually read. Spec-facing; harmless single-JVM state. */
+    * of each store did — range-pruned or full — and how many candidate
+    * rows it planned (for multi-segment tables this counts PRE-shadow
+    * candidates: the newest-wins merge happens executor-side).
+    * Spec-facing; harmless single-JVM state. */
   val lastScan = TrieMap.empty[String, (String, Long)]
 
   def register(name: String, rows: Seq[(Long, String)]): Unit = {
@@ -167,47 +169,43 @@ class KvScan(backing: KvBacking, lo: Long, hi: Long, projection: StructType)
     s"graft-kv ${backing.label} $kind cols=${projection.fieldNames.mkString(",")}"
   }
 
-  /** Binary-search the pushed range in the sorted key array and split
-    * the matched slice into parallel partitions — range pruning AND
-    * scan parallelism, the two things the reference leaf lacked. The
-    * matched rows ship INSIDE each [[KvPartition]] (this method runs
-    * on the driver, where [[KvStore]] lives), so executor-side readers
-    * never dereference driver-JVM state and the connector works
-    * unchanged on a real cluster.
+  /** Resolve the pushed range to exact row indices and split the
+    * matched slice into parallel partitions — range pruning AND scan
+    * parallelism, the two things the reference leaf lacked. Durable
+    * backings plan on the segment's FENCE INDEX ([[KvSegment.
+    * fenceIndex]], O(rows/4096) driver memory) plus preads of at most
+    * the two boundary blocks for exact clipping — the driver never
+    * loads a key array, so planning state is O(blocks + segments) at
+    * any table size. The in-memory registry keeps its key array by
+    * design (it IS the table).
     *
     * Partition sizing: at least 4 slices for parallelism, and never
     * more than [[KvScan.MaxRowsPerPartition]] rows per slice, so one
     * task's serialized payload stays bounded however large the
-    * matched range is. Shipping rows in the task is still a
-    * demo-scope ceiling (the driver materializes the whole matched
-    * range); a production connector would ship only (store ref, key
-    * subrange) per partition and have executors open their own client
-    * to the real KV service — this class is the planning seam that
-    * path would reuse unchanged. */
+    * matched range is. Shipping rows in the task is a demo-scope
+    * ceiling of the in-memory backing only; durable tasks carry
+    * (path, row range) and executors pread their own slice. */
   override def planInputPartitions(): Array[InputPartition] = {
     backing match {
       case DirBacking(dir) => return planSegmentMerge(dir)
       case _ => ()
     }
-    val keys = backing match {
-      case MemBacking(name) => KvStore(name)._1
-      case FileBacking(path) => KvSegment.keys(path)
+    val (from, until) = backing match {
+      case MemBacking(name) =>
+        val keys = KvStore(name)._1
+        (lowerBound(keys, 0, keys.length, lo), upperBound(keys, 0, keys.length, hi))
+      case FileBacking(path) =>
+        clipRange(path, KvSegment.fenceIndex(path))
       case DirBacking(_) => throw new IllegalStateException("unreachable")
     }
-    val from = lowerBound(keys, lo)
-    val until = upperBound(keys, hi)
     val n = math.max(0, until - from)
-    val kind = if (lo == Long.MinValue && hi == Long.MaxValue)
-      "FullTableScan" else "UsingTheIndex"
-    KvStore.lastScan(backing.label) = (kind, n.toLong)
+    KvStore.lastScan(backing.label) = (scanKind, n.toLong)
     if (n == 0) return Array.empty
-    val slices = math.max(math.min(4, n),
-      (n + KvScan.MaxRowsPerPartition - 1) / KvScan.MaxRowsPerPartition)
-    val step = math.max(1, (n + slices - 1) / slices)
+    val step = sliceStep(n)
     backing match {
       case MemBacking(name) =>
         // Demo registry: rows ship inside the task (driver-materialized).
-        val values = KvStore(name)._2
+        val (keys, values) = KvStore(name)
         (from until until by step)
           .map { s =>
             val ks = keys.slice(s, math.min(s + step, until))
@@ -220,74 +218,126 @@ class KvScan(backing: KvBacking, lo: Long, hi: Long, projection: StructType)
         (from until until by step)
           .map(s => new KvFilePartition(path, s, math.min(s + step, until)): InputPartition)
           .toArray
+      case DirBacking(_) => throw new IllegalStateException("unreachable")
     }
   }
 
-  /** Multi-segment planning: the driver-side newest-wins merge of key
-    * ranges. Walking segments newest → oldest, a key in the pushed
-    * [lo, hi] range is VISIBLE in the first (newest) segment that
-    * contains it; each segment contributes only the row indices of
-    * its visible keys, grouped into contiguous RUNS so executors
-    * pread exactly the matching slices of the matching segments —
-    * shadowed rows and out-of-range rows are never read. Planning
-    * cost is O(keys in range across segments) against the cached key
-    * indexes (the same planning-index budget as single-segment
-    * tables); task payloads stay (path, runs), O(runs) not O(rows). */
+  private def scanKind: String =
+    if (lo == Long.MinValue && hi == Long.MaxValue) "FullTableScan"
+    else "UsingTheIndex"
+
+  private def sliceStep(n: Int): Int = {
+    val slices = math.max(math.min(4, n),
+      (n + KvScan.MaxRowsPerPartition - 1) / KvScan.MaxRowsPerPartition)
+    math.max(1, (n + slices - 1) / slices)
+  }
+
+  /** Exact row-index clip of the pushed [lo, hi] against one segment,
+    * planning on fences: the fence array bounds the candidate blocks,
+    * then a pread of at most the two BOUNDARY blocks (≤ 2 × 32 KB)
+    * binary-searches the exact endpoints. O(log blocks) CPU, O(1)
+    * I/O, zero retained state beyond the cached fences. */
+  private def clipRange(path: String, fi: KvSegment.FenceIndex): (Int, Int) = {
+    if (fi.n == 0 || lo > hi || fi.lastKey < lo || fi.firstKey > hi) return (0, 0)
+    val bs = fi.blockSize
+    val from =
+      if (lo <= fi.firstKey) 0
+      else {
+        // lo > firstKey, so at least one block's first key is <= lo
+        val b0 = upperBound(fi.fences, 0, fi.nBlocks, lo) - 1
+        val ks = KvSegment.readKeys(path, b0 * bs, math.min((b0 + 1) * bs, fi.n))
+        b0 * bs + lowerBound(ks, 0, ks.length, lo)
+      }
+    val until =
+      if (hi >= fi.lastKey) fi.n
+      else {
+        // hi >= firstKey (checked above), so the candidate block exists
+        val bE = upperBound(fi.fences, 0, fi.nBlocks, hi) - 1
+        val ks = KvSegment.readKeys(path, bE * bs, math.min((bE + 1) * bs, fi.n))
+        bE * bs + upperBound(ks, 0, ks.length, hi)
+      }
+    (from, math.max(from, until))
+  }
+
+  /** Block-aligned candidate row range of [spanLo, spanHi] in a
+    * segment — fences only, NO preads. Used for shadow references:
+    * a superset of the exact range is harmless (the executor's sorted
+    * merge ignores non-matching keys), so boundary blocks are taken
+    * whole. */
+  private def blockRange(fi: KvSegment.FenceIndex, spanLo: Long,
+      spanHi: Long): (Int, Int) = {
+    if (fi.n == 0 || spanLo > spanHi || fi.lastKey < spanLo ||
+      fi.firstKey > spanHi) return (0, 0)
+    val b0 = math.max(0, upperBound(fi.fences, 0, fi.nBlocks, spanLo) - 1)
+    val b1 = upperBound(fi.fences, 0, fi.nBlocks, spanHi)
+    (b0 * fi.blockSize, math.min(b1 * fi.blockSize, fi.n))
+  }
+
+  /** Multi-segment planning: newest-wins visibility WITHOUT driver
+    * key state. Each segment's pushed range is clipped exactly (fences
+    * + boundary-block preads, same as single-segment); every partition
+    * of a non-newest segment carries block-aligned SHADOW references
+    * to the overlapping ranges of all newer segments. The executor
+    * preads its own key slice, drops keys present in any shadow
+    * stream via sorted two-pointer merges (O(rows + shadow rows), no
+    * hashing, no boxing), and preads values only for the surviving
+    * runs — so shadowed values are never read, and driver planning
+    * state stays O(blocks + segments) however many keys the table
+    * has.
+    *
+    * `lastScan` reports PRE-SHADOW candidate rows (the driver cannot
+    * know the visible count without the merge — that now happens on
+    * executors, where it scales). */
   private def planSegmentMerge(dir: String): Array[InputPartition] = {
     val segs = KvSegment.listSegments(dir)
-    val seen = new java.util.HashSet[Long]()
+    val clips = segs.map { p =>
+      val fi = KvSegment.fenceIndex(p)
+      (p, fi, clipRange(p, fi))
+    }
     var total = 0L
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    segs.reverse.foreach { path =>
-      val ks = KvSegment.keys(path)
-      val from = lowerBound(ks, lo)
-      val until = upperBound(ks, hi)
-      var starts = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var ends = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var runStart = -1
-      var prev = -2
-      var cnt = 0
-      def flushPartition(): Unit = {
-        if (starts.nonEmpty) {
-          parts += new KvRunsPartition(path, starts.toArray, ends.toArray)
-          starts = scala.collection.mutable.ArrayBuffer.empty[Int]
-          ends = scala.collection.mutable.ArrayBuffer.empty[Int]
-        }
-        cnt = 0
-      }
-      var i = from
-      while (i < until) {
-        if (seen.add(ks(i))) {
-          total += 1
-          if (runStart < 0) runStart = i
-          else if (i != prev + 1) {
-            starts += runStart; ends += prev + 1; runStart = i
+    clips.zipWithIndex.foreach { case ((path, fi, (from, until)), idx) =>
+      val n = until - from
+      if (n > 0) {
+        total += n
+        val newer = clips.drop(idx + 1)
+        val step = sliceStep(n)
+        (from until until by step).foreach { s =>
+          val e = math.min(s + step, until)
+          // Conservative key span of rows [s, e) straight from fences:
+          // low = first key of s's block, high = first key of the block
+          // after (e-1)'s (or the segment's last key). Superset spans
+          // only widen shadow streams, never change the merge result.
+          val spanLo = math.max(lo, fi.fences(math.min(s / fi.blockSize, fi.nBlocks - 1)))
+          val hiBlock = (e - 1) / fi.blockSize + 1
+          val spanHi = math.min(hi,
+            if (hiBlock < fi.nBlocks) fi.fences(hiBlock) else fi.lastKey)
+          val shadows = newer.flatMap { case (np, nfi, (nf, nu)) =>
+            if (nu <= nf) None
+            else {
+              val (bf, bu) = blockRange(nfi, spanLo, spanHi)
+              val f = math.max(bf, nf)
+              val u = math.min(bu, nu)
+              if (u > f) Some((np, f, u)) else None
+            }
           }
-          prev = i
-          cnt += 1
-          if (cnt == KvScan.MaxRowsPerPartition) {
-            starts += runStart; ends += i + 1; runStart = -1; prev = -2
-            flushPartition()
-          }
+          parts += new KvShadowedPartition(path, s, e,
+            shadows.map(_._1).toArray, shadows.map(_._2).toArray,
+            shadows.map(_._3).toArray)
         }
-        i += 1
       }
-      if (runStart >= 0) { starts += runStart; ends += prev + 1 }
-      flushPartition()
     }
-    val kind = if (lo == Long.MinValue && hi == Long.MaxValue)
-      "FullTableScan" else "UsingTheIndex"
-    KvStore.lastScan(backing.label) = (kind, total)
+    KvStore.lastScan(backing.label) = (scanKind, total)
     parts.toArray
   }
 
-  private def lowerBound(a: Array[Long], v: Long): Int = {
-    var l = 0; var r = a.length
+  private def lowerBound(a: Array[Long], start: Int, end: Int, v: Long): Int = {
+    var l = start; var r = end
     while (l < r) { val m = (l + r) >>> 1; if (a(m) < v) l = m + 1 else r = m }
     l
   }
-  private def upperBound(a: Array[Long], v: Long): Int = {
-    var l = 0; var r = a.length
+  private def upperBound(a: Array[Long], start: Int, end: Int, v: Long): Int = {
+    var l = start; var r = end
     while (l < r) { val m = (l + r) >>> 1; if (a(m) <= v) l = m + 1 else r = m }
     l
   }
@@ -318,12 +368,16 @@ final class KvPartition(val keys: Array[Long], val values: Array[String])
 final class KvFilePartition(val path: String, val from: Int, val until: Int)
     extends InputPartition
 
-/** Multi-segment task payload: one segment path plus the contiguous
-  * row-index runs this task owns (`[starts(i), ends(i))`, ascending,
-  * disjoint). Shadowed rows were excluded at plan time, so the reader
-  * preads exactly these slices and nothing else. */
-final class KvRunsPartition(val path: String, val starts: Array[Int],
-    val ends: Array[Int]) extends InputPartition
+/** Multi-segment task payload: one segment path, the candidate row
+  * range this task owns, and block-aligned shadow references
+  * (`shadowPaths(i)` rows `[shadowFrom(i), shadowUntil(i))`) into
+  * every NEWER segment overlapping this range's key span. O(segments)
+  * serialized size; the executor resolves exact newest-wins
+  * visibility by merging sorted key streams. */
+final class KvShadowedPartition(val path: String, val from: Int,
+    val until: Int, val shadowPaths: Array[String],
+    val shadowFrom: Array[Int], val shadowUntil: Array[Int])
+    extends InputPartition
 
 class KvReaderFactory(projection: StructType)
     extends PartitionReaderFactory {
@@ -335,10 +389,47 @@ class KvReaderFactory(projection: StructType)
         // Executor-side open: no driver state touched.
         val slice = new KvSegment.SliceReader(fp.path, fp.from, fp.until)
         rowsReader(slice.size, i => slice.keys(i), i => slice.value(i))
-      case rp: KvRunsPartition =>
-        // One pread'd SliceReader per contiguous run, consumed lazily.
-        iterReader(rp.starts.indices.iterator.flatMap { r =>
-          val s = new KvSegment.SliceReader(rp.path, rp.starts(r), rp.ends(r))
+      case sp: KvShadowedPartition =>
+        // Newest-wins resolution, executor-side: pread own keys, drop
+        // any key present in a newer segment's shadow stream (sorted
+        // two-pointer merge, streamed in 64k-key chunks — O(1) extra
+        // memory per stream, no hash set), then pread VALUES only for
+        // the surviving contiguous runs. Shadowed values are never
+        // read.
+        val own = KvSegment.readKeys(sp.path, sp.from, sp.until)
+        val shadowed = new Array[Boolean](own.length)
+        var j = 0
+        while (j < sp.shadowPaths.length) {
+          var oi = 0
+          var pos = sp.shadowFrom(j)
+          val end = sp.shadowUntil(j)
+          while (pos < end && oi < own.length) {
+            val chunk = KvSegment.readKeys(sp.shadowPaths(j), pos,
+              math.min(pos + 65536, end))
+            var ci = 0
+            while (ci < chunk.length && oi < own.length) {
+              val sk = chunk(ci)
+              while (oi < own.length && own(oi) < sk) oi += 1
+              if (oi < own.length && own(oi) == sk) { shadowed(oi) = true; oi += 1 }
+              ci += 1
+            }
+            pos += chunk.length
+          }
+          j += 1
+        }
+        iterReader(new Iterator[(Int, Int)] {
+          private var i = 0
+          def hasNext: Boolean = {
+            while (i < shadowed.length && shadowed(i)) i += 1
+            i < shadowed.length
+          }
+          def next(): (Int, Int) = {
+            val start = i
+            while (i < shadowed.length && !shadowed(i)) i += 1
+            (start, i)
+          }
+        }.flatMap { case (rs, re) =>
+          val s = new KvSegment.SliceReader(sp.path, sp.from + rs, sp.from + re)
           (0 until s.size).iterator.map(i => (s.keys(i), s.value(i)))
         })
     }

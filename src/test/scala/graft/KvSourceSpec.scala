@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.{DirBacking, FileBacking, KvFilePartition, KvRunsPartition, KvScanBuilder, KvSegment, KvStore}
+import graft.sources.{DirBacking, FileBacking, KvFilePartition, KvScanBuilder, KvSegment, KvShadowedPartition, KvStore}
 
 /** DataSource V2 connector spec: key predicates push into the source
   * and prune the scan to the matched range (the reference's
@@ -136,7 +136,9 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("multi-segment: newest segment shadows older ones per key") {
     assert(ddf.count() == 150L)
-    assert(KvStore.lastScan(segDir) == (("FullTableScan", 150L)))
+    // lastScan counts PRE-SHADOW candidates (100 + 100 + 10): the
+    // newest-wins merge happens executor-side, where it scales.
+    assert(KvStore.lastScan(segDir) == (("FullTableScan", 210L)))
     val m = ddf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m.size == 150)
     assert(m(10L) == "a10")   // only in oldest
@@ -154,20 +156,56 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 70)
     assert(got(55L) == "b55" && got(119L) == "b119" &&
       got(120L) == "c120" && got(124L) == "c124")
-    assert(KvStore.lastScan(segDir) == (("UsingTheIndex", 70L)))
-    // plan-level: the fully-shadowed oldest segment contributes NO
-    // partition, and the runs cover exactly the 70 visible rows
+    // candidates: seg1 rows 55..99 (45) + seg2 55..124 (70) + seg3
+    // 120..124 (5) — shadow resolution is executor-side
+    assert(KvStore.lastScan(segDir) == (("UsingTheIndex", 120L)))
+    // plan-level: each segment's candidate range is clipped EXACTLY,
+    // older segments carry shadow refs only to newer segments whose
+    // key span overlaps, and the newest carries none
     val b = new KvScanBuilder(DirBacking(segDir))
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
     b.pushFilters(Array(GreaterThanOrEqual("k", 55L),
       LessThanOrEqual("k", 124L)))
     val parts = b.build().toBatch.planInputPartitions()
-      .map(_.asInstanceOf[KvRunsPartition])
-    val names = parts.map(p => new java.io.File(p.path).getName).toSet
-    assert(names == Set("000002.seg", "000003.seg"), names)
-    val rows = parts.map(p =>
-      p.starts.zip(p.ends).map { case (s, e) => e - s }.sum).sum
-    assert(rows == 70)
+      .map(_.asInstanceOf[KvShadowedPartition])
+    val byName = parts.map(p => new java.io.File(p.path).getName -> p).toMap
+    assert(byName.keySet == Set("000001.seg", "000002.seg", "000003.seg"))
+    assert(parts.map(p => p.until - p.from).sum == 120)
+    val s1 = byName("000001.seg")
+    assert(s1.shadowPaths.map(p => new java.io.File(p).getName).toSeq ==
+      Seq("000002.seg")) // seg3's span (120+) misses seg1's (55..99)
+    val s2 = byName("000002.seg")
+    assert(s2.shadowPaths.map(p => new java.io.File(p).getName).toSeq ==
+      Seq("000003.seg"))
+    assert(byName("000003.seg").shadowPaths.isEmpty)
+  }
+
+  test("multi-segment: driver planning state is O(blocks + segments), " +
+      "never O(keys)") {
+    val dir = java.nio.file.Files.createTempDirectory("gkvbig").toString
+    val n1 = 2000000
+    val overlay = (n1 / 2 until n1 by 3).map(i => i.toLong -> s"b$i")
+    KvSegment.appendSegment(dir, (0L until n1.toLong).map(i => i -> s"a$i"))
+    KvSegment.appendSegment(dir, overlay) // rewrites every 3rd upper key
+    val d = spark.read.format("graft.sources.KvSource")
+      .option("dir", dir).load()
+    KvSegment.invalidate()
+    val got = d.filter(col("k") >= 999995L && col("k") <= 1000004L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 10)
+    assert(got(999999L) == "a999999")   // not in overlay (1M ≡ 1 mod 3)
+    assert(got(1000000L) == "b1000000") // overlay shadows
+    assert(got(1000001L) == "a1000001")
+    assert(got(1000003L) == "b1000003")
+    assert(d.count() == n1.toLong) // overlay keys all shadow seg1 keys
+    // The ENTIRE cached planning state across both segments: fences
+    // every 4096 rows + last keys. 2.33M keys → < 700 longs, where a
+    // full-key index would hold 2,333,334.
+    val blocks = (n1 + KvSegment.BlockSize - 1) / KvSegment.BlockSize +
+      (overlay.size + KvSegment.BlockSize - 1) / KvSegment.BlockSize
+    assert(KvSegment.cachedPlanningLongs <= blocks + 4,
+      s"planning holds ${KvSegment.cachedPlanningLongs} longs")
+    assert(KvSegment.cachedPlanningLongs < 1000)
   }
 
   test("multi-segment: compaction folds to one segment preserving the " +
@@ -191,6 +229,39 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == before)
     assert(d.filter(col("k") === 125).head().getString(1) == "c125")
     assert(KvStore.lastScan(dir) == (("UsingTheIndex", 1L)))
+  }
+
+  test("distributed writer: range-partitioned per-task segments round-trip, " +
+      "appends shadow") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gkvw").toString + "/t"
+    val df = (0L until 10000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val paths = graft.sources.KvSegmentWriter.writeDataFrame(df, dir,
+      numSegments = 4)
+    assert(paths.size == 4)
+    assert(KvSegment.listSegments(dir) == paths)
+    // disjoint sorted ranges: each segment's fences bracket its own
+    // keys and segments don't overlap
+    val idx = paths.map(p => KvSegment.fenceIndex(p))
+    assert(idx.map(_.n).sum == 10000)
+    idx.sliding(2).foreach { case Seq(a, b) => assert(a.lastKey < b.firstKey) }
+    // no tmp leftovers from the per-task atomic publish
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.contains(".tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    val d = spark.read.format("graft.sources.KvSource")
+      .option("dir", dir).load()
+    assert(d.count() == 10000L)
+    assert(d.filter(col("k") === 9999L).head().getString(1) == "v9999")
+    // a second distributed write appends ABOVE the existing segments
+    // and shadows them
+    val over = (5000L until 6000L).map(i => (i, s"o$i")).toDF("k", "v")
+    val p2 = graft.sources.KvSegmentWriter.writeDataFrame(over, dir,
+      numSegments = 1)
+    assert(p2.map(p => new java.io.File(p).getName) == Seq("000005.seg"))
+    assert(d.count() == 10000L)
+    assert(d.filter(col("k") === 5500L).head().getString(1) == "o5500")
+    assert(d.filter(col("k") === 4999L).head().getString(1) == "v4999")
   }
 
   test("durable segment: write is atomic-publish and rewrite invalidates the cache") {
