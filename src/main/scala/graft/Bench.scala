@@ -38,22 +38,33 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
+    // Per-query repetitions, reporting the MIN: three rounds running
+    // (r5, r8, r9) single-shot deltas turned out to be same-boot host
+    // noise needing manual adjudication against isolated runs. The min
+    // of 2+ runs suppresses one-off scheduler/GC spikes while staying
+    // an honest cold-cache measure (caches are cleared between reps).
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release this query's persist()ed frames: cached blocks left
-      // behind otherwise accumulate across the 60+ query battery and
-      // tax every later query with eviction + GC churn (measured ~1-4s
-      // per query at sf0.1 — isolated runs of the same queries are 3-10x
-      // faster than their in-battery times without this)
-      spark.catalog.clearCache()
-      name -> dt
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release this query's persist()ed frames: cached blocks left
+        // behind otherwise accumulate across the 60+ query battery and
+        // tax every later query with eviction + GC churn (measured ~1-4s
+        // per query at sf0.1 — isolated runs of the same queries are 3-10x
+        // faster than their in-battery times without this)
+        spark.catalog.clearCache()
+        dt
+      }.min
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -1,6 +1,7 @@
 package graft.engine
 
 import java.io.File
+import java.nio.file.Files
 
 import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.{ExplainMode, ExtendedMode, SimpleMode}
@@ -257,6 +258,11 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       if (td.external) k -> td
       else {
         val base = new File(s"$dataRoot/${td.schema}/${td.name}")
+        // a crash inside the pruned-write staging step can leave a
+        // .stage dir — never adoptable (not a version), just GC it
+        Option(base.listFiles()).getOrElse(Array.empty[File])
+          .filter(f => f.isDirectory && f.getName.matches("v\\d+\\.stage"))
+          .foreach(deleteRecursively)
         val byVer = Option(base.listFiles()).getOrElse(Array.empty[File])
           .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
           .map(f => f.getName.drop(1).toLong -> f).toMap
@@ -799,19 +805,17 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       if (!td.columns.exists(_.name == c)) throw Errors.unknownColumn(c, td.name)
       c -> a.substring(eq + 1).trim
     }.toMap
-    val full = readFull(td)
     val cond = whereOpt.map(w => expr(rewrite(w))).getOrElse(lit(true))
-    val matched = full.where(cond)
     // query-then-mutate: assignments see the consistent pre-image
     // (update.rs:55-108; SURVEY §3.2)
-    val updated = matched.select(col(RowId) +: td.columns.map { c =>
-      assigns.get(c.name)
-        .map(e => expr(rewrite(e)).cast(c.sparkType).as(c.name))
-        .getOrElse(col(c.name))
-    }: _*)
-    val kept = full.where(not(coalesce(cond, lit(false))))
-    val n = matched.count()
-    writeVersion(td, kept.unionByName(updated))
+    val n = mutateVersion(td, cond, sub => {
+      val updated = sub.where(cond).select(col(RowId) +: td.columns.map { c =>
+        assigns.get(c.name)
+          .map(e => expr(rewrite(e)).cast(c.sparkType).as(c.name))
+          .getOrElse(col(c.name))
+      }: _*)
+      sub.where(not(coalesce(cond, lit(false)))).unionByName(updated)
+    })
     AffectedRows(n)
   }
 
@@ -825,11 +829,44 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       if (rest.isEmpty) None
       else if (rest.toLowerCase.startsWith("where")) Some(rest.substring(5))
       else throw Errors.generic(s"cannot parse: $stmt")
-    val full = readFull(td)
     val cond = whereOpt.map(w => expr(rewrite(w))).getOrElse(lit(true))
-    val n = full.where(cond).count()
-    writeVersion(td, full.where(not(coalesce(cond, lit(false)))))
+    val n = mutateVersion(td, cond,
+      sub => sub.where(not(coalesce(cond, lit(false)))))
     AffectedRows(n)
+  }
+
+  /** File-pruned COW mutation: one scan finds the files that contain
+    * ≥1 row matching `cond` (parquet min/max row-group stats + the
+    * pushed predicate make never-matching files cheap to rule out —
+    * their data pages are skipped), then ONLY those files are read
+    * back through `rewriteMatched` and rewritten; every untouched file
+    * is carried into v(N+1) as a hard link (copy fallback), unread and
+    * unwritten. A selective UPDATE on a 10k-file table rewrites the
+    * handful of files its predicate touches instead of the full image
+    * — at 100 TB this is the difference between a point mutation and
+    * re-writing the table. Returns the matched-row count. */
+  private def mutateVersion(td: TableDef, cond: Column,
+      rewriteMatched: DataFrame => DataFrame): Long = {
+    val full = readFull(td)
+    val perFile = full.where(cond)
+      .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
+      .collect()
+    val n = perFile.map(_.getLong(1)).sum
+    // input_file_name() yields URIs; part-file names are unique within
+    // a version directory, so compare by name
+    val matchedNames = perFile.map(r => r.getString(0)
+      .substring(r.getString(0).lastIndexOf('/') + 1)).toSet
+    val allFiles = Option(new File(tableDir(td)).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val (touched, carried) = allFiles.partition(f => matchedNames(f.getName))
+    val sub =
+      if (touched.isEmpty) full.where(lit(false))
+      else if (carried.isEmpty) full
+      else spark.read.schema(td.fullSchema)
+        .parquet(touched.map(_.getPath).toIndexedSeq: _*)
+    writeVersion(td, rewriteMatched(sub), carried.toIndexedSeq)
+    n
   }
 
   /** Copy-on-write swap: write the new table image to v(N+1) with the
@@ -837,13 +874,48 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     * UPDATE/DELETE rewrite through one task — a wall at scale), flip
     * the catalog pointer, drop the old directory. Atomicity comes from
     * the version-directory swap, not from single-file writes: the
-    * committer's `_SUCCESS` marker in v(N+1) is the commit point, and
+    * `_SUCCESS` marker in v(N+1) is the commit point, and
     * [[reconcileVersions]] repairs any crash between these steps on
     * the next load (catalog wins when its directory committed;
-    * orphans are GC'd; a dangling pointer falls forward). */
-  private def writeVersion(td: TableDef, df: DataFrame): Unit = {
+    * orphans are GC'd; a dangling pointer falls forward).
+    *
+    * `carry` are prior-version files proven untouched by the mutation
+    * ([[mutateVersion]]): they enter v(N+1) as hard links (copy
+    * fallback), never read or rewritten. To keep the commit point
+    * exact, Spark's own output (with its premature `_SUCCESS`) goes
+    * to a `.stage` directory first; files are moved into the real
+    * v(N+1), carried links added, and `_SUCCESS` created LAST — a
+    * crash at any earlier step leaves an uncommitted partial that
+    * reconciliation GCs, exactly as before. */
+  private def writeVersion(td: TableDef, df: DataFrame,
+      carry: Seq[File] = Nil): Unit = {
     val ntd = td.copy(version = td.version + 1)
-    df.write.mode("overwrite").parquet(tableDir(ntd))
+    val finalDir = new File(tableDir(ntd))
+    if (carry.isEmpty) {
+      df.write.mode("overwrite").parquet(tableDir(ntd))
+    } else {
+      val stage = new File(tableDir(ntd) + ".stage")
+      deleteRecursively(stage)
+      df.write.mode("overwrite").parquet(stage.getPath)
+      deleteRecursively(finalDir)
+      finalDir.mkdirs()
+      stage.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        Files.move(f.toPath, new File(finalDir, f.getName).toPath)
+      }
+      carry.foreach { f =>
+        // part names embed a per-job UUID; a collision with the fresh
+        // write is all but impossible, but never silently overwrite
+        val name = if (new File(finalDir, f.getName).exists())
+          "carry-" + f.getName else f.getName
+        val dst = new File(finalDir, name).toPath
+        try Files.createLink(dst, f.toPath)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(f.toPath, dst)
+        }
+      }
+      new File(finalDir, "_SUCCESS").createNewFile() // commit point
+      deleteRecursively(stage)
+    }
     tables += (td.schema, td.name) -> ntd
     registerTable(ntd)
     persistInfoSchema()

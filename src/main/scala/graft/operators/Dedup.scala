@@ -131,6 +131,13 @@ object Dedup {
   def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
       lId: String, lCol: String, rId: String, rCol: String,
       blockKey: Column => Column, maxDist: Int): DataFrame = {
+    // Output columns are the CALLER's names — a self-join passing the
+    // same names for both sides would emit duplicate columns and make
+    // every downstream col() reference ambiguous. Fail loudly here
+    // instead (alias one side, as p54 does).
+    require(lId != rId && lCol != rCol,
+      s"blockedFuzzyJoin output names must be distinct: id '$lId'/'$rId', " +
+        s"name '$lCol'/'$rCol' — alias one side before calling")
     // Internal aliases (like __blk) so a self-join where both sides
     // carry the SAME column names (natural for entity resolution)
     // doesn't make the post-join select ambiguous; aliased back to
@@ -414,12 +421,18 @@ object Dedup {
   def jaccardForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String,
       shingleStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      pairsStorage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both inputs fan out into several join branches; persist so the
     // candidate miner upstream of `pairs` and the shingle pass run
-    // once, not once per branch
-    val p = pairs.persist(lvl)
+    // once, not once per branch. `pairsStorage` mirrors
+    // `shingleStorage` for the candidate cache (O(candidates), usually
+    // far smaller than shingles): NONE re-runs the miner per branch
+    // instead of caching.
+    val p =
+      if (pairsStorage == org.apache.spark.storage.StorageLevel.NONE) pairs
+      else pairs.persist(pairsStorage)
     val rows0 = shingleHashRows(df, idCol, textCol)
     val rows =
       if (shingleStorage == org.apache.spark.storage.StorageLevel.NONE) rows0

@@ -38,8 +38,12 @@ object Resample {
       maxGridHours: Long = Long.MaxValue): DataFrame = {
     val span = hours.groupBy(col(keyCol))
       .agg(min(col(hourMsCol)).as("__h0"), max(col(hourMsCol)).as("__h1"))
+    // Any cap at or beyond Long.MaxValue / HourMs hours would overflow
+    // (maxGridHours - 1) * HourMs, flip gridStart negative, and make
+    // greatest() silently IGNORE the cap — treat such caps as the
+    // uncapped grid they semantically are (≈ 10^12 hours ≫ any span).
     val gridStart =
-      if (maxGridHours == Long.MaxValue) col("__h0")
+      if (maxGridHours >= Long.MaxValue / HourMs) col("__h0")
       else greatest(col("__h0"),
         col("__h1") - lit((maxGridHours - 1L) * HourMs))
     val grid = span.select(col(keyCol),

@@ -443,6 +443,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(problems.isEmpty, problems.mkString("; "))
   }
 
+  test("file-pruned COW: selective UPDATE/DELETE rewrites strictly fewer files") {
+    val dir = Files.createTempDirectory("graft_fp_").toString
+    val e = new GraftEngine(spark, dir)
+    e.sql("create schema fp"); e.sql("use fp")
+    e.sql("create table t (id int, val char, PRIMARY KEY(id))")
+    // three inserts → three (sets of) part files with disjoint id ranges
+    e.sql("insert into t values (1, 'a'), (2, 'b')")
+    e.sql("insert into t values (11, 'c'), (12, 'd')")
+    e.sql("insert into t values (21, 'e'), (22, 'f')")
+    val base = new java.io.File(s"$dir/data/fp/t")
+    def partNames(v: String) = new java.io.File(base, v).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = partNames("v0")
+    assert(before.size >= 3, s"expected >=3 part files, got $before")
+    assert(e.sql("update t set val = 'X' where id = 12") == AffectedRows(1))
+    // carried files keep their identity (hard links, never rewritten):
+    // all but the one file holding id=12 must survive by name
+    val after = partNames("v1")
+    assert(before.intersect(after).size == before.size - 1,
+      s"before=$before after=$after")
+    assert(new java.io.File(base, "v1/_SUCCESS").exists())
+    assert(!new java.io.File(base, "v1.stage").exists())
+    assert(rows(e.sql("select val from t where id = 12")) == Seq(Seq("X")))
+    assert(rows(e.sql("select count(*) from t")) == Seq(Seq(6L)))
+    assert(e.sql("delete from t where id = 21") == AffectedRows(1))
+    val after2 = partNames("v2")
+    assert(after.intersect(after2).size == after.size - 1,
+      s"after=$after after2=$after2")
+    assert(rows(e.sql("select id from t where id > 20 order by id")) ==
+      Seq(Seq(22L)))
+    assert(rows(e.sql("select count(*) from t")) == Seq(Seq(5L)))
+    // unconditional UPDATE still rewrites everything (no carry)
+    assert(e.sql("update t set val = 'z'") == AffectedRows(5))
+    assert(rows(e.sql("select distinct val from t")) == Seq(Seq("z")))
+  }
+
   test("crash-safe COW: reload reconciles orphan, partial and dangling versions") {
     import java.io.File
     def copyDir(src: File, dst: File): Unit = {
