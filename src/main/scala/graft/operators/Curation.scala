@@ -453,13 +453,16 @@ object Curation {
     * dedup (C4/CCNet-family pipelines dedup by canonical URL before
     * any text pass; one logical page otherwise appears under dozens
     * of tracking-tagged spellings). Scheme and host lowercase (the
-    * path stays case-sensitive per RFC 3986), `www.` stripped,
-    * fragments dropped, tracking parameters (utm_*, ref, fbclid,
-    * gclid) removed, surviving query params SORTED so parameter
-    * order can't split one URL into many, trailing path slashes
-    * collapsed. All narrow codegen'd string ops — zero shuffle; the
-    * host column is the natural key for per-host quota aggregation
-    * downstream.
+    * path stays case-sensitive per RFC 3986), default ports stripped
+    * (`:80` for http, `:443` for https — non-default ports stay part
+    * of the host key), `www.` stripped, fragments dropped,
+    * percent-escape hex uppercased (`%2f` → `%2F`; RFC 3986 §6.2.2.1
+    * — same octet, different spelling), tracking parameters (utm_*,
+    * ref, fbclid, gclid) removed, surviving query params SORTED so
+    * parameter order can't split one URL into many, trailing path
+    * slashes collapsed. All narrow codegen'd string ops — zero
+    * shuffle; the host column is the natural key for per-host quota
+    * aggregation downstream.
     *
     * Precondition: absolute `scheme://host/...` URLs (host ends at
     * the first '/'; a query string requires at least the '/' path).
@@ -470,11 +473,17 @@ object Curation {
       .withColumn("__scheme", lower(expr("substring_index(__u, '://', 1)")))
       .withColumn("__hp",
         expr("substring_index(substring_index(__u, '://', -1), '#', 1)"))
-      .withColumn("__hostraw", lower(expr("substring_index(__hp, '/', 1)")))
+      .withColumn("__hostport", lower(expr("substring_index(__hp, '/', 1)")))
+      .withColumn("__hostnop", expr(
+        """CASE WHEN __scheme = 'http' AND endswith(__hostport, ':80')
+          |  THEN substring(__hostport, 1, length(__hostport) - 3)
+          |WHEN __scheme = 'https' AND endswith(__hostport, ':443')
+          |  THEN substring(__hostport, 1, length(__hostport) - 4)
+          |ELSE __hostport END""".stripMargin))
       .withColumn("host",
-        expr("regexp_replace(__hostraw, '^www\\\\.', '')"))
-      .withColumn("__pathq",
-        expr("substring(__hp, length(__hostraw) + 1)"))
+        expr("regexp_replace(__hostnop, '^www\\\\.', '')"))
+      .withColumn("__pathq", expr(upperPctEscapes(
+        "substring(__hp, length(__hostport) + 1)")))
       .withColumn("__path",
         expr("regexp_replace(substring_index(__pathq, '?', 1), '/+$', '')"))
       .withColumn("__q", expr(
@@ -492,4 +501,19 @@ object Curation {
             |    THEN concat('?', array_join(__params, '&'))
             |    ELSE '' END)""".stripMargin).as("canon_url"),
         col("host"))
+
+  /** SQL expression uppercasing the two hex digits of every
+    * percent-escape in the string expression `c`: split on '%', fix
+    * the escape head of each later fragment, rejoin. A fragment whose
+    * head is not two hex digits (stray '%' in a malformed URL) passes
+    * through untouched, as does a trailing '%' (split keeps the empty
+    * tail fragment). Narrow codegen array/string ops only. */
+  private def upperPctEscapes(c: String): String =
+    s"""CASE WHEN instr($c, '%') = 0 THEN $c ELSE
+       |  concat(element_at(split($c, '%'), 1), array_join(transform(
+       |    slice(split($c, '%'), 2, size(split($c, '%')) - 1),
+       |    p -> concat('%', CASE WHEN p rlike '^[0-9a-fA-F]{2}'
+       |      THEN concat(upper(substring(p, 1, 2)), substring(p, 3))
+       |      ELSE p END)), ''))
+       |END""".stripMargin
 }

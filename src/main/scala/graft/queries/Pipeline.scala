@@ -223,15 +223,17 @@ object Pipeline {
     // ---- URL canonicalization + host-level counts: the corpus has
     // no URL column, so deterministic messy URLs are synthesized
     // in-query from (source, doc_id, lang) — mixed-case scheme/host,
-    // www. prefix, trailing path slash, tracking params, unsorted
-    // params — then canonicalized (Curation.canonicalizeUrls) and
-    // joined with broadcast per-host doc counts (the per-host quota
-    // input). DuckDB replays every string op exactly.
+    // www. prefix, default :443 port, lowercase %2f escape, trailing
+    // path slash, tracking params, unsorted params — then
+    // canonicalized (Curation.canonicalizeUrls) and joined with
+    // broadcast per-host doc counts (the per-host quota input).
+    // DuckDB replays every string op exactly.
     "p58_url_canon" -> Q(
       (s, dir) => {
         val urls = tbl(s, dir, "documents")
           .select(col("doc_id"), concat(
-            lit("HTTPS://WWW."), col("source"), lit(".Example.COM/Docs/"),
+            lit("HTTPS://WWW."), col("source"),
+            lit(".Example.COM:443/Docs%2f"),
             col("doc_id").cast("string"), lit("/?utm_source=feed&ref="),
             col("lang"), lit("&b=2&a=1")).as("url"))
         val canon = Curation.canonicalizeUrls(urls, "doc_id", "url")
@@ -243,16 +245,30 @@ object Pipeline {
           .orderBy(col("doc_id"))
       },
       Some("""WITH u AS (SELECT doc_id, 'HTTPS://WWW.' || source ||
-        |    '.Example.COM/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |    '.Example.COM:443/Docs%2f' || CAST(doc_id AS VARCHAR) ||
         |    '/?utm_source=feed&ref=' || lang || '&b=2&a=1' AS url
         |  FROM documents),
         |c AS (SELECT doc_id, lower(split_part(url, '://', 1)) AS scheme,
         |    split_part(split_part(url, '://', 2), '#', 1) AS hp FROM u),
         |d AS (SELECT doc_id, scheme, hp,
-        |    lower(split_part(hp, '/', 1)) AS hostraw FROM c),
-        |e AS (SELECT doc_id, scheme,
-        |    regexp_replace(hostraw, '^www\.', '') AS host,
-        |    substr(hp, length(hostraw) + 1) AS pathq FROM d),
+        |    lower(split_part(hp, '/', 1)) AS hostport FROM c),
+        |d2 AS (SELECT doc_id, scheme, hp, hostport,
+        |    CASE WHEN scheme = 'http' AND ends_with(hostport, ':80')
+        |      THEN substr(hostport, 1, length(hostport) - 3)
+        |    WHEN scheme = 'https' AND ends_with(hostport, ':443')
+        |      THEN substr(hostport, 1, length(hostport) - 4)
+        |    ELSE hostport END AS hostnop FROM d),
+        |e0 AS (SELECT doc_id, scheme,
+        |    regexp_replace(hostnop, '^www\.', '') AS host,
+        |    substr(hp, length(hostport) + 1) AS pathq0 FROM d2),
+        |e AS (SELECT doc_id, scheme, host,
+        |    CASE WHEN strpos(pathq0, '%') = 0 THEN pathq0 ELSE
+        |      str_split(pathq0, '%')[1] || array_to_string(list_transform(
+        |        str_split(pathq0, '%')[2:], p -> '%' ||
+        |          CASE WHEN regexp_matches(p, '^[0-9a-fA-F]{2}')
+        |            THEN upper(substr(p, 1, 2)) || substr(p, 3)
+        |            ELSE p END), '')
+        |    END AS pathq FROM e0),
         |f AS (SELECT doc_id, scheme, host,
         |    regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path,
         |    CASE WHEN strpos(pathq, '?') > 0

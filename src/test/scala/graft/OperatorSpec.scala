@@ -1122,6 +1122,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(5L)._1 == "https://ex.com/CaseSensitivePath")
   }
 
+  test("canonicalizeUrls: default ports stripped per scheme, " +
+      "percent-escape hex uppercased") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://Ex.COM:443/a"),   // default for https → stripped
+      (2L, "http://ex.com:80/a"),     // default for http → stripped
+      (3L, "http://ex.com:8080/a"),   // non-default → part of host key
+      (4L, "http://ex.com:443/a"),    // 443 is NOT default for http
+      (5L, "https://ex.com/a%2fb?x=%3d1"),  // lowercase escapes
+      (6L, "https://ex.com/a%2Fb?x=%3D1"),  // uppercase twin of 5
+      (7L, "https://ex.com/100%25"),  // literal escaped percent
+      (8L, "https://ex.com/50%ok"),   // stray % before non-hex: as-is
+      (9L, "https://ex.com/t%")       // trailing stray %
+    ).toDF("id", "url")
+    val r = Curation.canonicalizeUrls(urls, "id", "url").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getString(2)))).toMap
+    assert(r(1L) == (("https://ex.com/a", "ex.com")))
+    assert(r(2L) == (("http://ex.com/a", "ex.com")))
+    assert(r(3L) == (("http://ex.com:8080/a", "ex.com:8080")))
+    assert(r(4L) == (("http://ex.com:443/a", "ex.com:443")))
+    assert(r(5L) == (("https://ex.com/a%2Fb?x=%3D1", "ex.com")))
+    // mixed-case escapes collapse to one canonical spelling
+    assert(r(5L) == r(6L))
+    assert(r(7L)._1 == "https://ex.com/100%25")
+    assert(r(8L)._1 == "https://ex.com/50%ok")
+    assert(r(9L)._1 == "https://ex.com/t%")
+  }
+
   test("synthetic media corpora: planted twin pairs are recalled by " +
       "both near-dup miners at hamming 0") {
     import spark.implicits._
