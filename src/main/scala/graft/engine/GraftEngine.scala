@@ -872,7 +872,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   /** Copy-on-write swap: write the new table image to v(N+1) with the
     * plan's natural parallelism (a coalesce(1) here would funnel every
     * UPDATE/DELETE rewrite through one task — a wall at scale), flip
-    * the catalog pointer, drop the old directory. Atomicity comes from
+    * the catalog pointer, grace-GC stale version directories
+    * (newest 2 retained for in-flight readers). Atomicity comes from
     * the version-directory swap, not from single-file writes: the
     * `_SUCCESS` marker in v(N+1) is the commit point, and
     * [[reconcileVersions]] repairs any crash between these steps on
@@ -919,7 +920,20 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     tables += (td.schema, td.name) -> ntd
     registerTable(ntd)
     persistInfoSchema()
-    deleteRecursively(new File(tableDir(td)))
+    // Grace-period GC, not immediate delete: a read statement's
+    // DataFrame executes OUTSIDE engine locks (sqlAs scaladoc), so
+    // the version a concurrent reader planned against must survive
+    // the mutation that commits while it collects. Retaining the
+    // newest 2 versions covers any reader that straddles one commit;
+    // a reader would have to straddle two full COW commits between
+    // analysis and collect to lose its files (documented read
+    // contract: collect promptly). Older dirs — and all retained
+    // ones — are GC'd by [[reconcileVersions]] at next load.
+    val base = new File(tableDir(ntd)).getParentFile
+    Option(base.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .filter(_.getName.drop(1).toLong <= ntd.version - 2)
+      .foreach(deleteRecursively)
   }
 
   // ------------------------------------------------------------------
