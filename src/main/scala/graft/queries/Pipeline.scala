@@ -199,26 +199,43 @@ object Pipeline {
     // ---- perceptual image near-dup over REAL PNG payloads: the
     // corpus tables carry no media column, so the battery derives a
     // deterministic synthetic image corpus from the document ids
-    // (each id → a base 16×16 PNG + a brightness-shifted re-encode =
-    // a planted near-dup pair), then runs the banded-LSH + exact-
-    // hamming miner. Engine-specific hashes → rows-only check (like
-    // q42); the planted-pair recall itself is pinned by spec.
+    // (each id k → base 16×16 PNG as media_id 2k + a brightness-
+    // shifted re-encode as 2k+1 = a planted near-dup pair), then runs
+    // the banded-LSH + exact-hamming miner END TO END and projects
+    // the result onto the planted pairs. That projection is engine-
+    // INDEPENDENT: the +8 shift never clips, so aHash is invariant by
+    // construction — every planted pair must come back at hamming 0,
+    // and DuckDB states the expected rows as a plain select over
+    // documents. A missed encode/decode/fingerprint/band anywhere
+    // breaks the hash match (recall oracle, upgraded from the old
+    // rows-only check); cross-pair emission stays spec-pinned.
     "p56_image_neardup" -> Q(
       (s, dir) => MultiModal.aHashNearDup(
           MultiModal.syntheticImageCorpus(
             tbl(s, dir, "documents").select(col("doc_id")), "doc_id"),
           maxDist = 6)
-        .orderBy(col("a_id"), col("b_id"))),
+        .filter(col("a_id") % 2 === 0 && col("b_id") === col("a_id") + 1)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""SELECT 2 * doc_id AS a_id, 2 * doc_id + 1 AS b_id,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents ORDER BY a_id, b_id""".stripMargin)),
 
     // ---- acoustic near-dup over REAL RIFF/WAV PCM payloads — the
-    // audio twin of p56 (base recording + 2× volume re-master per
-    // id), energy-delta fingerprints through the same LSH machinery.
+    // audio twin of p56 (base recording as 2k + the same recording
+    // at 2× volume as 2k+1). |2s| = 2|s| preserves window-energy
+    // ORDER exactly, so the energy-delta fingerprint is invariant →
+    // the planted-pair projection is again a DuckDB-stateable recall
+    // oracle at hamming 0.
     "p57_audio_neardup" -> Q(
       (s, dir) => MultiModal.audioNearDup(
           MultiModal.syntheticAudioCorpus(
             tbl(s, dir, "documents").select(col("doc_id")), "doc_id"),
           maxDist = 6)
-        .orderBy(col("a_id"), col("b_id"))),
+        .filter(col("a_id") % 2 === 0 && col("b_id") === col("a_id") + 1)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""SELECT 2 * doc_id AS a_id, 2 * doc_id + 1 AS b_id,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents ORDER BY a_id, b_id""".stripMargin)),
 
     // ---- URL canonicalization + host-level counts: the corpus has
     // no URL column, so deterministic messy URLs are synthesized
