@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
@@ -565,14 +565,34 @@ object Parity {
     // ---- HLL approximate distinct (DataFusion's approx_distinct,
     // SURVEY §2.4). No oracle — approximation differs per engine;
     // OperatorSpec bounds the relative error against the exact count.
+    // HLL sketch values are engine-specific, but the HLL CONTRACT is
+    // not: with rsd 0.02 the estimate must sit within a few σ of the
+    // exact count. Emitting the exact counts (DuckDB-matchable) plus
+    // deterministic within-6% (3σ) flags turns the old no_oracle row
+    // into a hash-matched error-bound oracle — Spark's HLL is
+    // deterministic for a given dataset, so the flags are stable
+    // facts the oracle simply states as 1. The sketch-level error
+    // distribution stays spec-pinned (ApproxSpec).
     "q42_approx_distinct" -> Q(
       (s, dir) => tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.06).cast("long").as("parts_within_6pct"),
+          (abs(col("ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.06).cast("long").as("orders_within_6pct"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(1 AS BIGINT) AS parts_within_6pct,
+        |  CAST(1 AS BIGINT) AS orders_within_6pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
 
     // ---- approximate percentiles (Greenwald-Khanna sketch): the
     // scale path when q47's exact percentile map would blow up on a
@@ -580,18 +600,45 @@ object Parity {
     // accuracy parameter, not the domain. Engine-specific sketch →
     // rows-only check; the error-bound spec in OperatorSpec pins
     // accuracy against the exact aggregate.
+    // Same upgrade as q42: the GK-family sketch picks engine-specific
+    // elements, but its RANK guarantee (relative rank error ≤
+    // 1/accuracy) is checkable deterministically — join the picked
+    // p50/p95 back against the group and flag whether their ranks
+    // land inside the guaranteed window (±εn, with one rank of
+    // boundary slack). The oracle states n from DuckDB and the flags
+    // as 1; sketch internals stay spec-pinned.
     "q53_approx_percentile" -> Q(
-      (s, dir) => tbl(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          expr("""approx_percentile(CAST(round(o_totalprice*100) AS BIGINT),
-            array(0.5D, 0.95D), 10000)""").as("approx_cents"),
-          count(lit(1)).as("n"))
-        .select(col("o_orderpriority"),
-          col("approx_cents")(0).as("p50_cents"),
-          col("approx_cents")(1).as("p95_cents"), col("n"))
-        .orderBy(col("o_orderpriority")),
-      None),
+      (s, dir) => {
+        val cents = tbl(s, dir, "orders").select(col("o_orderpriority"),
+          expr("CAST(round(o_totalprice*100) AS BIGINT)").as("c"))
+        val ap = cents.groupBy(col("o_orderpriority"))
+          .agg(expr("approx_percentile(c, array(0.5D, 0.95D), 10000)")
+            .as("ac"))
+          .select(col("o_orderpriority"), col("ac")(0).as("p50"),
+            col("ac")(1).as("p95"))
+        val eps = 1.0 / 10000
+        def inBounds(q: Double, le: Column, lt: Column, n: Column): Column =
+          (le >= ceil(n * q - n * eps - lit(1))) &&
+            (lt <= floor(n * q + n * eps + lit(1)))
+        cents.join(broadcast(ap), Seq("o_orderpriority"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("c") <= col("p50")).cast("long")).as("le50"),
+            sum((col("c") < col("p50")).cast("long")).as("lt50"),
+            sum((col("c") <= col("p95")).cast("long")).as("le95"),
+            sum((col("c") < col("p95")).cast("long")).as("lt95"))
+          .select(col("o_orderpriority"), col("n"),
+            inBounds(0.5, col("le50"), col("lt50"), col("n"))
+              .cast("long").as("p50_in_bounds"),
+            inBounds(0.95, col("le95"), col("lt95"), col("n"))
+              .cast("long").as("p95_in_bounds"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS p50_in_bounds,
+        |  CAST(1 AS BIGINT) AS p95_in_bounds
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
 
     // ---- salted two-phase aggregation (skew path; must equal the
     // straight groupBy, which is the oracle).
