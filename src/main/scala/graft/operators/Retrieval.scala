@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval and hybrid rank fusion — the search side
+  * of a training-data pipeline. Decontamination-by-retrieval,
+  * quality-matched subset mining, and eval-leakage lookups all reduce
+  * to "find the corpus documents most relevant to this query text";
+  * modern pipelines pair the lexical ranking with a dense-embedding
+  * ranking and fuse the two.
+  *
+  * [[bm25TopK]] is Okapi BM25 (Robertson & Walker, TREC-3 1994; the
+  * Lucene `ln(1 + …)` idf variant, which keeps idf strictly positive)
+  * expressed as an inverted-index join. [[rrfFuse]] is reciprocal-rank
+  * fusion (Cormack, Clarke & Buettcher, SIGIR 2009) over a lexical
+  * and a dense top-k list.
+  *
+  * Determinism contract (what makes an ANSI-SQL oracle replay these
+  * bit-for-bit, the p40 micro-quantization discipline):
+  *  - idf quantizes to integer micro-nats per term BEFORE use — the
+  *    only libm call (`ln`) is rounded away at the term level;
+  *  - each (query, doc, term) contribution rounds to a long BEFORE
+  *    the per-document sum, so the score is exact integer math and
+  *    independent of partitioning/order;
+  *  - ranking is on (score DESC, doc_id ASC) — a total order.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k retrieval of `docs` for each row of `queries`.
+    *
+    * score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) /
+    *               (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + ½)/(df + ½)). Query terms are
+    * de-duplicated (standard for short queries); documents with zero
+    * tokens are outside the corpus statistics (N counts docs with ≥1
+    * token).
+    *
+    * Scale shape: the corpus tokenizes once into a (doc, term, tf)
+    * postings frame — one shuffle, reused for document lengths (a
+    * partial-aggregated per-doc sum) and scoring. The query-term
+    * vocabulary broadcasts and prunes the postings BEFORE any other
+    * work, so everything downstream is sized by the candidate set
+    * (docs sharing a query term), not the corpus; document frequency
+    * and idf are computed only for query terms. Document lengths
+    * attach by a hash join on doc_id (AQE sizes it), and the final
+    * top-k is [[TopK.perKey]] map-side heaps — the shuffle carries
+    * O(partitions × queries × k) heap rows, never the scored
+    * candidate set. Queries are assumed "few" (a broadcastable term
+    * list), the regime retrieval-style lookups live in.
+    *
+    * Output: (query_id, rnk 1..k, doc_id, score_micro) — score in
+    * integer micro-nats. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dt = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) >= 1)
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("len_total"))
+    val qt = queries
+      .select(col(qidCol).as("query_id"),
+        explode(Dedup.tokens(col(qtextCol))).as("t"))
+      .filter(length(col("t")) >= 1)
+      .distinct()
+    val qterms = qt.select(col("t")).distinct()
+    val cand = dt.join(broadcast(qterms), Seq("t"))
+    val idf = cand.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))
+      .crossJoin(broadcast(stats))
+      .select(col("t"),
+        round(log(lit(1.0) + (col("n_docs") - col("dfreq") + lit(0.5)) /
+          (col("dfreq") + lit(0.5))) * 1000000, 0)
+          .cast("long").as("idf_micro"))
+    // (1.2 + 1.0)-style constants are folded HERE, with the same IEEE
+    // adds the oracle SQL writes textually — bit-identical inputs.
+    val avgdl =
+      col("len_total").cast("double") / col("n_docs").cast("double")
+    val termScores = cand
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(idf), Seq("t"))
+      .join(broadcast(qt), Seq("t"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("idf_micro") *
+          ((col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl") / avgdl))), 0)
+          .cast("long").as("term_micro"))
+    val scores = termScores.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"))
+    TopK.perKey(scores, Seq("query_id"), "doc_id", "score_micro", k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("score_micro").cast("long").as("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a dense top-k list:
+    * rrf(d) = Σ_s 1/(c + rank_s(d)), missing membership contributing
+    * zero. Both inputs are (qidCol, idCol, rankCol) frames — already
+    * tiny (≤ k rows per query), so every join here is
+    * candidate-sized; the only corpus-scale work happened upstream in
+    * the two retrievers. The fused score quantizes to micro units
+    * after ONE fixed-order add of the two reciprocals (deterministic
+    * IEEE), and ties break ascending on doc_id.
+    *
+    * Output: (query_id, rnk 1..k, doc_id, rrf_micro, rank_lex,
+    * rank_dense) — absent-list ranks reported as 0, not null, so
+    * hash-based result compares stay NaN-free. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, qidCol: String,
+      idCol: String, rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    val l = lex.select(col(qidCol).as("query_id"),
+      col(idCol).as("doc_id"), col(rankCol).cast("long").as("rank_lex"))
+    val d = dense.select(col(qidCol).as("query_id"),
+      col(idCol).as("doc_id"), col(rankCol).cast("long").as("rank_dense"))
+    val fused = l.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        col("rank_lex"), col("rank_dense"),
+        round((coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_lex")),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_dense")),
+            lit(0.0))) * 1000000, 0)
+          .cast("long").as("rrf_micro"))
+    TopK.perKey(fused.select(col("query_id"), col("doc_id"),
+        col("rrf_micro")),
+      Seq("query_id"), "doc_id", "rrf_micro", k)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+      .join(fused, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("rrf_micro").cast("long").as("rrf_micro"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"))
+  }
+}

@@ -574,18 +574,29 @@ object Parity {
     // facts the oracle simply states as 1. The sketch-level error
     // distribution stays spec-pinned (ApproxSpec).
     "q42_approx_distinct" -> Q(
-      (s, dir) => tbl(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+      (s, dir) => {
+        // Two exact distincts + two HLLs in ONE agg forces Spark's
+        // multi-distinct rewrite: a 3× Expand of the scan (one
+        // replica per distinct group) feeding a fat shuffle. Split
+        // into two single-distinct aggs — each stays on the
+        // Expand-free two-phase plan — and join the 3-row group
+        // frames (bench: 7.9s → well under 1s at sf0.1).
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey"))
+        li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .join(li.groupBy(col("l_returnflag"))
+            .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+              countDistinct(col("l_orderkey")).as("exact_orders")),
+            Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.06).cast("long").as("parts_within_6pct"),
           (abs(col("ao") - col("exact_orders")) <=
             col("exact_orders") * 0.06).cast("long").as("orders_within_6pct"))
-        .orderBy(col("l_returnflag")),
+        .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,

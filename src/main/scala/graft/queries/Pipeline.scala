@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, MultiModal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, MultiModal, Retrieval,
+  Similarity, TextAnalysis}
 import QueryUtil._
 
 /** Large-scale training-data pipeline operators (driver-mandated
@@ -25,6 +26,47 @@ object Pipeline {
   private val duckCos =
     (a: String, b: String) =>
       s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
+
+  /** CTE chain replaying Retrieval.bm25TopK (k1=1.2, b=0.75, query =
+    * first 5 tokens of every doc_id % 100 = 0 document) up to the
+    * full ranked list `bm(query_id, doc_id, score_micro, rnk)`;
+    * consumers slice by rnk. Constants appear as the same textual
+    * IEEE adds the Spark side folds (`1.2 + 1.0`), and every double
+    * quantizes to a long before any aggregation — the p40
+    * discipline. Shared by the p59 and p60 oracles. */
+  private val duckBm25: String =
+    """tok AS (SELECT doc_id,
+      |    str_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+      |dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS t FROM tok)
+      |  WHERE length(t) >= 1 GROUP BY 1, 2),
+      |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |  FROM dt GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS len_total FROM dlen),
+      |qt AS (SELECT DISTINCT query_id, t FROM (
+      |    SELECT doc_id AS query_id, unnest(tk[1:5]) AS t
+      |    FROM tok WHERE doc_id % 100 = 0)
+      |  WHERE length(t) >= 1),
+      |qterms AS (SELECT DISTINCT t FROM qt),
+      |cand AS (SELECT dt.doc_id, dt.t, dt.tf FROM dt JOIN qterms USING (t)),
+      |idf AS (SELECT t, CAST(round(ln(1.0 + (n_docs - dfreq + 0.5) /
+      |      (dfreq + 0.5)) * 1000000) AS BIGINT) AS idf_micro
+      |  FROM (SELECT t, CAST(count(*) AS BIGINT) AS dfreq
+      |        FROM cand GROUP BY 1) CROSS JOIN st),
+      |tsc AS (SELECT qt.query_id, cand.doc_id,
+      |    CAST(round(idf_micro * ((tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+      |        (CAST(len_total AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      AS BIGINT) AS term_micro
+      |  FROM cand JOIN dlen USING (doc_id) CROSS JOIN st
+      |    JOIN idf USING (t) JOIN qt USING (t)),
+      |bsc AS (SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT)
+      |    AS score_micro FROM tsc GROUP BY 1, 2),
+      |bm AS (SELECT query_id, doc_id, score_micro,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM bsc)""".stripMargin
 
   /** CTE chain `words0 … words8` (+ per-round `syms/pairs/best`)
     * replaying TextAnalysis.bpeMerges(8) in DuckDB: SOH-delimited
@@ -1774,6 +1816,78 @@ object Pipeline {
           |  CAST(d.vec_id IS NULL AS BIGINT) AS is_kept
           |FROM asg2 g LEFT JOIN dup d ON g.vec_id = d.vec_id
           |ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // ---- BM25 lexical retrieval (Robertson TREC-3; Lucene idf):
+    // inverted-index scoring with query-term pruning ahead of all
+    // corpus-scale work, micro-nat-quantized so DuckDB replays every
+    // score exactly. Queries = first 5 tokens of every 100th doc.
+    "p59_bm25_topk" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val queries = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5))
+              .as("qtext"))
+        Retrieval.bm25TopK(docs, "doc_id", "text",
+            queries, "query_id", "qtext", k = 10)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH $duckBm25
+        |SELECT query_id, rnk, doc_id, score_micro
+        |FROM bm WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- Hybrid retrieval: reciprocal-rank fusion (Cormack SIGIR
+    // 2009) of the BM25 top-20 with the dense cosine top-20 over the
+    // embeddings table (doc_id ≡ vec_id in the testdata). Both
+    // rankings AND the fused scores replay in DuckDB.
+    "p60_hybrid_rrf" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val emb = tbl(s, dir, "embeddings")
+        val queries = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5))
+              .as("qtext"))
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 20)
+        val dense = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", 20)
+          .select(col("q_id").as("query_id"),
+            col("neighbor_id").as("doc_id"), col("rnk"))
+        Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", "rnk",
+            k = 10)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH $duckBm25,
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dq AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        |dsc AS (SELECT dq.vec_id AS query_id, e.vec_id AS doc_id,
+        |    ${duckCos("dq.v", "e.v")} AS s
+        |  FROM dq JOIN e ON e.vec_id <> dq.vec_id),
+        |dr AS (SELECT query_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS BIGINT)
+        |    AS rank_dense FROM dsc),
+        |dense AS (SELECT * FROM dr WHERE rank_dense <= 20),
+        |lex AS (SELECT query_id, doc_id, rnk AS rank_lex
+        |  FROM bm WHERE rnk <= 20),
+        |fused AS (SELECT
+        |    coalesce(lex.query_id, dense.query_id) AS query_id,
+        |    coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+        |    lex.rank_lex, dense.rank_dense,
+        |    CAST(round((coalesce(1.0 / (60.0 + rank_lex), 0.0) +
+        |      coalesce(1.0 / (60.0 + rank_dense), 0.0)) * 1000000)
+        |      AS BIGINT) AS rrf_micro
+        |  FROM lex FULL OUTER JOIN dense
+        |    ON lex.query_id = dense.query_id
+        |    AND lex.doc_id = dense.doc_id),
+        |rr AS (SELECT query_id, doc_id, rrf_micro, rank_lex,
+        |    rank_dense, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_micro DESC, doc_id) AS rnk FROM fused)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_micro,
+        |  CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex,
+        |  CAST(coalesce(rank_dense, 0) AS BIGINT) AS rank_dense
+        |FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
   )
 }

@@ -155,6 +155,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p59 bm25 prunes postings by broadcast query terms; top-k is a heap aggregate") {
+    val t = simplePlan("p59_bm25_topk")
+    assertOnlyBroadcastCross(t)
+    // query vocabulary, idf, and query fan-out all broadcast — the
+    // corpus-sized postings never shuffle for them
+    assert(t.contains("BroadcastHashJoin"), t)
+    // final per-query top-k rides the TopK aggregator's map-side
+    // heaps, not a window funnel
+    assert(t.contains("ObjectHashAggregate"), t)
+  }
+
+  test("p60 rrf fusion stays candidate-sized: no corpus-scale exchange after retrieval") {
+    val t = simplePlan("p60_hybrid_rrf")
+    assertOnlyBroadcastCross(t)
+    assert(t.contains("ObjectHashAggregate"), t)
+  }
+
   test("top-k fuses into TakeOrderedAndProject") {
     assert(planText("q11_topk_orders").contains("TakeOrderedAndProject"))
   }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Retrieval
+
+/** Planted-ground-truth specs for BM25 retrieval and RRF fusion —
+  * relevance ordering, the BM25 component behaviors (idf rarity,
+  * length normalization, tf saturation), exact micro-quantized
+  * scores, and partitioning-independence.
+  */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def corpus() = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark shuffle join optimizer"), // both query terms, len 4
+      (2L, "spark shuffle tuning guide for the large cluster fleet"),
+      (3L, "spark spark spark streaming watermark state"), // tf saturates
+      (4L, "gardening tips for tomato seedlings in spring weather"),
+      (5L, "shuffle"), // one term, shortest doc
+      (6L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+  }
+
+  private def queriesDf() = {
+    import spark.implicits._
+    Seq((100L, "spark shuffle")).toDF("query_id", "qtext")
+  }
+
+  test("bm25: doc with both query terms ranks first, zero-term docs absent") {
+    val r = Retrieval.bm25TopK(corpus(), "doc_id", "text",
+      queriesDf(), "query_id", "qtext", k = 10).collect()
+    val ranked = r.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("doc_id"))
+    // doc 1 matches both terms in a short doc → top; docs 4 and 6
+    // share no query term → never retrieved
+    assert(ranked.head == 1L)
+    assert(!ranked.contains(4L) && !ranked.contains(6L))
+    assert(ranked.toSet == Set(1L, 2L, 3L, 5L))
+    // scores strictly ordered by construction (rnk follows score desc)
+    val scores = r.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("score_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25: rarer term out-scores common term (idf)") {
+    import spark.implicits._
+    // "rare" appears in 1 of 4 docs, "common" in all 4; the docs are
+    // otherwise symmetric (same length, tf=1)
+    val docs = Seq(
+      (1L, "common rare pad pad"),
+      (2L, "common word pad pad"),
+      (3L, "common word pad pad"),
+      (4L, "common word pad pad")).toDF("doc_id", "text")
+    val qs = Seq((1L, "rare common")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25TopK(docs, "doc_id", "text", qs,
+      "query_id", "qtext", k = 4).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    assert(r.head.getAs[Long]("doc_id") == 1L)
+    // doc 1 (rare+common) must beat doc 2 (common only) by more than
+    // a tie-break: strictly larger score
+    assert(r(0).getAs[Long]("score_micro") > r(1).getAs[Long]("score_micro"))
+  }
+
+  test("bm25: shorter doc wins at equal tf (length normalization)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "target"),
+      (2L, "target plus seven more words of trailing padding here"),
+      (3L, "unrelated filler so corpus stats have a third document"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "target")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25TopK(docs, "doc_id", "text", qs,
+      "query_id", "qtext", k = 2).collect().sortBy(_.getAs[Long]("rnk"))
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(r(0).getAs[Long]("score_micro") > r(1).getAs[Long]("score_micro"))
+  }
+
+  test("bm25 is partitioning-independent") {
+    val base = Retrieval.bm25TopK(corpus(), "doc_id", "text",
+      queriesDf(), "query_id", "qtext", k = 10).collect().toSet
+    val shuffled = Retrieval.bm25TopK(corpus().repartition(7), "doc_id",
+      "text", queriesDf(), "query_id", "qtext", k = 10).collect().toSet
+    assert(base == shuffled)
+  }
+
+  test("rrf: doc ranked in both lists beats single-list docs; exact micros") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "doc_id", "rnk")
+    val dense = Seq((1L, 10L, 2L), (1L, 12L, 1L))
+      .toDF("query_id", "doc_id", "rnk")
+    val r = Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", "rnk",
+      k = 10).collect().sortBy(_.getAs[Long]("rnk"))
+    // doc 10: 1/61 + 1/62; doc 12: 1/61; doc 11: 1/62
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 12L, 11L))
+    assert(r(0).getAs[Long]("rrf_micro") ==
+      math.round((1.0 / 61 + 1.0 / 62) * 1e6))
+    assert(r(1).getAs[Long]("rrf_micro") == math.round(1.0 / 61 * 1e6))
+    // absent-side ranks surface as 0, never null
+    assert(r(1).getAs[Long]("rank_lex") == 0L &&
+      r(1).getAs[Long]("rank_dense") == 1L)
+    assert(r(2).getAs[Long]("rank_lex") == 2L &&
+      r(2).getAs[Long]("rank_dense") == 0L)
+  }
+
+  test("rrf: equal scores tie-break ascending on doc_id") {
+    import spark.implicits._
+    val lex = Seq((1L, 21L, 1L), (1L, 20L, 2L))
+      .toDF("query_id", "doc_id", "rnk")
+    val dense = Seq((1L, 20L, 1L), (1L, 21L, 2L))
+      .toDF("query_id", "doc_id", "rnk")
+    // both docs score 1/61 + 1/62 → tie → doc 20 first
+    val r = Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", "rnk",
+      k = 10).collect().sortBy(_.getAs[Long]("rnk"))
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(20L, 21L))
+  }
+}
