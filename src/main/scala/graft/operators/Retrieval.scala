@@ -117,6 +117,9 @@ object Retrieval {
       col(idCol).as("doc_id"), col(rankCol).cast("long").as("rank_lex"))
     val d = dense.select(col(qidCol).as("query_id"),
       col(idCol).as("doc_id"), col(rankCol).cast("long").as("rank_dense"))
+    // `fused` feeds BOTH the top-k heap and the detail join-back;
+    // without a persist each consumer would replay the entire
+    // upstream retrieval DAG. The frame is ≤ 2k rows per query.
     val fused = l.join(d, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         col("rank_lex"), col("rank_dense"),
@@ -125,6 +128,7 @@ object Retrieval {
           coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_dense")),
             lit(0.0))) * 1000000, 0)
           .cast("long").as("rrf_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TopK.perKey(fused.select(col("query_id"), col("doc_id"),
         col("rrf_micro")),
       Seq("query_id"), "doc_id", "rrf_micro", k)
@@ -134,5 +138,70 @@ object Retrieval {
         col("doc_id"), col("rrf_micro").cast("long").as("rrf_micro"),
         coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
         coalesce(col("rank_dense"), lit(0L)).as("rank_dense"))
+  }
+
+  /** Per-query ranking-quality metrics — the evaluation harness a
+    * retrieval stack ships with: MRR, recall@k, and nDCG@k (binary
+    * relevance, the Järvelin & Kekäläinen 2002 log2 discount) of a
+    * ranked list against a relevance set.
+    *
+    * `results` is (qidCol, idCol, rankCol); `relevance` is
+    * (qidCol, idCol) — the ground-truth pairs, an INPUT here (eval
+    * sets are curated upstream). Every metric quantizes to integer
+    * micro units with the discount weight rounded per rank BEFORE
+    * the DCG sum, so the numbers replay exactly in ANSI SQL.
+    * Queries retrieved with zero relevant candidates report 0 for
+    * all three metrics (recall of an empty ground truth reads as 0,
+    * documented rather than undefined).
+    *
+    * Scale shape: results lists are ≤ k rows per query, so the hit
+    * join, the per-query aggregate, and the IDCG prefix sum (a
+    * higher-order fold over a ≤ k-element sequence, inside codegen)
+    * are all query-sized; the relevance set joins on
+    * (query, doc) — its only corpus-scale touch is the groupBy
+    * counting n_rel, a partial-aggregated count. */
+  def rankingMetrics(results: DataFrame, qidCol: String, idCol: String,
+      rankCol: String, relevance: DataFrame, k: Int = 10): DataFrame = {
+    // ≤ k rows per query, consumed by the hit join AND the query
+    // anchor — persist so the (possibly expensive) upstream ranking
+    // computes once.
+    val res = results.select(col(qidCol).as("query_id"),
+        col(idCol).as("doc_id"), col(rankCol).cast("long").as("rnk"))
+      .filter(col("rnk") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rel = relevance.select(col(qidCol).as("query_id"),
+      col(idCol).as("doc_id"))
+    val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val perQ = res.join(rel, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rnk")).as("first_rank"),
+        sum(round(lit(1000000.0) /
+          log2(col("rnk").cast("double") + lit(1.0)), 0).cast("long"))
+          .as("dcg_micro"))
+    val anchored = res.select(col("query_id")).distinct()
+      .join(nrel, Seq("query_id"), "left")
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_rank"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"))
+    // Spark's sequence(1, 0) counts DOWN — the n_rel = 0 case needs
+    // an explicit zero branch (same guard as Dedup.shingleExpr).
+    val idcg = expr(s"""CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT)
+      |ELSE aggregate(sequence(1, CAST(least(n_rel, $k) AS INT)),
+      |  CAST(0 AS BIGINT), (acc, i) -> acc +
+      |    CAST(round(1000000.0 / log2(CAST(i AS DOUBLE) + 1.0))
+      |      AS BIGINT)) END""".stripMargin)
+    anchored.select(col("query_id"), col("n_rel"), col("n_hits"),
+      coalesce(round(lit(1000000.0) / col("first_rank"), 0).cast("long"),
+        lit(0L)).as("mrr_micro"),
+      when(col("n_rel") === 0, lit(0L))
+        .otherwise(round(lit(1000000.0) * col("n_hits") / col("n_rel"), 0)
+          .cast("long")).as("recall_micro"),
+      when(col("n_rel") === 0 || col("n_hits") === 0, lit(0L))
+        .otherwise(round(lit(1000000.0) * col("dcg_micro") / idcg, 0)
+          .cast("long")).as("ndcg_micro"))
   }
 }

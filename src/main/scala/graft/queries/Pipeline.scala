@@ -68,6 +68,37 @@ object Pipeline {
       |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
       |  FROM bsc)""".stripMargin
 
+  /** Extends [[duckBm25]] with the dense cosine ranking and the RRF
+    * fusion, ending at `rr(query_id, doc_id, rrf_micro, rank_lex,
+    * rank_dense, rnk)` — the full hybrid ranked list. Shared by the
+    * p60 and p61 oracles. */
+  private val duckHybrid: String =
+    s"""$duckBm25,
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dq AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+      |dsc AS (SELECT dq.vec_id AS query_id, e.vec_id AS doc_id,
+      |    ${duckCos("dq.v", "e.v")} AS s
+      |  FROM dq JOIN e ON e.vec_id <> dq.vec_id),
+      |dr AS (SELECT query_id, doc_id, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS BIGINT)
+      |    AS rank_dense FROM dsc),
+      |dense AS (SELECT * FROM dr WHERE rank_dense <= 20),
+      |lex AS (SELECT query_id, doc_id, rnk AS rank_lex
+      |  FROM bm WHERE rnk <= 20),
+      |fused AS (SELECT
+      |    coalesce(lex.query_id, dense.query_id) AS query_id,
+      |    coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+      |    lex.rank_lex, dense.rank_dense,
+      |    CAST(round((coalesce(1.0 / (60.0 + rank_lex), 0.0) +
+      |      coalesce(1.0 / (60.0 + rank_dense), 0.0)) * 1000000)
+      |      AS BIGINT) AS rrf_micro
+      |  FROM lex FULL OUTER JOIN dense
+      |    ON lex.query_id = dense.query_id
+      |    AND lex.doc_id = dense.doc_id),
+      |rr AS (SELECT query_id, doc_id, rrf_micro, rank_lex,
+      |    rank_dense, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_micro DESC, doc_id) AS rnk FROM fused)""".stripMargin
+
   /** CTE chain `words0 … words8` (+ per-round `syms/pairs/best`)
     * replaying TextAnalysis.bpeMerges(8) in DuckDB: SOH-delimited
     * symbol strings, adjacent-pair counts, deterministic argmax,
@@ -1860,34 +1891,76 @@ object Pipeline {
             k = 10)
           .orderBy(col("query_id"), col("rnk"))
       },
-      Some(s"""WITH $duckBm25,
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |dq AS (SELECT * FROM e WHERE vec_id % 100 = 0),
-        |dsc AS (SELECT dq.vec_id AS query_id, e.vec_id AS doc_id,
-        |    ${duckCos("dq.v", "e.v")} AS s
-        |  FROM dq JOIN e ON e.vec_id <> dq.vec_id),
-        |dr AS (SELECT query_id, doc_id, CAST(row_number() OVER (
-        |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS BIGINT)
-        |    AS rank_dense FROM dsc),
-        |dense AS (SELECT * FROM dr WHERE rank_dense <= 20),
-        |lex AS (SELECT query_id, doc_id, rnk AS rank_lex
-        |  FROM bm WHERE rnk <= 20),
-        |fused AS (SELECT
-        |    coalesce(lex.query_id, dense.query_id) AS query_id,
-        |    coalesce(lex.doc_id, dense.doc_id) AS doc_id,
-        |    lex.rank_lex, dense.rank_dense,
-        |    CAST(round((coalesce(1.0 / (60.0 + rank_lex), 0.0) +
-        |      coalesce(1.0 / (60.0 + rank_dense), 0.0)) * 1000000)
-        |      AS BIGINT) AS rrf_micro
-        |  FROM lex FULL OUTER JOIN dense
-        |    ON lex.query_id = dense.query_id
-        |    AND lex.doc_id = dense.doc_id),
-        |rr AS (SELECT query_id, doc_id, rrf_micro, rank_lex,
-        |    rank_dense, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY rrf_micro DESC, doc_id) AS rnk FROM fused)
+      Some(s"""WITH $duckHybrid
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_micro,
         |  CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex,
         |  CAST(coalesce(rank_dense, 0) AS BIGINT) AS rank_dense
-        |FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
+        |FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- Retrieval evaluation harness: MRR / recall@10 / nDCG@10
+    // of the hybrid ranking, ground truth = same-source documents
+    // (self excluded). Discount weights and all ratios are
+    // micro-quantized, so DuckDB replays every metric exactly.
+    "p61_retrieval_metrics" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val emb = tbl(s, dir, "embeddings")
+        val queries = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5))
+              .as("qtext"))
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 20)
+        val dense = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", 20)
+          .select(col("q_id").as("query_id"),
+            col("neighbor_id").as("doc_id"), col("rnk"))
+        val hyb = Retrieval.rrfFuse(lex, dense, "query_id", "doc_id",
+          "rnk", k = 10)
+        val src = docs.select(col("doc_id"), col("source"))
+        val relevance = src.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"), col("source"))
+          .join(src, Seq("source"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .select(col("query_id"), col("doc_id"))
+        Retrieval.rankingMetrics(hyb, "query_id", "doc_id", "rnk",
+            relevance, k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH $duckHybrid,
+        |hyb AS (SELECT query_id, doc_id, rnk FROM rr WHERE rnk <= 10),
+        |rel AS (SELECT q.doc_id AS query_id, d.doc_id AS doc_id
+        |  FROM documents q JOIN documents d USING (source)
+        |  WHERE q.doc_id % 100 = 0 AND d.doc_id <> q.doc_id),
+        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM rel GROUP BY 1),
+        |perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    min(rnk) AS first_rank,
+        |    CAST(sum(CAST(round(1000000.0 /
+        |      log2(CAST(rnk AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT)
+        |      AS dcg_micro
+        |  FROM hyb JOIN rel USING (query_id, doc_id) GROUP BY 1),
+        |anch AS (SELECT query_id, coalesce(n_rel, 0) AS n_rel,
+        |    coalesce(n_hits, 0) AS n_hits, first_rank,
+        |    coalesce(dcg_micro, 0) AS dcg_micro
+        |  FROM (SELECT DISTINCT query_id FROM hyb)
+        |    LEFT JOIN nrel USING (query_id)
+        |    LEFT JOIN perq USING (query_id))
+        |SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(coalesce(round(1000000.0 / first_rank), 0) AS BIGINT)
+        |    AS mrr_micro,
+        |  CAST(CASE WHEN n_rel = 0 THEN 0
+        |    ELSE round(1000000.0 * n_hits / n_rel) END AS BIGINT)
+        |    AS recall_micro,
+        |  CAST(CASE WHEN n_rel = 0 OR n_hits = 0 THEN 0
+        |    ELSE round(1000000.0 * dcg_micro / list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, least(n_rel, 10) + 1),
+        |          i -> CAST(round(1000000.0 /
+        |            log2(CAST(i AS DOUBLE) + 1.0)) AS BIGINT))),
+        |      (a, b) -> a + b)) END AS BIGINT) AS ndcg_micro
+        |FROM anch ORDER BY query_id""".stripMargin))
   )
 }

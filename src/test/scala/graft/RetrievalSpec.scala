@@ -114,6 +114,61 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       r(2).getAs[Long]("rank_dense") == 0L)
   }
 
+  test("ranking metrics: hand-computed MRR/recall/nDCG on a planted list") {
+    import spark.implicits._
+    val results = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    // doc 11 (rank 2) is the only retrieved relevant; doc 99 missed
+    val relevance = Seq((1L, 11L), (1L, 99L)).toDF("query_id", "doc_id")
+    val r = Retrieval.rankingMetrics(results, "query_id", "doc_id",
+      "rnk", relevance, k = 10).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def w(i: Int): Long =
+      math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0)))
+    assert(row.getAs[Long]("n_rel") == 2L)
+    assert(row.getAs[Long]("n_hits") == 1L)
+    assert(row.getAs[Long]("mrr_micro") == 500000L) // 1e6 / rank 2
+    assert(row.getAs[Long]("recall_micro") == 500000L) // 1 of 2
+    val dcg = w(2) // one hit at rank 2
+    val idcg = w(1) + w(2) // two relevant, ideal ranks 1..2
+    assert(row.getAs[Long]("ndcg_micro") ==
+      math.round(1000000.0 * dcg / idcg))
+  }
+
+  test("ranking metrics: zero-relevance and zero-hit queries report zeros") {
+    import spark.implicits._
+    val results = Seq((1L, 10L, 1L), (2L, 10L, 1L))
+      .toDF("query_id", "doc_id", "rnk")
+    // query 1: relevant set exists but nothing retrieved matches;
+    // query 2: no relevance rows at all
+    val relevance = Seq((1L, 99L)).toDF("query_id", "doc_id")
+    val r = Retrieval.rankingMetrics(results, "query_id", "doc_id",
+        "rnk", relevance, k = 10)
+      .collect().sortBy(_.getAs[Long]("query_id"))
+    assert(r(0).getAs[Long]("n_rel") == 1L &&
+      r(0).getAs[Long]("n_hits") == 0L)
+    assert(r(0).getAs[Long]("mrr_micro") == 0L &&
+      r(0).getAs[Long]("recall_micro") == 0L &&
+      r(0).getAs[Long]("ndcg_micro") == 0L)
+    assert(r(1).getAs[Long]("n_rel") == 0L &&
+      r(1).getAs[Long]("mrr_micro") == 0L &&
+      r(1).getAs[Long]("recall_micro") == 0L &&
+      r(1).getAs[Long]("ndcg_micro") == 0L)
+  }
+
+  test("ranking metrics: perfect ranking scores nDCG exactly 10^6") {
+    import spark.implicits._
+    val results = Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "doc_id", "rnk")
+    val relevance = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "doc_id")
+    val row = Retrieval.rankingMetrics(results, "query_id", "doc_id",
+      "rnk", relevance, k = 10).collect().head
+    assert(row.getAs[Long]("mrr_micro") == 1000000L)
+    assert(row.getAs[Long]("recall_micro") == 1000000L)
+    assert(row.getAs[Long]("ndcg_micro") == 1000000L)
+  }
+
   test("rrf: equal scores tie-break ascending on doc_id") {
     import spark.implicits._
     val lex = Seq((1L, 21L, 1L), (1L, 20L, 2L))
