@@ -36,7 +36,8 @@ import SqlText._
   * mentioning `rowid` sees it via shadow views, in which case `*`
   * includes rowid.
   */
-class GraftEngine(val spark: SparkSession, warehouse: String) {
+class GraftEngine(val spark: SparkSession, warehouse: String,
+    initialRetention: Int = 2) {
   import Meta._
 
   private val dataRoot = s"$warehouse/data"
@@ -89,6 +90,35 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   private def active: GraftSession = activeTL.get()
 
   private def currentSchema: Option[String] = active.currentSchema
+
+  /** How many newest committed versions each COW table keeps on disk.
+    * The floor of 2 is the in-flight-reader grace window
+    * ([[writeVersion]]); anything above it is time-travel history,
+    * readable via [[tableAsOf]] / `VERSION AS OF` until the version
+    * falls out of the window. History is cheap at scale: the
+    * file-pruned mutation path carries untouched files into v(N+1) as
+    * hard links, so N retained versions cost O(files changed across
+    * the window), not N full table images — the same economics as a
+    * lakehouse table format's snapshot log.
+    *
+    * Passed at construction (`initialRetention`) so load-time
+    * reconciliation already honors it — a restart with the default
+    * would otherwise trim history to the grace floor before a setter
+    * could run. */
+  @volatile private var retainVersions: Int = {
+    if (initialRetention < 2) throw Errors.generic(
+      s"version retention must be >= 2 (in-flight reader grace), got $initialRetention")
+    initialRetention
+  }
+
+  /** Set the version-retention window (min 2 — see
+    * [[retainVersions]]). Shrinking it takes effect at the next
+    * mutation / reload; it never deletes eagerly. */
+  def setVersionRetention(n: Int): Unit = {
+    if (n < 2) throw Errors.generic(
+      s"version retention must be >= 2 (in-flight reader grace), got $n")
+    retainVersions = n
+  }
 
   // ------------------------------------------------------------------
   // public API
@@ -270,7 +300,13 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
           if (byVer.get(td.version).exists(committed)) td.version
           else byVer.collect { case (v, d) if committed(d) => v }
             .reduceOption(_ max _).getOrElse(td.version)
-        byVer.foreach { case (v, d) => if (v != adopt) deleteRecursively(d) }
+        // GC: uncommitted partials and anything newer than the adopted
+        // version always go; committed history inside the retention
+        // window survives a restart (time travel is durable)
+        byVer.foreach { case (v, d) =>
+          if (v != adopt && (v > adopt || !committed(d) ||
+              v <= adopt - retainVersions)) deleteRecursively(d)
+        }
         if (adopt == td.version) k -> td
         else { dirty = true; k -> td.copy(version = adopt) }
       }
@@ -355,6 +391,50 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
   private def readFull(td: TableDef): DataFrame =
     spark.read.schema(td.fullSchema).parquet(tableDir(td))
 
+  /** Snapshot read of `td` at a historical `version`. The snapshot
+    * presents the schema AS WRITTEN at that version (parquet is
+    * self-describing, so a column added by a later ALTER simply isn't
+    * there — correct time-travel semantics), minus the internal
+    * rowid. A version directory with no data files is an empty table
+    * and reads as zero rows with the CURRENT visible schema (its
+    * as-written schema left no trace on disk). */
+  private def snapshotDf(td: TableDef, version: Long): DataFrame = {
+    if (td.external) throw Errors.generic(
+      s"table '${td.schema}.${td.name}' is external — unversioned, no time travel")
+    if (version == td.version) // current image: the live read path
+      return spark.read.schema(td.fullSchema).parquet(tableDir(td))
+        .drop(RowId)
+    val dir = new File(s"$dataRoot/${td.schema}/${td.name}/v$version")
+    if (version > td.version || !dir.isDirectory ||
+        !new File(dir, "_SUCCESS").exists())
+      throw Errors.generic(
+        s"version $version of '${td.schema}.${td.name}' does not exist " +
+          s"or fell out of the retention window (current ${td.version}, " +
+          s"retaining $retainVersions)")
+    val hasData = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (!hasData)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        td.visibleSchema)
+    else // mergeSchema: an append commit after ALTER ADD COLUMN
+      // leaves mixed-schema files in one version dir
+      spark.read.option("mergeSchema", "true").parquet(dir.getPath)
+        .drop(RowId)
+  }
+
+  /** Time-travel read: the committed image of `name` (optionally
+    * schema-qualified) at `version`, as a DataFrame. Versions are
+    * retained per [[setVersionRetention]]; asking for a GC'd or
+    * future version throws. SQL surface: `SELECT … FROM t VERSION AS
+    * OF n` and `SHOW VERSIONS FOR t`. */
+  def tableAsOf(name: String, version: Long): DataFrame = {
+    val prev = activeTL.get()
+    activeTL.set(session)
+    lock.readLock().lock()
+    try snapshotDf(lookup(name), version)
+    finally { lock.readLock().unlock(); activeTL.set(prev) }
+  }
+
   // ------------------------------------------------------------------
   // SELECT / EXPLAIN
   // ------------------------------------------------------------------
@@ -371,6 +451,35 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     // analysis only; the returned DataFrame executes outside it.
     spark.catalog.setCurrentDatabase(currentSchema.getOrElse("default"))
     var sqlText = rewrite(stmt)
+    val shadowed = scala.collection.mutable.ArrayBuffer[String]()
+    // time travel: each `<table> VERSION AS OF <n>` becomes a temp
+    // view over that table's committed v<n> snapshot (same
+    // register-then-drop discipline as the rowid shadows below).
+    // Spark's own parser reserves this syntax for v2 catalogs, so the
+    // rewrite happens here at the dialect layer.
+    val asOfRe = ("(?is)((?:`[^`]+`|[A-Za-z_]\\w*)" +
+      "(?:\\.(?:`[^`]+`|[A-Za-z_]\\w*))?)\\s+version\\s+as\\s+of\\s+(\\d+)").r
+    var searchFrom = 0
+    var scanning = true
+    while (scanning) {
+      asOfRe.findFirstMatchIn(sqlText.substring(searchFrom)) match {
+        case None => scanning = false
+        case Some(m) =>
+          val start = searchFrom + m.start
+          val end = searchFrom + m.end
+          if (inQuotes(sqlText, start)) searchFrom = end
+          else {
+            val td = lookup(m.group(1))
+            val ver = m.group(2).toLong
+            val view = s"__asof_${td.schema}_${td.name}_v$ver"
+            snapshotDf(td, ver).createOrReplaceTempView(view)
+            shadowed += view
+            sqlText = sqlText.substring(0, start) + view +
+              sqlText.substring(end)
+            searchFrom = start + view.length
+          }
+      }
+    }
     // rowid shadow views: quote-aware identifier detection (a 'rowid'
     // inside a string literal no longer triggers), applied only to
     // tables the statement references — bare names in the session
@@ -379,7 +488,6 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     // Reference keeps rowid in the DF schema and hides it from `*`
     // (meta_def.rs:385-395, core_util.rs:451-462); here `*` through a
     // shadow view includes rowid — documented deviation.
-    val shadowed = scala.collection.mutable.ArrayBuffer[String]()
     if (containsIdent(sqlText, RowId)) {
       tables.values.filterNot(_.external).foreach { td =>
         val shadowName = s"__rowid_${td.schema}_${td.name}"
@@ -771,7 +879,19 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
           kept = kept.join(newRows.select(cs.map(col): _*), cs, "left_anti")
         }
         writeVersion(td, kept.unionByName(newRows))
+      } else if (retainVersions > 2) {
+        // time-travel mode: every INSERT is a version commit so each
+        // statement is a readable snapshot. Existing files are
+        // CARRIED (hard links) — the commit costs O(existing files)
+        // metadata plus the new rows, never a data rewrite; the same
+        // append-commit economics as a lakehouse snapshot log.
+        val cur = new File(tableDir(td))
+        val carry = Option(cur.listFiles()).getOrElse(Array.empty[File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+        writeVersion(td, newRows, carry)
       } else {
+        // default (retention = grace floor): in-place append — no
+        // snapshot per INSERT, no per-statement version churn
         newRows.write.mode("append").parquet(tableDir(td))
         spark.catalog.refreshTable(s"${td.schema}.${td.name}")
       }
@@ -923,16 +1043,17 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
     // Grace-period GC, not immediate delete: a read statement's
     // DataFrame executes OUTSIDE engine locks (sqlAs scaladoc), so
     // the version a concurrent reader planned against must survive
-    // the mutation that commits while it collects. Retaining the
-    // newest 2 versions covers any reader that straddles one commit;
+    // the mutation that commits while it collects. The floor of 2
+    // retained versions covers any reader that straddles one commit;
     // a reader would have to straddle two full COW commits between
     // analysis and collect to lose its files (documented read
-    // contract: collect promptly). Older dirs — and all retained
-    // ones — are GC'd by [[reconcileVersions]] at next load.
+    // contract: collect promptly). [[retainVersions]] above the floor
+    // is time-travel history, kept across restarts
+    // ([[reconcileVersions]] applies the same window).
     val base = new File(tableDir(ntd)).getParentFile
     Option(base.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .filter(_.getName.drop(1).toLong <= ntd.version - 2)
+      .filter(_.getName.drop(1).toLong <= ntd.version - retainVersions)
       .foreach(deleteRecursively)
   }
 
@@ -1003,6 +1124,26 @@ class GraftEngine(val spark: SparkSession, warehouse: String) {
       val td = lookup(stmt.trim.split("\\s+").last)
       ResultSet(Seq((td.name, td.createTableSql))
         .toDF("Table", "Create Table"))
+    } else if (lower.matches("show versions (for|from|in) .*")) {
+      // time-travel history: the on-disk version directories still
+      // inside the retention window (newest first). `Current` marks
+      // the catalog pointer; only committed versions are readable
+      // via VERSION AS OF / tableAsOf.
+      val td = lookup(stmt.trim.split("\\s+").last)
+      if (td.external) throw Errors.generic(
+        s"table '${td.schema}.${td.name}' is external — unversioned")
+      val base = new File(s"$dataRoot/${td.schema}/${td.name}")
+      val rows = Option(base.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map { d =>
+          val parts = Option(d.listFiles()).getOrElse(Array.empty[File])
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          val v = d.getName.drop(1).toLong
+          (v, if (new File(d, "_SUCCESS").exists()) "YES" else "NO",
+            parts.length.toLong, parts.map(_.length).sum,
+            if (v == td.version) "YES" else "NO")
+        }.sortBy(-_._1).toSeq
+      ResultSet(rows.toDF("Version", "Committed", "Files", "Bytes", "Current"))
     } else if (lower.startsWith("show variables")) {
       // LIKE deviation: filter on the NAME (the reference filters on
       // the value, show_variables.rs:75-83 — a bug). WHERE filters

@@ -69,6 +69,21 @@ object SqlText {
     -1
   }
 
+  /** True iff `pos` falls inside a `'…'`/`"…"`/`` `…` `` quoted run —
+    * used to keep regex-driven dialect rewrites (VERSION AS OF) out
+    * of string literals. */
+  def inQuotes(s: String, pos: Int): Boolean = {
+    var quote: Char = 0
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') quote = c
+      i += 1
+    }
+    quote != 0
+  }
+
   private def isIdentChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
 
