@@ -164,6 +164,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       else if (lower.startsWith("insert")) doInsert(stmt)
       else if (lower.startsWith("update")) doUpdate(stmt)
       else if (lower.startsWith("delete")) doDelete(stmt)
+      else if (lower.startsWith("optimize")) doOptimize(stmt)
       else if (lower.startsWith("show")) doShow(stmt)
       else if (lower.startsWith("use")) doUse(stmt)
       else if (lower.startsWith("desc")) doDescribe(stmt)
@@ -398,12 +399,13 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * rowid. A version directory with no data files is an empty table
     * and reads as zero rows with the CURRENT visible schema (its
     * as-written schema left no trace on disk). */
-  private def snapshotDf(td: TableDef, version: Long): DataFrame = {
+  /** [[snapshotDf]] minus the rowid drop — the CDC path
+    * ([[changes]]) needs the stable row identity. */
+  private def snapshotRaw(td: TableDef, version: Long): DataFrame = {
     if (td.external) throw Errors.generic(
       s"table '${td.schema}.${td.name}' is external — unversioned, no time travel")
     if (version == td.version) // current image: the live read path
       return spark.read.schema(td.fullSchema).parquet(tableDir(td))
-        .drop(RowId)
     val dir = new File(s"$dataRoot/${td.schema}/${td.name}/v$version")
     if (version > td.version || !dir.isDirectory ||
         !new File(dir, "_SUCCESS").exists())
@@ -415,12 +417,14 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       .exists(f => f.isFile && f.getName.endsWith(".parquet"))
     if (!hasData)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        td.visibleSchema)
+        td.fullSchema)
     else // mergeSchema: an append commit after ALTER ADD COLUMN
       // leaves mixed-schema files in one version dir
       spark.read.option("mergeSchema", "true").parquet(dir.getPath)
-        .drop(RowId)
   }
+
+  private def snapshotDf(td: TableDef, version: Long): DataFrame =
+    snapshotRaw(td, version).drop(RowId)
 
   /** Time-travel read: the committed image of `name` (optionally
     * schema-qualified) at `version`, as a DataFrame. Versions are
@@ -433,6 +437,66 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     lock.readLock().lock()
     try snapshotDf(lookup(name), version)
     finally { lock.readLock().unlock(); activeTL.set(prev) }
+  }
+
+  /** On-demand change data feed: the row-level diff between two
+    * retained versions, keyed on the engine's stable rowid (INSERT
+    * assigns it, UPDATE preserves it — [[doUpdate]]). Returns the
+    * TO-version's visible columns plus `rowid` and `_change_type` in
+    * {insert, delete, update_preimage, update_postimage}; pre-image
+    * rows cast old values into the to-schema (a column added between
+    * the versions reads NULL pre-image).
+    *
+    * One full-outer join on rowid + one generated-column explode —
+    * single pass, no driver materialization, unchanged rows drop at
+    * the explode (empty array), so the output is O(changed rows).
+    * This is what an incremental 100-TB pipeline consumes instead of
+    * re-reading the table: dedup/index/train-shard maintenance over
+    * O(delta), not O(corpus). */
+  def changes(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    val prev = activeTL.get()
+    activeTL.set(session)
+    lock.readLock().lock()
+    try {
+      if (fromVersion >= toVersion) throw Errors.generic(
+        s"changes: fromVersion $fromVersion must be < toVersion $toVersion")
+      val td = lookup(name)
+      val oldDf = snapshotRaw(td, fromVersion)
+      val newDf = snapshotRaw(td, toVersion)
+      val outCols = newDf.columns.filter(_ != RowId).toSeq
+      val common = oldDf.columns.intersect(newDf.columns)
+        .filter(_ != RowId).toSeq
+      val newTypes = newDf.schema.fields.map(f => f.name -> f.dataType).toMap
+      // old values projected INTO the to-schema (missing -> null)
+      def oldAs(c: String): Column =
+        (if (oldDf.columns.contains(c)) col(c).cast(newTypes(c))
+        else lit(null).cast(newTypes(c))).as("__o_" + c)
+      val o = oldDf.select(col(RowId) +: lit(true).as("__o_present") +:
+        outCols.map(oldAs): _*)
+      val n = newDf.select(col(RowId) +: lit(true).as("__n_present") +:
+        outCols.map(c => col(c).as("__n_" + c)): _*)
+      val j = o.join(n, Seq(RowId), "full_outer")
+      def tagged(tag: String, r: Column): Column =
+        struct(lit(tag).as("_change_type"), r.as("__vals"))
+      val oldVals = struct(outCols.map(c => col("__o_" + c).as(c)): _*)
+      val newVals = struct(outCols.map(c => col("__n_" + c).as(c)): _*)
+      // null-safe compare on the COMMON columns only: a column that
+      // exists in just one version can't count as a change by itself
+      val oldCmp = struct(common.map(c => col("__o_" + c)): _*)
+      val newCmp = struct(common.map(c => col("__n_" + c)): _*)
+      // no otherwise: unchanged rows yield a NULL array, which
+      // explode drops — output is O(changed rows)
+      val events = when(col("__o_present").isNull,
+          array(tagged("insert", newVals)))
+        .when(col("__n_present").isNull,
+          array(tagged("delete", oldVals)))
+        .when(!(oldCmp <=> newCmp),
+          array(tagged("update_preimage", oldVals),
+            tagged("update_postimage", newVals)))
+      j.select(col(RowId), explode(events).as("__e"))
+        .select(col(RowId) +: col("__e._change_type") +:
+          outCols.map(c => col(s"__e.__vals.$c").as(c)): _*)
+    } finally { lock.readLock().unlock(); activeTL.set(prev) }
   }
 
   // ------------------------------------------------------------------
@@ -937,6 +1001,35 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       sub.where(not(coalesce(cond, lit(false)))).unionByName(updated)
     })
     AffectedRows(n)
+  }
+
+  /** `OPTIMIZE [TABLE] t` — compact the current image into
+    * ~128 MB-target files as a fresh version commit (same `_SUCCESS`
+    * discipline, retained history untouched and still readable).
+    * Needed once per-statement INSERT commits (time-travel mode)
+    * accumulate small files: a 100-TB scan pays per-file open/footer
+    * costs, so file count is a first-class scale concern. The rewrite
+    * is a `coalesce` — narrow, no shuffle. Returns the number of
+    * files removed; 0 = already compact. */
+  private def doOptimize(stmt: String): GraftResult = {
+    val m = "(?is)^optimize\\s+(?:table\\s+)?(\\S+)\\s*$".r
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val td = lookup(m.group(1))
+    requireWritable(td)
+    def parquetCount(d: File): Int =
+      Option(d.listFiles()).getOrElse(Array.empty[File])
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val dir = new File(tableDir(td))
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val targetBytes = 128L * 1024 * 1024
+    val nOut = math.max(1,
+      math.ceil(parts.map(_.length).sum.toDouble / targetBytes).toInt)
+    if (parts.length <= nOut) return AffectedRows(0)
+    writeVersion(td, readFull(td).coalesce(nOut))
+    val ntd = tables((td.schema, td.name))
+    AffectedRows(parts.length - parquetCount(new File(tableDir(ntd))))
   }
 
   private def doDelete(stmt: String): GraftResult = {

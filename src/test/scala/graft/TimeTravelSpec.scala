@@ -156,6 +156,71 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.query("select id, extra from s").collect().length == 2)
   }
 
+  test("changes(): row-level CDC between retained versions") {
+    val (e, _) = freshEngine()
+    e.setVersionRetention(10)
+    e.sql("create table c (id int, v int, PRIMARY KEY(id))")
+    e.sql("insert into c values (1, 10), (2, 20), (3, 30)") // v1
+    e.sql("update c set v = 99 where id = 2")               // v2
+    e.sql("delete from c where id = 3")                     // v3
+    e.sql("insert into c values (4, 40)")                   // v4
+    def ch(a: Long, b: Long): Seq[(String, Long, Long)] =
+      e.changes("c", a, b).collect()
+        .map(r => (r.getAs[String]("_change_type"),
+          r.getAs[Long]("id"), Option(r.getAs[Any]("v"))
+            .map(_.asInstanceOf[Long]).getOrElse(-1L)))
+        .sortBy(t => (t._2, t._1)).toSeq
+    assert(ch(1, 2) == Seq(("update_postimage", 2L, 99L),
+      ("update_preimage", 2L, 20L)))
+    assert(ch(2, 3) == Seq(("delete", 3L, 30L)))
+    assert(ch(3, 4) == Seq(("insert", 4L, 40L)))
+    // spanning diff: unchanged id=1 emits nothing
+    assert(ch(1, 4) == Seq(("update_postimage", 2L, 99L),
+      ("update_preimage", 2L, 20L), ("delete", 3L, 30L),
+      ("insert", 4L, 40L)))
+    // update preserves rowid: the pre/post pair shares the key
+    val pair = e.changes("c", 1, 2).collect()
+    assert(pair.map(_.getAs[String]("rowid")).distinct.length == 1)
+    intercept[GraftException] { e.changes("c", 2, 2) }
+    intercept[GraftException] { e.changes("c", 3, 1) }
+  }
+
+  test("changes() across an ALTER: new column reads NULL pre-image") {
+    val (e, _) = freshEngine()
+    e.setVersionRetention(10)
+    e.sql("create table a (id int, PRIMARY KEY(id))")
+    e.sql("insert into a values (1)")          // v1
+    e.sql("alter table a add column w int")
+    e.sql("insert into a values (2, 9)")       // v2
+    val r = e.changes("a", 1, 2).collect()
+    // id=1 is unchanged on the common column -> no row; id=2 inserts
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("_change_type") == "insert" &&
+      r.head.getAs[Long]("id") == 2L && r.head.getAs[Long]("w") == 9L)
+  }
+
+  test("OPTIMIZE compacts small files into a new version commit") {
+    val (e, _) = freshEngine()
+    e.setVersionRetention(6)
+    e.sql("create table o (id int, PRIMARY KEY(id))")
+    (1 to 4).foreach(i => e.sql(s"insert into o values ($i)")) // v1..v4
+    def current = e.query("show versions for o").collect()
+      .find(_.getString(4) == "YES").get
+    val filesBefore = current.getLong(2)
+    assert(filesBefore >= 4L) // one file per insert commit
+    val r = e.sql("optimize o")
+    assert(r == AffectedRows(filesBefore - 1)) // compacted to 1 file
+    assert(current.getLong(2) == 1L)
+    assert(ids(e, "select id from o") == Seq(1L, 2L, 3L, 4L))
+    // pre-compaction history still readable
+    assert(ids(e, "select id from o version as of 4") ==
+      Seq(1L, 2L, 3L, 4L))
+    // already compact: no-op, no version churn
+    val vBefore = e.query("show versions for o").collect().length
+    assert(e.sql("optimize table o") == AffectedRows(0))
+    assert(e.query("show versions for o").collect().length == vBefore)
+  }
+
   test("external tables and string literals are left alone") {
     val (e, _) = freshEngine()
     val ext = Files.createTempDirectory("graft_ext_").toString
