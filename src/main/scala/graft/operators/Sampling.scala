@@ -85,4 +85,43 @@ object Sampling {
       .filter(col("__sr") <= n)
       .drop("__sr")
   }
+
+  /** Deterministic weighted sample without replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"):
+    * row i gets key u_i^(1/w_i) — equivalently ln(u_i)/w_i, compared
+    * monotonically — and the k LARGEST keys are the sample, which
+    * E-S prove is distributed exactly as sequential weighted draws
+    * without replacement. The training-data use: sample documents
+    * proportional to a quality weight, reproducibly.
+    *
+    * u_i derives from the portable universal hash of the id (the
+    * same `(a·x + b) mod p` family the portable MinHash oracle
+    * replays — plain codegen'd arithmetic, no RNG), so the exact
+    * sample is recomputable by any engine. The selection key is
+    * micro-quantized (`key_micro = round(1e6·ln(u)/w)`, negative,
+    * larger = better) so an oracle compares integers, not doubles.
+    * Requires non-negative ids below 2^31 (no overflow in the hash)
+    * and strictly positive weights.
+    *
+    * Scale shape: the per-row key is narrow; the top-k is
+    * [[TopK.perKey]] — map-side bounded heaps, one shuffle of ≤k
+    * rows per stratum, never a global sort. With `strataCols` empty
+    * the whole frame is one stratum (single ≤k-row merge). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, strataCols: Seq[String] = Nil): DataFrame = {
+    val P = 1000000007L
+    val u = ((col(idCol).cast("long") * lit(2654435761L) + lit(40503L))
+      % P + lit(0.5)) / lit(P.toDouble)
+    val keyMicro = round(log(u) / col(weightCol) * 1000000.0, 0)
+      .cast("long")
+    val scored = df.select(strataCols.map(col) :+ col(idCol) :+
+      keyMicro.as("key_micro"): _*)
+    val strata = if (strataCols.isEmpty) {
+      // single stratum: constant group key, dropped after the top-k
+      TopK.perKey(scored.withColumn("__g", lit(0)), Seq("__g"), idCol,
+        "key_micro", k).drop("__g")
+    } else TopK.perKey(scored, strataCols, idCol, "key_micro", k)
+    strata.select(strataCols.map(col) ++ Seq(col(idCol),
+      col("key_micro").cast("long").as("key_micro"), col("rnk")): _*)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Curation, Dedup, MultiModal, Retrieval,
-  Similarity, TextAnalysis}
+  Sampling, Similarity, TextAnalysis}
 import QueryUtil._
 
 /** Large-scale training-data pipeline operators (driver-mandated
@@ -1961,6 +1961,30 @@ object Pipeline {
         |          i -> CAST(round(1000000.0 /
         |            log2(CAST(i AS DOUBLE) + 1.0)) AS BIGINT))),
         |      (a, b) -> a + b)) END AS BIGINT) AS ndcg_micro
-        |FROM anch ORDER BY query_id""".stripMargin))
+        |FROM anch ORDER BY query_id""".stripMargin)),
+
+    // ---- Weighted sampling without replacement (Efraimidis-
+    // Spirakis): per-source quota of 20 docs sampled proportional to
+    // a length-derived quality weight. The u-hash, ln-key and
+    // micro-quantization all replay exactly in DuckDB.
+    "p62_weighted_sample" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            (lit(1.0) + length(col("text")) / lit(1000.0)).as("wt"))
+        Sampling.weightedSample(docs, "doc_id", "wt", 20, Seq("source"))
+          .orderBy(col("source"), col("rnk"))
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+        |    1.0 + length(text)/1000.0 AS wt,
+        |    ((doc_id * 2654435761 + 40503) % 1000000007 + 0.5)/1000000007.0 AS u
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source, CAST(round(1000000.0 * ln(u)/wt)
+        |    AS BIGINT) AS key_micro FROM w),
+        |r AS (SELECT source, doc_id, key_micro, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY key_micro DESC, doc_id)
+        |    AS BIGINT) AS rnk FROM sc)
+        |SELECT source, doc_id, key_micro, rnk FROM r
+        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin))
   )
 }

@@ -149,6 +149,45 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq == first.toSeq)
   }
 
+  test("weighted sample matches the E-S formula computed locally") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, 1.0 + (i % 5).toDouble))
+      .toDF("id", "wt")
+    val got = Sampling.weightedSample(df, "id", "wt", 10)
+      .collect().map(r => (r.getAs[Number]("rnk").longValue,
+        r.getAs[Long]("id"), r.getAs[Long]("key_micro")))
+      .sortBy(_._1)
+    // replay the exact selection-key formula in plain Scala
+    val expected = (0L until 1000L).map { id =>
+      val u = ((id * 2654435761L + 40503L) % 1000000007L + 0.5) /
+        1000000007.0
+      val w = 1.0 + (id % 5).toDouble
+      (math.round(1e6 * math.log(u) / w), id)
+    }.sortBy(t => (-t._1, t._2)).take(10)
+    assert(got.map(_._2).toSeq == expected.map(_._2).toSeq)
+    assert(got.map(_._3).toSeq == expected.map(_._1).toSeq)
+    // deterministic under repartitioning
+    val again = Sampling.weightedSample(df.repartition(7), "id", "wt", 10)
+      .collect().map(_.getAs[Long]("id")).sorted
+    assert(again.toSeq == got.map(_._2).sorted.toSeq)
+  }
+
+  test("weighted sample: strata quotas and weight monotonicity") {
+    import spark.implicits._
+    // stratum a: uniform weights; stratum b: ids >= 900 get 50x the
+    // weight of the rest — they should dominate b's quota
+    val df = (0L until 1000L).map { i =>
+      val s = if (i % 2 == 0) "a" else "b"
+      val w = if (s == "b" && i >= 900) 50.0 else 1.0
+      (i, s, w)
+    }.toDF("id", "s", "wt")
+    val r = Sampling.weightedSample(df, "id", "wt", 15, Seq("s"))
+      .collect().map(x => (x.getAs[String]("s"), x.getAs[Long]("id")))
+    assert(r.count(_._1 == "a") == 15 && r.count(_._1 == "b") == 15)
+    val heavy = r.filter(_._1 == "b").count(_._2 >= 900)
+    assert(heavy >= 10, s"50x-weighted ids won only $heavy of 15 slots")
+  }
+
   test("repetition signals: duplicate token/3-gram/line fractions") {
     import spark.implicits._
     val d = Seq(
