@@ -230,6 +230,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.contains("InMemoryRelation"), t)      // persisted fan-out seam
   }
 
+  test("p62 weighted sample is heaps + one data shuffle, no window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val t = planText("p62_weighted_sample")
+    // bounded TopK merge, not a row_number window over the frame
+    assert(t.contains("ObjectHashAggregate"), t)
+    assert(!t.contains("Window"), t)
+    // the only exchanges are the TopK partial->final on the stratum
+    // key and the battery's presentation orderBy — the E-S keys
+    // themselves are narrow codegen'd expressions, so the full frame
+    // never shuffles
+    val shuffles = allNodes(plan("p62_weighted_sample"))
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.length <= 2, s"p62 plans ${shuffles.length} shuffles")
+  }
+
   test("p47 bloom probe is codegen'd and the corpus verify never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
