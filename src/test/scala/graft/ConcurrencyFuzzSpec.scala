@@ -304,4 +304,52 @@ class ConcurrencyFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${retries.get()} retries vs ${reads.get()} reads — grace-period " +
         "version GC is not protecting in-flight readers")
   }
+
+  // ---- part 3: time-travel snapshots vs a concurrent writer --------
+
+  test("pinned VERSION AS OF reads are immutable under concurrent commits") {
+    // With retention raised every INSERT is a version commit; a
+    // snapshot read pinned to version v must return v's exact count
+    // forever, no matter how many commits land while it runs — the
+    // stronger sibling of part 2's non-decreasing live reads.
+    val e = new GraftEngine(spark,
+      Files.createTempDirectory("graft_ttc_").toString,
+      initialRetention = 40)
+    e.sql("create schema snap")
+    val committed = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val done = new AtomicBoolean(false)
+    val reads = new AtomicInteger(0)
+    inParallel(3) { i =>
+      val ses = e.newSession()
+      ses.sql("use snap")
+      if (i == 0) {
+        try {
+          ses.sql("create table t (id int, PRIMARY KEY(id))")
+          (1 to 20).foreach { n =>
+            ses.sql(s"insert into t values ($n)")
+            committed.put(n.toLong, n.toLong) // version n holds n rows
+          }
+        } finally done.set(true)
+      } else {
+        val rnd = new scala.util.Random(1000 + i)
+        var checked = 0
+        while (!done.get() || checked == 0) {
+          val keys = committed.keySet().toArray(Array.empty[java.lang.Long])
+          if (keys.nonEmpty) {
+            val v = keys(rnd.nextInt(keys.length)).longValue
+            val c = rows(run(ses, s"select count(*) from t version as of $v"),
+              s"snap r$i").head.head.asInstanceOf[Long]
+            assert(c == committed.get(v),
+              s"snapshot v$v changed: expected ${committed.get(v)}, got $c")
+            checked += 1; reads.incrementAndGet()
+          }
+        }
+      }
+    }
+    assert(reads.get() > 0, "no pinned-snapshot read ever completed")
+    // all 20 versions remain readable afterwards with exact counts
+    (1 to 20).foreach { n =>
+      assert(e.tableAsOf("snap.t", n).count() == n.toLong)
+    }
+  }
 }
