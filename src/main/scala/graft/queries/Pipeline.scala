@@ -1985,6 +1985,61 @@ object Pipeline {
         |    PARTITION BY source ORDER BY key_micro DESC, doc_id)
         |    AS BIGINT) AS rnk FROM sc)
         |SELECT source, doc_id, key_micro, rnk FROM r
-        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin))
+        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin)),
+
+    // ---- Fixed-iteration HITS importance over the (user, item)
+    // engagement bipartite graph — integer-micro state with L-inf
+    // normalization, so DuckDB replays all three rounds exactly.
+    "p63_hits_importance" -> Q(
+      (s, dir) => {
+        val edges = tbl(s, dir, "events")
+          .select(col("user_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").as("item"))
+          .filter(col("item").isNotNull)
+        graft.operators.Graph.hitsMicro(edges, "user_id", "item",
+            rounds = 3)
+          .orderBy(col("item"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id AS s,
+        |    CAST(props->>'k' AS BIGINT) AS d
+        |  FROM events WHERE props->>'k' IS NOT NULL),
+        |a0 AS (SELECT d, CAST(1000000 AS BIGINT) AS a
+        |  FROM (SELECT DISTINCT d FROM e)),
+        |h1r AS (SELECT s, CAST(sum(a) AS BIGINT) AS hr
+        |  FROM e JOIN a0 USING (d) GROUP BY s),
+        |h1 AS (SELECT s, CAST(round(CAST(hr AS DOUBLE)*1000000.0 /
+        |  (SELECT CAST(max(hr) AS DOUBLE) FROM h1r)) AS BIGINT) AS h
+        |  FROM h1r),
+        |a1r AS (SELECT d, CAST(sum(h) AS BIGINT) AS ar
+        |  FROM e JOIN h1 USING (s) GROUP BY d),
+        |a1 AS (SELECT d, CAST(round(CAST(ar AS DOUBLE)*1000000.0 /
+        |  (SELECT CAST(max(ar) AS DOUBLE) FROM a1r)) AS BIGINT) AS a
+        |  FROM a1r),
+        |h2r AS (SELECT s, CAST(sum(a) AS BIGINT) AS hr
+        |  FROM e JOIN a1 USING (d) GROUP BY s),
+        |h2 AS (SELECT s, CAST(round(CAST(hr AS DOUBLE)*1000000.0 /
+        |  (SELECT CAST(max(hr) AS DOUBLE) FROM h2r)) AS BIGINT) AS h
+        |  FROM h2r),
+        |a2r AS (SELECT d, CAST(sum(h) AS BIGINT) AS ar
+        |  FROM e JOIN h2 USING (s) GROUP BY d),
+        |a2 AS (SELECT d, CAST(round(CAST(ar AS DOUBLE)*1000000.0 /
+        |  (SELECT CAST(max(ar) AS DOUBLE) FROM a2r)) AS BIGINT) AS a
+        |  FROM a2r),
+        |h3r AS (SELECT s, CAST(sum(a) AS BIGINT) AS hr
+        |  FROM e JOIN a2 USING (d) GROUP BY s),
+        |h3 AS (SELECT s, CAST(round(CAST(hr AS DOUBLE)*1000000.0 /
+        |  (SELECT CAST(max(hr) AS DOUBLE) FROM h3r)) AS BIGINT) AS h
+        |  FROM h3r),
+        |a3r AS (SELECT d, CAST(sum(h) AS BIGINT) AS ar
+        |  FROM e JOIN h3 USING (s) GROUP BY d),
+        |a3 AS (SELECT d, CAST(round(CAST(ar AS DOUBLE)*1000000.0 /
+        |  (SELECT CAST(max(ar) AS DOUBLE) FROM a3r)) AS BIGINT) AS a
+        |  FROM a3r),
+        |deg AS (SELECT d, CAST(count(*) AS BIGINT) AS degree
+        |  FROM e GROUP BY d)
+        |SELECT a3.d AS item, a3.a AS auth_micro, deg.degree
+        |FROM a3 JOIN deg USING (d) ORDER BY item""".stripMargin))
   )
 }

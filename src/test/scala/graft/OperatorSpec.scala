@@ -188,6 +188,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(heavy >= 10, s"50x-weighted ids won only $heavy of 15 slots")
   }
 
+  test("HITS importance matches a local replay; degree drives authority") {
+    import spark.implicits._
+    // star item 10 (3 hubs) vs leaf item 11 (1 hub, shared with 10)
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("u", "i")
+    val got = graft.operators.Graph.hitsMicro(edges, "u", "i", rounds = 3)
+      .collect().map(r => (r.getAs[Long]("i"),
+        r.getAs[Long]("auth_micro"), r.getAs[Long]("degree"))).sortBy(_._1)
+    // replay the exact integer/L-inf trajectory locally
+    val es = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+    var a = Map(10L -> 1000000L, 11L -> 1000000L)
+    var h = Map.empty[Long, Long]
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max.toDouble
+      m.map { case (k, v) => k -> math.round(v.toDouble * 1000000.0 / mx) }
+    }
+    (1 to 3).foreach { _ =>
+      h = norm(es.groupBy(_._1).map { case (u, ps) =>
+        u -> ps.map(p => a(p._2)).sum })
+      a = norm(es.groupBy(_._2).map { case (i, ps) =>
+        i -> ps.map(p => h(p._1)).sum })
+    }
+    assert(got.map(x => x._1 -> x._2).toMap == a)
+    assert(got.find(_._1 == 10L).get._3 == 3L)
+    // the star item ends at the normalization ceiling, the leaf below
+    assert(a(10L) == 1000000L && a(11L) < a(10L))
+    // deterministic under repartitioning
+    val again = graft.operators.Graph
+      .hitsMicro(edges.repartition(5), "u", "i", rounds = 3)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("auth_micro")))
+      .sortBy(_._1)
+    assert(again.toSeq == got.map(x => (x._1, x._2)).toSeq)
+  }
+
   test("repetition signals: duplicate token/3-gram/line fractions") {
     import spark.implicits._
     val d = Seq(
