@@ -65,4 +65,130 @@ object Graph {
       .select(col("__d").as(dstCol), col("__a").as("auth_micro"),
         col("degree"))
   }
+
+  /** Fixed-iteration PageRank (Brin-Page 1998) over a directed edge
+    * list, as exactly-replayable integer arithmetic: every node
+    * starts at 1e6 micros; each round a node sends
+    * `pr div out_degree` (integer floor division) along each
+    * out-edge and the next score is
+    * `150000 + (incoming * 85) div 100` — i.e. damping 0.85 and
+    * uniform teleport mass (1-0.85)·1e6, all in exact Long math, so
+    * any engine (DuckDB included) replays the trajectory
+    * bit-for-bit. Dangling-node mass is dropped rather than
+    * redistributed and scores are not re-normalized — the standard
+    * "fixed-point iteration" simplification; ranking order is what
+    * the pipeline consumes, and that is preserved.
+    *
+    * Scale shape per round: one hash join of the O(edges) edge table
+    * against the O(nodes) score frame, one partial-aggregated sum,
+    * one left join back to the node list — the same Pregel-lite
+    * shape as [[hitsMicro]], with no driver action in the loop and
+    * fixed O(rounds) plan depth. Self-loops are dropped (a
+    * self-edge is rank leakage, not signal).
+    *
+    * Returns (node, pr_micro, out_degree) with out_degree 0 for pure
+    * sinks. */
+  def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s") =!= col("__d"))
+      .distinct()
+      .persist(lvl)
+    val nodes = e.select(col("__s").as("__n"))
+      .union(e.select(col("__d").as("__n")))
+      .distinct()
+      .persist(lvl)
+    val outdeg = e.groupBy(col("__s").as("__n"))
+      .agg(count(lit(1)).as("__od"))
+    // node list with out-degree (0 for sinks) feeds every round AND
+    // the final projection — persist once
+    val nd = nodes.join(outdeg, Seq("__n"), "left")
+      .select(col("__n"), coalesce(col("__od"), lit(0L)).as("__od"))
+      .persist(lvl)
+    var pr = nd.select(col("__n"), lit(1000000L).as("__pr"))
+    (1 to rounds).foreach { _ =>
+      val shares = pr.join(nd.filter(col("__od") > 0), Seq("__n"))
+        .select(col("__n").as("__s"),
+          expr("__pr div __od").as("__share"))
+      val incoming = e.join(shares, Seq("__s"))
+        .groupBy(col("__d").as("__n"))
+        .agg(sum(col("__share")).as("__in"))
+      pr = nd.select(col("__n")).join(incoming, Seq("__n"), "left")
+        .select(col("__n"),
+          (lit(150000L) +
+            expr("coalesce(__in, 0L) * 85 div 100")).as("__pr"))
+    }
+    pr.join(nd, Seq("__n"))
+      .select(col("__n").as("node"), col("__pr").as("pr_micro"),
+        col("__od").as("out_degree"))
+  }
+
+  /** Exact triangle counting via degree orientation (the classic
+    * O(m^1.5) wedge-check algorithm; Schank-Wagner 2005, also the
+    * MapReduce form in Suri-Vassilvitskii 2011 "Counting triangles
+    * and the curse of the last reducer"). The undirected edge set is
+    * canonicalized (least, greatest, self-loops dropped, distinct),
+    * then every edge is oriented from its lower-(degree, id) endpoint
+    * to the higher one — a total acyclic order under which each
+    * triangle has exactly ONE wedge vertex, so a wedge self-join on
+    * the low endpoint plus one closing-edge semi-join enumerates each
+    * triangle exactly once. Orientation caps the wedge fan-out at
+    * O(sqrt(m)) per vertex — high-degree hubs only ever fan out to
+    * even-higher-rank neighbors — which is what makes the self-join
+    * survive skewed degree distributions at scale.
+    *
+    * All joins are equi-joins on node ids (shuffle or broadcast as
+    * AQE decides); the (degree, id) tuple comparison is a residual
+    * predicate on the wedge join, not a join key.
+    *
+    * Returns (node, degree, n_triangles) for every node of the
+    * undirected graph, n_triangles 0 where none. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("__u"),
+        greatest(col(srcCol), col(dstCol)).as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
+      .persist(lvl)
+    val deg = und.select(col("__u").as("__n"))
+      .union(und.select(col("__v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__deg"))
+      .persist(lvl)
+    // orient each edge low-(deg, id) -> high-(deg, id); carry both
+    // endpoint degrees so the wedge join's order check is local
+    val oe = und
+      .join(deg.select(col("__n").as("__u"), col("__deg").as("__du")), Seq("__u"))
+      .join(deg.select(col("__n").as("__v"), col("__deg").as("__dv")), Seq("__v"))
+      .select(
+        when(struct(col("__du"), col("__u")) < struct(col("__dv"), col("__v")),
+          struct(col("__u").as("a"), col("__v").as("b"),
+            col("__dv").as("db")))
+          .otherwise(struct(col("__v").as("a"), col("__u").as("b"),
+            col("__du").as("db"))).as("__o"))
+      .select(col("__o.a").as("__a"), col("__o.b").as("__b"),
+        col("__o.db").as("__db"))
+      .persist(lvl)
+    // wedges at the lowest-rank vertex: (a->b, a->c) with b before c
+    // in orientation order; closing oriented edge must be (b, c)
+    val e1 = oe.select(col("__a"), col("__b"), col("__db"))
+    val e2 = oe.select(col("__a"), col("__b").as("__c"),
+      col("__db").as("__dc"))
+    val wedges = e1.join(e2, Seq("__a"))
+      .filter(struct(col("__db"), col("__b")) <
+        struct(col("__dc"), col("__c")))
+    val tri = wedges.join(
+        oe.select(col("__a").as("__b"), col("__b").as("__c")),
+        Seq("__b", "__c"), "left_semi")
+      .select(col("__a"), col("__b"), col("__c"))
+    val perNode = tri
+      .select(explode(array(col("__a"), col("__b"), col("__c"))).as("__n"))
+      .groupBy(col("__n")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("__n"), "left")
+      .select(col("__n").as("node"), col("__deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }
