@@ -49,5 +49,8 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // oracle parquet may spell timestamps µs-without-UTC-flag; read
+      // them as plain TIMESTAMP (Spark-3 behavior), not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 }

@@ -752,9 +752,19 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         .option("inferSchema", "true").format("csv")
       case other => spark.read.format(other)
     }
+    // External data's timestamp spelling is not ours: parquet
+    // µs-no-UTC-flag infers as TIMESTAMP_NTZ on Spark 4, which breaks
+    // timezone-aware calls downstream. Catalog it as plain TIMESTAMP —
+    // value-preserving under the engine's UTC session TZ, and the scan
+    // honors the catalog schema, so pushdown is unaffected.
     val inferred = reader.load(path).schema
     val cols = inferred.fields.zipWithIndex.map { case (f, i) =>
-      ColumnDef(f.name.toLowerCase, f.dataType.sql.toLowerCase,
+      val dt = f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          org.apache.spark.sql.types.TimestampType
+        case other => other
+      }
+      ColumnDef(f.name.toLowerCase, dt.sql.toLowerCase,
         f.nullable, i + 1, i + 1)
     }.toSeq
     val td = TableDef(schema, name, cols, Seq.empty, Nil,

@@ -14,23 +14,43 @@ final case class Q(
 object QueryUtil {
   /** Read one driver-generated table (TESTDATA.md layout).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a raw nanos long and normalize to a
-    * microsecond timestamp (lossless here — the generator emits µs
-    * resolution, and DuckDB's TIMESTAMP is µs too). */
+    * The oracle data's timestamp spelling is out of our control and
+    * has changed across driver regenerations — it has been parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects; read
+    * as a raw nanos long) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark 4 infers as TIMESTAMP_NTZ, breaking every
+    * `unix_millis`/timezone-aware call downstream). Normalize both
+    * shapes to a plain microsecond TIMESTAMP here, at the read
+    * boundary: the session TZ is UTC everywhere in this library, so
+    * NTZ→TIMESTAMP is value-preserving, and DuckDB's TIMESTAMP is µs
+    * wall-clock too — the oracle sees identical values. */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = {
       if (name == "events")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Infer µs-no-UTC-flag as plain TIMESTAMP at the scan (Spark-3
+      // behavior) rather than casting after the read — a post-read
+      // cast would sit between timestamp predicates and the parquet
+      // scan and defeat min/max + filter pushdown on ts columns.
+      s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       s.read.parquet(s"$dir/$name.parquet")
     }
-    // Driver testdata carries NANOS (read as a long); a ScaleGen
-    // scale-up dir carries a real µs timestamp already — convert only
-    // the long shape, so both read identically.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    normalizeTimestamps(
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df)
+  }
+
+  /** Cast every TIMESTAMP_NTZ column to TIMESTAMP. Semantics-
+    * preserving under the UTC session TZ; no-op when the schema has
+    * none (the common case), so no plan overhead. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else df.withColumns(
+      ntz.map(f => f.name -> col(f.name).cast(TimestampType)).toMap)
   }
 
   /** Exact-sum trick for money columns: double sums are
