@@ -13,57 +13,70 @@ object Graph {
   /** Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in
     * a hyperlinked environment") over a bipartite edge list:
     * `srcCol` is the hub side, `dstCol` the authority side. Each
-    * half-step is the exact integer sum of the opposite side's
-    * scores followed by L∞ normalization back to 1e6 micros
-    * (`round(1e6·raw/max(raw))`) — normalization choice is free in
-    * HITS, and max-normalization needs no libm, so the whole
-    * trajectory is integer state with one deterministic double
-    * divide per half-step that any engine replays bit-for-bit.
+    * full iteration is two exact integer sums (hub = Σ auth over
+    * out-edges, auth = Σ hub over in-edges) followed by ONE L∞
+    * normalization of the authority side back to 1e6 micros
+    * (`round(1e6·raw/max(raw))`). Normalization choice is free in
+    * HITS — only the ranking direction matters — so normalizing once
+    * per iteration instead of per half-step keeps the trajectory
+    * exactly engine-replayable (integer state, one deterministic
+    * double divide per round) while halving the scalar-max barriers
+    * and cached frames per round. Overflow bound: auth ≤ 1e6 entering
+    * a round, so hub_raw ≤ 1e6·d_in and auth_raw ≤ 1e6·d_in·d_out —
+    * exact in Long while max_in_degree·max_out_degree < 9.2e12
+    * (degrees to ~3e6 on both sides), far past any real corpus.
     *
     * Scale shape: per round, two hash joins of the edge table
     * against the O(nodes) score frames, two partial-aggregated sums,
-    * and a broadcast 1-row max — the Pregel-lite iterative-graph
-    * shape. No driver action inside the loop; plan depth is
-    * O(rounds), fixed and small, so no lineage truncation is needed.
-    * The deduplicated edge table persists across its 2·rounds+1
-    * consumers.
+    * and a single broadcast 1-row max — the Pregel-lite
+    * iterative-graph shape. No driver action inside the loop; plan
+    * depth is O(rounds), fixed and small, so no lineage truncation
+    * is needed. The deduplicated edge table persists across its
+    * 2·rounds+1 consumers; the pre-norm authority frame persists
+    * because it feeds both the max and the normalized output (without
+    * the cache each round's two consumers would replay every earlier
+    * round — exponential recompute in `rounds`; the per-half-step
+    * ancestor of this shape measured 45.7s -> 13.4s at sf0.1 from
+    * exactly this cache). The result is materialized eagerly
+    * (localCheckpoint) so every intermediate cache can be released
+    * before returning — callers get a self-contained frame, not a
+    * cache-lifecycle obligation.
     *
     * Returns (dstCol, auth_micro, degree): the authority-side score
     * after `rounds` full iterations plus the in-degree. */
   def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds $rounds must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def normed(raw0: DataFrame, kCol: String, vCol: String): DataFrame = {
-      // persist the O(nodes) pre-norm frame: it feeds BOTH the scalar
-      // max and the normalized output, and without the cache each
-      // round's two consumers would replay every earlier round —
-      // exponential recompute in `rounds` (measured: 45.7s -> 13.4s
-      // at sf0.1 for rounds = 3, REPS-2 bench totals)
-      val raw = raw0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mx = raw.agg(max(col(vCol)).as("__mx"))
-      raw.crossJoin(broadcast(mx))
-        .select(col(kCol),
-          round(col(vCol).cast("double") * lit(1000000.0) /
-            col("__mx").cast("double"), 0).cast("long").as(vCol))
-    }
+      .persist(lvl)
+    cached += e
     var auth = e.select(col("__d")).distinct()
       .select(col("__d"), lit(1000000L).as("__a"))
     (1 to rounds).foreach { _ =>
-      val hub = normed(
-        e.join(auth, "__d").groupBy(col("__s"))
-          .agg(sum(col("__a")).as("__h")), "__s", "__h")
-      auth = normed(
-        e.join(hub, "__s").groupBy(col("__d"))
-          .agg(sum(col("__h")).as("__a")), "__d", "__a")
+      // hub half-step stays raw: consumed exactly once, by the
+      // authority sum below — no second consumer, no cache, no barrier
+      val hub = e.join(auth, "__d").groupBy(col("__s"))
+        .agg(sum(col("__a")).as("__h"))
+      val raw = e.join(hub, "__s").groupBy(col("__d"))
+        .agg(sum(col("__h")).as("__a"))
+        .persist(lvl)
+      cached += raw
+      val mx = raw.agg(max(col("__a")).as("__mx"))
+      auth = raw.crossJoin(broadcast(mx))
+        .select(col("__d"),
+          round(col("__a").cast("double") * lit(1000000.0) /
+            col("__mx").cast("double"), 0).cast("long").as("__a"))
     }
     val deg = e.groupBy(col("__d")).agg(count(lit(1)).as("degree"))
-    auth.join(deg, "__d")
+    val out = auth.join(deg, "__d")
       .select(col("__d").as(dstCol), col("__a").as("auth_micro"),
         col("degree"))
+      .localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Fixed-iteration PageRank (Brin-Page 1998) over a directed edge
@@ -83,8 +96,12 @@ object Graph {
     * against the O(nodes) score frame, one partial-aggregated sum,
     * one left join back to the node list — the same Pregel-lite
     * shape as [[hitsMicro]], with no driver action in the loop and
-    * fixed O(rounds) plan depth. Self-loops are dropped (a
-    * self-edge is rank leakage, not signal).
+    * fixed O(rounds) plan depth. Self-loops are dropped as EDGES (a
+    * self-edge is rank leakage, not signal) but their endpoints stay
+    * in the node list — a node incident only to self-loops gets
+    * teleport-only rank and out_degree 0, not silence. The result is
+    * materialized eagerly (localCheckpoint) so every intermediate
+    * cache is released before returning.
     *
     * Returns (node, pr_micro, out_degree) with out_degree 0 for pure
     * sinks. */
@@ -92,14 +109,20 @@ object Graph {
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds $rounds must be >= 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val all = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val e = all
       .filter(col("__s") =!= col("__d"))
       .distinct()
       .persist(lvl)
-    val nodes = e.select(col("__s").as("__n"))
-      .union(e.select(col("__d").as("__n")))
+    cached += e
+    // node list from the UNFILTERED edges: self-loop-only nodes are
+    // real nodes of the graph and must appear in the output
+    val nodes = all.select(col("__s").as("__n"))
+      .union(all.select(col("__d").as("__n")))
       .distinct()
       .persist(lvl)
+    cached += nodes
     val outdeg = e.groupBy(col("__s").as("__n"))
       .agg(count(lit(1)).as("__od"))
     // node list with out-degree (0 for sinks) feeds every round AND
@@ -107,6 +130,7 @@ object Graph {
     val nd = nodes.join(outdeg, Seq("__n"), "left")
       .select(col("__n"), coalesce(col("__od"), lit(0L)).as("__od"))
       .persist(lvl)
+    cached += nd
     var pr = nd.select(col("__n"), lit(1000000L).as("__pr"))
     (1 to rounds).foreach { _ =>
       val shares = pr.join(nd.filter(col("__od") > 0), Seq("__n"))
@@ -120,9 +144,12 @@ object Graph {
           (lit(150000L) +
             expr("coalesce(__in, 0L) * 85 div 100")).as("__pr"))
     }
-    pr.join(nd, Seq("__n"))
+    val out = pr.join(nd, Seq("__n"))
       .select(col("__n").as("node"), col("__pr").as("pr_micro"),
         col("__od").as("out_degree"))
+      .localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Exact triangle counting via degree orientation (the classic
@@ -144,20 +171,35 @@ object Graph {
     * predicate on the wedge join, not a join key.
     *
     * Returns (node, degree, n_triangles) for every node of the
-    * undirected graph, n_triangles 0 where none. */
+    * undirected graph — including nodes incident only to self-loops,
+    * which appear with degree 0 and n_triangles 0 (a self-loop is not
+    * an undirected edge to a neighbor). The result is materialized
+    * eagerly (localCheckpoint) so every intermediate cache is
+    * released before returning. */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val und = edges.select(
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val all = edges.select(
         least(col(srcCol), col(dstCol)).as("__u"),
         greatest(col(srcCol), col(dstCol)).as("__v"))
+    val und = all
       .filter(col("__u") =!= col("__v"))
       .distinct()
       .persist(lvl)
-    val deg = und.select(col("__u").as("__n"))
-      .union(und.select(col("__v").as("__n")))
-      .groupBy(col("__n")).agg(count(lit(1)).as("__deg"))
+    cached += und
+    // every endpoint — self-loop-only nodes included — with the
+    // proper-edge degree (0 for self-loop-only nodes)
+    val deg = all.select(col("__u").as("__n"))
+      .union(all.select(col("__v").as("__n")))
+      .distinct()
+      .join(und.select(col("__u").as("__n"))
+          .union(und.select(col("__v").as("__n")))
+          .groupBy(col("__n")).agg(count(lit(1)).as("__d0")),
+        Seq("__n"), "left")
+      .select(col("__n"), coalesce(col("__d0"), lit(0L)).as("__deg"))
       .persist(lvl)
+    cached += deg
     // orient each edge low-(deg, id) -> high-(deg, id); carry both
     // endpoint degrees so the wedge join's order check is local
     val oe = und
@@ -172,6 +214,7 @@ object Graph {
       .select(col("__o.a").as("__a"), col("__o.b").as("__b"),
         col("__o.db").as("__db"))
       .persist(lvl)
+    cached += oe
     // wedges at the lowest-rank vertex: (a->b, a->c) with b before c
     // in orientation order; closing oriented edge must be (b, c)
     val e1 = oe.select(col("__a"), col("__b"), col("__db"))
@@ -187,8 +230,11 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("__a"), col("__b"), col("__c"))).as("__n"))
       .groupBy(col("__n")).agg(count(lit(1)).as("n_triangles"))
-    deg.join(perNode, Seq("__n"), "left")
+    val out = deg.join(perNode, Seq("__n"), "left")
       .select(col("__n").as("node"), col("__deg").as("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
   }
 }

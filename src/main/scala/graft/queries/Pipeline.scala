@@ -2007,31 +2007,22 @@ object Pipeline {
         |  FROM events WHERE props->>'k' IS NOT NULL),
         |a0 AS (SELECT d, CAST(1000000 AS BIGINT) AS a
         |  FROM (SELECT DISTINCT d FROM e)),
-        |h1r AS (SELECT s, CAST(sum(a) AS BIGINT) AS hr
+        |h1 AS (SELECT s, CAST(sum(a) AS BIGINT) AS h
         |  FROM e JOIN a0 USING (d) GROUP BY s),
-        |h1 AS (SELECT s, CAST(round(CAST(hr AS DOUBLE)*1000000.0 /
-        |  (SELECT CAST(max(hr) AS DOUBLE) FROM h1r)) AS BIGINT) AS h
-        |  FROM h1r),
         |a1r AS (SELECT d, CAST(sum(h) AS BIGINT) AS ar
         |  FROM e JOIN h1 USING (s) GROUP BY d),
         |a1 AS (SELECT d, CAST(round(CAST(ar AS DOUBLE)*1000000.0 /
         |  (SELECT CAST(max(ar) AS DOUBLE) FROM a1r)) AS BIGINT) AS a
         |  FROM a1r),
-        |h2r AS (SELECT s, CAST(sum(a) AS BIGINT) AS hr
+        |h2 AS (SELECT s, CAST(sum(a) AS BIGINT) AS h
         |  FROM e JOIN a1 USING (d) GROUP BY s),
-        |h2 AS (SELECT s, CAST(round(CAST(hr AS DOUBLE)*1000000.0 /
-        |  (SELECT CAST(max(hr) AS DOUBLE) FROM h2r)) AS BIGINT) AS h
-        |  FROM h2r),
         |a2r AS (SELECT d, CAST(sum(h) AS BIGINT) AS ar
         |  FROM e JOIN h2 USING (s) GROUP BY d),
         |a2 AS (SELECT d, CAST(round(CAST(ar AS DOUBLE)*1000000.0 /
         |  (SELECT CAST(max(ar) AS DOUBLE) FROM a2r)) AS BIGINT) AS a
         |  FROM a2r),
-        |h3r AS (SELECT s, CAST(sum(a) AS BIGINT) AS hr
+        |h3 AS (SELECT s, CAST(sum(a) AS BIGINT) AS h
         |  FROM e JOIN a2 USING (d) GROUP BY s),
-        |h3 AS (SELECT s, CAST(round(CAST(hr AS DOUBLE)*1000000.0 /
-        |  (SELECT CAST(max(hr) AS DOUBLE) FROM h3r)) AS BIGINT) AS h
-        |  FROM h3r),
         |a3r AS (SELECT d, CAST(sum(h) AS BIGINT) AS ar
         |  FROM e JOIN h3 USING (s) GROUP BY d),
         |a3 AS (SELECT d, CAST(round(CAST(ar AS DOUBLE)*1000000.0 /

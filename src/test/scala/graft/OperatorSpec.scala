@@ -205,8 +205,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       m.map { case (k, v) => k -> math.round(v.toDouble * 1000000.0 / mx) }
     }
     (1 to 3).foreach { _ =>
-      h = norm(es.groupBy(_._1).map { case (u, ps) =>
-        u -> ps.map(p => a(p._2)).sum })
+      // hub half-step is raw; only the authority side is normalized
+      // (once per full iteration — see hitsMicro scaladoc)
+      h = es.groupBy(_._1).map { case (u, ps) =>
+        u -> ps.map(p => a(p._2)).sum }
       a = norm(es.groupBy(_._2).map { case (i, ps) =>
         i -> ps.map(p => h(p._1)).sum })
     }
