@@ -2031,6 +2031,95 @@ object Pipeline {
         |deg AS (SELECT d, CAST(count(*) AS BIGINT) AS degree
         |  FROM e GROUP BY d)
         |SELECT a3.d AS item, a3.a AS auth_micro, deg.degree
-        |FROM a3 JOIN deg USING (d) ORDER BY item""".stripMargin))
+        |FROM a3 JOIN deg USING (d) ORDER BY item""".stripMargin)),
+
+    // ---- p64: PageRank over the user->item interaction graph ----
+    // Integer fixed-point iteration (Graph.pageRankMicro scaladoc);
+    // oracle is the 3-round unrolled CTE of the exact same Long
+    // arithmetic: share = pr div out_degree, next = 150000 +
+    // (incoming*85) div 100. User ids and item ids share one id
+    // space here (a node may be both) — fine for a rank signal, and
+    // both engines see the identical graph.
+    "p64_pagerank" -> Q(
+      (s, dir) => {
+        val edges = tbl(s, dir, "events")
+          .select(col("user_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").as("item"))
+          .filter(col("item").isNotNull)
+        graft.operators.Graph.pageRankMicro(edges, "user_id", "item",
+            rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some("""WITH ae AS (SELECT DISTINCT user_id AS s,
+        |    CAST(props->>'k' AS BIGINT) AS d
+        |  FROM events WHERE props->>'k' IS NOT NULL),
+        |e AS (SELECT s, d FROM ae WHERE s <> d),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT s AS n FROM ae UNION ALL SELECT d FROM ae)),
+        |od AS (SELECT s AS n, CAST(count(*) AS BIGINT) AS od
+        |  FROM e GROUP BY s),
+        |nd AS (SELECT n, coalesce(od, CAST(0 AS BIGINT)) AS od
+        |  FROM nodes LEFT JOIN od USING (n)),
+        |pr0 AS (SELECT n, CAST(1000000 AS BIGINT) AS pr FROM nd),
+        |i1 AS (SELECT e.d AS n, CAST(sum(p.pr // nd.od) AS BIGINT) AS inc
+        |  FROM e JOIN pr0 p ON p.n = e.s JOIN nd ON nd.n = e.s
+        |  WHERE nd.od > 0 GROUP BY e.d),
+        |pr1 AS (SELECT nd.n, CAST(150000 +
+        |    (coalesce(i1.inc, 0) * 85) // 100 AS BIGINT) AS pr
+        |  FROM nd LEFT JOIN i1 USING (n)),
+        |i2 AS (SELECT e.d AS n, CAST(sum(p.pr // nd.od) AS BIGINT) AS inc
+        |  FROM e JOIN pr1 p ON p.n = e.s JOIN nd ON nd.n = e.s
+        |  WHERE nd.od > 0 GROUP BY e.d),
+        |pr2 AS (SELECT nd.n, CAST(150000 +
+        |    (coalesce(i2.inc, 0) * 85) // 100 AS BIGINT) AS pr
+        |  FROM nd LEFT JOIN i2 USING (n)),
+        |i3 AS (SELECT e.d AS n, CAST(sum(p.pr // nd.od) AS BIGINT) AS inc
+        |  FROM e JOIN pr2 p ON p.n = e.s JOIN nd ON nd.n = e.s
+        |  WHERE nd.od > 0 GROUP BY e.d),
+        |pr3 AS (SELECT nd.n, CAST(150000 +
+        |    (coalesce(i3.inc, 0) * 85) // 100 AS BIGINT) AS pr
+        |  FROM nd LEFT JOIN i3 USING (n))
+        |SELECT nd.n AS node, pr3.pr AS pr_micro, nd.od AS out_degree
+        |FROM pr3 JOIN nd USING (n) ORDER BY node""".stripMargin)),
+
+    // ---- p65: triangle counts on the co-ordered-parts graph ----
+    // Co-occurrence graph: two parts are adjacent iff some order
+    // contains both. Pair fan-out is C(lines-per-order, 2) — bounded
+    // small per order — so the edge build is O(orders·k²), never
+    // quadratic in parts; the count itself is Graph.triangleCounts'
+    // degree-oriented wedge join (O(m^1.5), skew-safe). The oracle
+    // replays the same triangle semantics declaratively: canonical
+    // u<v edges, one (a<b<c orientation-free) join chain per
+    // triangle, per-node explode. Triangle counts are a graph
+    // invariant, so enumeration order differences are immaterial.
+    "p65_triangles" -> Q(
+      (s, dir) => {
+        val pe = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = pe.as("a").join(pe.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("x"), col("b.p").as("y"))
+        graft.operators.Graph.triangleCounts(pairs, "x", "y")
+          .orderBy(col("node"))
+      },
+      Some("""WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+        |  GROUP BY n),
+        |tri AS (SELECT p1.u AS a, p1.v AS b, p2.v AS c
+        |  FROM und p1 JOIN und p2 ON p1.u = p2.u AND p1.v < p2.v
+        |  JOIN und p3 ON p3.u = p1.v AND p3.v = p2.v),
+        |pern AS (SELECT n, CAST(count(*) AS BIGINT) AS nt FROM
+        |  (SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+        |   UNION ALL SELECT c AS n FROM tri) GROUP BY n)
+        |SELECT deg.n AS node, deg.degree,
+        |  coalesce(pern.nt, CAST(0 AS BIGINT)) AS n_triangles
+        |FROM deg LEFT JOIN pern USING (n) ORDER BY node""".stripMargin))
   )
 }

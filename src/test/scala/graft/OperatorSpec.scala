@@ -224,6 +224,48 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq == got.map(x => (x._1, x._2)).toSeq)
   }
 
+  test("PageRank matches a hand-computed integer trajectory; keeps self-loop-only nodes") {
+    import spark.implicits._
+    // cycle 1->2->3->1 plus chord 1->3; node 4 has only a self-loop
+    // (must appear with teleport-only rank and out_degree 0)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 4L))
+      .toDF("s", "d")
+    val got = graft.operators.Graph.pageRankMicro(edges, "s", "d", rounds = 3)
+      .collect().map(r => (r.getAs[Long]("node"),
+        r.getAs[Long]("pr_micro"), r.getAs[Long]("out_degree"))).sortBy(_._1)
+    // hand replay: share = pr div od; next = 150000 + inc*85 div 100
+    // r1: pr=(1e6, 575000, 1425000, 150000)
+    // r2: pr=(1361250, 575000, 1063750, 150000)
+    // r3: pr=(1054187, 728531, 1217281, 150000)
+    assert(got.toSeq == Seq(
+      (1L, 1054187L, 2L), (2L, 728531L, 1L),
+      (3L, 1217281L, 1L), (4L, 150000L, 0L)))
+    val again = graft.operators.Graph
+      .pageRankMicro(edges.repartition(5), "s", "d", rounds = 3)
+      .collect().map(r => (r.getAs[Long]("node"),
+        r.getAs[Long]("pr_micro"), r.getAs[Long]("out_degree"))).sortBy(_._1)
+    assert(again.toSeq == got.toSeq, "trajectory not repartition-invariant")
+  }
+
+  test("triangle counts match a hand graph; keeps self-loop-only nodes") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant 3-4, node 5 only a self-loop; edge
+    // direction and duplicates must not matter (canonicalized)
+    val edges = Seq((1L, 2L), (3L, 1L), (2L, 3L), (3L, 4L), (5L, 5L),
+      (2L, 1L)).toDF("s", "d")
+    val got = graft.operators.Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => (r.getAs[Long]("node"),
+        r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L),
+      (4L, 1L, 0L), (5L, 0L, 0L)))
+    val again = graft.operators.Graph
+      .triangleCounts(edges.repartition(4), "s", "d")
+      .collect().map(r => (r.getAs[Long]("node"),
+        r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"))).sortBy(_._1)
+    assert(again.toSeq == got.toSeq, "counts not repartition-invariant")
+  }
+
   test("repetition signals: duplicate token/3-gram/line fractions") {
     import spark.implicits._
     val d = Seq(
