@@ -68,20 +68,54 @@ object Pipeline {
       |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
       |  FROM bsc)""".stripMargin
 
-  /** Extends [[duckBm25]] with the dense cosine ranking and the RRF
-    * fusion, ending at `rr(query_id, doc_id, rrf_micro, rank_lex,
-    * rank_dense, rnk)` — the full hybrid ranked list. Shared by the
-    * p60 and p61 oracles. */
+  /** Extends [[duckBm25]] with the dense ranking and the RRF fusion,
+    * ending at `rr(query_id, doc_id, rrf_micro, rank_lex, rank_dense,
+    * rnk)` — the full hybrid ranked list. The dense side is the
+    * production ANN path, PQ shortlist + exact rerank
+    * (Similarity.pqRerankTopK, the p37 semantics: 64-entry md5-order
+    * codebooks, ADC top-100 shortlist, exact cosine on the shortlist
+    * only) — NOT the O(queries×corpus) brute-force baseline, which
+    * survives only as the recall oracle in RetrievalSpec. Shared by
+    * the p60 and p61 oracles. */
   private val duckHybrid: String =
     s"""$duckBm25,
-      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |dq AS (SELECT * FROM e WHERE vec_id % 100 = 0),
-      |dsc AS (SELECT dq.vec_id AS query_id, e.vec_id AS doc_id,
-      |    ${duckCos("dq.v", "e.v")} AS s
-      |  FROM dq JOIN e ON e.vec_id <> dq.vec_id),
-      |dr AS (SELECT query_id, doc_id, CAST(row_number() OVER (
-      |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS BIGINT)
-      |    AS rank_dense FROM dsc),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+      |nrm AS (SELECT vec_id, list_transform(raw, x ->
+      |    x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
+      |smp AS (SELECT vec_id, v FROM nrm
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+      |cbl AS (SELECT list(v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |  AS cb FROM smp),
+      |dists AS (SELECT nrm.vec_id, t.mi,
+      |    list_transform(range(1, 65), j ->
+      |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, 9), dd ->
+      |          (nrm.v[t.mi*8+dd] - cbl.cb[j][t.mi*8+dd]) *
+      |          (nrm.v[t.mi*8+dd] - cbl.cb[j][t.mi*8+dd]))),
+      |        (a, b) -> a + b)) AS dl
+      |  FROM nrm, range(0, 8) t(mi), cbl),
+      |codel AS (SELECT vec_id,
+      |    list(list_position(dl, list_min(dl)) ORDER BY mi) AS code
+      |  FROM dists GROUP BY vec_id),
+      |qlut AS (SELECT vec_id AS q_id, list(dl ORDER BY mi) AS lut
+      |  FROM dists WHERE vec_id % 100 = 0 GROUP BY vec_id),
+      |pqsc AS (SELECT q.q_id, c.vec_id AS neighbor_id,
+      |    -list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, 9), mi -> q.lut[mi][c.code[mi]])),
+      |      (a, b) -> a + b) AS sc
+      |  FROM qlut q, codel c WHERE c.vec_id <> q.q_id),
+      |pqr AS (SELECT q_id, neighbor_id, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY sc DESC, neighbor_id) AS srnk
+      |  FROM pqsc),
+      |short AS (SELECT q_id, neighbor_id FROM pqr WHERE srnk <= 100),
+      |rer AS (SELECT s2.q_id, s2.neighbor_id,
+      |    ${duckCos("qe.raw", "ne.raw")} AS sc2
+      |  FROM short s2 JOIN e qe ON qe.vec_id = s2.q_id
+      |  JOIN e ne ON ne.vec_id = s2.neighbor_id),
+      |dr AS (SELECT q_id AS query_id, neighbor_id AS doc_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY sc2 DESC, neighbor_id) AS BIGINT) AS rank_dense
+      |  FROM rer),
       |dense AS (SELECT * FROM dr WHERE rank_dense <= 20),
       |lex AS (SELECT query_id, doc_id, rnk AS rank_lex
       |  FROM bm WHERE rnk <= 20),
@@ -1882,7 +1916,11 @@ object Pipeline {
               .as("qtext"))
         val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
           queries, "query_id", "qtext", k = 20)
-        val dense = Similarity.bruteForceTopK(emb,
+        // dense side is the production ANN path (PQ shortlist + exact
+        // rerank), not the O(queries×corpus) brute-force baseline —
+        // corpus-scan work is bounded by the 32×-compressed code
+        // table, exact scoring by queries × shortlist
+        val dense = Similarity.pqRerankTopK(emb,
             emb.filter(col("vec_id") % 100 === 0),
             "vec_id", "embedding", 20)
           .select(col("q_id").as("query_id"),
@@ -1911,7 +1949,8 @@ object Pipeline {
               .as("qtext"))
         val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
           queries, "query_id", "qtext", k = 20)
-        val dense = Similarity.bruteForceTopK(emb,
+        // same production dense path as p60 (PQ shortlist + rerank)
+        val dense = Similarity.pqRerankTopK(emb,
             emb.filter(col("vec_id") % 100 === 0),
             "vec_id", "embedding", 20)
           .select(col("q_id").as("query_id"),

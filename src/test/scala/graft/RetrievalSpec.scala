@@ -169,6 +169,26 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("ndcg_micro") == 1000000L)
   }
 
+  test("hybrid dense side: PQ+rerank recall@20 vs brute force on the battery shape") {
+    // p60/p61 run the PRODUCTION dense path (pqRerankTopK); brute
+    // force survives here as the recall oracle — same corpus, same
+    // query selection (vec_id % 100 = 0), same k=20 as the battery.
+    // Random gaussian vectors are PQ's worst case (see the p37 spec);
+    // the floor sits under the measured value to absorb testdata
+    // regeneration drift.
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 20)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqRerankTopK(e, q, "vec_id", "embedding", 20)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.6, s"hybrid dense recall@20 $recall below floor")
+  }
+
   test("rrf: equal scores tie-break ascending on doc_id") {
     import spark.implicits._
     val lex = Seq((1L, 21L, 1L), (1L, 20L, 2L))
