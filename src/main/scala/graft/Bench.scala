@@ -69,7 +69,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The JSON contract line goes to BOTH stdout (printed after
+    // spark.stop() so it is the process's final line, immune to
+    // shutdown-log interleaving and front-truncated log tails) and a
+    // file (SPARK_GRAFT_BENCH_OUT, default BENCH_LOCAL_latest.json in
+    // the cwd) so per-query timings survive any stdout capture limit.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_LOCAL_latest.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
+    println(json)
   }
 }

@@ -77,17 +77,18 @@ object ScaleGen {
         col("label"))
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    // ---- events: fresh users per copy. The source ts is NANOS (read
-    // as a long under nanosAsLong); write it back as a REAL µs
-    // timestamp so DuckDB oracles type it natively — QueryUtil.tbl
-    // reads both shapes identically. ------------------------------------
-    val ev = spark.read.parquet(s"$src/events.parquet")
+    // ---- events: fresh users per copy. The source ts spelling is
+    // the driver's to choose (NANOS-as-long and µs-NTZ have both
+    // occurred) — QueryUtil.tbl normalizes every shape to a plain µs
+    // TIMESTAMP, which is what gets written back so DuckDB oracles
+    // type it natively. ------------------------------------------------
+    val ev = graft.queries.QueryUtil.tbl(spark, src, "events")
     val nEv = ev.agg(max("event_id")).head().getLong(0) + 1
     val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
     ev.crossJoin(copyDf)
       .select(
         (col("event_id") + col("c") * nEv).as("event_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("ts"),
         (col("user_id") + col("c") * nUser).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")

@@ -245,6 +245,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles.length <= 2, s"p62 plans ${shuffles.length} shuffles")
   }
 
+  test("q43 salted agg is two-phase: two hash exchanges plus the presentation sort only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // the salt must cost exactly one extra shuffle over a plain
+    // groupBy: partial->final on (key, salt), partial->final on key,
+    // then the battery's orderBy range exchange — nothing else. A
+    // regression here (an extra exchange, or the salt collapsing into
+    // a single phase) is what a bench move on q43 would mean.
+    val nodes = allNodes(plan("q43_salted_agg"))
+    val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+    val hashShuffles = shuffles.filter(
+      _.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashShuffles.length == 2,
+      s"q43 plans ${hashShuffles.length} hash exchanges, want 2 (key+salt, key)")
+    assert(shuffles.length <= 3,
+      s"q43 plans ${shuffles.length} total exchanges, want <= 3")
+    val aggs = nodes.collect { case a: BaseAggregateExec => a }
+    assert(aggs.length == 4,
+      s"q43 plans ${aggs.length} aggregate nodes, want 4 (partial+final x 2 phases)")
+  }
+
   test("p47 bloom probe is codegen'd and the corpus verify never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
