@@ -322,10 +322,18 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     if (!td.external) new File(tableDir(td)).mkdirs()
     spark.sql(s"DROP TABLE IF EXISTS `${td.schema}`.`${td.name}`")
     // csv needs header skipping on every read; schema comes from the
-    // catalog (inferred once at CREATE), not re-inferred per session
-    val opts = Map("path" -> tableDir(td)) ++
-      (if (td.format == "csv") Map("header" -> "true") else Map.empty)
-    spark.catalog.createTable(s"${td.schema}.${td.name}", td.format,
+    // catalog (inferred once at CREATE), not re-inferred per session.
+    // `kv` maps to the DSv2 range-pushdown connector (the reference's
+    // KV store IS its table store — reader_util.rs:263-415 — so the
+    // statement surface must reach the same index-range-scan path):
+    // location is a multi-segment directory, read newest-wins.
+    val (provider, opts) =
+      if (td.format == "kv")
+        (classOf[graft.sources.KvSource].getName,
+          Map("dir" -> tableDir(td)))
+      else (td.format, Map("path" -> tableDir(td)) ++
+        (if (td.format == "csv") Map("header" -> "true") else Map.empty))
+    spark.catalog.createTable(s"${td.schema}.${td.name}", provider,
       td.visibleSchema, opts)
   }
 
@@ -735,7 +743,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * never written by this engine. */
   private def doCreateExternalTable(stmt: String): GraftResult = {
     val m = ("(?is)^create\\s+external\\s+table\\s+(if\\s+not\\s+exists\\s+)?(\\S+)\\s+" +
-      "(?:using\\s+(parquet|csv|json)\\s+)?location\\s+'([^']+)'\\s*$").r
+      "(?:using\\s+(parquet|csv|json|kv)\\s+)?location\\s+'([^']+)'\\s*$").r
       .findFirstMatchIn(stmt)
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     val ifNotExists = m.group(1) != null
@@ -747,17 +755,18 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       if (ifNotExists) return AffectedRows(0)
       throw Errors.tableExists(name)
     }
-    val reader = fmt match {
-      case "csv" => spark.read.option("header", "true")
-        .option("inferSchema", "true").format("csv")
-      case other => spark.read.format(other)
-    }
     // External data's timestamp spelling is not ours: parquet
     // µs-no-UTC-flag infers as TIMESTAMP_NTZ on Spark 4, which breaks
     // timezone-aware calls downstream. Catalog it as plain TIMESTAMP —
     // value-preserving under the engine's UTC session TZ, and the scan
     // honors the catalog schema, so pushdown is unaffected.
-    val inferred = reader.load(path).schema
+    val inferred = fmt match {
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true").format("csv").load(path).schema
+      case "kv" => spark.read.format(classOf[graft.sources.KvSource].getName)
+        .option("dir", path).load().schema
+      case other => spark.read.format(other).load(path).schema
+    }
     val cols = inferred.fields.zipWithIndex.map { case (f, i) =>
       val dt = f.dataType match {
         case org.apache.spark.sql.types.TimestampNTZType =>

@@ -84,6 +84,10 @@ final case class DirBacking(dir: String) extends KvBacking {
 class KvSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KvStore.schema
+  /** The engine catalog registers KV tables with an explicit schema
+    * (the catalog owns table metadata); the schema is fixed anyway,
+    * so accept and ignore it. */
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val backing = (Option(properties.get("dir")),

@@ -260,6 +260,39 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
   }
 
+  test("external KV tables: statement surface reaches the V2 range-pushdown scan") {
+    // the reference's KV store IS its table store (reader_util.rs:
+    // 263-415 get_seek_prefix): predicates on the key must become an
+    // index range scan, not a full scan + filter — now reachable
+    // through the engine statement surface via USING kv
+    val dir = Files.createTempDirectory("gkv_ext").toString
+    graft.sources.KvSegment.appendSegment(dir,
+      (0L until 1000L).map(i => i -> s"v$i"))
+    graft.sources.KvSegment.appendSegment(dir,
+      (500L until 600L).map(i => i -> s"w$i")) // newest wins on overlap
+    eng.sql(s"create external table kvt USING kv LOCATION '$dir'")
+    // range query: values from both segments, newest-wins on overlap
+    val r = rows(eng.sql(
+      "select k, v from kvt where k >= 498 and k <= 502 order by k"))
+    assert(r == Seq(Seq(498L, "v498"), Seq(499L, "v499"),
+      Seq(500L, "w500"), Seq(501L, "w501"), Seq(502L, "w502")))
+    // the plan must show the pushed key range on the KV scan
+    val plan = rows(eng.sql(
+      "explain select k, v from kvt where k >= 498 and k <= 502"))
+      .map(_.mkString(" ")).mkString("\n")
+    assert(plan.contains("RangeScan") || plan.contains("PushedFilters"),
+      s"no pushed range visible in plan:\n$plan")
+    // read-only like every external table
+    val ex = intercept[GraftException](
+      eng.sql("insert into kvt values (1, 'x')"))
+    assert(ex.msg.contains("read-only") || ex.code == 1105)
+    // SHOW CREATE names the format; DROP leaves the segments alone
+    assert(rows(eng.sql("show create table kvt")).head(1).toString
+      .contains("KV"))
+    eng.sql("drop table kvt")
+    assert(graft.sources.KvSegment.listSegments(dir).nonEmpty)
+  }
+
   test("per-connection sessions: isolated schemas and prepared caches") {
     val e = freshEngine()
     e.sql("create schema sa"); e.sql("create schema sb")
