@@ -51,6 +51,20 @@ object Similarity {
             |  zip_with($v, $v, (p, q) -> p * q),
             |  CAST(0 AS DOUBLE), (acc, w) -> acc + w)))""".stripMargin)
 
+  /** Spread an under-partitioned corpus frame to the session's
+    * default parallelism. A 100-TB scan arrives with thousands of
+    * partitions and this is a no-op; a small benchmark file arrives
+    * as ONE partition, which would otherwise serialize the entire
+    * downstream scoring stage (measured: the sf10 ADC scan ran a
+    * single task at 1/32 of the machine). The narrow corpus
+    * projection this guards is cheap to shuffle; the scored pair
+    * space never is — which is why the fix sits HERE, not after the
+    * join. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * Queries are broadcast (they are few); the corpus is scanned
     * once. Each scan partition reduces to k rows per query map-side
@@ -59,8 +73,8 @@ object Similarity {
     * wants. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("nv"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("nv")))
     val q = queries.select(col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
@@ -100,8 +114,8 @@ object Similarity {
     * ×nlist. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("nv"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("nv")))
     // deterministic pseudo-random sample of nlist centroids
     val cents = broadcast(
       c.orderBy(md5(col("neighbor_id").cast("string")), col("neighbor_id"))
@@ -252,8 +266,8 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
     val sub = dims / m
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("v0"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("v0")))
       .withColumn("nv", normalizeExpr("v0")).drop("v0")
     // deterministic codebook: subvectors of the md5-order sample.
     // driver-side collect of `codes` vectors — bounded by codes·dims,
@@ -327,14 +341,138 @@ object Similarity {
     TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score", k)
   }
 
+  /** IVF coarse pruning composed with PQ compressed scoring and an
+    * exact rerank — the full production ANN tier (IVFADC, Jégou et
+    * al. TPAMI 2011 §IV): a coarse quantizer of `nlist` centroids
+    * prunes the corpus to each query's `nprobe` nearest cells, the
+    * ADC scan reads only those cells' m-byte codes, and only the
+    * `shortlist` ADC survivors load raw vectors for exact cosine.
+    * Corpus-side work per query drops from O(corpus) (flat
+    * [[pqTopK]]) to O(corpus·nprobe/nlist); the corpus artifacts are
+    * one cell id + m codes per vector.
+    *
+    * Determinism + oracle: centroids AND the PQ codebook are
+    * md5-order samples (no RNG); corpus cell assignment reuses the
+    * [[graft.functions.PqEncode]] codegen expression with ONE
+    * subspace of `dims` over the centroid table — argmin L2 on
+    * normalized vectors IS argmax cosine, ties to the first (lowest
+    * md5-position) centroid; query cells sort the same distance list
+    * by (distance, position) in an array_sort struct — every double
+    * is the same left-to-right fold DuckDB replays, so cells, codes,
+    * LUTs, shortlist and rerank are all bit-reproducible.
+    *
+    * Scale shape: centroid/codebook collects are bounded
+    * (max(nlist, codes) vectors); assignment + encoding is ONE narrow
+    * codegen corpus pass, no shuffle; the ADC scan joins the code
+    * table to the broadcast (query cell, LUT) list on the cell id —
+    * an equi join that touches nprobe/nlist of the corpus — and
+    * merges with bounded [[TopK]] heaps; the rerank is one more
+    * narrow corpus scan against the broadcast shortlist. The
+    * broadcast is O(queries · nprobe · m · codes) doubles — the
+    * "few queries" retrieval regime, the same assumption
+    * [[Retrieval.bm25TopK]] makes of its query-term list. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
+      m: Int = 8, codes: Int = 64, dims: Int = 64,
+      shortlist: Int = 100): DataFrame = {
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val sub = dims / m
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("v0")))
+      .withColumn("nv", normalizeExpr("v0"))
+      .persist(lvl)
+    // one md5-order sample serves both quantizers (deterministic,
+    // SQL-replayable); driver collect bounded by max(nlist, codes)
+    val sample: Seq[Seq[Double]] = c
+      .orderBy(md5(col("neighbor_id").cast("string")), col("neighbor_id"))
+      .limit(math.max(nlist, codes)).select(col("nv")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val cbT: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(mi => sample.take(codes).map(_.slice(mi * sub, (mi + 1) * sub)))
+    val cbCol = typedLit(cbT)
+    // centroid table as a 1-subspace "codebook" of full-dim entries:
+    // PqEncode's argmin over it IS the cell assignment
+    val centT: Seq[Seq[Seq[Double]]] = Seq(sample.take(nlist))
+    val centCol = typedLit(centT)
+    // ONE narrow corpus pass: cell id (1-based centroid position) +
+    // m PQ codes per vector, both codegen expressions
+    val enc = c.withColumn("__cb", cbCol).withColumn("__ct", centCol)
+      .select(col("neighbor_id"),
+        element_at(graft.functions.PqEncode(col("nv"), col("__ct")), 1)
+          .as("cell"),
+        graft.functions.PqEncode(col("nv"), col("__cb")).as("code"))
+    // Query side deliberately carries NO codebook/centroid literals:
+    // an early variant inlined them into the cells/LUT expressions
+    // and Catalyst spent a measured ~18s (at ANY data size) re-
+    // optimizing the literal-heavy explode subtree for every
+    // downstream broadcast. The centroid and codebook tables join in
+    // as broadcast DataFrames instead — same doubles, same
+    // left-to-right folds (zip_with preserves element order), so the
+    // oracle replay is unchanged — and the per-row work lives on the
+    // query side, whose row count is small by contract.
+    val spark2 = corpus.sparkSession
+    import spark2.implicits._
+    val centsDf = broadcast(sample.take(nlist).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("cell", "cv"))
+    val cbDf = broadcast((for {
+      mi <- 0 until m; j <- 1 to codes
+    } yield (mi, j, sample.take(codes)(j - 1).slice(mi * sub, (mi + 1) * sub)))
+      .toDF("mi", "j", "cbv"))
+    val q0 = queries.select(col(idCol).as("q_id"),
+        asDouble(col(vecCol)).as("v0"))
+      .withColumn("qv", normalizeExpr("v0")).drop("v0")
+      .persist(lvl)
+    // nprobe nearest cells per query: bounded heap on (-L2², cell),
+    // i.e. (distance ASC, position ASC) — the oracle's tie rule
+    val qcells = q0.crossJoin(centsDf)
+      .select(col("q_id"), col("cell"),
+        expr("""aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("d"))
+      .groupBy(col("q_id"))
+      .agg(TopK.topK(nprobe)(col("cell"), -col("d")).as("__cells"))
+    // per-query ADC lookup table, reassembled to the m×codes nested
+    // array PqAdc reads; same squared-distance folds as the corpus
+    // encoder, so codes and LUT values replay bit-for-bit
+    val qlut = q0.crossJoin(cbDf)
+      .select(col("q_id"), col("mi"), col("j"),
+        expr(s"""aggregate(zip_with(slice(qv, mi * $sub + 1, $sub), cbv,
+          |  (x, y) -> (x - y) * (x - y)),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("d"))
+      .groupBy(col("q_id"), col("mi"))
+      .agg(sort_array(collect_list(struct(col("j"), col("d")))).as("jd"))
+      .select(col("q_id"), col("mi"),
+        expr("transform(jd, p -> p.d)").as("dl"))
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(struct(col("mi"), col("dl")))).as("md"))
+      .select(col("q_id"), expr("transform(md, p -> p.dl)").as("__lut"))
+    val qmeta = qcells.join(qlut, Seq("q_id"))
+      .select(col("q_id"), col("__lut"),
+        explode(col("__cells.id")).as("cell"))
+    val scored = enc.join(broadcast(qmeta), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        (-graft.functions.PqAdc(col("__lut"), col("code"))).as("score"))
+    val cand = TopK.perKey(scored, Seq("q_id"), "neighbor_id", "score",
+      shortlist).select(col("q_id"), col("neighbor_id"))
+    val cn = c.select(col("neighbor_id"), col("v0").as("nv0"))
+    val qn = queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("qv0"))
+    val rer = cn.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosineExpr("qv0", "nv0").as("score"))
+    TopK.perKey(rer, Seq("q_id"), "neighbor_id", "score", k)
+  }
+
   /** LSH-bucketed ANN: join query buckets to corpus buckets, exact
     * cosine inside the bucket, top-k per query. Trades recall for a
     * |bucket|-sized candidate set; recall is measured against
     * bruteForceTopK in the test suite. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numBits: Int = 6, dims: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("nv"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("nv")))
       .withColumn("bucket", lshBucketExpr("nv", numBits, dims))
     val q = queries.select(col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("qv"))

@@ -2159,6 +2159,83 @@ object Pipeline {
         |   UNION ALL SELECT c AS n FROM tri) GROUP BY n)
         |SELECT deg.n AS node, deg.degree,
         |  coalesce(pern.nt, CAST(0 AS BIGINT)) AS n_triangles
-        |FROM deg LEFT JOIN pern USING (n) ORDER BY node""".stripMargin))
+        |FROM deg LEFT JOIN pern USING (n) ORDER BY node""".stripMargin)),
+
+    // ---- p66: the full production ANN tier — IVF coarse pruning +
+    // PQ ADC + exact rerank (IVFADC, Jégou 2011 §IV). The ADC scan
+    // touches only each query's nprobe/nlist of the corpus (vs p37's
+    // flat scan); recall on THIS corpus (iid gaussian — the
+    // clusterless worst case for a coarse quantizer) is ~0.53 vs
+    // brute at nlist=16/nprobe=4, measured in OperatorSpec; real
+    // embedding corpora cluster, which is what the tier exploits.
+    // DuckDB replays centroids, cells, codes, LUTs, shortlist AND
+    // rerank bit-for-bit.
+    "p66_ann_ivfpq" -> Q(
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", 10, nlist = 16, nprobe = 4)
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("score"), 4).as("score"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+        |n AS (SELECT vec_id, list_transform(raw, x ->
+        |    x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
+        |s AS (SELECT vec_id, v FROM n
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+        |cbl AS (SELECT list(v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |  AS cb FROM s),
+        |cent AS (SELECT v, row_number() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR)), vec_id) AS pos
+        |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cd AS (SELECT n.vec_id, c.pos,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, 65), dd ->
+        |        (n.v[dd] - c.v[dd]) * (n.v[dd] - c.v[dd]))),
+        |      (a, b) -> a + b) AS d
+        |  FROM n, cent c),
+        |ca AS (SELECT vec_id, pos AS cell FROM (
+        |    SELECT vec_id, pos, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, pos ASC) AS rn FROM cd) WHERE rn = 1),
+        |qcp AS (SELECT vec_id AS q_id, pos AS cell FROM (
+        |    SELECT vec_id, pos, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, pos ASC) AS rn FROM cd
+        |    WHERE vec_id % 100 = 0) WHERE rn <= 4),
+        |dists AS (SELECT n.vec_id, t.mi,
+        |    list_transform(range(1, 65), j ->
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 9), dd ->
+        |          (n.v[t.mi*8+dd] - cbl.cb[j][t.mi*8+dd]) *
+        |          (n.v[t.mi*8+dd] - cbl.cb[j][t.mi*8+dd]))),
+        |        (a, b) -> a + b)) AS dl
+        |  FROM n, range(0, 8) t(mi), cbl),
+        |codel AS (SELECT vec_id,
+        |    list(list_position(dl, list_min(dl)) ORDER BY mi) AS code
+        |  FROM dists GROUP BY vec_id),
+        |qlut AS (SELECT vec_id AS q_id, list(dl ORDER BY mi) AS lut
+        |  FROM dists WHERE vec_id % 100 = 0 GROUP BY vec_id),
+        |pqsc AS (SELECT q.q_id, ca.vec_id AS neighbor_id,
+        |    -list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, 9), mi -> q.lut[mi][c.code[mi]])),
+        |      (a, b) -> a + b) AS sc
+        |  FROM qlut q JOIN qcp ON qcp.q_id = q.q_id
+        |  JOIN ca ON ca.cell = qcp.cell
+        |  JOIN codel c ON c.vec_id = ca.vec_id
+        |  WHERE ca.vec_id <> q.q_id),
+        |pqr AS (SELECT q_id, neighbor_id, sc, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sc DESC, neighbor_id) AS srnk
+        |  FROM pqsc),
+        |short AS (SELECT q_id, neighbor_id FROM pqr WHERE srnk <= 100),
+        |rer AS (SELECT s2.q_id, s2.neighbor_id,
+        |    ${duckCos("qe.raw", "ne.raw")} AS sc2
+        |  FROM short s2 JOIN e qe ON qe.vec_id = s2.q_id
+        |  JOIN e ne ON ne.vec_id = s2.neighbor_id),
+        |ranked AS (SELECT q_id, neighbor_id, sc2, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sc2 DESC, neighbor_id) AS rnk
+        |  FROM rer)
+        |SELECT q_id, neighbor_id, round(sc2, 4) AS score, rnk
+        |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin))
   )
 }

@@ -366,6 +366,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("IVF+PQ ANN: recall floor vs brute force; deterministic; prunes to probed cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 8)
+    val got = ivfpq.select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    // gaussian-random vectors are the worst case for BOTH tiers
+    // (no cluster structure for centroids, no subspace structure for
+    // codes); the floor documents measured behavior minus drift slack
+    assert(recall >= 0.45, s"IVF+PQ recall $recall below floor")
+    // probing half the cells must not return more than the flat ADC
+    // scan path would; candidate sets stay query-bounded
+    assert(got.size <= 20 * 10)
+    // determinism under repartitioning
+    val a = Similarity.ivfPqTopK(e.repartition(7), q, "vec_id",
+      "embedding", 10, nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Similarity.ivfPqTopK(e.repartition(3), q, "vec_id",
+      "embedding", 10, nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("IVF ANN: scores agree with brute force; bounded candidates") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
