@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-value sketches for corpus-vs-corpus set
+  * arithmetic WITHOUT a join. The 100-TB question these answer:
+  * "how much of crawl snapshot B is already in snapshot A?" — an
+  * exact answer joins two corpus-scale key sets (a shuffle of
+  * everything on both sides); the sketch answer scans each corpus
+  * once, reduces each to k 8-byte hashes, and finishes on two 1-row
+  * frames.
+  *
+  * The sketch is KMV / bottom-k (Bar-Yossef et al. 2002 "Counting
+  * distinct elements in a data stream"; Beyer, Haas, Reinwald,
+  * Sismanis & Gemulla, SIGMOD 2007 "On synopses for distinct-value
+  * estimation under multiset operations"): keep the k smallest
+  * values of a uniform hash of the key. Distinct-count estimate is
+  * the order-statistics one, (k-1)/U(k) with U(k) the k-th smallest
+  * normalized hash; union sketches merge by taking the k smallest of
+  * the concatenation (the k smallest of A∪B are a subset of the two
+  * sketches' union, so the merge is lossless); and intersection uses
+  * the SIGMOD-2007 ratio estimator: the fraction of the merged
+  * sketch's values present in BOTH input sketches estimates the
+  * Jaccard similarity, and Jaccard × |A∪B| estimates |A∩B|.
+  *
+  * Everything is deterministic and engine-portable: the hash is the
+  * first 60 bits of md5 (no RNG, no engine-specific hash), minima
+  * are plain order statistics, and the estimates are single IEEE
+  * divisions/multiplications — DuckDB replays the whole pipeline
+  * bit-for-bit, which is how the battery oracle-gates p67.
+  */
+object Sketches {
+
+  /** Upper bound (exclusive) of [[kmvHash]]'s range: 2^60. */
+  val KmvMax: Double = (1L << 60).toDouble
+
+  /** Uniform 60-bit key hash: the first 15 hex digits of md5.
+    * Uniform on [0, 2^60) by construction (unlike the library's
+    * 2-family polynomial hash, whose low 30 bits only cover a prime
+    * modulus — fine as a collision-safe id, biased as an
+    * order-statistics input). Engine-portable: DuckDB spells it
+    * `CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT)`. */
+  def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** One-row frame holding the KMV sketch of `df`'s `keyCol`: the
+    * column `hs` is the ascending array of the k smallest DISTINCT
+    * key hashes (all of them when the key universe is smaller than
+    * k — the sketch is then exact).
+    *
+    * Scale shape: the scan reduces to distinct hashes (a shuffle of
+    * 8-byte keys with map-side partial dedup), then `ORDER BY h
+    * LIMIT k` plans as TakeOrdered — every partition forwards at
+    * most k longs, no global sort. The result is k numbers however
+    * large the corpus. */
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    df.select(kmvHash(col(keyCol)).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+  }
+
+  /** The (k-1)/U(k) distinct-count estimate from a sketch array
+    * column; exact cardinality when the sketch is not full. The
+    * division is one IEEE op on both engines. */
+  private def estimate(hs: Column, k: Int): Column =
+    when(size(hs) < k, size(hs).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(KmvMax)
+        / element_at(hs, k).cast("double"))
+
+  /** Corpus-overlap estimate between `a` and `b` on `keyCol`,
+    * without joining them: one row with
+    * `est_distinct_a / est_distinct_b / est_union` (distinct-count
+    * estimates), `est_overlap` (≈ |A∩B|) and `jaccard` (≈ the
+    * SIGMOD-2007 ratio ρ). Estimates are exact whenever the
+    * corresponding key universe fits in k.
+    *
+    * The merged union sketch and the ρ ratio are array expressions
+    * over the two 1-row sketches — after the two corpus scans, all
+    * remaining work is O(k) inside codegen. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int = 256): DataFrame = {
+    val sa = kmvSketch(a, keyCol, k).select(col("hs").as("ha"))
+    val sb = kmvSketch(b, keyCol, k).select(col("hs").as("hb"))
+    sa.crossJoin(sb)
+      .withColumn("m",
+        slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      .withColumn("est_union", estimate(col("m"), k))
+      .withColumn("rho",
+        expr("size(filter(m, x -> array_contains(ha, x) AND array_contains(hb, x)))")
+          .cast("double") / size(col("m")).cast("double"))
+      .select(
+        estimate(col("ha"), k).as("est_distinct_a"),
+        estimate(col("hb"), k).as("est_distinct_b"),
+        col("est_union"),
+        (col("rho") * col("est_union")).as("est_overlap"),
+        col("rho").as("jaccard"))
+  }
+}

@@ -319,7 +319,38 @@ object EventsQ {
         |    PARTITION BY h ORDER BY cnt DESC, user_id) AS rnk FROM c)
         |SELECT epoch_ms(h) AS hour_ms, CAST(rnk AS BIGINT) AS rnk,
         |  user_id, cnt AS est_count, CAST(0 AS BIGINT) AS max_err
-        |FROM r WHERE rnk <= 3 ORDER BY hour_ms, rnk""".stripMargin))
+        |FROM r WHERE rnk <= 3 ORDER BY hour_ms, rnk""".stripMargin)),
+
+    // ---- the hourly rollup as a REAL Structured Streaming query,
+    // oracle-gated: readStream over the same parquet, the q37
+    // aggregation, Trigger.AvailableNow to drain the source and
+    // stop. Complete output mode makes the final memory-sink table
+    // equal the batch answer exactly regardless of how AvailableNow
+    // batches the files (a watermark+append run would hold back
+    // still-open trailing windows — that production shape, plus
+    // late-data handling, is twin-checked in StreamingSpec; THIS
+    // entry pins stream==batch==DuckDB through the driver's gate).
+    // The memory sink holds only the hours×types rollup, not events.
+    "q58_stream_hourly" -> Q(
+      (s, dir) => {
+        val src = tblStream(s, dir, "events")
+        val agg = src
+          .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            money(sum(cents(col("value")))).as("total_value"))
+        val sink = s"q58_mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val sq = agg.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(sink).orderBy(col("hour_ms"), col("event_type"))
+      },
+      Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |count(*) AS cnt, ${oSumCents("value")} AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin))
   )
 
   /** KV fixture directory keyed by a CONTENT fingerprint of the source

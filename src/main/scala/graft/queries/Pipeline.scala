@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Curation, Dedup, MultiModal, Retrieval,
-  Sampling, Similarity, TextAnalysis}
+  Sampling, Similarity, Sketches, TextAnalysis}
 import QueryUtil._
 
 /** Large-scale training-data pipeline operators (driver-mandated
@@ -2236,6 +2236,59 @@ object Pipeline {
         |    PARTITION BY q_id ORDER BY sc2 DESC, neighbor_id) AS rnk
         |  FROM rer)
         |SELECT q_id, neighbor_id, round(sc2, 4) AS score, rnk
-        |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin))
+        |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- p67: corpus-overlap estimation via KMV sketches — "how
+    // much of snapshot B is already in snapshot A" WITHOUT the
+    // corpus×corpus join. Two single scans reduce each corpus to 128
+    // 8-byte hash minima; union/intersection/Jaccard come from O(k)
+    // array arithmetic on two 1-row frames (Beyer et al., SIGMOD
+    // 2007). Both id-sliced corpora exceed k at sf0.01+, so the
+    // oracle exercises the genuine estimation path, not the
+    // exact-small-set fallback. DuckDB replays the md5-60-bit hash,
+    // the bottom-k order statistics and the single-IEEE-op estimates
+    // bit-for-bit.
+    "p67_corpus_overlap" -> Q(
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        Sketches.kmvOverlap(
+            d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 3 === 0), "text", k = 128)
+          .select(round(col("est_distinct_a"), 4).as("est_distinct_a"),
+            round(col("est_distinct_b"), 4).as("est_distinct_b"),
+            round(col("est_union"), 4).as("est_union"),
+            round(col("est_overlap"), 4).as("est_overlap"),
+            round(col("jaccard"), 4).as("jaccard"))
+      },
+      Some("""WITH ah AS (SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |bh AS (SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sa AS (SELECT list(h ORDER BY h) AS ha FROM
+        |  (SELECT h FROM ah ORDER BY h LIMIT 128)),
+        |sb AS (SELECT list(h ORDER BY h) AS hb FROM
+        |  (SELECT h FROM bh ORDER BY h LIMIT 128)),
+        |mg AS (SELECT ha, hb,
+        |    list_sort(list_distinct(list_concat(ha, hb)))[1:128] AS m
+        |  FROM sa, sb),
+        |est AS (SELECT ha, hb, m,
+        |    CASE WHEN len(ha) < 128 THEN CAST(len(ha) AS DOUBLE)
+        |      ELSE (127 * 1152921504606846976.0) / CAST(ha[128] AS DOUBLE)
+        |    END AS ea,
+        |    CASE WHEN len(hb) < 128 THEN CAST(len(hb) AS DOUBLE)
+        |      ELSE (127 * 1152921504606846976.0) / CAST(hb[128] AS DOUBLE)
+        |    END AS eb,
+        |    CASE WHEN len(m) < 128 THEN CAST(len(m) AS DOUBLE)
+        |      ELSE (127 * 1152921504606846976.0) / CAST(m[128] AS DOUBLE)
+        |    END AS eu,
+        |    CAST(len(list_filter(m, x -> list_contains(ha, x)
+        |      AND list_contains(hb, x))) AS DOUBLE)
+        |      / CAST(len(m) AS DOUBLE) AS rho
+        |  FROM mg)
+        |SELECT round(ea, 4) AS est_distinct_a,
+        |  round(eb, 4) AS est_distinct_b,
+        |  round(eu, 4) AS est_union,
+        |  round(rho * eu, 4) AS est_overlap,
+        |  round(rho, 4) AS jaccard FROM est""".stripMargin))
   )
 }

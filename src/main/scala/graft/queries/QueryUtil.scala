@@ -42,6 +42,37 @@ object QueryUtil {
       else df)
   }
 
+  /** The streaming twin of [[tbl]]: the same table as an unbounded
+    * `readStream` source with the same timestamp normalization.
+    * readStream needs an explicit schema, which must match the FILE
+    * spelling (nanos-as-long / NTZ-as-timestamp under the same two
+    * confs tbl sets), so the schema comes from a batch metadata read
+    * of the same path — footer-only, no data scan. */
+  def tblStream(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val path = s"$dir/$name.parquet"
+    // The driver writes each table as ONE parquet FILE. FileStreamSource
+    // force-sets basePath to the path itself whenever the path is not a
+    // glob — and a file basePath is rejected ("must be a directory") —
+    // so spell the file as the single-alternative glob {name.parquet}
+    // (matches exactly the same file, suppresses the override) and pass
+    // the parent dir as basePath. A scale-up dir that spells the table
+    // as a DIRECTORY of part files takes the plain-path branch, where
+    // the override is harmless.
+    val single = new java.io.File(path).isFile
+    val rs = s.readStream.schema(s.read.parquet(path).schema)
+    val df = if (single)
+      rs.option("basePath", dir).parquet(s"$dir/{$name.parquet}")
+    else rs.parquet(path)
+    normalizeTimestamps(
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df)
+  }
+
   /** Cast every TIMESTAMP_NTZ column to TIMESTAMP. Semantics-
     * preserving under the UTC session TZ; no-op when the schema has
     * none (the common case), so no plan overhead. */

@@ -1447,4 +1447,51 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(falsePos < 2000L * 0.03 * 5,
       s"false-positive rate ${falsePos / 2000.0} far above fpp")
   }
+
+  test("KMV overlap: exact when universes fit k; duplicate-proof") {
+    import spark.implicits._
+    // |A|=40 distinct, |B|=30 distinct, |A∩B|=20; every key loaded
+    // 3x so the distinct() inside the sketch is doing real work
+    val a = (0L until 40L).flatMap(i => Seq.fill(3)(s"key $i"))
+      .toDF("k")
+    val b = (20L until 50L).flatMap(i => Seq.fill(3)(s"key $i"))
+      .toDF("k")
+    val r = Sketches.kmvOverlap(a, b, "k", k = 128).collect().head
+    assert(r.getDouble(0) == 40.0 && r.getDouble(1) == 30.0)
+    assert(r.getDouble(2) == 50.0, "union must be exact below k")
+    assert(r.getDouble(3) == 20.0, "overlap must be exact below k")
+    assert(math.abs(r.getDouble(4) - 20.0 / 50.0) < 1e-12)
+  }
+
+  test("KMV overlap: estimation path within 15% at k=256, partition-invariant") {
+    import spark.implicits._
+    val n = 4000
+    val a = (0 until n).map(i => s"doc $i").toDF("k")
+    val b = (n / 2 until n + n / 2).map(i => s"doc $i").toDF("k")
+    def run(ra: org.apache.spark.sql.DataFrame,
+        rb: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvOverlap(ra, rb, "k", k = 256).collect().head
+    val r = run(a, b)
+    // truth: |A|=|B|=4000, |A∪B|=6000, |A∩B|=2000
+    assert(math.abs(r.getDouble(0) - n) / n < 0.15, s"A est ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - n) / n < 0.15, s"B est ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 1.5 * n) / (1.5 * n) < 0.15,
+      s"union est ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - n / 2) / (n / 2) < 0.3,
+      s"overlap est ${r.getDouble(3)}")
+    // the sketch is a set of order statistics — any partitioning of
+    // the scans must produce the identical row
+    val r2 = run(a.repartition(7), b.repartition(3))
+    assert(r.toSeq == r2.toSeq, "KMV output must be partition-invariant")
+  }
+
+  test("KMV sketch plans as TakeOrdered, not a global sort") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => s"v$i").toDF("k")
+    val plan = Sketches.kmvSketch(df, "k", 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k should be TakeOrdered (every partition forwards ≤k " +
+        s"longs), got:\n$plan")
+  }
 }
