@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket association-rule mining (Agrawal & Srikant, VLDB'94
+  * support/confidence framework; lift per Brin et al., SIGMOD'97) —
+  * the "users who bought X also bought Y" co-occurrence analytics an
+  * OLAP engine is asked for over any (basket, item) fact table, and
+  * the same machinery a data pipeline uses to find strongly-associated
+  * tag / domain / token pairs.
+  *
+  * Scale shape: the pair space is built by a SELF-JOIN WITHIN EACH
+  * BASKET (`a.item < b.item` on the basket key), so fan-out is
+  * C(basket size, 2) — bounded by the largest basket, never quadratic
+  * in the item catalog; `maxBasket` drops degenerate mega-baskets
+  * (carts of thousands of items contribute C(n,2) pairs and no
+  * signal — the exact skew guard a 100 TB run needs, applied BEFORE
+  * the pair explode). Supports are two partial-combined count
+  * aggregates; item supports attach to pairs by hash joins (item
+  * table ≪ pair table, AQE broadcasts it); the basket total rides a
+  * broadcast 1-row cross. Lift/confidence sort keys are single IEEE
+  * divisions of exactly-evaluated integer doubles mirrored verbatim
+  * by the oracle, so ranking is engine-independent; ties break on
+  * (antecedent, consequent). Top-k collapses via
+  * TakeOrderedAndProject — O(partitions·k) merge, no full sort.
+  */
+object Association {
+
+  /** Top-`k` two-item association rules by lift from a
+    * (basketCol, itemCol) fact table. Both directions of each
+    * surviving pair are emitted (lift is symmetric, confidence is
+    * not). `minSupport` is the minimum co-occurrence basket count.
+    * Output: antecedent, consequent, n_pair, n_ante, n_cons,
+    * confidence (P(cons|ante), 4dp), lift (4dp). */
+  def rulesTopK(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int, minSupport: Long, maxBasket: Int = 1000): DataFrame = {
+    val bi = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val sized = bi.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBasket)
+      .select(col("bk"))
+    val items = bi.join(sized, "bk")
+    val nBaskets = sized.agg(count(lit(1)).cast("double").as("n_baskets"))
+    val supp = items.groupBy(col("it")).agg(count(lit(1)).as("c_it"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("ia"), col("y.it").as("ib"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minSupport)
+    val scored = pairs
+      .join(supp.select(col("it").as("ia"), col("c_it").as("c_ia")), "ia")
+      .join(supp.select(col("it").as("ib"), col("c_it").as("c_ib")), "ib")
+      .crossJoin(broadcast(nBaskets))
+      // lift = P(ab)/(P(a)P(b)) = c_pair·n_baskets/(c_a·c_b): one
+      // double product then one division, mirrored operand-for-operand
+      // in the oracle so the sort key is bit-identical.
+      .withColumn("lift_raw",
+        (col("c_pair").cast("double") * col("n_baskets")) /
+          (col("c_ia").cast("double") * col("c_ib").cast("double")))
+    // both rule directions from each canonical pair
+    val rules = scored.select(col("ia").as("antecedent"),
+        col("ib").as("consequent"), col("c_pair"),
+        col("c_ia").as("n_ante"), col("c_ib").as("n_cons"),
+        col("lift_raw"))
+      .unionAll(scored.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("c_pair"),
+        col("c_ib").as("n_ante"), col("c_ia").as("n_cons"),
+        col("lift_raw")))
+    rules
+      .orderBy(col("lift_raw").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+      .select(col("antecedent"), col("consequent"),
+        col("c_pair").as("n_pair"), col("n_ante"), col("n_cons"),
+        round(col("c_pair").cast("double") / col("n_ante").cast("double"),
+          4).as("confidence"),
+        round(col("lift_raw"), 4).as("lift"))
+  }
+}

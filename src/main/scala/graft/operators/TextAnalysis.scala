@@ -453,4 +453,137 @@ object TextAnalysis {
         round(lit(1.0) - length(col("clean_text")).cast("double") /
           length(col("__raw")).cast("double"), 6).as("removed_frac"))
   }
+
+  /** Corpus scaling-law diagnostics: Zipf slope and Heaps exponent —
+    * the two power-law fits a corpus-health dashboard tracks to catch
+    * degenerate training data (templated/spammy corpora flatten the
+    * Zipf tail; boilerplate repetition collapses Heaps vocabulary
+    * growth below β≈0.5).
+    *
+    * Zipf (Zipf 1949): OLS of ln(freq) on ln(rank) over the `topR`
+    * most frequent tokens — ranked by the bounded [[TopK]] k-heap
+    * aggregate (tie-break: token hash ascending), so the rank table
+    * is O(topR) after one vocabulary count aggregate. Heaps (Heaps
+    * 1978, V = K·n^β): OLS of ln(per-doc distinct tokens) on
+    * ln(per-doc tokens) across documents — per-doc points come from
+    * one narrow codegen pass, then ONE partial-combined aggregate.
+    *
+    * Determinism at any partitioning/scale: each point's coordinates
+    * quantize to integer micro-nats BEFORE summation, so every OLS
+    * sum is exact integer arithmetic — Zipf sums are longs (≤ topR
+    * points, bounded), Heaps sums go through decimal(38,0) (corpus-
+    * sized count of points; a 10⁹-doc corpus overflows a long at
+    * Σxm·ym). The closed-form slope/intercept are single IEEE
+    * divisions of exactly-representable operands, replayed
+    * operand-for-operand by the oracle. Output is ONE row:
+    * (n_top, zipf_slope, zipf_intercept, n_docs, heaps_beta,
+    * heaps_lnk), slopes/intercepts at 6dp. */
+  def corpusScalingLaws(df: DataFrame, textCol: String,
+      topR: Int = 100): DataFrame = {
+    val micro = (c: Column) => round(log(c) * lit(1e6), 0).cast("long")
+    val tk = df.select(Dedup.tokens(col(textCol)).as("tk"))
+    val counts = tk.select(explode(col("tk")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .select(lit(1).as("g"), portableHash60(col("token")).as("id"),
+        col("c").cast("double").as("score"))
+    val zPts = TopK.perKey(counts, Seq("g"), "id", "score", topR)
+      .select(micro(col("rnk").cast("double")).as("xm"),
+        micro(col("score")).as("ym"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // all four OLS sums ride decimal(38,0): the closed-form intercept
+    // multiplies Σx² by Σy — even 100 bounded Zipf points push that
+    // product past a long (Σx²·Σy ≈ 1e25), and the Heaps sums are
+    // corpus-sized besides
+    val z = zPts.agg(dec(count(lit(1))).as("zn"),
+      sum(dec(col("xm"))).as("zsx"), sum(dec(col("ym"))).as("zsy"),
+      sum(dec(col("xm") * col("xm"))).as("zsxx"),
+      sum(dec(col("xm") * col("ym"))).as("zsxy"))
+    val hPts = tk
+      .select(size(col("tk")).cast("long").as("n"),
+        size(array_distinct(col("tk"))).cast("long").as("v"))
+      .filter(col("n") >= 1 && col("v") >= 1)
+      .select(micro(col("n").cast("double")).as("xm"),
+        micro(col("v").cast("double")).as("ym"))
+    val h = hPts.agg(count(lit(1)).as("hn"),
+      sum(dec(col("xm"))).as("hsx"), sum(dec(col("ym"))).as("hsy"),
+      sum(dec(col("xm") * col("xm"))).as("hsxx"),
+      sum(dec(col("xm") * col("ym"))).as("hsxy"))
+    // OLS closed form on exact integer sums; slope/intercept are the
+    // only inexact ops (each a single IEEE divide), mirrored verbatim
+    // in the oracle. Quantized coordinates are micro-nats, so the
+    // slope is dimensionless as-is; the intercept is in micro-nats
+    // and rescales by 1e-6 to ln units.
+    val ols = (n: Column, sx: Column, sy: Column, sxx: Column,
+        sxy: Column) => {
+      val den = (n * sxx - sx * sx).cast("double")
+      val slope = (n * sxy - sx * sy).cast("double") / den
+      val icept = ((sxx * sy - sx * sxy).cast("double") / den) / lit(1e6)
+      (slope, icept)
+    }
+    val (zs, zi) = ols(col("zn"), col("zsx"), col("zsy"),
+      col("zsxx"), col("zsxy"))
+    val (hs, hi) = ols(dec(col("hn")), col("hsx"), col("hsy"),
+      col("hsxx"), col("hsxy"))
+    z.crossJoin(h).select(
+      col("zn").cast("long").as("n_top"),
+      round(zs, 6).as("zipf_slope"),
+      round(zi, 6).as("zipf_intercept"),
+      col("hn").as("n_docs"),
+      round(hs, 6).as("heaps_beta"),
+      round(hi, 6).as("heaps_lnk"))
+  }
+
+  /** PMI collocation mining (Church & Hanks 1990): the `k` adjacent
+    * token pairs whose co-occurrence most exceeds independence —
+    * PMI(a,b) = ln(P(ab) / (P(a)·P(b))) — the classic phrase /
+    * multiword-expression detector tokenizer and embedding pipelines
+    * run over a corpus. Occurrence counting (NOT per-doc distinct,
+    * unlike [[ngramDocFreqTopK]]): one narrow pair explode per doc,
+    * one (a,b) count aggregate (the only corpus-sized shuffle — pair
+    * space, partial-combined), unigram counts attach by two hash
+    * joins AQE broadcasts at any realistic vocab:pair ratio, and the
+    * corpus totals ride a 1-row broadcast cross. Ranking is EXACT
+    * across engines: the independence ratio cab·N²/(ca·cb) is a
+    * single IEEE division of exactly-representable integer doubles
+    * (every operand < 2^53), so the sort key is bit-identical in any
+    * IEEE engine; ties break on the pair's [[portableHash60]]. The
+    * reported pmi = ln(ratio) is display-only, never a sort key.
+    * `minCount` suppresses the PMI singleton pathology (a pair seen
+    * once between two hapaxes maximizes the ratio). Top-k collapses
+    * via TakeOrderedAndProject — O(partitions·k) driver merge. */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int,
+      minCount: Long): DataFrame = {
+    val tk = df.select(Dedup.tokens(col(textCol)).as("tk"))
+    val pairs = tk.select(explode(expr(
+        """CASE WHEN size(tk) < 2 THEN array()
+          |ELSE transform(sequence(1, size(tk) - 1), i -> struct(
+          |  element_at(tk, CAST(i AS INT)) AS a,
+          |  element_at(tk, CAST(i + 1 AS INT)) AS b)) END""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val uni = tk.select(explode(col("tk")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // N (token occurrences) and n_pairs as a single 1-row frame;
+    // broadcast-crossed so no driver action materializes the counts.
+    val totals = tk.agg(
+      sum(size(col("tk"))).cast("double").as("n_tok"),
+      sum(greatest(size(col("tk")) - 1, lit(0))).cast("double")
+        .as("n_pairs"))
+    val cab = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    cab
+      .join(uni.select(col("token").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("token").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"),
+        col("c_a"), col("c_b"),
+        ((col("c_ab").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_pairs") * col("c_a") * col("c_b"))).as("ratio"),
+        portableHash60(concat_ws(" ", col("a"), col("b"))).as("ph"))
+      .orderBy(col("ratio").desc, col("ph"))
+      .limit(k)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log(col("ratio")), 4).as("pmi"))
+  }
 }

@@ -350,7 +350,44 @@ object EventsQ {
       },
       Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |count(*) AS cnt, ${oSumCents("value")} AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin))
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin)),
+
+    // ---- streaming exactly-once dedup, oracle-gated: the "replayed
+    // feed" shape — TWO readStream sources over the same events
+    // table, unioned (every event arrives twice), then stateful
+    // dropDuplicates on the unique event key. AvailableNow drains
+    // both sources; the memory sink receives each event exactly once
+    // regardless of how the duplicates split across micro-batches
+    // (both copies are bit-identical rows, so first-wins is
+    // value-deterministic). The sink holds deduped EVENTS; the
+    // compact per-type rollup happens batch-side on the sink table,
+    // so the oracle is a straight GROUP BY over the source — equality
+    // proves the stream removed exactly the duplicate half. The
+    // production variant (watermarked state expiry for unbounded
+    // feeds) is twin-checked in StreamingSpec; THIS entry pins
+    // stream==batch==DuckDB through the driver's gate.
+    "q59_stream_dedup" -> Q(
+      (s, dir) => {
+        val doubled = tblStream(s, dir, "events")
+          .unionAll(tblStream(s, dir, "events"))
+        val sink = s"q59_mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val sq = doubled.dropDuplicates("event_id").writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(sink)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("user_id")).as("n_users"),
+            money(sum(cents(col("value")))).as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS cnt,
+        |count(DISTINCT user_id) AS n_users,
+        |${oSumCents("value")} AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   /** KV fixture directory keyed by a CONTENT fingerprint of the source

@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, MultiModal, Retrieval,
-  Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Association, Curation, Dedup, MultiModal,
+  Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import QueryUtil._
 
 /** Large-scale training-data pipeline operators (driver-mandated
@@ -2289,6 +2289,124 @@ object Pipeline {
         |  round(eb, 4) AS est_distinct_b,
         |  round(eu, 4) AS est_union,
         |  round(rho * eu, 4) AS est_overlap,
-        |  round(rho, 4) AS jaccard FROM est""".stripMargin))
+        |  round(rho, 4) AS jaccard FROM est""".stripMargin)),
+
+    // ---- p68: PMI collocations (Church & Hanks 1990) — the top-20
+    // adjacent-token pairs by pointwise mutual information, the
+    // phrase/multiword-expression miner. Selection ranks on the EXACT
+    // ratio c_ab·N²/(n_pairs·c_a·c_b) (single IEEE ops over integer
+    // doubles, mirrored operand-for-operand in the oracle) with a
+    // portable-hash tie-break; the rounded ln is presentation only.
+    // Presentation re-sorts the 20 survivors on output columns so row
+    // order is engine-independent too.
+    "p68_cooccur_pmi" -> Q(
+      (s, dir) => TextAnalysis
+        .pmiCollocations(tbl(s, dir, "documents"), "text", 20, 5L)
+        .orderBy(col("pmi").desc, col("a"), col("b")),
+      Some(s"""WITH tk AS (SELECT str_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(len(tk)) AS DOUBLE) AS n_tok,
+        |    CAST(sum(greatest(len(tk)-1, 0)) AS DOUBLE) AS n_pairs FROM tk),
+        |bg AS (SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+        |    i -> {'a': tk[i], 'b': tk[i+1]})) AS p FROM tk),
+        |cab AS (SELECT p.a AS a, p.b AS b, count(*) AS c_ab FROM bg
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (SELECT unnest(tk) AS token FROM tk),
+        |ucnt AS (SELECT token, count(*) AS c FROM uni GROUP BY 1),
+        |scored AS (SELECT a, b, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |    (CAST(c_ab AS DOUBLE) * n_tok * n_tok) /
+        |      (n_pairs * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+        |      AS ratio,
+        |    ${oPoly60("(a || ' ' || b)")} AS ph
+        |  FROM cab JOIN ucnt ca ON ca.token = cab.a
+        |  JOIN ucnt cb ON cb.token = cab.b, tot),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY ratio DESC, ph)
+        |    AS rn FROM scored)
+        |SELECT a, b, c_ab, c_a, c_b, round(ln(ratio), 4) AS pmi
+        |FROM rk WHERE rn <= 20 ORDER BY pmi DESC, a, b""".stripMargin)),
+
+    // ---- p69: association rules over order baskets (Agrawal-Srikant
+    // support/confidence + lift) — "parts bought together", top-20 by
+    // lift. Pair fan-out is C(basket,2) per order with a maxBasket
+    // skew guard; lift ranks on the exact IEEE double with an
+    // (antecedent, consequent) tie-break, both rule directions
+    // emitted. Presentation re-sorts survivors on output columns.
+    "p69_assoc_rules" -> Q(
+      (s, dir) => Association
+        .rulesTopK(tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          20, 2L)
+        .orderBy(col("lift").desc, col("antecedent"), col("consequent")),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |sized AS (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 1000),
+        |items AS (SELECT bi.bk, bi.it FROM bi JOIN sized USING (bk)),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_baskets FROM sized),
+        |supp AS (SELECT it, count(*) AS c_it FROM items GROUP BY 1),
+        |pairs AS (SELECT x.it AS ia, y.it AS ib, count(*) AS c_pair
+        |  FROM items x JOIN items y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |scored AS (SELECT ia, ib, c_pair, sa.c_it AS c_ia,
+        |    sb.c_it AS c_ib,
+        |    (CAST(c_pair AS DOUBLE) * n_baskets) /
+        |      (CAST(sa.c_it AS DOUBLE) * CAST(sb.c_it AS DOUBLE))
+        |      AS lift_raw
+        |  FROM pairs JOIN supp sa ON sa.it = pairs.ia
+        |  JOIN supp sb ON sb.it = pairs.ib, nb),
+        |rules AS (SELECT ia AS antecedent, ib AS consequent, c_pair,
+        |    c_ia AS n_ante, c_ib AS n_cons, lift_raw FROM scored
+        |  UNION ALL SELECT ib, ia, c_pair, c_ib, c_ia, lift_raw
+        |  FROM scored),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY lift_raw DESC,
+        |    antecedent, consequent) AS rn FROM rules)
+        |SELECT antecedent, consequent, c_pair AS n_pair, n_ante, n_cons,
+        |  round(CAST(c_pair AS DOUBLE) / CAST(n_ante AS DOUBLE), 4)
+        |    AS confidence,
+        |  round(lift_raw, 4) AS lift
+        |FROM rk WHERE rn <= 20
+        |ORDER BY lift DESC, antecedent, consequent""".stripMargin)),
+
+    // ---- p70: corpus scaling-law diagnostics — Zipf slope over the
+    // top-100 token ranks + Heaps vocabulary-growth exponent across
+    // documents, the two power-law fits a corpus-health dashboard
+    // watches. Every OLS input quantizes to integer micro-nats before
+    // summation (Zipf sums are longs — 100 bounded points; Heaps sums
+    // ride decimal(38,0) ↔ DuckDB HUGEINT — corpus-sized), so the
+    // regression is exact integer arithmetic plus single mirrored
+    // IEEE divisions.
+    "p70_scaling_laws" -> Q(
+      (s, dir) => TextAnalysis
+        .corpusScalingLaws(tbl(s, dir, "documents"), "text", topR = 100),
+      Some(s"""WITH tk AS (SELECT str_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM
+        |  (SELECT unnest(tk) AS token FROM tk) GROUP BY 1),
+        |rkd AS (SELECT c, row_number() OVER (ORDER BY c DESC, th) AS rnk
+        |  FROM (SELECT c, ${oPoly60("token")} AS th FROM cnt)),
+        |zp AS (SELECT
+        |    CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS xm,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS ym
+        |  FROM rkd WHERE rnk <= 100),
+        |z AS (SELECT CAST(count(*) AS HUGEINT) AS zn, sum(xm) AS zsx,
+        |    sum(ym) AS zsy, sum(xm*xm) AS zsxx, sum(xm*ym) AS zsxy
+        |  FROM zp),
+        |hp AS (SELECT
+        |    CAST(round(ln(CAST(len(tk) AS DOUBLE)) * 1e6) AS BIGINT) AS xm,
+        |    CAST(round(ln(CAST(len(list_distinct(tk)) AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS ym
+        |  FROM tk WHERE len(tk) >= 1 AND len(list_distinct(tk)) >= 1),
+        |h AS (SELECT CAST(count(*) AS HUGEINT) AS hn, sum(xm) AS hsx,
+        |    sum(ym) AS hsy, sum(xm*xm) AS hsxx, sum(xm*ym) AS hsxy
+        |  FROM hp)
+        |SELECT CAST(zn AS BIGINT) AS n_top,
+        |  round(CAST(zn*zsxy - zsx*zsy AS DOUBLE) /
+        |    CAST(zn*zsxx - zsx*zsx AS DOUBLE), 6) AS zipf_slope,
+        |  round(CAST(zsxx*zsy - zsx*zsxy AS DOUBLE) /
+        |    CAST(zn*zsxx - zsx*zsx AS DOUBLE) / 1e6, 6) AS zipf_intercept,
+        |  CAST(hn AS BIGINT) AS n_docs,
+        |  round(CAST(hn*hsxy - hsx*hsy AS DOUBLE) /
+        |    CAST(hn*hsxx - hsx*hsx AS DOUBLE), 6) AS heaps_beta,
+        |  round(CAST(hsxx*hsy - hsx*hsxy AS DOUBLE) /
+        |    CAST(hn*hsxx - hsx*hsx AS DOUBLE) / 1e6, 6) AS heaps_lnk
+        |FROM z, h""".stripMargin))
   )
 }

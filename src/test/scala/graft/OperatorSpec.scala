@@ -1494,4 +1494,84 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bottom-k should be TakeOrdered (every partition forwards ≤k " +
         s"longs), got:\n$plan")
   }
+
+  test("PMI collocations: hand-computed ratios, min-count gate, invariance") {
+    import spark.implicits._
+    // corpus: n_tok=10, n_pairs=8; bigram counts ab:2 ba:1 cd:3 dc:2;
+    // unigrams a:2 b:2 c:3 d:3. minCount=2 keeps ab/cd/dc; ratios
+    // ab: 2*100/(8*4)=6.25, cd: 300/72=4.1667, dc: 200/72=2.7778 —
+    // k=2 keeps ab,cd; pmi = ln(ratio) to 4dp.
+    val docs = Seq("a b a b", "c d c d c d").toDF("text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", 2, 2L)
+      .orderBy(col("pmi").desc)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+        r.getAs[Double]("pmi")))
+    assert(got.toSeq == Seq(
+      ("a", "b", 2L, 2L, 2L, 1.8326),
+      ("c", "d", 3L, 3L, 3L, 1.4271)))
+    val again = TextAnalysis
+      .pmiCollocations(docs.repartition(4), "text", 2, 2L)
+      .orderBy(col("pmi").desc)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(again.toSeq == Seq(("a", "b"), ("c", "d")),
+      "PMI top-k not repartition-invariant")
+  }
+
+  test("scaling laws: exact Heaps on all-distinct docs, Zipf ≈ -1 on a 1/r corpus") {
+    import spark.implicits._
+    // every doc all-distinct tokens → V = n exactly → after identical
+    // micro-quantization ym == xm per point, so the OLS is EXACTLY
+    // beta=1, lnK=0 (integer arithmetic, no FP tolerance needed).
+    // Token counts follow c = 24/r for r=1..4 (t1×24 t2×12 t3×8 t4×6
+    // spread across docs) → Zipf slope ≈ -1 within quantization error.
+    val words = Seq.fill(24)("t1") ++ Seq.fill(12)("t2") ++
+      Seq.fill(8)("t3") ++ Seq.fill(6)("t4")
+    // deal round-robin into docs of varying length, keeping each
+    // doc's tokens distinct (one occurrence of a word per doc)
+    val docs = (0 until 24).map { i =>
+      val mine = Seq("t1") ++
+        (if (i < 12) Seq("t2") else Nil) ++
+        (if (i < 8) Seq("t3") else Nil) ++
+        (if (i < 6) Seq("t4") else Nil)
+      mine.mkString(" ")
+    }.toDF("text")
+    assert(words.length == 50) // sanity on the plan above
+    val r = TextAnalysis.corpusScalingLaws(docs, "text", topR = 4)
+      .collect().head
+    assert(r.getAs[Double]("heaps_beta") == 1.0)
+    assert(r.getAs[Double]("heaps_lnk") == 0.0)
+    assert(r.getAs[Long]("n_top") == 4L && r.getAs[Long]("n_docs") == 24L)
+    assert(math.abs(r.getAs[Double]("zipf_slope") + 1.0) < 2e-5,
+      s"zipf_slope=${r.getAs[Double]("zipf_slope")}")
+    val again = TextAnalysis
+      .corpusScalingLaws(docs.repartition(5), "text", topR = 4)
+      .collect().head
+    assert(again == r, "scaling-law row not repartition-invariant")
+  }
+
+  test("association rules: lift/confidence on a hand basket set; maxBasket guard") {
+    import spark.implicits._
+    val bi = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L), (4L, 3L), (4L, 4L))
+      .toDF("basket", "item")
+    // 4 baskets; only pair {1,2} reaches support 2 (it has 3);
+    // lift = 3*4/(3*3) = 1.3333, confidence = 1.0 both directions.
+    val got = Association.rulesTopK(bi, "basket", "item", 5, 2L)
+      .collect().map(r => (r.getAs[Long]("antecedent"),
+        r.getAs[Long]("consequent"), r.getAs[Long]("n_pair"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift")))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 3L, 1.0, 1.3333), (2L, 1L, 3L, 1.0, 1.3333)))
+    // maxBasket=2 drops the two 3-item baskets BEFORE pair counting:
+    // supports recompute over survivors (n_baskets=2), each remaining
+    // pair occurs once with lift 1*2/(1*1) = 2.0.
+    val guarded = Association
+      .rulesTopK(bi.repartition(4), "basket", "item", 10, 1L,
+        maxBasket = 2)
+      .collect().map(r => (r.getAs[Long]("antecedent"),
+        r.getAs[Long]("consequent"), r.getAs[Double]("lift")))
+    assert(guarded.toSeq == Seq((1L, 2L, 2.0), (2L, 1L, 2.0),
+      (3L, 4L, 2.0), (4L, 3L, 2.0)))
+  }
 }
