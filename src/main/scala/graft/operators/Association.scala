@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * the same machinery a data pipeline uses to find strongly-associated
   * tag / domain / token pairs.
   *
-  * Scale shape: the pair space is built by a SELF-JOIN WITHIN EACH
-  * BASKET (`a.item < b.item` on the basket key), so fan-out is
-  * C(basket size, 2) — bounded by the largest basket, never quadratic
-  * in the item catalog; `maxBasket` drops degenerate mega-baskets
+  * Scale shape: the pair space is generated WITHIN EACH BASKET from
+  * its sorted item array ([[withinGroupPairs]] — map-side codegen
+  * explode, no self-join shuffle), so fan-out is C(basket size, 2) —
+  * bounded by the largest basket, never quadratic in the item
+  * catalog; `maxBasket` drops degenerate mega-baskets
   * (carts of thousands of items contribute C(n,2) pairs and no
   * signal — the exact skew guard a 100 TB run needs, applied BEFORE
   * the pair explode). Supports are two partial-combined count
@@ -26,6 +27,25 @@ import org.apache.spark.sql.functions._
   * TakeOrderedAndProject — O(partitions·k) merge, no full sort.
   */
 object Association {
+
+  /** All unordered within-group item pairs (x < y): group to a sorted
+    * distinct item array (ONE O(rows) exchange), then explode the
+    * C(k,2) ordered pairs inside codegen — no group-keyed self-join,
+    * so the quadratic fan-out is generated map-side rather than
+    * shuffled. Callers bound k (basket caps, per-order line limits);
+    * the sort makes x < y free and the pair stream deterministic. */
+  def withinGroupPairs(df: DataFrame, grpCol: String,
+      itemCol: String): DataFrame =
+    df.groupBy(col(grpCol))
+      .agg(sort_array(collect_set(col(itemCol))).as("__is"))
+      .select(explode(expr(
+        """CASE WHEN size(__is) < 2 THEN array() ELSE
+          |flatten(transform(sequence(1, size(__is) - 1), i ->
+          |  transform(slice(__is, CAST(i + 1 AS INT),
+          |      size(__is) - CAST(i AS INT)),
+          |    y -> struct(element_at(__is, CAST(i AS INT)) AS x,
+          |      y AS y)))) END""".stripMargin)).as("__p"))
+      .select(col("__p.x").as("x"), col("__p.y").as("y"))
 
   /** Top-`k` two-item association rules by lift from a
     * (basketCol, itemCol) fact table. Both directions of each
@@ -44,9 +64,8 @@ object Association {
     val items = bi.join(sized, "bk")
     val nBaskets = sized.agg(count(lit(1)).cast("double").as("n_baskets"))
     val supp = items.groupBy(col("it")).agg(count(lit(1)).as("c_it"))
-    val pairs = items.as("x").join(items.as("y"),
-        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
-      .groupBy(col("x.it").as("ia"), col("y.it").as("ib"))
+    val pairs = withinGroupPairs(items, "bk", "it")
+      .groupBy(col("x").as("ia"), col("y").as("ib"))
       .agg(count(lit(1)).as("c_pair"))
       .filter(col("c_pair") >= minSupport)
     val scored = pairs

@@ -2135,12 +2135,10 @@ object Pipeline {
     // invariant, so enumeration order differences are immaterial.
     "p65_triangles" -> Q(
       (s, dir) => {
-        val pe = tbl(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val pairs = pe.as("a").join(pe.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("x"), col("b.p").as("y"))
+        val pairs = Association.withinGroupPairs(
+          tbl(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
         graft.operators.Graph.triangleCounts(pairs, "x", "y")
           .orderBy(col("node"))
       },
