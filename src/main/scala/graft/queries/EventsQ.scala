@@ -387,7 +387,52 @@ object EventsQ {
       Some(s"""SELECT event_type, count(*) AS cnt,
         |count(DISTINCT user_id) AS n_users,
         |${oSumCents("value")} AS total_value
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- stream-stream interval join, oracle-gated: views and
+    // purchases as two readStream sources over the same events table,
+    // INNER-joined on user within a 1-hour attribution window ending
+    // at the view — the online feature-attribution shape
+    // (EventStreams.viewPurchaseJoin). Inner matches emit as they
+    // form, and the generous watermark keeps both sides' state alive
+    // across the bounded input's whole time range, so the drained
+    // AvailableNow run is complete under ANY micro-batching — which
+    // is what lets a plain SQL self-join oracle gate it. (The
+    // production shape — tight watermark, left-outer null emission,
+    // state eviction — is twin-checked in StreamingSpec.) The memory
+    // sink holds matched pairs; the compact hourly rollup happens
+    // batch-side on the sink table.
+    "q60_stream_join" -> Q(
+      (s, dir) => {
+        val views = tblStream(s, dir, "events")
+          .filter(col("event_type") === "view")
+        val purchases = tblStream(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+        val joined = graft.streaming.EventStreams.viewPurchaseJoin(
+          views, purchases, intervalMs = 3600000L,
+          watermark = "30 days", joinType = "inner")
+        val sink = s"q60_mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val sq = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(sink)
+          .groupBy(unix_millis(date_trunc("hour", col("view_ts")))
+            .as("hour_ms"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("view_id")).as("n_views"),
+            money(sum(cents(col("purchase_value")))).as("purchase_value"))
+          .orderBy(col("hour_ms"))
+      },
+      Some(s"""SELECT epoch_ms(date_trunc('hour', v.ts)) AS hour_ms,
+        |count(*) AS n_pairs, count(DISTINCT v.event_id) AS n_views,
+        |${oSumCents("p.value")} AS purchase_value
+        |FROM events v JOIN events p ON p.user_id = v.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts <= v.ts AND p.ts >= v.ts - INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY hour_ms""".stripMargin))
   )
 
   /** KV fixture directory keyed by a CONTENT fingerprint of the source

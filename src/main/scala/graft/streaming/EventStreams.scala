@@ -156,13 +156,18 @@ object EventStreams {
     * join condition bounds purchase_ts to a window ending at view_ts,
     * so Spark derives a state watermark for BOTH sides and evicts
     * joined state as event time advances — state is
-    * O(events-per-horizon), never O(stream). Left-outer: a view with
-    * no qualifying purchase emits with nulls once the watermark
-    * proves none can arrive. Works identically on batch frames
-    * (unified API) — the spec checks stream == batch. */
+    * O(events-per-horizon), never O(stream). Left-outer (the
+    * default): a view with no qualifying purchase emits with nulls
+    * once the watermark proves none can arrive; `joinType = "inner"`
+    * emits matches as they form, with no watermark-gated null rows —
+    * the variant whose bounded-input output is complete under any
+    * micro-batching (q60 pins it against the DuckDB oracle). Works
+    * identically on batch frames (unified API) — the spec checks
+    * stream == batch. */
   def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
       intervalMs: Long = 3600000L,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "leftOuter"): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
@@ -176,7 +181,7 @@ object EventStreams {
         col("purchase_ts") <= col("view_ts") &&
         col("purchase_ts") >=
           col("view_ts") - expr(s"INTERVAL $intervalMs MILLISECONDS"),
-      "leftOuter")
+      joinType)
       .select(col("view_id"), col("user_id"), col("view_ts"),
         col("purchase_ts"), col("purchase_value"))
   }
