@@ -287,4 +287,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamedShuffles.isEmpty,
       s"corpus side of p47 verify shuffles: ${inner.left}")
   }
+
+  test("p68/p69 rank bounded top-k via TakeOrdered, never a global window") {
+    Seq("p68_cooccur_pmi", "p69_assoc_rules").foreach { q =>
+      val t = planText(q)
+      assert(t.contains("TakeOrderedAndProject"),
+        s"$q top-k not fused: $t")
+      assert(!t.contains("WindowExec"), s"$q plans a window: $t")
+    }
+  }
+
+  test("p70 ranks the Zipf head with the bounded TopK heap aggregate") {
+    val t = planText("p70_scaling_laws")
+    // the top-100 rank table merges via the k-heap ObjectHashAggregate
+    // (map-side bounded), not a row_number window over the vocabulary
+    assert(t.contains("ObjectHashAggregate"), t)
+    assert(!t.contains("WindowExec"), t)
+  }
 }
