@@ -556,6 +556,43 @@ object Dedup {
       .select(col("id"), coalesce(col("ml"), col("id")).as("cluster_id"))
   }
 
+  /** End-of-pipeline quality-aware dedup: mine near-dup clusters
+    * (portable MinHash banding → exact Jaccard ≥ `minJac` →
+    * [[duplicateClusters]] star contraction) and keep the LONGEST
+    * member of each cluster (whitespace token count, ties to the
+    * smaller id) — the "keep the most complete copy" policy real
+    * curation pipelines apply, vs [[exact]]/p27's keep-min-id.
+    * Documents outside any cluster are their own singleton cluster
+    * and are always kept.
+    *
+    * The representative argmax is a partial-combined `min` of a
+    * (-n_tokens, id) struct per cluster — an aggregate, never a
+    * window, so per-cluster state is one struct at any corpus size.
+    * Output: (idCol, cluster_id, cluster_size, n_tokens, keep). */
+  def keepBestPerCluster(df: DataFrame, idCol: String, textCol: String,
+      minJac: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatesPortable(df, idCol, textCol)
+    val pairs = jaccardForPairs(cand, df, idCol, textCol)
+      .filter(col("jac") >= minJac)
+    val comp = duplicateClusters(pairs)
+    val scored = df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val withCl = scored
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val reps = withCl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("n_tokens")).as("nt"), col(idCol).as("id")))
+          .as("__best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        col("__best.id").as("__rep"))
+    withCl.join(reps, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("n_tokens"),
+        when(col(idCol) === col("__rep"), 1).otherwise(0).as("keep"))
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns
     * (array formulation — fine for ad-hoc pairs). */
   /** Exact-substring duplication profile (Lee et al. 2021,

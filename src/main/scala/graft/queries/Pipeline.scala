@@ -2405,6 +2405,47 @@ object Pipeline {
         |    CAST(hn*hsxx - hsx*hsx AS DOUBLE), 6) AS heaps_beta,
         |  round(CAST(hsxx*hsy - hsx*hsxy AS DOUBLE) /
         |    CAST(hn*hsxx - hsx*hsx AS DOUBLE) / 1e6, 6) AS heaps_lnk
-        |FROM z, h""".stripMargin))
+        |FROM z, h""".stripMargin)),
+
+    // ---- p71: quality-aware dedup — the end-of-pipeline policy that
+    // keeps the LONGEST member of each near-dup cluster (ties to the
+    // smaller id) instead of p27's keep-min-id. Same mine→verify→
+    // contract machinery (portable MinHash banding, exact Jaccard,
+    // O(log n) star contraction); the representative argmax is a
+    // partial-combined struct-min aggregate, never a window. DuckDB
+    // replays the full chain: banding, Jaccard, recursive-CTE
+    // components, then the keep-longest pick.
+    "p71_cluster_rep" -> Q(
+      (s, dir) => Dedup.keepBestPerCluster(
+          tbl(s, dir, "documents"), "doc_id", "text", minJac = 0.5)
+        .orderBy(col("doc_id")),
+      Some {
+        s"""WITH $duckMinhashCand,
+          |$duckCandJaccard,
+          |edges0 AS (SELECT a_id, b_id FROM jac WHERE jac >= 0.5),
+          |edges AS (SELECT a_id, b_id FROM edges0
+          |  UNION SELECT b_id, a_id FROM edges0),
+          |rec AS (
+          |  WITH RECURSIVE reach(src, dst) AS (
+          |    SELECT a_id AS src, a_id AS dst FROM edges
+          |    UNION
+          |    SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst)
+          |  SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src),
+          |tok AS (SELECT doc_id,
+          |    CAST(len(str_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+          |      AS n_tokens FROM documents),
+          |wc AS (SELECT tok.doc_id, tok.n_tokens,
+          |    coalesce(rec.cluster_id, tok.doc_id) AS cluster_id
+          |  FROM tok LEFT JOIN rec ON rec.src = tok.doc_id),
+          |rep AS (SELECT doc_id, cluster_id, n_tokens,
+          |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          |    row_number() OVER (PARTITION BY cluster_id
+          |      ORDER BY n_tokens DESC, doc_id) AS rn
+          |  FROM wc)
+          |SELECT doc_id, cluster_id,
+          |  CAST(cluster_size AS BIGINT) AS cluster_size, n_tokens,
+          |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM rep ORDER BY doc_id""".stripMargin
+      })
   )
 }

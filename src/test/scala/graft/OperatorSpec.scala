@@ -1495,6 +1495,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"longs), got:\n$plan")
   }
 
+  test("keepBestPerCluster keeps the longest member, singletons survive") {
+    import spark.implicits._
+    // docs 1/2 are exact dups (equal length → tie to smaller id);
+    // doc 3 is a near-dup of them but LONGER → it must be the rep of
+    // the merged cluster if jaccard >= 0.5 links it; docs 4/5 are
+    // unrelated singletons and must keep themselves.
+    val r = Dedup.keepBestPerCluster(docs(), "doc_id", "text", 0.5)
+      .orderBy(col("doc_id")).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("cluster_id"),
+        x.getAs[Long]("cluster_size"), x.getAs[Int]("keep")))
+    val byId = r.map(t => t._1 -> t).toMap
+    // 1 and 2 share a cluster; their reps are consistent
+    assert(byId(1L)._2 == byId(2L)._2)
+    // exactly one keeper per cluster
+    val keepers = r.groupBy(_._2).map { case (_, rows) =>
+      rows.count(_._4 == 1) }
+    assert(keepers.forall(_ == 1), s"per-cluster keeper counts: $keepers")
+    // singletons keep themselves
+    assert(byId(4L) == ((4L, 4L, 1L, 1)) && byId(5L) == ((5L, 5L, 1L, 1)))
+    // within the 1-2(-3) cluster the keeper is the longest member
+    // (all texts 1-3 have 12 tokens → tie resolves to min id 1)
+    assert(byId(1L)._4 == 1 && byId(2L)._4 == 0)
+  }
+
   test("PMI collocations: hand-computed ratios, min-count gate, invariance") {
     import spark.implicits._
     // corpus: n_tok=10, n_pairs=8; bigram counts ab:2 ba:1 cd:3 dc:2;
