@@ -432,7 +432,41 @@ object EventsQ {
         |FROM events v JOIN events p ON p.user_id = v.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts <= v.ts AND p.ts >= v.ts - INTERVAL 1 HOUR
-        |GROUP BY 1 ORDER BY hour_ms""".stripMargin))
+        |GROUP BY 1 ORDER BY hour_ms""".stripMargin)),
+
+    // ---- the space-saving heavy-hitter UDAF as a REAL streaming
+    // run, oracle-gated: q51's windowed top-3 (bounded O(capacity)
+    // state per window — the custom mergeable TopK.spaceSaving
+    // aggregate) over a readStream source, drained with AvailableNow
+    // into a complete-mode memory sink. Capacity exceeds the
+    // distinct-user count, so the streaming incremental merges land
+    // on the EXACT per-hour top-3 — the same plain-SQL oracle as the
+    // batch entry gates the custom aggregate's streaming state path.
+    "q61_stream_heavy_hitters" -> Q(
+      (s, dir) => {
+        val hh = graft.streaming.EventStreams.windowedHeavyHitters(
+          tblStream(s, dir, "events"), "1 hour", "2 hours",
+          k = 3, capacity = 4096)
+        val sink = s"q61_mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val sq = hh.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(sink)
+          .select(unix_millis(col("window_start")).as("hour_ms"),
+            col("rnk").cast("long").as("rnk"), col("user_id"),
+            col("est_count"), col("max_err"))
+          .orderBy(col("hour_ms"), col("rnk"))
+      },
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) AS h, user_id,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT h, user_id, cnt, row_number() OVER (
+        |    PARTITION BY h ORDER BY cnt DESC, user_id) AS rnk FROM c)
+        |SELECT epoch_ms(h) AS hour_ms, CAST(rnk AS BIGINT) AS rnk,
+        |  user_id, cnt AS est_count, CAST(0 AS BIGINT) AS max_err
+        |FROM r WHERE rnk <= 3 ORDER BY hour_ms, rnk""".stripMargin))
   )
 
   /** KV fixture directory keyed by a CONTENT fingerprint of the source
