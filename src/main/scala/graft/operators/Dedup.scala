@@ -423,6 +423,27 @@ object Dedup {
       shingleStorage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
       pairsStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    overlapForPairs(pairs, df, idCol, textCol, shingleStorage,
+      pairsStorage).select(col("a_id"), col("b_id"), col("jac"))
+
+  /** Full overlap statistics for verified candidate pairs: shingle
+    * intersection size, both set sizes, symmetric Jaccard AND the two
+    * asymmetric containments |A∩B|/|A|, |A∩B|/|B| — the quote /
+    * near-superset detector (a short doc wholly quoted inside a long
+    * one has low Jaccard but containment ≈ 1). Containment always
+    * dominates Jaccard (n/|A| ≥ n/|A∪B|), so LSH candidates mined at
+    * a Jaccard threshold recall every pair at least that similar;
+    * catching tiny-in-huge containment below the Jaccard floor needs
+    * a dedicated miner (e.g. partial-signature banding), which is why
+    * the battery entry gates the candidates it mines, not all-pairs
+    * recall. Same plan shape as [[jaccardForPairs]]: candidate-sized
+    * joins only, nothing corpus². */
+  def overlapForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String,
+      shingleStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      pairsStorage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // both inputs fan out into several join branches; persist so the
     // candidate miner upstream of `pairs` and the shingle pass run
@@ -447,9 +468,17 @@ object Dedup {
       .join(sizes.toDF("b_id", "b_n"), Seq("b_id"))
       .join(inter, Seq("a_id", "b_id"), "left")
       .select(col("a_id"), col("b_id"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        col("a_n"), col("b_n"),
         (coalesce(col("n_inter"), lit(0L)).cast("double") /
           (col("a_n") + col("b_n") - coalesce(col("n_inter"), lit(0L)))
             .cast("double")).as("jac"))
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("a_n"),
+        col("b_n"), col("jac"),
+        (col("n_inter").cast("double") / col("a_n").cast("double"))
+          .as("containment_a"),
+        (col("n_inter").cast("double") / col("b_n").cast("double"))
+          .as("containment_b"))
   }
 
   /** Connected components over a verified candidate-pair edge list

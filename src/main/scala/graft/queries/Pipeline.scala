@@ -2446,6 +2446,43 @@ object Pipeline {
           |  CAST(cluster_size AS BIGINT) AS cluster_size, n_tokens,
           |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
           |FROM rep ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- p72: containment mining — asymmetric |A∩B|/|A| over the
+    // LSH candidates, the quote/near-superset detector (low Jaccard,
+    // high one-sided containment). Containment dominates Jaccard, so
+    // the miner's recall floor carries over; pairs with max
+    // containment ≥ 0.8 survive. Exact integer set sizes, divisions
+    // mirrored operand-for-operand.
+    "p72_containment" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val cand = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        Dedup.overlapForPairs(cand, docs, "doc_id", "text")
+          .filter(greatest(col("containment_a"), col("containment_b"))
+            >= 0.8)
+          .select(col("a_id"), col("b_id"), col("n_inter"), col("a_n"),
+            col("b_n"), round(col("containment_a"), 4).as("containment_a"),
+            round(col("containment_b"), 4).as("containment_b"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some {
+        s"""WITH $duckMinhashCand,
+          |ov AS (SELECT c.a_id, c.b_id,
+          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+          |    CAST(len(sa.sh) AS BIGINT) AS a_n,
+          |    CAST(len(sb.sh) AS BIGINT) AS b_n
+          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+          |  JOIN sh sb ON sb.doc_id = c.b_id)
+          |SELECT a_id, b_id, n_inter, a_n, b_n,
+          |  round(CAST(n_inter AS DOUBLE) / CAST(a_n AS DOUBLE), 4)
+          |    AS containment_a,
+          |  round(CAST(n_inter AS DOUBLE) / CAST(b_n AS DOUBLE), 4)
+          |    AS containment_b
+          |FROM ov
+          |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(a_n AS DOUBLE),
+          |  CAST(n_inter AS DOUBLE) / CAST(b_n AS DOUBLE)) >= 0.8
+          |ORDER BY a_id, b_id""".stripMargin
       })
   )
 }
