@@ -764,6 +764,52 @@ object Parity {
         |SELECT n_name, metric, value
         |FROM w UNPIVOT (value FOR metric
         |  IN (n_cust, sum_bal_cents, max_bal_cents))
-        |ORDER BY n_name, metric""".stripMargin))
+        |ORDER BY n_name, metric""".stripMargin)),
+
+    // ---- the reference's STATEMENT SURFACE under the oracle gate:
+    // the same join+aggregate a user of the reference would type,
+    // executed through `GraftEngine.sql` (statement frontend →
+    // catalog-registered external tables → Catalyst), not the
+    // DataFrame API. Engine DDL/DML behavior is spec-gated in
+    // EngineSpec (DuckDB has no MySQL statement surface); THIS entry
+    // pins that a SELECT through the engine produces byte-identical
+    // results to the ANSI oracle — the query surface itself is
+    // engine-independent. Fresh throwaway warehouse per call (catalog
+    // metadata only — the returned frame reads the testdata parquet
+    // directly, so it outlives the warehouse).
+    "q62_engine_sql" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q62_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q62")
+        eng.sql("use q62")
+        eng.sql(s"create external table ord USING PARQUET LOCATION '$dir/orders.parquet'")
+        eng.sql(s"create external table cust USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(
+          """select c_mktsegment,
+            |  count(*) as n_orders,
+            |  count(distinct o_custkey) as n_customers,
+            |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as double) / 100.0
+            |    as total_price
+            |from ord join cust on o_custkey = c_custkey
+            |where o_orderstatus <> 'X'
+            |group by c_mktsegment
+            |having count(*) > 0
+            |order by c_mktsegment""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""SELECT c_mktsegment,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'X'
+        |GROUP BY c_mktsegment
+        |HAVING count(*) > 0
+        |ORDER BY c_mktsegment""".stripMargin))
   )
 }
