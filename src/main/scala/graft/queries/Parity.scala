@@ -810,6 +810,63 @@ object Parity {
         |WHERE o_orderstatus <> 'X'
         |GROUP BY c_mktsegment
         |HAVING count(*) > 0
-        |ORDER BY c_mktsegment""".stripMargin))
+        |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- the §2.7 storage-mutating family under the oracle gate:
+    // INSERT…SELECT into a managed versioned table, a COW UPDATE, a
+    // COW DELETE, then BOTH the pre-mutation snapshot (time-travel
+    // `VERSION AS OF`) and the current image aggregated in one
+    // statement through `GraftEngine.sql`. The oracle reconstructs
+    // both snapshots declaratively from the source table, so the
+    // engine's write path, version store, and time-travel reads are
+    // all hash-gated — not just spec-gated. Fresh throwaway
+    // warehouse per call; managed data is customer-sized (the
+    // smallest interesting fact table), so the entry stays cheap.
+    "q63_engine_time_travel" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q63_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.setVersionRetention(10)
+        eng.sql("create schema q63")
+        eng.sql("use q63")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(
+          """create table cust (c_custkey int, c_name char,
+            |c_nationkey int, c_acctbal float, c_mktsegment char,
+            |PRIMARY KEY(c_custkey))""".stripMargin)
+        eng.sql(
+          """insert into cust select c_custkey, c_name, c_nationkey,
+            |c_acctbal, c_mktsegment from cust_src""".stripMargin) // v1
+        eng.sql(
+          "update cust set c_acctbal = 0.0 where c_mktsegment = 'BUILDING'") // v2
+        eng.sql("delete from cust where c_nationkey = 3")                    // v3
+        eng.sql(
+          """select 'v1' as snap, c_mktsegment as seg, count(*) as n,
+            |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0 as bal
+            |from cust version as of 1 group by c_mktsegment
+            |union all
+            |select 'cur' as snap, c_mktsegment as seg, count(*) as n,
+            |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0 as bal
+            |from cust group by c_mktsegment
+            |order by snap, seg""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""WITH v1 AS (SELECT 'v1' AS snap, c_mktsegment AS seg,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 AS bal
+        |  FROM customer GROUP BY c_mktsegment),
+        |cur AS (SELECT 'cur' AS snap, c_mktsegment AS seg,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |        THEN CAST(0 AS BIGINT)
+        |        ELSE CAST(round(c_acctbal * 100) AS BIGINT) END)
+        |      AS DOUBLE) / 100.0 AS bal
+        |  FROM customer WHERE c_nationkey <> 3 GROUP BY c_mktsegment)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM cur
+        |ORDER BY snap, seg""".stripMargin))
   )
 }
