@@ -867,6 +867,63 @@ object Parity {
         |      AS DOUBLE) / 100.0 AS bal
         |  FROM customer WHERE c_nationkey <> 3 GROUP BY c_mktsegment)
         |SELECT * FROM v1 UNION ALL SELECT * FROM cur
-        |ORDER BY snap, seg""".stripMargin))
+        |ORDER BY snap, seg""".stripMargin)),
+
+    // ---- the change data feed under the oracle gate: the q63
+    // mutation chain (INSERT…SELECT → COW UPDATE → COW DELETE), then
+    // `engine.changes(cust, 1, 3)` — the rowid-keyed snapshot diff —
+    // aggregated per (change_type, segment). v1→v3 semantics: every
+    // c_nationkey=3 row is a `delete` carrying v1 values (including
+    // BUILDING∩nationkey=3 rows updated in v2 — the diff is
+    // endpoint-to-endpoint, not a replay); surviving BUILDING rows
+    // emit update_preimage (original balance) + update_postimage
+    // (zeroed). No source row has c_acctbal = 0.0 at any SF, so
+    // every surviving BUILDING row really changed. The oracle
+    // reconstructs all three row classes from the source table.
+    "q64_engine_cdf" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q64_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.setVersionRetention(10)
+        eng.sql("create schema q64")
+        eng.sql("use q64")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(
+          """create table cust (c_custkey int, c_name char,
+            |c_nationkey int, c_acctbal float, c_mktsegment char,
+            |PRIMARY KEY(c_custkey))""".stripMargin)
+        eng.sql(
+          """insert into cust select c_custkey, c_name, c_nationkey,
+            |c_acctbal, c_mktsegment from cust_src""".stripMargin) // v1
+        eng.sql(
+          "update cust set c_acctbal = 0.0 where c_mktsegment = 'BUILDING'") // v2
+        eng.sql("delete from cust where c_nationkey = 3")                    // v3
+        eng.changes("cust", 1, 3)
+          .groupBy(col("_change_type").as("change_type"),
+            col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("n"),
+            money(sum(cents(col("c_acctbal")))).as("bal"))
+          .orderBy(col("change_type"), col("seg"))
+      },
+      Some("""WITH del AS (SELECT 'delete' AS change_type,
+        |    c_mktsegment AS seg, count(*) AS n,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 AS bal
+        |  FROM customer WHERE c_nationkey = 3 GROUP BY c_mktsegment),
+        |pre AS (SELECT 'update_preimage' AS change_type,
+        |    c_mktsegment AS seg, count(*) AS n,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 AS bal
+        |  FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_nationkey <> 3
+        |  GROUP BY c_mktsegment),
+        |post AS (SELECT 'update_postimage' AS change_type,
+        |    c_mktsegment AS seg, count(*) AS n, 0.0 AS bal
+        |  FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_nationkey <> 3
+        |  GROUP BY c_mktsegment)
+        |SELECT * FROM del UNION ALL SELECT * FROM pre
+        |UNION ALL SELECT * FROM post
+        |ORDER BY change_type, seg""".stripMargin))
   )
 }
