@@ -924,6 +924,43 @@ object Parity {
         |  GROUP BY c_mktsegment)
         |SELECT * FROM del UNION ALL SELECT * FROM pre
         |UNION ALL SELECT * FROM post
-        |ORDER BY change_type, seg""".stripMargin))
+        |ORDER BY change_type, seg""".stripMargin)),
+
+    // ---- prepared statements under the oracle gate: prepare a
+    // 2-parameter SELECT on a per-connection session, execute it with
+    // a string and a numeric param (the engine's `?` splice —
+    // SURVEY's sanctioned equivalent of the reference's binary
+    // param codec), and the result must hash-match the oracle run
+    // with the same literals inlined.
+    "q65_engine_prepared" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q65_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q65")
+        eng.sql("use q65")
+        eng.sql(s"create external table ord USING PARQUET LOCATION '$dir/orders.parquet'")
+        val ses = eng.newSession()
+        ses.sql("use q65")
+        val pid = ses.prepare(
+          """select o_orderstatus, count(*) as n,
+            |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as double) / 100.0
+            |    as total
+            |from ord
+            |where o_orderstatus <> ? and o_totalprice >= ?
+            |group by o_orderstatus order by o_orderstatus""".stripMargin)
+        val out = ses.executePrepared(pid, Seq("X", 1000.0)) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+        ses.closePrepared(pid)
+        out
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total
+        |FROM orders
+        |WHERE o_orderstatus <> 'X' AND o_totalprice >= 1000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }
