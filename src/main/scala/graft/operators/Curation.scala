@@ -407,6 +407,27 @@ object Curation {
         lit("val"))
       .otherwise(lit("test"))
 
+  /** GROUP-aware train/val/test assignment (sklearn's
+    * GroupShuffleSplit shape): the split is a pure function of the
+    * GROUP key (site/source/author), so every document of a group
+    * lands in the same split BY CONSTRUCTION — the structural cure
+    * for cross-split leakage of same-origin near-dups that per-doc
+    * hashing ([[assignSplit]]) cannot give (and that [[splitLeakage]]
+    * then has to audit for). Deterministic portable hash → percent
+    * bucket → threshold cut; one narrow codegen'd column, zero
+    * shuffle, replayable in ANSI SQL. */
+  def groupedSplit(df: DataFrame, groupCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split fractions: train $trainPct% + val $valPct%")
+    val bucket =
+      graft.functions.RollingHash(col(groupCol), 31L, 1000000007L) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Split assignment + NEAR-duplicate leakage audit — the eval-
     * hygiene check a training run needs before trusting its val/test
     * numbers: a hash split keeps exact dups together, but near-dups

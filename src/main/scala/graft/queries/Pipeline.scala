@@ -2483,6 +2483,29 @@ object Pipeline {
           |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(a_n AS DOUBLE),
           |  CAST(n_inter AS DOUBLE) / CAST(b_n AS DOUBLE)) >= 0.8
           |ORDER BY a_id, b_id""".stripMargin
-      })
+      }),
+
+    // ---- p73: group-aware train/val/test split — the split is a
+    // pure function of the SOURCE key, so same-origin documents land
+    // in one split by construction (the structural leakage cure
+    // per-doc hashing can't give). One narrow codegen'd column; the
+    // audit rolls up docs/sources/chars per split.
+    "p73_grouped_split" -> Q(
+      (s, dir) => Curation
+        .groupedSplit(tbl(s, dir, "documents"), "source")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split")),
+      Some(s"""WITH b AS (SELECT source, n_chars,
+        |    ${QueryUtil.oPoly("source", 31L, 1000000007L)} % 100 AS bk
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 80 THEN 'train'
+        |    WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin))
   )
 }

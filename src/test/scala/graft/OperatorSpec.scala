@@ -1495,6 +1495,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"longs), got:\n$plan")
   }
 
+  test("groupedSplit: split is a pure function of the group; fractions gated") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"src${i % 13}"))
+      .toDF("id", "source")
+    val r = Curation.groupedSplit(df.repartition(7), "source")
+    val straddle = r.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddle == 0, "a source landed in more than one split")
+    val names = r.select(col("split")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(names.subsetOf(Set("train", "val", "test")) && names.nonEmpty)
+    intercept[IllegalArgumentException](
+      Curation.groupedSplit(df, "source", trainPct = 95, valPct = 10))
+  }
+
   test("keepBestPerCluster keeps the longest member, singletons survive") {
     import spark.implicits._
     // docs 1/2 are exact dups (equal length → tie to smaller id);
