@@ -540,4 +540,61 @@ object Similarity {
           expr("transform(tv, x -> x / kept_mass)")).as("v_prep"),
         col("norm_centered"), col("kept_mass"))
   }
+
+  /** Per-tensor symmetric scalar quantization with a recall@k
+    * fidelity report — the embedding-compression gate every
+    * large-corpus vector store runs before committing to a code
+    * layout (symmetric scale = the inference-engine default;
+    * Jacob et al. 2018 §2.1). One corpus-wide scale s = max |x|
+    * maps each component to round(x·L/s) ∈ [-L, L] (`levels` = L:
+    * 127 for int8, 7 for int4); the report scores every query's
+    * exact-cosine top-k against the top-k computed on the
+    * DEQUANTIZED corpus, so the number is the end-to-end ranking
+    * fidelity of the compressed representation, not a
+    * per-component error bound.
+    *
+    * Scale shape: the scale is ONE partial-combined max over the
+    * corpus (each row folds to a scalar map-side, the exchange
+    * carries one double per partition) broadcast back; both
+    * rankings come from a SINGLE corpus scan — the cross join
+    * against the broadcast query set scores exact and quantized
+    * cosine side by side, and one grouped aggregate carries TWO
+    * bounded top-k heaps per query, so the shuffle moves
+    * O(partitions·queries·k) heap rows once, not the scored corpus
+    * twice. Quantize-then-dequantize happens inline per row (no
+    * second materialized corpus).
+    *
+    * Returns (q_id, n_overlap, recall) per query, recall = overlap/k
+    * rounded 4dp, ordered by q_id. */
+  def quantRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      levels: Int = 127): DataFrame = {
+    require(levels >= 1, s"levels $levels must be >= 1")
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("nv")))
+    val scale = c.agg(
+      max(expr("aggregate(nv, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+        .as("s"))
+    val q = queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(scale))
+      .select(col("neighbor_id"), col("nv"),
+        expr(s"transform(nv, x -> round(x * $levels.0 / s) * s / $levels.0)")
+          .as("nvq"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosineExpr("qv", "nv").as("se"),
+        cosineExpr("qv", "nvq").as("sq"))
+    scored.groupBy(col("q_id"))
+      .agg(TopK.topK(k)(col("neighbor_id"), col("se")).as("__te"),
+        TopK.topK(k)(col("neighbor_id"), col("sq")).as("__tq"))
+      .select(col("q_id"),
+        expr("""CAST(size(array_intersect(transform(__te, x -> x.id),
+          |  transform(__tq, x -> x.id))) AS BIGINT)""".stripMargin)
+          .as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / lit(k.toDouble), 4)
+          .as("recall"))
+  }
 }

@@ -97,4 +97,60 @@ object Sketches {
         (col("rho") * col("est_union")).as("est_overlap"),
         col("rho").as("jaccard"))
   }
+
+  /** Count-min sketch row hashes for an integer key: pairwise-
+    * independent family h_i(x) = ((a_i·x + b_i) mod p) mod w with
+    * p = 2^31 - 1 (Carter-Wegman), exact in Long for |x| < ~4.3e9·p
+    * — replayable bit-for-bit by any engine with 64-bit integer
+    * arithmetic. `floor-mod` keeps negative keys in range. */
+  private val cmP = 2147483647L
+  private val cmA = Array(1103515245L, 22695477L, 69069L, 1664525L)
+  private val cmB = Array(12345L, 1L, 362437L, 1013904223L)
+  def cmBucket(key: Column, row: Int, w: Int): Column =
+    pmod(pmod(lit(cmA(row)) * key + lit(cmB(row)), lit(cmP)), lit(w.toLong))
+
+  /** Count-min sketch (Cormode-Muthukrishnan 2005) frequency
+    * estimates, checked against exact counts for the `topK` heaviest
+    * keys. The sketch is the scale path: its counter table is d·w
+    * cells regardless of corpus size, built by ONE partial-combined
+    * aggregate (each row explodes into its d (row, bucket) cells
+    * map-side, partials merge by +, so the exchange moves at most
+    * d·w·partitions rows), and two sketches merge by cell-wise add —
+    * the mergeable-summary contract that lets 1000 executors sketch
+    * 100 TB and combine on one reducer. The exact counts exist here
+    * only as the comparison baseline for the battery's oracle; at
+    * production scale the sketch replaces them. Estimates are
+    * deterministic given the fixed hash family, so an ANSI engine
+    * replays every cell and every min.
+    *
+    * Returns (key, true_count, est_count) for the `topK` keys by
+    * exact count (ties broken by key), ordered the same; est ≥ true
+    * always (one-sided error ≤ εN with ε = e/w at the usual depth).
+    */
+  def countMinTopK(df: DataFrame, keyCol: String, w: Int, d: Int,
+      topK: Int): DataFrame = {
+    require(d >= 1 && d <= cmA.length, s"depth $d must be in [1, ${cmA.length}]")
+    val keys = df.select(col(keyCol).cast("long").as("__k"))
+    val cells = keys.select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("__r"), cmBucket(col("__k"), i, w).as("__b"))): _*))
+        .as("__c"))
+      .groupBy(col("__c.__r").as("__r"), col("__c.__b").as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val exact = keys.groupBy(col("__k"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("__k"))
+      .limit(topK)
+    // topK is small: estimate by joining each heavy key's d cells —
+    // the sketch side is tiny (d·w rows) and broadcasts
+    val probes = exact.select(col("__k"), col("true_count"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("__r"), cmBucket(col("__k"), i, w).as("__b"))): _*))
+          .as("__c"))
+      .select(col("__k"), col("true_count"),
+        col("__c.__r").as("__r"), col("__c.__b").as("__b"))
+    probes.join(broadcast(cells), Seq("__r", "__b"))
+      .groupBy(col("__k"), col("true_count"))
+      .agg(min(col("__cnt")).as("est_count"))
+      .select(col("__k").as("key"), col("true_count"), col("est_count"))
+  }
 }

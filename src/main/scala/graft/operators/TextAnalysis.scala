@@ -586,4 +586,43 @@ object TextAnalysis {
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         round(log(col("ratio")), 4).as("pmi"))
   }
+
+  /** Skip-gram co-occurrence counts (the word2vec/GloVe context
+    * builder; Mikolov 2013 §2, Pennington 2014 §3): every ordered
+    * token pair (a, b) where b follows a within `window` positions,
+    * counted corpus-wide, top-`k` pairs by count. Generalizes
+    * [[pmiCollocations]]'s adjacent bigrams to the full context
+    * window that embedding training actually consumes.
+    *
+    * Scale shape: the ≤ window·|tokens| pair stream is generated
+    * MAP-SIDE inside one codegen'd nested transform over each
+    * document's token array — no posexplode + self-join on position
+    * (which would shuffle the token stream twice and build a skewed
+    * join on doc id). The only exchange is the partial-combined
+    * pair-count aggregate, whose map-side combine collapses the
+    * stream to the distinct-pair vocabulary per partition. Ranking
+    * is exact integer counts with the lexicographic (a, b)
+    * tie-break; top-k collapses via TakeOrderedAndProject.
+    *
+    * Returns (a, b, cnt) — the exact co-occurrence count, ordered
+    * cnt desc, then (a, b). */
+  def skipgramTopK(df: DataFrame, textCol: String, window: Int,
+      k: Int, minCount: Long): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    val tk = df.select(Dedup.tokens(col(textCol)).as("tk"))
+    val pairs = tk.select(explode(expr(
+        s"""CASE WHEN size(tk) < 2 THEN array()
+          |ELSE flatten(transform(sequence(1, size(tk) - 1), i ->
+          |  transform(sequence(CAST(i + 1 AS INT),
+          |      CAST(least(i + $window, size(tk)) AS INT)), j -> struct(
+          |    element_at(tk, CAST(i AS INT)) AS a,
+          |    element_at(tk, CAST(j AS INT)) AS b)))) END""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

@@ -2506,6 +2506,173 @@ object Pipeline {
         |  count(*) AS n_docs,
         |  count(DISTINCT source) AS n_sources,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM b GROUP BY 1 ORDER BY split""".stripMargin))
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // ---- p74: multi-source BFS reachability — the recursive-query
+    // capability (SQL WITH RECURSIVE, which Spark lacks) as a
+    // frontier iteration with per-level visited-set dedup. The
+    // interaction graph is sparsified ((7s+d) mod 13 < 2) so the
+    // BFS actually runs deep (hops 0-3 at sf0.01) instead of
+    // saturating in one round; seeds are the id ≡ 0 (mod 53) nodes.
+    // The DuckDB oracle IS a recursive CTE over the identical edge
+    // set — min(h) over the recursion equals the BFS level by
+    // level-order induction.
+    "p74_reachability" -> Q(
+      (s, dir) => {
+        val raw = tbl(s, dir, "events")
+          .select(col("user_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").as("item"))
+          .filter(col("item").isNotNull)
+          .filter((col("user_id") * 7 + col("item")) % 13 < 2)
+        val nodes = raw.select(col("user_id").as("n"))
+          .union(raw.select(col("item").as("n"))).distinct()
+        graft.operators.Graph.reachability(raw, "user_id", "item",
+            nodes.filter(col("n") % 53 === 0), "n", maxHops = 4)
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE ae AS (SELECT DISTINCT user_id AS s,
+        |    CAST(props->>'k' AS BIGINT) AS d
+        |  FROM events WHERE props->>'k' IS NOT NULL
+        |    AND (user_id * 7 + CAST(props->>'k' AS BIGINT)) % 13 < 2),
+        |e AS (SELECT s, d FROM ae WHERE s <> d),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT s AS n FROM ae UNION ALL SELECT d FROM ae)),
+        |r AS (
+        |  SELECT n, CAST(0 AS BIGINT) AS h FROM nodes WHERE n % 53 = 0
+        |  UNION
+        |  SELECT e.d AS n, r.h + 1 AS h FROM r JOIN e ON e.s = r.n
+        |  WHERE r.h < 4
+        |)
+        |SELECT n AS node, min(h) AS hops FROM r GROUP BY n
+        |ORDER BY node""".stripMargin)),
+
+    // ---- p75: k-core peel of the co-ordered-parts graph — the
+    // graph-curation gate that strips low-connectivity periphery
+    // (drive-by links, single-interaction nodes) while the dense
+    // core survives. Fixed 4 peel rounds keep the trajectory
+    // engine-replayable; k=64 sits above the graph's minimum degree
+    // at every SF (the co-occurrence density is scale-stable), so
+    // the peel genuinely removes rows each round. The oracle unrolls
+    // the identical 4 rounds; its CTEs are MATERIALIZED because each
+    // round references its predecessor three times — inlined, the
+    // expression tree is 3^rounds copies of the base join.
+    "p75_kcore" -> Q(
+      (s, dir) => {
+        val pairs = Association.withinGroupPairs(
+          tbl(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        graft.operators.Graph.kCorePeel(pairs, "x", "y", k = 64, rounds = 4)
+          .orderBy(col("node"))
+      },
+      Some("""WITH pe AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+        |d1 AS MATERIALIZED (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) GROUP BY n),
+        |k1 AS MATERIALIZED (SELECT n FROM d1 WHERE dg >= 64),
+        |e1 AS MATERIALIZED (SELECT e0.u, e0.v FROM e0 JOIN k1 a ON a.n = e0.u JOIN k1 b ON b.n = e0.v),
+        |d2 AS MATERIALIZED (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e1 UNION ALL SELECT v AS n FROM e1) GROUP BY n),
+        |k2 AS MATERIALIZED (SELECT n FROM d2 WHERE dg >= 64),
+        |e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1 JOIN k2 a ON a.n = e1.u JOIN k2 b ON b.n = e1.v),
+        |d3 AS MATERIALIZED (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e2 UNION ALL SELECT v AS n FROM e2) GROUP BY n),
+        |k3 AS MATERIALIZED (SELECT n FROM d3 WHERE dg >= 64),
+        |e3 AS MATERIALIZED (SELECT e2.u, e2.v FROM e2 JOIN k3 a ON a.n = e2.u JOIN k3 b ON b.n = e2.v),
+        |d4 AS MATERIALIZED (SELECT n, count(*) AS dg FROM (SELECT u AS n FROM e3 UNION ALL SELECT v AS n FROM e3) GROUP BY n),
+        |k4 AS MATERIALIZED (SELECT n FROM d4 WHERE dg >= 64),
+        |e4 AS MATERIALIZED (SELECT e3.u, e3.v FROM e3 JOIN k4 a ON a.n = e3.u JOIN k4 b ON b.n = e3.v)
+        |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+        |FROM (SELECT u AS n FROM e4 UNION ALL SELECT v AS n FROM e4)
+        |GROUP BY n ORDER BY node""".stripMargin)),
+
+    // ---- p76: count-min sketch frequency estimates vs exact counts
+    // for the 20 heaviest event users. w=32 is deliberately tight
+    // (150 distinct keys at sf0.01) so the one-sided collision error
+    // is actually exercised — every estimate here overshoots and the
+    // min-over-rows genuinely selects; production widths make the
+    // same cells near-exact. The d·w counter table is ONE
+    // partial-combined aggregate and merges cell-wise — the
+    // mergeable-summary scale contract.
+    "p76_countmin" -> Q(
+      (s, dir) => graft.operators.Sketches
+        .countMinTopK(tbl(s, dir, "events"), "user_id",
+          w = 32, d = 4, topK = 20)
+        .orderBy(col("true_count").desc, col("key")),
+      Some("""WITH k AS (SELECT user_id AS kk FROM events),
+        |cells AS (SELECT 0 AS r, ((1103515245 * kk + 12345) % 2147483647) % 32 AS b FROM k
+        |  UNION ALL SELECT 1, ((22695477 * kk + 1) % 2147483647) % 32 FROM k
+        |  UNION ALL SELECT 2, ((69069 * kk + 362437) % 2147483647) % 32 FROM k
+        |  UNION ALL SELECT 3, ((1664525 * kk + 1013904223) % 2147483647) % 32 FROM k),
+        |cc AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |ex AS (SELECT kk, CAST(count(*) AS BIGINT) AS true_count
+        |  FROM k GROUP BY 1 ORDER BY true_count DESC, kk LIMIT 20),
+        |pr AS (SELECT kk, true_count, 0 AS r, ((1103515245 * kk + 12345) % 2147483647) % 32 AS b FROM ex
+        |  UNION ALL SELECT kk, true_count, 1, ((22695477 * kk + 1) % 2147483647) % 32 FROM ex
+        |  UNION ALL SELECT kk, true_count, 2, ((69069 * kk + 362437) % 2147483647) % 32 FROM ex
+        |  UNION ALL SELECT kk, true_count, 3, ((1664525 * kk + 1013904223) % 2147483647) % 32 FROM ex)
+        |SELECT pr.kk AS key, pr.true_count, min(cc.cnt) AS est_count
+        |FROM pr JOIN cc ON cc.r = pr.r AND cc.b = pr.b
+        |GROUP BY pr.kk, pr.true_count
+        |ORDER BY true_count DESC, key""".stripMargin)),
+
+    // ---- p77: skip-gram co-occurrence (window 3) — the word2vec/
+    // GloVe context builder, generalizing p68's adjacent bigrams to
+    // the window embedding training consumes. Pairs are generated
+    // map-side inside one nested codegen transform (no positional
+    // self-join); counts are exact integers so ranking is
+    // engine-independent with the (cnt desc, a, b) total order.
+    "p77_skipgram" -> Q(
+      (s, dir) => graft.operators.TextAnalysis
+        .skipgramTopK(tbl(s, dir, "documents"), "text",
+          window = 3, k = 20, minCount = 5L),
+      Some(s"""WITH tk AS (SELECT str_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents),
+        |bg AS (SELECT unnest(flatten(list_transform(
+        |    range(1, greatest(len(tk), 1)), i ->
+        |    list_transform(range(i + 1, least(i + 3, len(tk)) + 1), j ->
+        |      {'a': tk[i], 'b': tk[j]})))) AS p FROM tk),
+        |c AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT a, b, cnt FROM c ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin)),
+
+    // ---- p78: scalar-quantization fidelity gate — per-tensor
+    // symmetric int4 (levels=7; int8 is recall 1.0 on this corpus,
+    // i.e. signal-free) scored as end-to-end top-10 ranking recall
+    // against the exact-cosine baseline, both rankings from ONE
+    // corpus scan carrying two bounded top-k heaps. DuckDB replays
+    // scale, codes, dequantization and both rankings bit-for-bit.
+    "p78_quant_recall" -> Q(
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.operators.Similarity.quantRecall(e,
+            e.filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", 10, levels = 7)
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e),
+        |cq AS (SELECT vec_id,
+        |    list_transform(v, x -> round(x * 7.0 / s) * s / 7.0) AS vq
+        |  FROM e, s),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+        |se AS (SELECT q.vec_id AS q_id, e.vec_id AS nid,
+        |    ${duckCos("q.v", "e.v")} AS sc
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+        |re AS (SELECT q_id, nid, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sc DESC, nid) AS rnk FROM se),
+        |sq AS (SELECT q.vec_id AS q_id, cq.vec_id AS nid,
+        |    ${duckCos("q.v", "cq.vq")} AS sc
+        |  FROM q JOIN cq ON cq.vec_id <> q.vec_id),
+        |rq AS (SELECT q_id, nid, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sc DESC, nid) AS rnk FROM sq),
+        |ov AS (SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM (SELECT q_id, nid FROM re WHERE rnk <= 10) a
+        |  JOIN (SELECT q_id, nid FROM rq WHERE rnk <= 10) b USING (q_id, nid)
+        |  GROUP BY a.q_id)
+        |SELECT q.vec_id AS q_id,
+        |  coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+        |  round(coalesce(ov.n_overlap, 0) / 10.0, 4) AS recall
+        |FROM q LEFT JOIN ov ON ov.q_id = q.vec_id ORDER BY q_id""".stripMargin))
   )
 }

@@ -266,6 +266,106 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq == got.toSeq, "counts not repartition-invariant")
   }
 
+  test("BFS reachability: min hops, multi-seed, bounded depth, no revisit") {
+    import spark.implicits._
+    // chain 1->2->3->4->5 with branch 2->6, back-edge 7->1 (7 itself
+    // unreachable), self-loop 3->3 (must not affect distances)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (7L, 1L), (3L, 3L)).toDF("s", "d")
+    val seeds1 = Seq(1L).toDF("n")
+    val got = graft.operators.Graph
+      .reachability(edges, "s", "d", seeds1, "n", maxHops = 3)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("hops")))
+      .sortBy(_._1)
+    // 5 is 4 hops away (excluded); 7 unreachable (excluded)
+    assert(got.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (6L, 2L)))
+    // multi-seed: distance is the MIN over seeds
+    val got2 = graft.operators.Graph
+      .reachability(edges, "s", "d", Seq(1L, 4L).toDF("n"), "n", maxHops = 3)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("hops")))
+      .sortBy(_._1)
+    assert(got2.toSeq == Seq(
+      (1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 1L), (6L, 2L)))
+    val again = graft.operators.Graph
+      .reachability(edges.repartition(5), "s", "d", seeds1, "n", maxHops = 3)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("hops")))
+      .sortBy(_._1)
+    assert(again.toSeq == got.toSeq, "BFS not repartition-invariant")
+  }
+
+  test("k-core peel cascades: pendant chain unravels, triangle survives") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant path 3-4-5; k=2: round 1 drops 5
+    // (deg 1), round 2 drops 4 (deg fell to 1), round 3 is a fixpoint
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = graft.operators.Graph.kCorePeel(edges, "s", "d", k = 2, rounds = 3)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // one round only: 4 still present (its degree was 2 before 5 left)
+    val one = graft.operators.Graph.kCorePeel(edges, "s", "d", k = 2, rounds = 1)
+      .collect().map(_.getAs[Long]("node")).sorted
+    assert(one.toSeq == Seq(1L, 2L, 3L, 4L))
+    val again = graft.operators.Graph
+      .kCorePeel(edges.repartition(4), "s", "d", k = 2, rounds = 3)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree")))
+      .sortBy(_._1)
+    assert(again.toSeq == got.toSeq, "peel not repartition-invariant")
+  }
+
+  test("count-min: exact when wide, one-sided overestimate when tight") {
+    import spark.implicits._
+    val rows = (1L to 5L).flatMap(k => Seq.fill(k.toInt * 3)(k)).toDF("k")
+    val wide = Sketches.countMinTopK(rows, "k", w = 1024, d = 4, topK = 5)
+      .collect().map(r => (r.getAs[Long]("key"),
+        r.getAs[Long]("true_count"), r.getAs[Long]("est_count")))
+    assert(wide.length == 5)
+    assert(wide.forall { case (_, t, e) => e == t },
+      "wide sketch must be collision-free on 5 keys")
+    val tight = Sketches.countMinTopK(rows, "k", w = 1, d = 4, topK = 5)
+      .collect().map(r => (r.getAs[Long]("true_count"),
+        r.getAs[Long]("est_count")))
+    // w=1: every key hashes to the single cell = total row count
+    assert(tight.forall { case (_, e) => e == 45L })
+    assert(tight.forall { case (t, e) => e >= t },
+      "count-min error must be one-sided")
+  }
+
+  test("skip-gram pairs: full window, ordered, count-ranked") {
+    import spark.implicits._
+    val d = Seq("a b c d", "a b x y").toDF("text")
+    val got = TextAnalysis.skipgramTopK(d, "text", window = 2, k = 10,
+        minCount = 1L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("cnt")))
+    // (a,b) twice; every other within-2 pair once
+    assert(got.head == (("a", "b", 2L)))
+    assert(got.toSet == Set(("a", "b", 2L), ("a", "c", 1L), ("a", "x", 1L),
+      ("b", "c", 1L), ("b", "d", 1L), ("b", "x", 1L), ("b", "y", 1L),
+      ("c", "d", 1L), ("x", "y", 1L)))
+  }
+
+  test("quant recall: lossless at high levels, bounded always") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.2f)),
+      (4L, Array(0.5f, 0.5f, 0.1f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantRecall(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 2, levels = 127)
+      .collect().map(x => (x.getAs[Long]("q_id"),
+        x.getAs[Long]("n_overlap"), x.getAs[Double]("recall")))
+    assert(r.toSeq == Seq((0L, 2L, 1.0)))
+    val coarse = Similarity.quantRecall(vecs, vecs, "vec_id", "embedding",
+        k = 2, levels = 1)
+      .collect().map(x => (x.getAs[Long]("n_overlap"), x.getAs[Double]("recall")))
+    assert(coarse.forall { case (n, rec) =>
+      n >= 0L && n <= 2L && rec >= 0.0 && rec <= 1.0 })
+  }
+
   test("repetition signals: duplicate token/3-gram/line fractions") {
     import spark.implicits._
     val d = Seq(
