@@ -537,4 +537,35 @@ object Curation {
        |      THEN concat(upper(substring(p, 1, 2)), substring(p, 3))
        |      ELSE p END)), ''))
        |END""".stripMargin
+
+  /** Margin calibration report for a scored + labeled frame (e.g.
+    * [[perceptronQuality]]'s output): bucket rows into fixed-width
+    * score bins and report, per bin, the size, the positive count and
+    * rate, and the mean score — the reliability-diagram table that
+    * decides whether a quality classifier's margin can be used as a
+    * sampling weight or only as a hard threshold. Fixed data-
+    * independent bin edges (floor(score/binWidth), floored toward
+    * -inf in double space so negative margins bin identically on any
+    * engine) rather than rank-based deciles: an ntile would need a
+    * global total order — either a single-partition window or a
+    * two-pass rank — for a report that fixed edges serve equally
+    * well. One partial-combined aggregate over integer sums; the two
+    * final divides are single IEEE ops.
+    *
+    * Returns (bin, n_docs, n_pos, pos_rate 4dp, mean_score 4dp)
+    * ordered by bin. */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+      labelCol: String, binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth $binWidth must be >= 1")
+    scored
+      .groupBy(floor(col(scoreCol).cast("double") / binWidth.toDouble)
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(labelCol) === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreCol).cast("long")).as("__ssum"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs"), 4).as("pos_rate"),
+        round(col("__ssum").cast("double") / col("n_docs"), 4).as("mean_score"))
+      .orderBy(col("bin"))
+  }
 }

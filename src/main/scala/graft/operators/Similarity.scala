@@ -160,8 +160,12 @@ object Similarity {
     * corpus pass scores all k cells map-side into 1-element heaps, and
     * the update is a (cell, dim) partial-aggregated shuffle — k·dims
     * result rows. Nothing grows with corpus size except the scans. */
-  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2): DataFrame = {
+  /** The Lloyd loop of [[kmeansAssign]], returning the FINAL
+    * assignment with the winning cosine kept: (idCol, v, cell, __s).
+    * Shared by [[kmeansAssign]] (which drops the score) and
+    * [[clusterQuality]] (which aggregates it). */
+  private def kmeansScored(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): DataFrame = {
     val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def assignTo(cents: DataFrame): DataFrame = {
@@ -171,7 +175,8 @@ object Similarity {
         .groupBy(col(idCol))
         .agg(first(col("v")).as("v"),
           TopK.topK(1)(col("cell"), col("s")).as("__c"))
-      scored.select(col(idCol), col("v"), col("__c")(0)("id").as("cell"))
+      scored.select(col(idCol), col("v"), col("__c")(0)("id").as("cell"),
+        col("__c")(0)("score").as("__s"))
     }
     var cents = e
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -188,12 +193,43 @@ object Similarity {
           .as("dm"))
         .select(col("cell"), expr("transform(dm, p -> p.m)").as("cv"))
     }
-    val fin = assignTo(cents).select(col(idCol), col("cell"))
+    assignTo(cents)
+  }
+
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val fin = kmeansScored(corpus, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = fin.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
     fin.join(broadcast(sizes), Seq("cell"))
       .select(col(idCol), col("cell"), col("n_members"))
   }
+
+  /** Per-cluster cohesion report for [[kmeansAssign]]'s clustering —
+    * the "is this clustering any good" gate run before committing a
+    * corpus to cluster-dependent downstream work (SemDeDup pruning,
+    * IVF cell sizing, stratified curricula). For every cluster:
+    * member count and the mean cosine of members to THEIR assigned
+    * centroid (the cosine analogue of per-cluster inertia; higher =
+    * tighter). Cosines micro-quantize to integers before the mean so
+    * the aggregation is order-independent and the one final divide is
+    * exactly replayable.
+    *
+    * Scale shape: [[kmeansScored]]'s per-iteration broadcast scans
+    * plus ONE k-row partial-combined aggregate — nothing new moves.
+    *
+    * Returns (cell, n_members, mean_cos 4dp) ordered by cell. */
+  def clusterQuality(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansScored(corpus, idCol, vecCol, k, iters)
+      .select(col("cell"), round(col("__s") * 1000000, 0).cast("long")
+        .as("__cm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__cm")).as("__scm"))
+      .select(col("cell"), col("n_members"),
+        round(col("__scm").cast("double") / col("n_members") / 1000000.0, 4)
+          .as("mean_cos"))
 
   /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic

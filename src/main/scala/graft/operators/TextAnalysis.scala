@@ -625,4 +625,39 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** Per-document n-gram novelty in corpus id order — the
+    * diversity/memorization diagnostic of a training corpus: what
+    * fraction of each document's distinct n-grams appear here for
+    * the FIRST time (no earlier-id document contains them)?
+    * Boilerplate-heavy or duplicated tails show up as a novelty
+    * collapse; attribution ("which doc introduced this gram") is the
+    * min-id rule, deterministic on any engine.
+    *
+    * Scale shape: per-doc distinct gram hashes come out of the
+    * codegen [[graft.functions.ShingleHashes]] pass (poly hashes,
+    * the [[Dedup.duplicatedSpans]] discipline — the oracle
+    * recomputes each hash from gram text); the corpus-wide first-
+    * occurrence table is ONE partial-combined min aggregate on the
+    * gram hash, and the join back is gram-hash-keyed — two
+    * gram-stream exchanges total, nothing quadratic. Documents with
+    * fewer than `n` tokens have no grams and are absent, matching
+    * the declarative formulation.
+    *
+    * Returns (idCol, n_grams, n_novel, novelty 4dp) by id. */
+  def noveltyRate(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val g = df.select(col(idCol).as("__id"),
+      explode(graft.functions.ShingleHashes(col(textCol), n,
+        poly = true, distinct = true)).as("__gh"))
+    val first = g.groupBy(col("__gh")).agg(min(col("__id")).as("__first"))
+    g.join(first, Seq("__gh"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 4)
+          .as("novelty"))
+  }
 }

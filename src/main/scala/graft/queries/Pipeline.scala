@@ -2673,6 +2673,86 @@ object Pipeline {
         |SELECT q.vec_id AS q_id,
         |  coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
         |  round(coalesce(ov.n_overlap, 0) / 10.0, 4) AS recall
-        |FROM q LEFT JOIN ov ON ov.q_id = q.vec_id ORDER BY q_id""".stripMargin))
+        |FROM q LEFT JOIN ov ON ov.q_id = q.vec_id ORDER BY q_id""".stripMargin)),
+
+    // ---- p79: margin calibration of the p52 quality classifier —
+    // the reliability table (per fixed-width score bin: size,
+    // positive rate, mean margin) that decides whether a classifier
+    // margin is usable as a sampling weight. Fixed bin edges, not
+    // ntile: rank-based deciles would need a global total order for
+    // a report fixed edges serve equally well. The oracle replays
+    // the full integer perceptron training, then the same bins.
+    "p79_calibration" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Curation.calibrationReport(
+          Curation.perceptronQuality(docs, "doc_id", "text",
+            when(col("lang") === "en", 1L).otherwise(-1L),
+            buckets = 16, rounds = 3),
+          "score", "y", binWidth = 8192L)
+      },
+      Some {
+        s"""WITH $duckPerceptron,
+          |bb AS (SELECT CAST(floor(dot / 8192.0) AS BIGINT) AS bin, y, dot
+          |  FROM fin),
+          |ag AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |    CAST(sum(dot) AS BIGINT) AS ssum
+          |  FROM bb GROUP BY bin)
+          |SELECT bin, n_docs, n_pos,
+          |  round(CAST(n_pos AS DOUBLE) / n_docs, 4) AS pos_rate,
+          |  round(CAST(ssum AS DOUBLE) / n_docs, 4) AS mean_score
+          |FROM ag ORDER BY bin""".stripMargin
+      }),
+
+    // ---- p80: per-document 8-gram novelty in corpus id order — the
+    // diversity/memorization diagnostic: what fraction of each doc's
+    // distinct grams is corpus-new (no earlier-id doc has them)?
+    // First-occurrence attribution is the min-id rule; hashes come
+    // from the codegen ShingleHashes pass and DuckDB recomputes each
+    // from gram text (the p44 discipline).
+    "p80_novelty" -> Q(
+      (s, dir) => graft.operators.TextAnalysis
+        .noveltyRate(tbl(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id")),
+      Some {
+        s"""WITH tok AS (SELECT doc_id,
+          |    str_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+          |g0 AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gr
+          |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
+          |g AS (SELECT DISTINCT doc_id,
+          |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+          |f AS (SELECT gh, min(doc_id) AS first_id FROM g GROUP BY 1)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          |  CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_novel,
+          |  round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+          |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS novelty
+          |FROM g JOIN f USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- p81: per-cluster cohesion of the p30 k-means — member
+    // count plus mean member-to-centroid cosine (the cosine inertia
+    // analogue), the clustering-quality gate before SemDeDup/IVF
+    // commit to a layout. Micro-quantized cosines make the mean an
+    // integer sum with one replayable final divide; DuckDB replays
+    // the full Lloyd run and the report.
+    "p81_cluster_quality" -> Q(
+      (s, dir) => graft.operators.Similarity
+        .clusterQuality(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy(col("cell")),
+      Some {
+        s"""WITH $duckKmeansAsg,
+          |qq AS (SELECT a.cell,
+          |    CAST(round(${duckCos("e.v", "c1.cv")} * 1000000) AS BIGINT) AS cm
+          |  FROM asg2 a JOIN e ON e.vec_id = a.vec_id
+          |  JOIN c1 ON c1.cell = a.cell),
+          |ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+          |    CAST(sum(cm) AS BIGINT) AS scm FROM qq GROUP BY cell)
+          |SELECT cell, n_members,
+          |  round(CAST(scm AS DOUBLE) / n_members / 1000000.0, 4) AS mean_cos
+          |FROM ag ORDER BY cell""".stripMargin
+      })
   )
 }

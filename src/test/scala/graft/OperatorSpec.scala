@@ -346,6 +346,55 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c", "d", 1L), ("x", "y", 1L)))
   }
 
+  test("calibration report: fixed bins, rates and means per bin") {
+    import spark.implicits._
+    val scored = Seq((-15L, 1L), (-5L, -1L), (5L, 1L), (15L, 1L), (12L, -1L))
+      .toDF("score", "y")
+    val got = Curation.calibrationReport(scored, "score", "y", binWidth = 10L)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("pos_rate"),
+        r.getAs[Double]("mean_score")))
+    // floor(-15/10) = -2, floor(-5/10) = -1, floor(5/10) = 0,
+    // floor(15/10) = floor(12/10) = 1
+    assert(got.toSeq == Seq(
+      (-2L, 1L, 1L, 1.0, -15.0), (-1L, 1L, 0L, 0.0, -5.0),
+      (0L, 1L, 1L, 1.0, 5.0), (1L, 2L, 1L, 0.5, 13.5)))
+  }
+
+  test("novelty rate: first doc owns its grams, exact dup has zero novelty") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 2 distinct 8-grams, all new
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"), // exact dup: novelty 0
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"),    // 1 gram, new
+      (4L, "too short")                    // < 8 tokens: absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyRate(d, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty"))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 1L, 1L, 1.0)))
+  }
+
+  test("cluster quality sizes agree with kmeansAssign; cohesion bounded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.clusterQuality(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n_members"),
+        r.getAs[Double]("mean_cos")))
+    assert(q.map(_._2).sum == 6L)
+    assert(q.forall { case (_, _, c) => c >= -1.0 && c <= 1.0001 })
+    val sizes = Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .select(col("cell"), col("n_members")).distinct()
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n_members")))
+      .toSet
+    assert(q.map(x => (x._1, x._2)).toSet == sizes,
+      "clusterQuality sizes disagree with kmeansAssign")
+  }
+
   test("quant recall: lossless at high levels, bounded always") {
     import spark.implicits._
     val vecs = Seq(

@@ -304,4 +304,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.contains("ObjectHashAggregate"), t)
     assert(!t.contains("WindowExec"), t)
   }
+
+  test("p76 count-min probes join the d·w counter table by broadcast") {
+    // the sketch side is constant-size (d·w cells) and must broadcast
+    // to the heavy-key probes — a shuffled join here would move the
+    // corpus-independent counter table through an exchange for nothing
+    val t = planText("p76_countmin")
+    assert(t.contains("BroadcastHashJoin"), t)
+    assert(!t.contains("SortMergeJoin"), t)
+    assert(!t.contains("WindowExec"), t)
+  }
+
+  test("p77 skip-gram pairs are generated map-side, ranked via TakeOrdered") {
+    val t = planText("p77_skipgram")
+    // one pair-count aggregate, no positional self-join of the token
+    // stream, top-k fused into TakeOrderedAndProject
+    assert(t.contains("TakeOrderedAndProject"), s"p77 top-k not fused: $t")
+    assert(!t.contains("Join"), s"p77 plans a join: $t")
+    assert(!t.contains("WindowExec"), t)
+  }
+
+  test("p78 quant recall is one scan with two bounded heaps, broadcast-only joins") {
+    val t = simplePlan("p78_quant_recall")
+    assertOnlyBroadcastCross(t)
+    // both rankings merge through the TopK heap aggregate; the exact
+    // and quantized scores ride the same corpus scan
+    assert(t.contains("ObjectHashAggregate"), t)
+    assert(!t.contains("SortMergeJoin"), t)
+    assert(!t.contains("Window "), t)
+  }
 }
