@@ -466,7 +466,59 @@ object EventsQ {
         |    PARTITION BY h ORDER BY cnt DESC, user_id) AS rnk FROM c)
         |SELECT epoch_ms(h) AS hour_ms, CAST(rnk AS BIGINT) AS rnk,
         |  user_id, cnt AS est_count, CAST(0 AS BIGINT) AS max_err
-        |FROM r WHERE rnk <= 3 ORDER BY hour_ms, rnk""".stripMargin))
+        |FROM r WHERE rnk <= 3 ORDER BY hour_ms, rnk""".stripMargin)),
+
+    // ---- per-user running profile through Spark 4's arbitrary-state
+    // operator (transformWithState + RocksDB state store), oracle-
+    // gated: ValueState (count/sum/max triple) + MapState (per-type
+    // counts) per user, every emission cumulative. Because all state
+    // transitions commute over input rows, the per-user emission with
+    // the highest n_events IS the final profile under ANY
+    // AvailableNow micro-batching — picked batch-side as a struct
+    // argmax (n_events leads and strictly increases per user) — so a
+    // plain GROUP BY oracle gates the new state API's whole path.
+    "q66_stream_profile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val src = tblStream(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            cents(col("value")).as("cents"))
+          .as[graft.streaming.StatefulProfile.EventIn]
+        val prevProvider =
+          s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sink = s"q66_mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+          val sq = graft.streaming.StatefulProfile.userProfiles(src)
+            .writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+          s.table(sink)
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("n_events"), col("n_types"),
+              col("total_cents"), col("max_cents"))).as("fin"))
+            .select(col("user_id"), col("fin.n_events").as("n_events"),
+              col("fin.n_types").as("n_types"),
+              money(col("fin.total_cents")).as("total_value"),
+              money(col("fin.max_cents")).as("max_value"))
+            .orderBy(col("user_id"))
+        } finally prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some(s"""SELECT user_id, count(*) AS n_events,
+        |count(DISTINCT event_type) AS n_types,
+        |${oSumCents("value")} AS total_value,
+        |CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |  AS max_value
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 
   /** KV fixture directory keyed by a CONTENT fingerprint of the source

@@ -361,4 +361,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emitted.keySet == Set(1L, 2L, 3L),
       s"emitted ${emitted.keySet}")
   }
+
+  test("transformWithState profile accumulates across micro-batches; argmax = batch totals") {
+    import graft.streaming.StatefulProfile
+    import graft.streaming.StatefulProfile.EventIn
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventIn]
+      val q = StatefulProfile.userProfiles(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("twsprof").start()
+      input.addData(Seq(EventIn(10, "click", 100), EventIn(10, "view", 250),
+        EventIn(11, "click", 50)))
+      q.processAllAvailable()
+      input.addData(Seq(EventIn(10, "click", 25), EventIn(11, "buy", 900)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("twsprof").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_types"), r.getAs[Long]("total_cents"),
+          r.getAs[Long]("max_cents")))
+      // cumulative emissions prove the ValueState/MapState carried
+      // across batches: user 10 emits (2, ...) then (3, ...)
+      assert(rows.filter(_._1 == 10L).map(_._2).sorted.toSeq == Seq(2L, 3L),
+        rows.mkString(", "))
+      // argmax(n_events) per user equals the batch GROUP BY
+      val fin = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(fin(10L) == ((10L, 3L, 2L, 375L, 250L)), fin.toString)
+      assert(fin(11L) == ((11L, 2L, 2L, 950L, 900L)), fin.toString)
+    } finally spark.conf
+      .unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
