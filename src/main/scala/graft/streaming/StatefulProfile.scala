@@ -66,4 +66,61 @@ object StatefulProfile {
       .transformWithState(new Processor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, cents: Long)
+  case class Running(n: Long, sum: Long, lastTs: Long)
+  case class Closed(user_id: Long, n_events: Long, total_cents: Long,
+      closed_at: Long)
+
+  /** Event-time TIMER path of the same API: per-user state plus an
+    * inactivity timer re-armed at last_ts + gap on every arrival.
+    * When the watermark passes the armed instant,
+    * `handleExpiredTimer` emits the closed profile and clears the
+    * state — the production state-eviction shape (unbounded key
+    * spaces stay bounded because idle keys evict themselves), which
+    * TTLConfig alone can't express when the deadline is event-time.
+    * Emission happens ONLY on expiry, so output order is governed by
+    * watermark advancement, not micro-batching. */
+  class InactivityEvictProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, Closed] {
+    @transient private var agg: ValueState[Running] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[Running]("agg",
+        Encoders.product[Running], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[Closed] = {
+      var cur = if (agg.exists()) agg.get() else Running(0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        cur = Running(cur.n + 1L, cur.sum + e.cents,
+          math.max(cur.lastTs, e.ts.getTime))
+      }
+      agg.update(cur)
+      // one live timer per key: re-arm at the new inactivity deadline
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(cur.lastTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Closed] = {
+      val cur = agg.get()
+      agg.clear()
+      Iterator.single(Closed(key, cur.n, cur.sum,
+        expiredTimerInfo.getExpiryTimeInMs()))
+    }
+  }
+
+  /** timed events (must carry a watermark on `ts`) → profiles closed
+    * by event-time inactivity. */
+  def evictedProfiles(events: Dataset[TimedEvent],
+      gapMs: Long): Dataset[Closed] = {
+    implicit val outEnc = Encoders.product[Closed]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new InactivityEvictProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -395,4 +395,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf
       .unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("transformWithState event-time timer evicts an idle user's state") {
+    import graft.streaming.StatefulProfile
+    import graft.streaming.StatefulProfile.TimedEvent
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[TimedEvent]
+      val events = input.toDS().withWatermark("ts", "0 seconds")
+        .as[TimedEvent]
+      val q = StatefulProfile.evictedProfiles(events, gapMs = 30 * 60000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("twsevict").start()
+      // user 10 active at minutes 1 and 2, then goes quiet
+      input.addData(Seq(TimedEvent(10L, ts(1), 100L),
+        TimedEvent(10L, ts(2), 50L)))
+      q.processAllAvailable()
+      assert(spark.table("twsevict").isEmpty,
+        "nothing may close while the watermark is behind the deadline")
+      // another user 3 hours later pushes the watermark past 10's
+      // inactivity deadline -> 10's timer fires, state evicts
+      input.addData(Seq(TimedEvent(11L, ts(180), 10L)))
+      q.processAllAvailable()
+      // one more batch so the new watermark actually fires the timers
+      input.addData(Seq(TimedEvent(11L, ts(181), 10L)))
+      q.processAllAvailable()
+      q.stop()
+      val closed = spark.table("twsevict").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("total_cents")))
+      assert(closed.contains((10L, 2L, 150L)),
+        s"user 10 not evicted: ${closed.mkString(", ")}")
+      assert(!closed.exists(_._1 == 11L),
+        "user 11 is still active and must not close")
+    } finally spark.conf
+      .unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
