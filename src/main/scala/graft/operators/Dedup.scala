@@ -349,9 +349,12 @@ object Dedup {
     * keys for the self-join. Identical plan shape to
     * [[minhashCandidates]] (the xxhash64 variant): one shuffle to the
     * signature aggregate, bucket-local pair join, never n². */
-  def minhashCandidatesPortable(df: DataFrame, idCol: String,
-      textCol: String, numHashes: Int = 32, rowsPerBand: Int = 4,
-      shingleSize: Int = 3): DataFrame = {
+  /** (id, band_idx, band_key) LSH band rows for the portable
+    * universal-hash MinHash — the shared bucket table behind the
+    * self-join miner and the incremental new-vs-index miner. */
+  private def minhashBandsPortable(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, rowsPerBand: Int,
+      shingleSize: Int): DataFrame = {
     val P = 1000000007L
     def a(i: Int) = (2654435761L * (i + 1)) % P
     def b(i: Int) = (40503L * (i + 7) + 12345L) % P
@@ -367,14 +370,41 @@ object Dedup {
       concat_ws(",", (0 until rowsPerBand).map(k =>
         col(s"m${j * rowsPerBand + k}").cast("string")): _*)
     }
-    val bands = sigs.select(col(idCol),
-        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    sigs.select(col(idCol),
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  def minhashCandidatesPortable(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 32, rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val bands = minhashBandsPortable(df, idCol, textCol, numHashes,
+        rowsPerBand, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.toDF("a_id", "band_idx", "band_key")
     val r = bands.toDF("b_id", "band_idx", "band_key")
     l.join(r, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** Incremental near-dup candidate mining: a NEW batch against an
+    * existing INDEX — the daily-crawl-increment shape, where the
+    * corpus is already deduplicated and only new-vs-old pairs
+    * matter. Both sides band with the SAME hash families (so an
+    * index's band table can be precomputed once and appended to),
+    * and the bucket join is new-vs-index only: pair volume is
+    * Σ|new_bucket|·|index_bucket|, never |corpus|² and never
+    * new-vs-new. Returns (new_id, index_id) distinct candidates for
+    * [[jaccardForPairs]] verification. */
+  def minhashCandidatesIncremental(newDf: DataFrame, indexDf: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 32,
+      rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val nb = minhashBandsPortable(newDf, idCol, textCol, numHashes,
+      rowsPerBand, shingleSize).toDF("new_id", "band_idx", "band_key")
+    val ib = minhashBandsPortable(indexDf, idCol, textCol, numHashes,
+      rowsPerBand, shingleSize).toDF("index_id", "band_idx", "band_key")
+    nb.join(ib, Seq("band_idx", "band_key"))
+      .select(col("new_id"), col("index_id")).distinct()
   }
 
   /** LSH banding over a SimHash fingerprint column: split the 60-bit

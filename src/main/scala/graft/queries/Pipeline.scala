@@ -220,7 +220,10 @@ object Pipeline {
     * Dedup.minhashCandidatesPortable exactly in DuckDB: polynomial
     * shingle hashes, 32 universal-hash MinHash families, 8 bands of 4,
     * bucket self-join. Shared by the p03 and p17 oracles. */
-  private val duckMinhashCand: String = {
+  /** CTE chain `sh, hs, sig, bands` — shingles, signatures and LSH
+    * band rows of the portable MinHash, without the pair join (the
+    * consumer picks self-join or new-vs-index). */
+  private val duckMinhashBands: String = {
     val P = 1000000007L
     def a(i: Int) = (2654435761L * (i + 1)) % P
     def b(i: Int) = (40503L * (i + 7) + 12345L) % P
@@ -239,12 +242,15 @@ object Pipeline {
       |        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
       |    (a, c) -> (a*31 + c) % $P)) AS hs FROM sh),
       |sig AS (SELECT doc_id, $sigCols FROM hs),
-      |bands AS ($bandArms),
+      |bands AS ($bandArms)""".stripMargin
+  }
+
+  private val duckMinhashCand: String =
+    s"""$duckMinhashBands,
       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b
       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
       |   AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** CTE `jac` — exact shingle Jaccard for every candidate pair, the
     * DuckDB twin of Dedup.jaccardForPairs over `cand`. Shared by the
@@ -2753,6 +2759,37 @@ object Pipeline {
           |SELECT cell, n_members,
           |  round(CAST(scm AS DOUBLE) / n_members / 1000000.0, 4) AS mean_cos
           |FROM ag ORDER BY cell""".stripMargin
-      })
+      }),
+
+    // ---- p82: incremental near-dup — a NEW batch (doc_id % 10 = 0)
+    // mined against the existing INDEX (the rest), the daily-crawl-
+    // increment shape: same LSH hash families on both sides so the
+    // index's band table is append-only, and the bucket join is
+    // new-vs-index ONLY (never new-vs-new, never index-vs-index).
+    // Candidates verify by exact shingle Jaccard at tau = 0.5; the
+    // oracle replays shingles, signatures, bands, the asymmetric
+    // bucket join, and the verification bit-for-bit.
+    "p82_incremental_neardup" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val cand = Dedup.minhashCandidatesIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        Dedup.jaccardForPairs(
+            cand.select(col("new_id").as("a_id"), col("index_id").as("b_id")),
+            docs, "doc_id", "text")
+          .filter(col("jac") >= 0.5)
+          .select(col("a_id").as("new_id"), col("b_id").as("index_id"),
+            round(col("jac"), 4).as("jac"))
+          .orderBy(col("new_id"), col("index_id"))
+      },
+      Some(s"""WITH $duckMinhashBands,
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+        |$duckCandJaccard
+        |SELECT a_id AS new_id, b_id AS index_id, round(jac, 4) AS jac
+        |FROM jac WHERE jac >= 0.5 ORDER BY new_id, index_id""".stripMargin))
   )
 }

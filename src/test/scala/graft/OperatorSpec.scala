@@ -346,6 +346,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c", "d", 1L), ("x", "y", 1L)))
   }
 
+  test("incremental LSH mines new-vs-index only, never new-vs-new") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val newB = Seq((10L, t), (20L, t), (30L, "nothing alike here at all " +
+      "completely disjoint shingle stream")).toDF("doc_id", "text")
+    val idx = Seq((1L, t), (2L, "other unrelated index content words " +
+      "spread wide apart")).toDF("doc_id", "text")
+    val got = Dedup.minhashCandidatesIncremental(newB, idx, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("index_id")))
+      .toSet
+    // both new dups of the index doc surface; the (10, 20) new-vs-new
+    // pair and the disjoint docs never do
+    assert(got == Set((10L, 1L), (20L, 1L)), got.toString)
+  }
+
   test("calibration report: fixed bins, rates and means per bin") {
     import spark.implicits._
     val scored = Seq((-15L, 1L), (-5L, -1L), (5L, 1L), (15L, 1L), (12L, -1L))
