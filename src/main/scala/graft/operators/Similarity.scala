@@ -598,7 +598,12 @@ object Similarity {
     * bounded top-k heaps per query, so the shuffle moves
     * O(partitions·queries·k) heap rows once, not the scored corpus
     * twice. Quantize-then-dequantize happens inline per row (no
-    * second materialized corpus).
+    * second materialized corpus). Total work is O(queries·corpus) by
+    * construction (the report needs the EXACT ranking as its
+    * baseline) — at production scale pass a fixed-size query SAMPLE
+    * (~100 queries estimates recall as well as 10,000), which makes
+    * the report linear in corpus size; measured: 10× corpus AND 10×
+    * queries together cost 229× wall at copies=100.
     *
     * Returns (q_id, n_overlap, recall) per query, recall = overlap/k
     * rounded 4dp, ordered by q_id. */
