@@ -146,6 +146,33 @@ object EventsQ {
         |WHERE o_orderkey >= 1000 AND o_orderkey < 5000
         |ORDER BY k""".stripMargin)),
 
+    // ---- DataSource V2 AGGREGATE pushdown, oracle-checked: the same
+    // durable segment as q56, but the query is COUNT/MIN/MAX over the
+    // pushed key range — the connector answers from the fence-clipped
+    // index (count = clipped width, extremes = two boundary preads)
+    // at PLAN time and the scan reads zero data rows (KvSourceSpec
+    // pins "PushedAggregates" in the plan and the AggPushdown scan
+    // telemetry). The oracle is the identical aggregate over the
+    // relational source.
+    "q67_kv_agg_pushdown" -> Q(
+      (s, dir) => {
+        val d = kvFixtureDir(dir, "kvseg")
+        if (!kvFixtureReady(d)) {
+          graft.sources.KvSegmentWriter.writeDataFrame(
+            tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+              col("o_orderpriority").as("v")), d, numSegments = 1)
+          kvFixtureSeal(d)
+        }
+        s.read.format("graft.sources.KvSource")
+          .option("path", new java.io.File(d, "000001.seg").getPath).load()
+          .filter(col("k") >= 1000 && col("k") < 5000)
+          .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+      },
+      Some("""SELECT count(*) AS cnt, min(o_orderkey) AS min_k,
+        |max(o_orderkey) AS max_k FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 5000""".stripMargin)),
+
     // ---- multi-segment KV newest-wins merge, oracle-checked: four
     // range-partitioned base segments carry all orders (distributed
     // build, no driver collect), a fifth (newer) segment overrides

@@ -114,12 +114,71 @@ class KvTable(backing: KvBacking) extends Table with SupportsRead {
   * (`reader_util.rs:102-260` create_column_range). Everything it can't
   * fold stays a residual filter for Spark to evaluate above the scan. */
 class KvScanBuilder(backing: KvBacking) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
   private var projection: StructType = KvStore.schema
+  private var residualKept = false
+  private var aggTokens: Array[String] = Array.empty
+
+  /** COUNT/MIN/MAX over the pushed key range answered from the ordered
+    * store's own structure at PLAN time — the scan ships a single
+    * precomputed row and reads no data at all (the index-only
+    * aggregate every ordered KV store owes its optimizer). Supported
+    * exactly where metadata is exact: COUNT(*) / COUNT(k) on the
+    * in-memory registry and on a single segment (unique sorted keys,
+    * count = clipped index width); MIN(k)/MAX(k) everywhere —
+    * including multi-segment directories, where key EXISTENCE is
+    * shadow-proof (a newest-wins shadow carries the same key), so the
+    * extremes are per-segment boundary reads. COUNT on a
+    * multi-segment directory is DECLINED (visible count needs the
+    * newest-wins merge) and falls back to the normal scan + agg. */
+  private def translate(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[Array[String]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    // an EMPTY aggregate list happens when a wrapping query prunes
+    // every inner aggregate away (e.g. `df.agg(...).count()`); pushing
+    // it would hand Spark a zero-column scan it rejects — decline
+    if (agg.groupByExpressions.nonEmpty || residualKept ||
+      agg.aggregateExpressions().isEmpty) return None
+    def keyCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case n: NamedReference =>
+        n.fieldNames.length == 1 && n.fieldNames()(0) == "k"
+      case _ => false
+    }
+    val isDir = backing.isInstanceOf[DirBacking]
+    val exprs = agg.aggregateExpressions()
+    val out = new Array[String](exprs.length)
+    var i = 0
+    while (i < exprs.length) {
+      exprs(i) match {
+        case _: CountStar if !isDir => out(i) = "cnt"
+        case c: Count if !c.isDistinct && keyCol(c.column) && !isDir =>
+          out(i) = "cnt"
+        case m: Min if keyCol(m.column) => out(i) = "min"
+        case m: Max if keyCol(m.column) => out(i) = "max"
+        case _ => return None
+      }
+      i += 1
+    }
+    Some(out)
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translate(agg) match {
+    case Some(ts) => aggTokens = ts; true
+    case None => false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -152,6 +211,7 @@ class KvScanBuilder(backing: KvBacking) extends ScanBuilder
       case _ => ()
     }
     pushed = accepted
+    residualKept = residual.nonEmpty
     residual
   }
 
@@ -160,17 +220,76 @@ class KvScanBuilder(backing: KvBacking) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     projection = requiredSchema
 
-  override def build(): Scan = new KvScan(backing, lo, hi, projection)
+  override def build(): Scan =
+    new KvScan(backing, lo, hi, projection, aggTokens)
 }
 
-class KvScan(backing: KvBacking, lo: Long, hi: Long, projection: StructType)
+class KvScan(backing: KvBacking, lo: Long, hi: Long, projection: StructType,
+    aggTokens: Array[String] = Array.empty)
     extends Scan with Batch {
-  override def readSchema(): StructType = projection
+  private def aggSchema: StructType =
+    StructType(aggTokens.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.types.StructField(s"${t}_$i", LongType,
+        nullable = t != "cnt")
+    })
+  override def readSchema(): StructType =
+    if (aggTokens.nonEmpty) aggSchema else projection
   override def toBatch: Batch = this
   override def description(): String = {
     val kind = if (lo == Long.MinValue && hi == Long.MaxValue)
       "FullTableScan" else s"RangeScan[$lo,$hi]"
-    s"graft-kv ${backing.label} $kind cols=${projection.fieldNames.mkString(",")}"
+    val aggNote = if (aggTokens.isEmpty) "" else
+      aggTokens.map {
+        case "cnt" => "COUNT"; case "min" => "MIN(k)"; case "max" => "MAX(k)"
+      }.mkString(" PushedAggregates: [", ", ", "]")
+    s"graft-kv ${backing.label} $kind cols=${projection.fieldNames.mkString(",")}$aggNote"
+  }
+
+  /** Plan-time evaluation of pushed COUNT/MIN/MAX: exact row indices
+    * from the same fence-clip the row scan uses (O(1) I/O per
+    * segment), boundary keys from at most two single-row preads. The
+    * single result row ships in the one input partition; executors
+    * read NOTHING. */
+  private def aggRow(): Array[java.lang.Long] = {
+    val (cnt, mn, mx): (Long, java.lang.Long, java.lang.Long) =
+      backing match {
+        case MemBacking(name) =>
+          val keys = KvStore(name)._1
+          val f = lowerBound(keys, 0, keys.length, lo)
+          val u = upperBound(keys, 0, keys.length, hi)
+          if (u <= f) (0L, null, null)
+          else ((u - f).toLong, java.lang.Long.valueOf(keys(f)),
+            java.lang.Long.valueOf(keys(u - 1)))
+        case FileBacking(path) =>
+          val fi = KvSegment.fenceIndex(path)
+          val (f, u) = clipRange(path, fi)
+          if (u <= f) (0L, null, null)
+          else ((u - f).toLong,
+            java.lang.Long.valueOf(KvSegment.readKeys(path, f, f + 1)(0)),
+            java.lang.Long.valueOf(KvSegment.readKeys(path, u - 1, u)(0)))
+        case DirBacking(dir) =>
+          // min/max only (translate() declines counts here): key
+          // existence is shadow-proof — a newest-wins shadow carries
+          // the same key — so extremes are per-segment boundary reads
+          var mn0: java.lang.Long = null
+          var mx0: java.lang.Long = null
+          KvSegment.listSegments(dir).foreach { p =>
+            val fi = KvSegment.fenceIndex(p)
+            val (f, u) = clipRange(p, fi)
+            if (u > f) {
+              val lo0 = KvSegment.readKeys(p, f, f + 1)(0)
+              val hi0 = KvSegment.readKeys(p, u - 1, u)(0)
+              if (mn0 == null || lo0 < mn0.longValue()) mn0 = lo0
+              if (mx0 == null || hi0 > mx0.longValue()) mx0 = hi0
+            }
+          }
+          (0L, mn0, mx0)
+      }
+    aggTokens.map {
+      case "cnt" => java.lang.Long.valueOf(cnt)
+      case "min" => mn
+      case "max" => mx
+    }
   }
 
   /** Resolve the pushed range to exact row indices and split the
@@ -190,6 +309,10 @@ class KvScan(backing: KvBacking, lo: Long, hi: Long, projection: StructType)
     * ceiling of the in-memory backing only; durable tasks carry
     * (path, row range) and executors pread their own slice. */
   override def planInputPartitions(): Array[InputPartition] = {
+    if (aggTokens.nonEmpty) {
+      KvStore.lastScan(backing.label) = ("AggPushdown", 0L)
+      return Array(new KvAggPartition(aggRow()))
+    }
     backing match {
       case DirBacking(dir) => return planSegmentMerge(dir)
       case _ => ()
@@ -383,10 +506,27 @@ final class KvShadowedPartition(val path: String, val from: Int,
     val shadowFrom: Array[Int], val shadowUntil: Array[Int])
     extends InputPartition
 
+/** Pushed-aggregate payload: the SINGLE result row, already computed
+  * at plan time from index metadata. Values align positionally with
+  * the pushed aggregate expressions; a null is a NULL min/max of an
+  * empty range. */
+final class KvAggPartition(val values: Array[java.lang.Long])
+    extends InputPartition
+
 class KvReaderFactory(projection: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
+      case ap: KvAggPartition =>
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow = InternalRow.fromSeq(
+            ap.values.toSeq.map(v =>
+              if (v == null) null else v.longValue(): Any))
+          override def close(): Unit = ()
+        }
       case kp: KvPartition =>
         rowsReader(kp.keys.length, i => kp.keys(i), i => kp.values(i))
       case fp: KvFilePartition =>

@@ -29,11 +29,30 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("key range predicates prune the scan to the matched slice") {
+    val rows = df.filter(col("k") >= 1000 && col("k") < 2000).collect()
+    assert(rows.length == 1000)
+    assert(rows.map(_.getLong(0)).min == 1000L &&
+      rows.map(_.getLong(0)).max == 1999L)
+    assert(KvStore.lastScan("t") == (("UsingTheIndex", 1000L)))
+  }
+
+  test("COUNT/MIN/MAX push into the source: answered from the index, zero rows read") {
     val got = df.filter(col("k") >= 1000 && col("k") < 2000)
       .agg(count(lit(1)), min(col("k")), max(col("k"))).head()
     assert(got.getLong(0) == 1000 && got.getLong(1) == 1000L &&
       got.getLong(2) == 1999L)
-    assert(KvStore.lastScan("t") == (("UsingTheIndex", 1000L)))
+    assert(KvStore.lastScan("t") == (("AggPushdown", 0L)))
+    // and it is visible in the plan
+    val plan = df.filter(col("k") >= 1000 && col("k") < 2000)
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+  }
+
+  test("a residual value filter disables aggregate pushdown") {
+    val got = df.filter(col("k") < 100 && col("v").endsWith("1"))
+      .agg(count(lit(1))).head()
+    assert(got.getLong(0) == 10L)
+    assert(KvStore.lastScan("t") == (("UsingTheIndex", 100L)))
   }
 
   test("equality predicate reads exactly one key; value filters stay residual") {
@@ -43,9 +62,10 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unbounded scan is a full table scan with parallel partitions") {
-    assert(df.count() == 100000L)
-    assert(KvStore.lastScan("t") == (("FullTableScan", 100000L)))
+    assert(df.count() == 100000L) // CountStar: answered at plan time
+    assert(KvStore.lastScan("t") == (("AggPushdown", 0L)))
     assert(df.rdd.getNumPartitions == 4) // matched slice splits 4-way
+    assert(KvStore.lastScan("t") == (("FullTableScan", 100000L)))
   }
 
   test("strict bounds at Long extremes match zero rows, not the full table") {
@@ -88,6 +108,10 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = fdf.filter(col("k") >= 300 && col("k") < 700)
       .agg(count(lit(1)), min(col("k")), max(col("k"))).head()
     assert(got.getLong(0) == 400 && got.getLong(1) == 300L && got.getLong(2) == 699L)
+    // pushed aggregate: clipped index width + two boundary preads
+    assert(KvStore.lastScan(segPath) == (("AggPushdown", 0L)))
+    val rows = fdf.filter(col("k") >= 300 && col("k") < 700).collect()
+    assert(rows.length == 400)
     assert(KvStore.lastScan(segPath) == (("UsingTheIndex", 400L)))
     // Simulate a driver restart: drop every cached key index and
     // re-plan purely from the file on disk.
@@ -97,9 +121,10 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("durable segment: NULL values round-trip and full scans parallelize") {
-    assert(fdf.count() == 50000L)
-    assert(KvStore.lastScan(segPath) == (("FullTableScan", 50000L)))
+    assert(fdf.count() == 50000L) // CountStar pushes: plan-time answer
+    assert(KvStore.lastScan(segPath) == (("AggPushdown", 0L)))
     assert(fdf.rdd.getNumPartitions == 4)
+    assert(KvStore.lastScan(segPath) == (("FullTableScan", 50000L)))
     val nulls = fdf.filter(col("v").isNull).agg(count(lit(1)), min(col("k"))).head()
     assert(nulls.getLong(0) == 50L && nulls.getLong(1) == 7L)
   }
@@ -229,6 +254,32 @@ class KvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == before)
     assert(d.filter(col("k") === 125).head().getString(1) == "c125")
     assert(KvStore.lastScan(dir) == (("UsingTheIndex", 1L)))
+  }
+
+  test("multi-segment: MIN/MAX push (shadow-proof extremes); COUNT falls back") {
+    val dir = threeSegments()
+    val d = spark.read.format("graft.sources.KvSource")
+      .option("dir", dir).load()
+    // keys present: 0..149 across three shadowing segments
+    val mm = d.filter(col("k") >= 50 && col("k") <= 175)
+      .agg(min(col("k")), max(col("k"))).head()
+    assert(mm.getLong(0) == 50L && mm.getLong(1) == 149L)
+    assert(KvStore.lastScan(dir) == (("AggPushdown", 0L)))
+    // a COUNT over a shadowed directory needs the newest-wins merge:
+    // the pushdown declines and the normal scan runs
+    val c = d.filter(col("k") >= 50 && col("k") <= 175)
+      .agg(count(lit(1))).head()
+    assert(KvStore.lastScan(dir)._1 == "UsingTheIndex")
+    // value equals the merged view's row count
+    assert(c.getLong(0) ==
+      d.filter(col("k") >= 50 && col("k") <= 175).collect().length.toLong)
+  }
+
+  test("pushed aggregates over an empty range: COUNT 0, NULL extremes") {
+    val got = df.filter(col("k") > 100000000L)
+      .agg(count(lit(1)), min(col("k")), max(col("k"))).head()
+    assert(got.getLong(0) == 0L && got.isNullAt(1) && got.isNullAt(2))
+    assert(KvStore.lastScan("t") == (("AggPushdown", 0L)))
   }
 
   test("distributed writer: range-partitioned per-task segments round-trip, " +
