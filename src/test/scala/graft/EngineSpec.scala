@@ -282,6 +282,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.mkString(" ")).mkString("\n")
     assert(plan.contains("RangeScan") || plan.contains("PushedFilters"),
       s"no pushed range visible in plan:\n$plan")
+    // aggregates on the key push into the connector too: MIN/MAX over
+    // a shadowed directory answer from per-segment boundary reads (key
+    // existence is newest-wins-proof); the statement surface gets the
+    // index-only answer MySQL's optimizer would give
+    val agg = rows(eng.sql(
+      "select min(k), max(k) from kvt where k >= 498 and k <= 502"))
+    assert(agg == Seq(Seq(498L, 502L)), agg.toString)
+    assert(graft.sources.KvStore.lastScan(dir) == (("AggPushdown", 0L)))
     // read-only like every external table
     val ex = intercept[GraftException](
       eng.sql("insert into kvt values (1, 'x')"))
