@@ -394,7 +394,11 @@ object Dedup {
     * index's band table can be precomputed once and appended to),
     * and the bucket join is new-vs-index only: pair volume is
     * Σ|new_bucket|·|index_bucket|, never |corpus|² and never
-    * new-vs-new. Returns (new_id, index_id) distinct candidates for
+    * new-vs-new. Ids need NOT be disjoint across the two frames: a
+    * doc present on both sides (re-crawl of an already-indexed URL)
+    * never pairs with itself — the trivial (id, id) self-pair is
+    * filtered, so every returned candidate is a genuine cross-side
+    * pair. Returns (new_id, index_id) distinct candidates for
     * [[jaccardForPairs]] verification. */
   def minhashCandidatesIncremental(newDf: DataFrame, indexDf: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 32,
@@ -404,6 +408,7 @@ object Dedup {
     val ib = minhashBandsPortable(indexDf, idCol, textCol, numHashes,
       rowsPerBand, shingleSize).toDF("index_id", "band_idx", "band_key")
     nb.join(ib, Seq("band_idx", "band_key"))
+      .filter(col("new_id") =!= col("index_id"))
       .select(col("new_id"), col("index_id")).distinct()
   }
 

@@ -605,8 +605,11 @@ object Similarity {
     * the report linear in corpus size; measured: 10× corpus AND 10×
     * queries together cost 229× wall at copies=100.
     *
-    * Returns (q_id, n_overlap, recall) per query, recall = overlap/k
-    * rounded 4dp, ordered by q_id. */
+    * Returns (q_id, n_overlap, recall) per query — EVERY query row,
+    * including one with zero scored neighbors (degenerate corpus:
+    * left-joined back with n_overlap 0, matching the report's
+    * denominator semantics), recall = overlap/k rounded 4dp,
+    * ordered by q_id. */
   def quantRecall(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       levels: Int = 127): DataFrame = {
@@ -627,13 +630,20 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"),
         cosineExpr("qv", "nv").as("se"),
         cosineExpr("qv", "nvq").as("sq"))
-    scored.groupBy(col("q_id"))
+    val perQuery = scored.groupBy(col("q_id"))
       .agg(TopK.topK(k)(col("neighbor_id"), col("se")).as("__te"),
         TopK.topK(k)(col("neighbor_id"), col("sq")).as("__tq"))
       .select(col("q_id"),
         expr("""CAST(size(array_intersect(transform(__te, x -> x.id),
           |  transform(__tq, x -> x.id))) AS BIGINT)""".stripMargin)
           .as("n_overlap"))
+    // A query whose every neighbor was filtered out (corpus == {q})
+    // produces no group above; the report still owes it a row —
+    // left-join the query frame back and coalesce to 0, the same
+    // LEFT JOIN the DuckDB oracle does.
+    q.select(col("q_id")).join(perQuery, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .select(col("q_id"), col("n_overlap"),
         round(col("n_overlap").cast("double") / lit(k.toDouble), 4)
           .as("recall"))

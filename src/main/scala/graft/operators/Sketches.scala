@@ -99,15 +99,19 @@ object Sketches {
   }
 
   /** Count-min sketch row hashes for an integer key: pairwise-
-    * independent family h_i(x) = ((a_i·x + b_i) mod p) mod w with
-    * p = 2^31 - 1 (Carter-Wegman), exact in Long for |x| < ~4.3e9·p
-    * — replayable bit-for-bit by any engine with 64-bit integer
-    * arithmetic. `floor-mod` keeps negative keys in range. */
+    * independent family h_i(x) = ((a_i·(x mod p) + b_i) mod p) mod w
+    * with p = 2^31 - 1 (Carter-Wegman) — congruent to a_i·x + b_i
+    * mod p, but reducing the key FIRST keeps the product under
+    * ~2.4e18 for ANY Long key (a_i ≤ 1.11e9, key mod p < 2^31), so
+    * the hash is exact 64-bit arithmetic over the full key domain and
+    * replayable bit-for-bit by any engine. `floor-mod` keeps negative
+    * keys in range. */
   private val cmP = 2147483647L
   private val cmA = Array(1103515245L, 22695477L, 69069L, 1664525L)
   private val cmB = Array(12345L, 1L, 362437L, 1013904223L)
   def cmBucket(key: Column, row: Int, w: Int): Column =
-    pmod(pmod(lit(cmA(row)) * key + lit(cmB(row)), lit(cmP)), lit(w.toLong))
+    pmod(pmod(lit(cmA(row)) * pmod(key, lit(cmP)) + lit(cmB(row)), lit(cmP)),
+      lit(w.toLong))
 
   /** Count-min sketch (Cormode-Muthukrishnan 2005) frequency
     * estimates, checked against exact counts for the `topK` heaviest
@@ -152,5 +156,6 @@ object Sketches {
       .groupBy(col("__k"), col("true_count"))
       .agg(min(col("__cnt")).as("est_count"))
       .select(col("__k").as("key"), col("true_count"), col("est_count"))
+      .orderBy(col("true_count").desc, col("key"))
   }
 }

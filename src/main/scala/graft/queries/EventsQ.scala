@@ -383,28 +383,35 @@ object EventsQ {
     // feed" shape — TWO readStream sources over the same events
     // table, unioned (every event arrives twice), then stateful
     // dropDuplicates on the unique event key. AvailableNow drains
-    // both sources; the memory sink receives each event exactly once
+    // both sources; the FILE sink receives each event exactly once
     // regardless of how the duplicates split across micro-batches
     // (both copies are bit-identical rows, so first-wins is
-    // value-deterministic). The sink holds deduped EVENTS; the
-    // compact per-type rollup happens batch-side on the sink table,
-    // so the oracle is a straight GROUP BY over the source — equality
-    // proves the stream removed exactly the duplicate half. The
-    // production variant (watermarked state expiry for unbounded
-    // feeds) is twin-checked in StreamingSpec; THIS entry pins
+    // value-deterministic). The sink is a parquet directory — the
+    // deduped feed stays DISTRIBUTED (executor-written part files,
+    // nothing event-sized ever lands on the driver, unlike a memory
+    // sink); the compact per-type rollup is a batch aggregate over
+    // those files, so the oracle is a straight GROUP BY over the
+    // source — equality proves the stream removed exactly the
+    // duplicate half. (An in-stream rollup can't carry the exact
+    // COUNT(DISTINCT user_id) this report wants — streaming
+    // aggregation forbids exact distincts — so dedup-to-files +
+    // batch rollup IS the production shape for this output.) The
+    // watermarked-state-expiry variant for unbounded feeds is
+    // twin-checked in StreamingSpec; THIS entry pins
     // stream==batch==DuckDB through the driver's gate.
     "q59_stream_dedup" -> Q(
       (s, dir) => {
         val doubled = tblStream(s, dir, "events")
           .unionAll(tblStream(s, dir, "events"))
-        val sink = s"q59_mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val out = s"/tmp/graft_q59_${java.util.UUID.randomUUID.toString.replace("-", "")}"
         val sq = doubled.dropDuplicates("event_id").writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .format("memory").queryName(sink)
+          .format("parquet").option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         sq.awaitTermination()
-        s.table(sink)
+        s.read.parquet(s"$out/data")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("cnt"),
             countDistinct(col("user_id")).as("n_users"),

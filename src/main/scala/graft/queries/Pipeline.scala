@@ -2605,18 +2605,18 @@ object Pipeline {
           w = 32, d = 4, topK = 20)
         .orderBy(col("true_count").desc, col("key")),
       Some("""WITH k AS (SELECT user_id AS kk FROM events),
-        |cells AS (SELECT 0 AS r, ((1103515245 * kk + 12345) % 2147483647) % 32 AS b FROM k
-        |  UNION ALL SELECT 1, ((22695477 * kk + 1) % 2147483647) % 32 FROM k
-        |  UNION ALL SELECT 2, ((69069 * kk + 362437) % 2147483647) % 32 FROM k
-        |  UNION ALL SELECT 3, ((1664525 * kk + 1013904223) % 2147483647) % 32 FROM k),
+        |cells AS (SELECT 0 AS r, ((1103515245 * (kk % 2147483647) + 12345) % 2147483647) % 32 AS b FROM k
+        |  UNION ALL SELECT 1, ((22695477 * (kk % 2147483647) + 1) % 2147483647) % 32 FROM k
+        |  UNION ALL SELECT 2, ((69069 * (kk % 2147483647) + 362437) % 2147483647) % 32 FROM k
+        |  UNION ALL SELECT 3, ((1664525 * (kk % 2147483647) + 1013904223) % 2147483647) % 32 FROM k),
         |cc AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
         |  FROM cells GROUP BY 1, 2),
         |ex AS (SELECT kk, CAST(count(*) AS BIGINT) AS true_count
         |  FROM k GROUP BY 1 ORDER BY true_count DESC, kk LIMIT 20),
-        |pr AS (SELECT kk, true_count, 0 AS r, ((1103515245 * kk + 12345) % 2147483647) % 32 AS b FROM ex
-        |  UNION ALL SELECT kk, true_count, 1, ((22695477 * kk + 1) % 2147483647) % 32 FROM ex
-        |  UNION ALL SELECT kk, true_count, 2, ((69069 * kk + 362437) % 2147483647) % 32 FROM ex
-        |  UNION ALL SELECT kk, true_count, 3, ((1664525 * kk + 1013904223) % 2147483647) % 32 FROM ex)
+        |pr AS (SELECT kk, true_count, 0 AS r, ((1103515245 * (kk % 2147483647) + 12345) % 2147483647) % 32 AS b FROM ex
+        |  UNION ALL SELECT kk, true_count, 1, ((22695477 * (kk % 2147483647) + 1) % 2147483647) % 32 FROM ex
+        |  UNION ALL SELECT kk, true_count, 2, ((69069 * (kk % 2147483647) + 362437) % 2147483647) % 32 FROM ex
+        |  UNION ALL SELECT kk, true_count, 3, ((1664525 * (kk % 2147483647) + 1013904223) % 2147483647) % 32 FROM ex)
         |SELECT pr.kk AS key, pr.true_count, min(cc.cnt) AS est_count
         |FROM pr JOIN cc ON cc.r = pr.r AND cc.b = pr.b
         |GROUP BY pr.kk, pr.true_count
@@ -2646,13 +2646,19 @@ object Pipeline {
     // symmetric int4 (levels=7; int8 is recall 1.0 on this corpus,
     // i.e. signal-free) scored as end-to-end top-10 ranking recall
     // against the exact-cosine baseline, both rankings from ONE
-    // corpus scan carrying two bounded top-k heaps. DuckDB replays
-    // scale, codes, dequantization and both rankings bit-for-bit.
+    // corpus scan carrying two bounded top-k heaps. The query set is
+    // a FIXED-SIZE deterministic sample (md5-order limit 100), not a
+    // corpus fraction — recall estimation error depends on the query
+    // COUNT, not the query fraction, and a fixed count keeps the
+    // O(queries·corpus) exact baseline LINEAR in corpus size (a %-of-
+    // corpus query set made the report quadratic: 229× wall at 100×,
+    // BENCH_NOTES r12). DuckDB replays sample, scale, codes,
+    // dequantization and both rankings bit-for-bit.
     "p78_quant_recall" -> Q(
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
         graft.operators.Similarity.quantRecall(e,
-            e.filter(col("vec_id") % 100 === 0),
+            e.orderBy(md5(col("vec_id").cast("string"))).limit(100),
             "vec_id", "embedding", 10, levels = 7)
           .orderBy(col("q_id"))
       },
@@ -2661,7 +2667,8 @@ object Pipeline {
         |cq AS (SELECT vec_id,
         |    list_transform(v, x -> round(x * 7.0 / s) * s / 7.0) AS vq
         |  FROM e, s),
-        |q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+        |q AS (SELECT vec_id, v FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 100),
         |se AS (SELECT q.vec_id AS q_id, e.vec_id AS nid,
         |    ${duckCos("q.v", "e.v")} AS sc
         |  FROM q JOIN e ON e.vec_id <> q.vec_id),

@@ -97,9 +97,12 @@ object StatefulProfile {
           math.max(cur.lastTs, e.ts.getTime))
       }
       agg.update(cur)
-      // one live timer per key: re-arm at the new inactivity deadline
-      getHandle.listTimers().foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // one live timer per key: re-arm at the new inactivity deadline.
+      // Materialize the timer list BEFORE deleting — mutating timer
+      // state while iterating the state-store-backed iterator is
+      // implementation-defined.
+      getHandle.listTimers().map(_.asInstanceOf[Long]).toList
+        .foreach(getHandle.deleteTimer)
       getHandle.registerTimer(cur.lastTs + gapMs)
       Iterator.empty
     }
