@@ -412,6 +412,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
   private def snapshotRaw(td: TableDef, version: Long): DataFrame = {
     if (td.external) throw Errors.generic(
       s"table '${td.schema}.${td.name}' is external — unversioned, no time travel")
+    if (td.format == "kv") throw Errors.generic(
+      s"table '${td.schema}.${td.name}' is a kv table — LSM appends shadow " +
+        "in place (no per-statement snapshots), no time travel")
     if (version == td.version) // current image: the live read path
       return spark.read.schema(td.fullSchema).parquet(tableDir(td))
     val dir = new File(s"$dataRoot/${td.schema}/${td.name}/v$version")
@@ -561,7 +564,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     // (meta_def.rs:385-395, core_util.rs:451-462); here `*` through a
     // shadow view includes rowid — documented deviation.
     if (containsIdent(sqlText, RowId)) {
-      tables.values.filterNot(_.external).foreach { td =>
+      // kv tables excluded: the key is the identity, there is no rowid
+      tables.values.filterNot(td => td.external || td.format == "kv")
+        .foreach { td =>
         val shadowName = s"__rowid_${td.schema}_${td.name}"
         val (rewritten, qualified) =
           replaceQualifiedRef(sqlText, td.schema, td.name, shadowName)
@@ -673,10 +678,15 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
   }
 
   private def doCreateTable(stmt: String): GraftResult = {
-    val m = "(?is)^create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([^(\\s]+)\\s*\\((.*)\\)\\s*$"
+    val m = ("(?is)^create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([^(\\s]+)\\s*" +
+      "\\((.*)\\)\\s*(?:using\\s+(\\w+)\\s*)?$")
       .r.findFirstMatchIn(stmt)
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     val ifNotExists = m.group(1) != null
+    val managedFmt = Option(m.group(4)).map(_.toLowerCase).getOrElse("parquet")
+    if (managedFmt != "parquet" && managedFmt != "kv")
+      throw Errors.generic(s"unsupported managed table format: $managedFmt " +
+        "(managed tables are PARQUET or KV; other formats via CREATE EXTERNAL TABLE)")
     val (schema, name) = resolveName(m.group(2))
     if (!schemas.contains(schema)) throw Errors.unknownDb(schema)
     if (tables.contains((schema, name))) {
@@ -729,6 +739,30 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val colNames = cols.map(_.name).toSet
     (pk ++ uniques.flatMap(_._2)).foreach { c =>
       if (!colNames.contains(c)) throw Errors.unknownColumn(c, "key definition")
+    }
+    if (managedFmt == "kv") {
+      // Managed KV table — the reference's KV-as-primary-store shape
+      // (`/root/reference/src/store/engine/sled.rs:36-44`) as a
+      // first-class engine format: rows live in numbered write-once
+      // [[graft.sources.KvSegment]] files, reads go through the DSv2
+      // range-pushdown connector, and mutations are LSM appends
+      // (newest-wins shadowing), not parquet COW. The connector's row
+      // shape is fixed, so the declared schema must be exactly
+      // (k INT, v CHAR); the key IS the row identity (no rowid) and
+      // is implicitly PRIMARY.
+      val shapeOk = cols.map(c => (c.name, c.sqlType)) == Seq("k" -> "int", "v" -> "char")
+      if (!shapeOk) throw Errors.generic(
+        "kv tables have a fixed schema: CREATE TABLE t (k INT, v CHAR) USING KV")
+      if (pk.nonEmpty && pk != Seq("k")) throw Errors.generic(
+        "kv tables: the key column 'k' is the primary key; no other key is supported")
+      if (uniques.nonEmpty) throw Errors.generic(
+        "kv tables: no secondary UNIQUE constraints (the key is the only index)")
+      val td = TableDef(schema, name, cols, Seq("k"), Nil, storeId, 0L,
+        None, "kv")
+      tables += (schema, name) -> td
+      registerTable(td)
+      persistInfoSchema()
+      return AffectedRows(1)
     }
     val td = TableDef(schema, name, cols, pk, uniques, storeId, 0L)
     tables += (schema, name) -> td
@@ -789,6 +823,11 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       throw Errors.generic(
         s"Table '${td.qualified}' is an external table and is read-only")
 
+  private def requireNotKv(td: TableDef, what: String): Unit =
+    if (td.format == "kv")
+      throw Errors.generic(s"$what: kv table '${td.qualified}' has a " +
+        "fixed (k INT, v CHAR) schema")
+
   private def dropTableImpl(td: TableDef): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `${td.schema}`.`${td.name}`")
     // external: unregister only, never touch the user's data files
@@ -819,6 +858,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     (add, drop) match {
       case (Some(m), _) =>
         val td = lookup(m.group(1))
+        requireNotKv(td, "ALTER TABLE")
         val cname = ident(m.group(2))
         if (td.columns.exists(_.name == cname))
           throw GraftException(1060, s"Duplicate column name '$cname'")
@@ -837,6 +877,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         AffectedRows(0)
       case (_, Some(m)) =>
         val td = lookup(m.group(1))
+        requireNotKv(td, "ALTER TABLE")
         val cname = ident(m.group(2))
         if (!td.columns.exists(_.name == cname))
           throw Errors.unknownColumn(cname, td.name)
@@ -936,6 +977,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       } else throw Errors.generic(
         "only INSERT ... VALUES or INSERT ... SELECT is supported")
 
+    if (td.format == "kv")
+      return kvInsert(td, sourceDf, targetCols, knownCount, overwrite)
+
     val newRowsPlan = sourceDf.select(
       expr("replace(uuid(), '-', '')").as(RowId) +:
         td.columns.map { c =>
@@ -984,10 +1028,13 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     }
   }
 
-  private def tableHasData(td: TableDef): Boolean = {
-    val d = new File(tableDir(td))
-    d.exists() && d.listFiles().exists(_.getName.endsWith(".parquet"))
-  }
+  private def tableHasData(td: TableDef): Boolean =
+    if (td.format == "kv")
+      graft.sources.KvSegment.listSegments(tableDir(td)).nonEmpty
+    else {
+      val d = new File(tableDir(td))
+      d.exists() && d.listFiles().exists(_.getName.endsWith(".parquet"))
+    }
 
   private def whereSplit(s: String): (String, Option[String]) = {
     val i = indexOfKeyword(s, "where")
@@ -1009,6 +1056,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       c -> a.substring(eq + 1).trim
     }.toMap
     val cond = whereOpt.map(w => expr(rewrite(w))).getOrElse(lit(true))
+    if (td.format == "kv") return kvUpdate(td, assigns, cond)
     // query-then-mutate: assignments see the consistent pre-image
     // (update.rs:55-108; SURVEY §3.2)
     val n = mutateVersion(td, cond, sub => {
@@ -1036,6 +1084,18 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     val td = lookup(m.group(1))
     requireWritable(td)
+    if (td.format == "kv") {
+      // KV OPTIMIZE = segment compaction: fold the multi-segment LSM
+      // table back to one newest-wins-merged segment
+      // ([[graft.sources.KvSegment.compact]] — a maintenance-window
+      // operation, same read-contract caveats as parquet file
+      // rewrites). Returns segments removed; 0 = already compact.
+      val segs = graft.sources.KvSegment.listSegments(tableDir(td))
+      if (segs.size <= 1) return AffectedRows(0)
+      graft.sources.KvSegment.compact(tableDir(td))
+      spark.catalog.refreshTable(s"${td.schema}.${td.name}")
+      return AffectedRows(segs.size - 1)
+    }
     def parquetCount(d: File): Int =
       Option(d.listFiles()).getOrElse(Array.empty[File])
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -1062,8 +1122,195 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       else if (rest.toLowerCase.startsWith("where")) Some(rest.substring(5))
       else throw Errors.generic(s"cannot parse: $stmt")
     val cond = whereOpt.map(w => expr(rewrite(w))).getOrElse(lit(true))
+    if (td.format == "kv") return kvDelete(td, cond)
     val n = mutateVersion(td, cond,
       sub => sub.where(not(coalesce(cond, lit(false)))))
+    AffectedRows(n)
+  }
+
+  // ------------------------------------------------------------------
+  // managed KV tables: the LSM write path
+  // ------------------------------------------------------------------
+  // The reference's primary store is a KV engine written one cell at a
+  // time from the driver (`/root/reference/src/store/engine/sled.rs`,
+  // `physical_plan/insert.rs:29-104`); its statement surface mutates
+  // that store directly. Here the same surface lands on the
+  // multi-segment [[graft.sources.KvSegment]] table: INSERT/UPDATE are
+  // DISTRIBUTED segment appends (range-partitioned, task-written,
+  // atomically published — [[graft.sources.KvSegmentWriter]]) whose new
+  // sequence numbers shadow older values newest-wins, so a mutation
+  // costs O(rows touched), never a table rewrite — the LSM upsert
+  // economics parquet COW can't offer. DELETE has no tombstone in the
+  // segment format (a stored NULL is a value), so it commits a NEW
+  // VERSION DIRECTORY like parquet COW: segments whose fence range
+  // can't contain a deleted key are carried as hard links, touched
+  // segments are rewritten in parallel tasks with the deleted keys
+  // removed (removing a key from EVERY segment that holds it keeps
+  // newest-wins visibility exact), and `_SUCCESS` commits the swap.
+  // Durability: per-segment publish is write-once-rename; a crash
+  // mid-INSERT leaves a prefix of the new segments visible (the same
+  // partial-statement exposure as the reference's per-key insert loop,
+  // `insert.rs:195-218`), and a crash mid-DELETE leaves the old
+  // version adopted by [[reconcileVersions]].
+
+  /** Rows per appended segment: ~4M keys ≈ 32 MB of key+offset index
+    * per segment file, so a 1 B-row statement lands as ~256 parallel
+    * segment writes instead of one giant file. */
+  private val kvRowsPerSegment = 4000000L
+
+  /** Deleted-key sets up to this size take the segment-pruned path
+    * (sorted key array broadcast to per-segment rewrite tasks); bigger
+    * deletes fall back to a full distributed rewrite — at that
+    * selectivity the table rewrite IS the proportional cost.
+    * Var (test seam): specs shrink it to exercise the fallback. */
+  private[graft] var kvDeleteKeyLimit: Int = 1000000
+
+  private def kvSegmentsFor(n: Long): Int =
+    math.max(1, math.min(256L, (n + kvRowsPerSegment - 1) / kvRowsPerSegment)).toInt
+
+  private def kvQualified(td: TableDef): String = s"${td.schema}.${td.name}"
+
+  private def kvInsert(td: TableDef, sourceDf: DataFrame,
+      targetCols: Seq[String], knownCount: Option[Long],
+      overwrite: Boolean): GraftResult = {
+    val rowsPlan = sourceDf.select(td.columns.map { c =>
+      if (targetCols.contains(c.name)) col(c.name).cast(c.sparkType).as(c.name)
+      else lit(null).cast(c.sparkType).as(c.name)
+    }: _*)
+    // SELECT sources: persist so the null/dup probes, the count and
+    // the segment write evaluate the source once
+    val rows =
+      if (knownCount.isEmpty)
+        rowsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rowsPlan
+    try {
+      if (rows.filter(col("k").isNull).limit(1).collect().nonEmpty)
+        throw GraftException(1048, "Column 'k' cannot be null")
+      // duplicate-key rejection (1062): within the batch always;
+      // against the live image unless INSERT OVERWRITE — overwrite is
+      // the LSM upsert, the appended segment shadows newest-wins
+      val dupIn = rows.groupBy(col("k")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("k"))
+      val probes =
+        if (overwrite || !tableHasData(td)) dupIn
+        else dupIn.unionAll(rows.select(col("k"))
+          .join(spark.table(kvQualified(td)).select(col("k")), Seq("k"), "left_semi"))
+      val hit = probes.limit(1).collect()
+      if (hit.nonEmpty)
+        throw Errors.duplicateEntry(hit(0).getLong(0).toString, "PRIMARY")
+      val n = knownCount.getOrElse(rows.count())
+      if (n > 0)
+        graft.sources.KvSegmentWriter.writeDataFrame(
+          rows, tableDir(td), "k", "v", kvSegmentsFor(n))
+      spark.catalog.refreshTable(kvQualified(td))
+      AffectedRows(n)
+    } finally { if (knownCount.isEmpty) rows.unpersist() }
+  }
+
+  private def kvUpdate(td: TableDef, assigns: Map[String, String],
+      cond: Column): GraftResult = {
+    if (assigns.contains("k")) throw Errors.generic(
+      "kv tables: the key 'k' is the row identity and cannot be " +
+        "UPDATEd (DELETE + INSERT moves a row)")
+    // query-then-mutate on the CURRENT newest-wins image; only the
+    // matched rows are appended (with their updated value), so the
+    // statement costs O(matched), and the new segment shadows the old
+    // values — no read-modify-rewrite of untouched data
+    val cur = spark.table(kvQualified(td))
+    val updated = cur.where(cond).select(col("k"),
+        assigns.get("v").map(e => expr(rewrite(e)).cast("string").as("v"))
+          .getOrElse(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = updated.count()
+      if (n > 0) {
+        graft.sources.KvSegmentWriter.writeDataFrame(
+          updated, tableDir(td), "k", "v", kvSegmentsFor(n))
+        spark.catalog.refreshTable(kvQualified(td))
+      }
+      AffectedRows(n)
+    } finally updated.unpersist()
+  }
+
+  private def kvDelete(td: TableDef, cond: Column): GraftResult = {
+    import graft.sources.{KvSegment, KvSegmentWriter}
+    val dir = tableDir(td)
+    val segs = KvSegment.listSegments(dir)
+    if (segs.isEmpty) return AffectedRows(0)
+    val cur = spark.table(kvQualified(td))
+    // matched keys come from the merged CURRENT image (cond may test
+    // v): a key deleted "now" must vanish from every segment that
+    // holds any version of it. limit(K+1) gives an exact count when
+    // the delete is small — the common case pays one bounded job.
+    val sample = cur.where(cond).select(col("k"))
+      .limit(kvDeleteKeyLimit + 1).collect().map(_.getLong(0))
+    if (sample.isEmpty) return AffectedRows(0)
+    val ntd = td.copy(version = td.version + 1)
+    val newDir = new File(tableDir(ntd))
+    deleteRecursively(newDir)
+    newDir.mkdirs()
+    val n: Long =
+      if (sample.length <= kvDeleteKeyLimit) {
+        val keysSorted = sample.sorted
+        // fence-pruned: only segments whose [first,last] key range can
+        // contain a deleted key are rewritten; the rest hard-link into
+        // v(N+1) unread (the parquet mutateVersion carry, LSM-shaped)
+        val (touched, carried) = segs.partition { p =>
+          val fi = KvSegment.fenceIndex(p)
+          fi.n > 0 && {
+            val i = {
+              // first deleted key >= segment's first key
+              val j = java.util.Arrays.binarySearch(keysSorted, fi.firstKey)
+              if (j >= 0) j else -(j + 1)
+            }
+            i < keysSorted.length && keysSorted(i) <= fi.lastKey
+          }
+        }
+        carried.foreach { p =>
+          val src = new File(p)
+          val dst = new File(newDir, src.getName).toPath
+          try Files.createLink(dst, src.toPath)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(src.toPath, dst)
+          }
+        }
+        if (touched.nonEmpty) {
+          val bc = spark.sparkContext.broadcast(keysSorted)
+          val newDirPath = newDir.getPath
+          // one task per touched segment: read it, drop deleted keys,
+          // publish the filtered twin under the SAME name (sequence
+          // numbers preserved ⇒ shadowing relations preserved).
+          // Deterministic content, atomic rename — retries converge.
+          // An all-deleted segment is simply not republished.
+          spark.sparkContext.parallelize(touched, touched.size).foreach { p =>
+            val kept = KvSegment.readAll(p).filter { case (kk, _) =>
+              java.util.Arrays.binarySearch(bc.value, kk) < 0 }
+            if (kept.nonEmpty)
+              KvSegment.writeSorted(
+                new File(newDirPath, new File(p).getName).getPath, kept)
+          }
+          bc.unpersist()
+        }
+        sample.length.toLong
+      } else {
+        // mass delete: distributed rewrite of the complement image
+        val keep = cur.where(not(coalesce(cond, lit(false))))
+        val cnt = cur.where(cond).count()
+        KvSegmentWriter.writeDataFrame(keep, newDir.getPath, "k", "v",
+          math.max(1, segs.size))
+        cnt
+      }
+    new File(newDir, "_SUCCESS").createNewFile() // commit point
+    tables += (td.schema, td.name) -> ntd
+    registerTable(ntd)
+    persistInfoSchema()
+    // same grace-GC window as writeVersion: old versions beyond the
+    // retention floor go; the floor covers in-flight readers
+    val base = newDir.getParentFile
+    Option(base.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .filter(_.getName.drop(1).toLong <= ntd.version - retainVersions)
+      .foreach(deleteRecursively)
     AffectedRows(n)
   }
 

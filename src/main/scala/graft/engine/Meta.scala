@@ -45,7 +45,7 @@ final case class TableDef(schema: String, name: String,
     * missing keys and reads them back as NULL regardless of the
     * declared nullability (`add_column.rs:34-80`). */
   def fullSchema: StructType =
-    if (external) visibleSchema
+    if (external || format == "kv") visibleSchema // kv: the key IS the identity, no rowid
     else StructType(
       StructField(Meta.RowId, StringType, nullable = false) +:
         columns.map(c => StructField(c.name, c.sparkType, nullable = true)))
@@ -74,7 +74,8 @@ final case class TableDef(schema: String, name: String,
       val kind = if (n == "PRIMARY") "PRIMARY KEY" else "UNIQUE"
       s"CONSTRAINT $n $kind (${cs.mkString(", ")})"
     }
-    s"CREATE TABLE $name (${(cols ++ cons).mkString(", ")})"
+    val usingSql = if (format == "kv") " USING KV" else ""
+    s"CREATE TABLE $name (${(cols ++ cons).mkString(", ")})$usingSql"
   }
 }
 
@@ -125,7 +126,10 @@ object InfoSchema {
     import s.implicits._
     defs.sortBy(t => (t.schema, t.name))
       .map(t => (Catalog, t.schema, t.name, "BASE TABLE",
-        if (t.external) s"external_${t.format}" else "parquet", t.version,
+        // managed format round-trips through this column (load()
+        // strips the external_ prefix): parquet for COW tables, kv
+        // for managed LSM tables
+        if (t.external) s"external_${t.format}" else t.format, t.version,
         t.location.getOrElse("")))
       .toDF("table_catalog", "table_schema", "table_name",
         "table_type", "engine", "data_version", "location")

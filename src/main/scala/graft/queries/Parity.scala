@@ -961,6 +961,45 @@ object Parity {
         |    / 100.0 AS total
         |FROM orders
         |WHERE o_orderstatus <> 'X' AND o_totalprice >= 1000.0
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- managed KV tables through the statement surface — the
+    // reference's KV-as-primary-store semantics
+    // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:
+    // 29-104`) as engine SQL: CREATE … USING KV, a distributed
+    // INSERT…SELECT that lands as range-partitioned write-once
+    // segments, an UPDATE that appends ONLY the matched key range
+    // (newest-wins shadowing — O(matched), no table rewrite), a
+    // fence-pruned DELETE version commit, then a range read back
+    // through the DSv2 connector (key predicate pushed to the
+    // segment fence index; PlanSpec pins the RangeScan). The oracle
+    // replays insert→update→delete→read declaratively over customer.
+    "q68_engine_kv_dml" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q68_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q68")
+        eng.sql("use q68")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql("create table kvt (k int, v char) using kv")
+        eng.sql("insert into kvt select c_custkey, c_mktsegment from cust_src")
+        eng.sql("update kvt set v = concat(v, '!') where k between 100 and 500")
+        eng.sql("delete from kvt where k % 10 = 7")
+        eng.sql(
+          """select v, count(*) as n, min(k) as min_k, max(k) as max_k
+            |from kvt where k between 50 and 1000
+            |group by v order by v""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""WITH kv AS (SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey BETWEEN 100 AND 500
+        |      THEN c_mktsegment || '!' ELSE c_mktsegment END AS v
+        |  FROM customer WHERE c_custkey % 10 <> 7)
+        |SELECT v, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        |FROM kv WHERE k BETWEEN 50 AND 1000
+        |GROUP BY v ORDER BY v""".stripMargin))
   )
 }

@@ -94,6 +94,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read.count(_ == ',') <= 6, read)
   }
 
+  test("q68 range-reads the managed kv table via the pushed-down connector") {
+    // the final SELECT's key predicate must reach the DSv2 scan as a
+    // clipped range — the managed-KV statement surface keeps the same
+    // index-range-scan path as the external connector (q56)
+    val t = planText("q68_engine_kv_dml")
+    assert(t.contains("RangeScan[50,1000]"), t)
+  }
+
   test("q35 joins every dimension via broadcast, fact table unshuffled pre-agg") {
     val t = planText("q35_regional_revenue")
     assert("BroadcastHashJoin".r.findAllIn(t).size >= 3, t)
