@@ -84,6 +84,19 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    // Truncation-resilient emission for tail-capped captures (the
+    // driver keeps only the LAST N bytes of stdout, and the full
+    // 149-query contract line outgrew that cap — BENCH_r12 lost
+    // p01–p73): per-query timings go out first in ≤40-query JSON
+    // chunk lines (~1 KB each, later chunks survive a front
+    // truncation), and the FULL contract line stays the process's
+    // final line, so an uncapped capture parses exactly as before.
+    val chunks = results.grouped(40).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val cq = c.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"chunk","part":${i + 1},"of":${chunks.size},"queries":$cq}""")
+    }
     println(json)
   }
 }

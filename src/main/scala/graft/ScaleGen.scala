@@ -104,6 +104,27 @@ object ScaleGen {
         col("s_nationkey"), col("s_acctbal"))
       .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
 
+    // ---- lineitem: offset order/part/supp keyspaces per copy — the
+    // co-purchase graph operators (p65/p75) read (l_orderkey,
+    // l_partkey) as their edge source, and per-copy key disjointness
+    // makes the graph grow as `copies` independent components: nodes,
+    // edges AND the within-order pair space all scale linearly, the
+    // way a real larger basket corpus would. Non-key columns carry
+    // over unchanged (per-copy value distributions identical).
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val nOrd = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val nPart = li.agg(max("l_partkey")).head().getLong(0) + 1
+    val nSupp = li.agg(max("l_suppkey")).head().getLong(0) + 1
+    li.crossJoin(copyDf)
+      .select(
+        (col("l_orderkey") + col("c") * nOrd).as("l_orderkey"),
+        (col("l_partkey") + col("c") * nPart).as("l_partkey"),
+        (col("l_suppkey") + col("c") * nSupp).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
     println(s"""{"scalegen":"$dst","copies":$copies}""")
     spark.stop()
   }

@@ -1070,20 +1070,42 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     AffectedRows(n)
   }
 
-  /** `OPTIMIZE [TABLE] t` — compact the current image into
-    * ~128 MB-target files as a fresh version commit (same `_SUCCESS`
+  /** File size target for OPTIMIZE rewrites (~128 MB, the usual
+    * scan-efficiency sweet spot). Var (test seam): specs shrink it so
+    * a small table rewrites into several files and the z-order
+    * clustering property is observable at test size. */
+  private[graft] var optimizeTargetBytes: Long = 128L * 1024 * 1024
+
+  /** `OPTIMIZE [TABLE] t [ZORDER BY (c1, c2[, c3])]` — rewrite the
+    * current image as a fresh version commit (same `_SUCCESS`
     * discipline, retained history untouched and still readable).
-    * Needed once per-statement INSERT commits (time-travel mode)
-    * accumulate small files: a 100-TB scan pays per-file open/footer
+    *
+    * Plain form: compact into ~[[optimizeTargetBytes]]-target files —
+    * needed once per-statement INSERT commits (time-travel mode)
+    * accumulate small files; a 100-TB scan pays per-file open/footer
     * costs, so file count is a first-class scale concern. The rewrite
-    * is a `coalesce` — narrow, no shuffle. Returns the number of
-    * files removed; 0 = already compact. */
+    * is a `coalesce` — narrow, no shuffle. Returns files removed;
+    * 0 = already compact.
+    *
+    * ZORDER form: range-partition and sort the image by the Morton
+    * z-value of 2–3 INT columns ([[graft.functions.ZOrder]]) so each
+    * output file covers a small hyper-rectangle of the key space —
+    * min/max footer stats then prune files for predicates on ANY
+    * z-order column, where single-key layouts only serve one. One
+    * shuffle (range exchange on z), stats from one driver-side
+    * min/max row. Always rewrites (re-clustering is the point);
+    * returns the files written. Rejected on kv tables — the segment
+    * store is already key-ordered. */
   private def doOptimize(stmt: String): GraftResult = {
-    val m = "(?is)^optimize\\s+(?:table\\s+)?(\\S+)\\s*$".r
+    val m = ("(?is)^optimize\\s+(?:table\\s+)?(\\S+?)" +
+      "(?:\\s+zorder\\s+by\\s*\\(([^)]*)\\))?\\s*$").r
       .findFirstMatchIn(stmt)
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     val td = lookup(m.group(1))
     requireWritable(td)
+    val zcols = Option(m.group(2))
+      .map(g => splitTopLevel(g, ',').map(ident)).getOrElse(Seq.empty)
+    if (zcols.nonEmpty) return doZOrder(td, zcols)
     if (td.format == "kv") {
       // KV OPTIMIZE = segment compaction: fold the multi-segment LSM
       // table back to one newest-wins-merged segment
@@ -1102,13 +1124,47 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val dir = new File(tableDir(td))
     val parts = Option(dir.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val targetBytes = 128L * 1024 * 1024
     val nOut = math.max(1,
-      math.ceil(parts.map(_.length).sum.toDouble / targetBytes).toInt)
+      math.ceil(parts.map(_.length).sum.toDouble / optimizeTargetBytes).toInt)
     if (parts.length <= nOut) return AffectedRows(0)
     writeVersion(td, readFull(td).coalesce(nOut))
     val ntd = tables((td.schema, td.name))
     AffectedRows(parts.length - parquetCount(new File(tableDir(ntd))))
+  }
+
+  private def doZOrder(td: TableDef, zcols: Seq[String]): GraftResult = {
+    requireNotKv(td, "OPTIMIZE ZORDER")
+    if (zcols.size < 2 || zcols.size > 3)
+      throw Errors.generic("ZORDER BY takes 2 or 3 columns")
+    zcols.foreach { c =>
+      val cd = td.columns.find(_.name == c)
+        .getOrElse(throw Errors.unknownColumn(c, td.name))
+      if (cd.sqlType != "int")
+        throw Errors.generic(s"ZORDER BY column '$c' must be INT")
+    }
+    val full = readFull(td)
+    // one stats row: (min, max) per z column, for bucket normalization
+    val aggExprs = zcols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val statsRow = full.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val stats = zcols.indices.map { i =>
+      (Option(statsRow.get(2 * i)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(statsRow.get(2 * i + 1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    val bytes = Option(new File(tableDir(td)).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / optimizeTargetBytes).toInt)
+    val z = graft.functions.ZOrder.zvalue(zcols.map(col), stats)
+    writeVersion(td, full.withColumn("__z", z)
+      .repartitionByRange(nOut, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z"))
+    val ntd = tables((td.schema, td.name))
+    def parquetCount2(d: File): Int =
+      Option(d.listFiles()).getOrElse(Array.empty[File])
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    AffectedRows(parquetCount2(new File(tableDir(ntd))))
   }
 
   private def doDelete(stmt: String): GraftResult = {

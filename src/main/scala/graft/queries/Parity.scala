@@ -1000,6 +1000,94 @@ object Parity {
         |  FROM customer WHERE c_custkey % 10 <> 7)
         |SELECT v, count(*) AS n, min(k) AS min_k, max(k) AS max_k
         |FROM kv WHERE k BETWEEN 50 AND 1000
-        |GROUP BY v ORDER BY v""".stripMargin))
+        |GROUP BY v ORDER BY v""".stripMargin)),
+
+    // ---- OPTIMIZE … ZORDER BY through the statement surface: the
+    // multi-column data-clustering rewrite (Morton interleave of
+    // normalized keys → range partition → sorted files, so min/max
+    // footer stats prune on EITHER column — `functions.ZOrder`). The
+    // oracle pins READ EQUIVALENCE under re-layout: a range aggregate
+    // over the z-ordered image must hash-match the plain recompute
+    // (the clustering property itself — per-file key rectangles —
+    // is ZOrderSpec's job; a layout statement must never change
+    // results, and this entry makes that a driver-gated invariant).
+    "q69_engine_zorder" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q69_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q69")
+        eng.sql("use q69")
+        eng.sql(s"create external table ord_src USING PARQUET LOCATION '$dir/orders.parquet'")
+        eng.sql(
+          """create table ord (o_orderkey int, o_custkey int,
+            |o_totalprice float, PRIMARY KEY(o_orderkey))""".stripMargin)
+        eng.sql(
+          "insert into ord select o_orderkey, o_custkey, o_totalprice from ord_src")
+        eng.sql("optimize ord zorder by (o_custkey, o_orderkey)")
+        eng.sql(
+          """select count(*) as n, min(o_orderkey) as min_ok,
+            |  max(o_orderkey) as max_ok,
+            |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as double) / 100.0
+            |    as total
+            |from ord where o_custkey between 100 and 400""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""SELECT count(*) AS n, min(o_orderkey) AS min_ok,
+        |  max(o_orderkey) AS max_ok,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 400""".stripMargin)),
+
+    // ---- incremental view maintenance over the change data feed:
+    // the q63 mutation chain again, but the final per-segment
+    // aggregate is NOT recomputed from the current image — it is the
+    // v1 aggregate folded forward by `Incremental.maintainGroupSum`
+    // over `engine.changes(cust, 1, 3)` (signed counts/sums:
+    // +insert/+postimage, −delete/−preimage). Cost is O(delta +
+    // touched groups) vs O(corpus) recompute — the read pattern that
+    // makes CDF useful at 100 TB. The oracle recomputes the final
+    // image declaratively, so hash equality PROVES maintained ==
+    // recomputed, through the driver's gate.
+    "q70_engine_incremental" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q70_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.setVersionRetention(10)
+        eng.sql("create schema q70")
+        eng.sql("use q70")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(
+          """create table cust (c_custkey int, c_name char,
+            |c_nationkey int, c_acctbal float, c_mktsegment char,
+            |PRIMARY KEY(c_custkey))""".stripMargin)
+        eng.sql(
+          """insert into cust select c_custkey, c_name, c_nationkey,
+            |c_acctbal, c_mktsegment from cust_src""".stripMargin) // v1
+        eng.sql(
+          "update cust set c_acctbal = 0.0 where c_mktsegment = 'BUILDING'") // v2
+        eng.sql("delete from cust where c_nationkey = 3")                    // v3
+        val baseAgg = eng.tableAsOf("cust", 1)
+          .groupBy(col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(cents(col("c_acctbal"))).as("total"))
+        val maintained = graft.operators.Incremental.maintainGroupSum(
+          baseAgg,
+          eng.changes("cust", 1, 3)
+            .withColumn("seg", col("c_mktsegment")),
+          "seg", cents(col("c_acctbal")))
+        maintained
+          .select(col("seg"), col("cnt").as("n"), money(col("total")).as("bal"))
+          .orderBy(col("seg"))
+      },
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |      THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(round(c_acctbal * 100) AS BIGINT) END)
+        |    AS DOUBLE) / 100.0 AS bal
+        |FROM customer WHERE c_nationkey <> 3
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin))
   )
 }

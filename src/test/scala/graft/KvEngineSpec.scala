@@ -213,6 +213,17 @@ class KvEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Seq(11L)))
   }
 
+  test("min/max through engine SQL answer from the fence index (agg pushdown)") {
+    val (e, _) = freshEngine()
+    e.sql("create table kvt (k int, v char) using kv")
+    e.sql("insert into kvt select id as k, concat('v', id) as v from range(1, 501)")
+    val plan = rows(e.sql("explain select min(k) as lo, max(k) as hi from kvt"))
+      .map(_.mkString).mkString("\n")
+    assert(plan.contains("PushedAggregates: [MIN(k), MAX(k)]"), plan)
+    assert(rows(e.sql("select min(k) as lo, max(k) as hi from kvt")) ==
+      Seq(Seq(1L, 500L)))
+  }
+
   test("alter table and time travel are rejected on kv tables") {
     val (e, _) = freshEngine()
     e.sql("create table kvt (k int, v char) using kv")
