@@ -640,8 +640,9 @@ object Similarity {
     // A query whose every neighbor was filtered out (corpus == {q})
     // produces no group above; the report still owes it a row —
     // left-join the query frame back and coalesce to 0, the same
-    // LEFT JOIN the DuckDB oracle does.
-    q.select(col("q_id")).join(perQuery, Seq("q_id"), "left")
+    // LEFT JOIN the DuckDB oracle does. Both sides are query-sized;
+    // broadcast keeps the report join shuffle-free.
+    q.select(col("q_id")).join(broadcast(perQuery), Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .select(col("q_id"), col("n_overlap"),
