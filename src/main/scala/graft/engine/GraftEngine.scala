@@ -359,20 +359,30 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * — the catalog is itself tables, like the reference. coalesce(1)
     * is deliberate HERE: these are metadata tables with one row per
     * schema/table/column — bounded by catalog size, not data size. */
-  private def persistInfoSchema(): Unit = {
-    infoTables.foreach { n =>
+  /** Persist + (re)register the named info tables — all of them for
+    * DDL (any of the 8 can change shape), but a DATA mutation only
+    * moves `tables.data_version`, so [[writeVersion]]/[[kvDelete]]
+    * pass `Seq("tables")` and a COW UPDATE pays ONE tiny parquet
+    * write + one registration instead of eight of each. The narrowed
+    * write still persists the catalog pointer the crash-reconcile
+    * path reads, so every recovery window is unchanged. (Measured:
+    * the 8×-write was the bulk of the engine-lifecycle battery
+    * entries' wall — 3 mutations × 8 tables × ~0.3s each.) */
+  private def persistInfoSchema(names: Seq[String] = infoTables): Unit = {
+    names.foreach { n =>
       infoDf(n).coalesce(1).write.mode("overwrite").parquet(s"$infoRoot/$n")
     }
-    registerInfoTables()
+    registerInfoTables(names)
   }
 
-  private def registerInfoTables(): Unit = infoTables.foreach { n =>
-    // drop + recreate so the registration always points at THIS
-    // engine's warehouse (several engines may share a SparkSession)
-    spark.sql(s"DROP TABLE IF EXISTS `$InfoSchemaDb`.`$n`")
-    spark.catalog.createTable(s"$InfoSchemaDb.$n", "parquet",
-      infoDf(n).schema, Map("path" -> s"$infoRoot/$n"))
-  }
+  private def registerInfoTables(names: Seq[String] = infoTables): Unit =
+    names.foreach { n =>
+      // drop + recreate so the registration always points at THIS
+      // engine's warehouse (several engines may share a SparkSession)
+      spark.sql(s"DROP TABLE IF EXISTS `$InfoSchemaDb`.`$n`")
+      spark.catalog.createTable(s"$InfoSchemaDb.$n", "parquet",
+        infoDf(n).schema, Map("path" -> s"$infoRoot/$n"))
+    }
 
   // ------------------------------------------------------------------
   // name resolution
@@ -1359,7 +1369,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     new File(newDir, "_SUCCESS").createNewFile() // commit point
     tables += (td.schema, td.name) -> ntd
     registerTable(ntd)
-    persistInfoSchema()
+    persistInfoSchema(Seq("tables")) // data_version only — no shape change
     // same grace-GC window as writeVersion: old versions beyond the
     // retention floor go; the floor covers in-flight readers
     val base = newDir.getParentFile
@@ -1454,7 +1464,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     }
     tables += (td.schema, td.name) -> ntd
     registerTable(ntd)
-    persistInfoSchema()
+    persistInfoSchema(Seq("tables")) // data_version only — no shape change
     // Grace-period GC, not immediate delete: a read statement's
     // DataFrame executes OUTSIDE engine locks (sqlAs scaladoc), so
     // the version a concurrent reader planned against must survive
