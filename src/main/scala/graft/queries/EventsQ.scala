@@ -552,7 +552,46 @@ object EventsQ {
         |${oSumCents("value")} AS total_value,
         |CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
         |  AS max_value
-        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- streaming ingestion INTO the engine's managed KV store,
+    // oracle-gated: the events feed drains micro-batch by micro-batch
+    // through foreachBatch, each batch landing as an engine-SQL
+    // INSERT OVERWRITE into a `USING KV` table — the LSM upsert makes
+    // a replayed batch converge (exactly-once WITHOUT a commit log;
+    // StreamingSpec's twin re-drains the whole feed from a fresh
+    // checkpoint into the same table and pins image invariance). The
+    // value packs (event_type, cents) as 'type:cents'; the final
+    // per-type rollup is read back THROUGH the engine's DSv2 scan, so
+    // equality with a plain GROUP BY over the source proves the whole
+    // stream→segment→scan round trip.
+    "q71_stream_engine_ingest" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q71_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q71")
+        eng.sql("use q71")
+        eng.sql("create table ev (k int, v char) using kv")
+        graft.streaming.EngineIngest.ingestAvailableNow(
+          eng, "ev", tblStream(s, dir, "events"),
+          keySql = "event_id",
+          valueSql = "concat(event_type, ':', " +
+            "cast(cast(round(value * 100) as bigint) as string))",
+          checkpoint = s"$wh/ckpt")
+        eng.sql(
+          """select split_part(v, ':', 1) as event_type,
+            |  count(*) as cnt,
+            |  cast(sum(cast(split_part(v, ':', 2) as bigint)) as double) / 100.0
+            |    as total_value
+            |from ev group by 1 order by event_type""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some(s"""SELECT event_type, count(*) AS cnt,
+        |${oSumCents("value")} AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   /** KV fixture directory keyed by a CONTENT fingerprint of the source
