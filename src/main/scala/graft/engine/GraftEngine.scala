@@ -341,6 +341,14 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     "table_constraints", "key_column_usage", "check_constraints",
     "referential_constraints")
 
+  /** Info tables whose content depends on table definitions — the
+    * set a table-level DDL statement has to rewrite. `schemata` only
+    * moves on schema DDL, and the two `*_constraints` catalogs are
+    * constant after bootstrap (the engine supports neither), so a
+    * CREATE TABLE persists five tiny tables, not eight. */
+  private val tableShapeInfo = Seq("tables", "columns", "statistics",
+    "table_constraints", "key_column_usage")
+
   private def infoDf(name: String): DataFrame = {
     val defs = tables.values.toSeq
     name match {
@@ -665,7 +673,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     }
     schemas += name
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
-    persistInfoSchema()
+    persistInfoSchema(Seq("schemata"))
     AffectedRows(1)
   }
 
@@ -683,7 +691,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     schemas -= name
     spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
     if (currentSchema.contains(name)) active.currentSchema = None
-    persistInfoSchema()
+    persistInfoSchema("schemata" +: tableShapeInfo)
     AffectedRows(1)
   }
 
@@ -771,13 +779,13 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         None, "kv")
       tables += (schema, name) -> td
       registerTable(td)
-      persistInfoSchema()
+      persistInfoSchema(tableShapeInfo)
       return AffectedRows(1)
     }
     val td = TableDef(schema, name, cols, pk, uniques, storeId, 0L)
     tables += (schema, name) -> td
     registerTable(td)
-    persistInfoSchema()
+    persistInfoSchema(tableShapeInfo)
     AffectedRows(1)
   }
 
@@ -824,7 +832,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       cols.size + 1, 0L, Some(path), fmt)
     tables += (schema, name) -> td
     registerTable(td)
-    persistInfoSchema()
+    persistInfoSchema(tableShapeInfo)
     AffectedRows(1)
   }
 
@@ -854,7 +862,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val (s, t) = resolveName(m.group(2))
     tables.get((s, t)) match {
       case Some(td) =>
-        dropTableImpl(td); persistInfoSchema(); AffectedRows(1)
+        dropTableImpl(td); persistInfoSchema(tableShapeInfo); AffectedRows(1)
       case None =>
         if (ifExists) AffectedRows(0) else throw Errors.unknownTable(t)
     }
@@ -883,7 +891,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
           nextStoreId = td.nextStoreId + 1)
         tables += (td.schema, td.name) -> ntd
         registerTable(ntd)
-        persistInfoSchema()
+        persistInfoSchema(tableShapeInfo)
         AffectedRows(0)
       case (_, Some(m)) =>
         val td = lookup(m.group(1))
@@ -899,7 +907,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
             .filter(_._2.nonEmpty))
         tables += (td.schema, td.name) -> ntd
         registerTable(ntd)
-        persistInfoSchema()
+        persistInfoSchema(tableShapeInfo)
         AffectedRows(0)
       case _ => throw Errors.generic(s"cannot parse: $stmt")
     }
