@@ -1,0 +1,267 @@
+package graft.wire
+
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.engine.{AffectedRows, GraftEngine, GraftException, ResultSet}
+import Packets._
+
+/** MySQL wire-protocol front end for the engine — the LAST reference
+  * subsystem (`/root/reference/src/mysql/handle.rs:158-244`,
+  * `src/main.rs:88-99`): a real MySQL client can connect and run the
+  * engine's whole statement surface. One thread + one
+  * [[graft.engine.GraftSession]] per connection, matching the
+  * reference's Execution-per-connection model; all query planning and
+  * execution stays in the engine — this layer only frames bytes.
+  *
+  * Protocol scope (Protocol::41, classic EOF framing — written from
+  * the public protocol documentation, see [[Packets]]):
+  *  - Handshake V10 announcing `8.0.25-graft` (the reference
+  *    announces itself as MySQL 8.0.25), any credentials accepted
+  *    (the reference ignores auth too, `handle.rs` — no account
+  *    table checks on COM_QUERY paths).
+  *  - COM_QUERY → text resultset / OK / ERR with the engine's
+  *    MySQL-compatible error codes.
+  *  - COM_INIT_DB (USE), COM_PING, COM_FIELD_LIST (DESCRIBE-shaped,
+  *    `handle.rs` COM_FIELD_LIST → column definitions), COM_QUIT.
+  *  - COM_STMT_PREPARE / EXECUTE / CLOSE with binary result rows —
+  *    the reference's prepared-statement surface
+  *    (`execution.rs:790-880`), parameters spliced server-side.
+  *
+  * Values serialize as text in text resultsets (NULL = 0xfb), the
+  * reference's all-text row conversion (`core_util.rs:357-427`);
+  * LONGLONG/DOUBLE go binary in COM_STMT_EXECUTE responses per the
+  * binary protocol.
+  */
+class MysqlServer(engine: GraftEngine, port: Int = 0) {
+
+  private val server = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+  private val connIds = new AtomicInteger(0)
+
+  /** Bound port (useful with port=0 for tests). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), s"graft-wire-${connIds.incrementAndGet()}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Throwable if !running.get() => () // closed
+        case e: Throwable => System.err.println(s"[wire] accept: ${e.getMessage}")
+      }
+    }
+  }, "graft-wire-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = { running.set(false); server.close() }
+
+  // ------------------------------------------------------------------
+
+  private def handle(sock: Socket): Unit = {
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    val session = engine.newSession()
+    val stmtParams = scala.collection.mutable.Map[Int, Int]() // id → n params
+    val stmtTypes = scala.collection.mutable.Map[Int, Array[Int]]()
+    def flushPackets(seqStart: Int, payloads: Seq[Array[Byte]]): Unit = {
+      payloads.zipWithIndex.foreach { case (p, i) =>
+        writePacket(out, seqStart + i, p)
+      }
+      out.flush()
+    }
+    try {
+      // ---- handshake ----------------------------------------------
+      val caps = ClientProtocol41 | ClientConnectWithDb |
+        ClientSecureConnection | ClientPluginAuth | ClientTransactions
+      val salt = Array.tabulate[Byte](20)(i => (0x41 + (i % 26)).toByte)
+      val hs = new Writer()
+        .int1(10).nulStr("8.0.25-graft")
+        .int4(connIds.get().toLong)
+        .bytes(salt.take(8)).int1(0)
+        .int2(caps & 0xffff)
+        .int1(255 /* utf8mb4 */).int2(0x0002)
+        .int2(caps >>> 16)
+        .int1(21).zeros(10)
+        .bytes(salt.drop(8)).int1(0)
+        .nulStr("mysql_native_password")
+        .result()
+      writePacket(out, 0, hs); out.flush()
+      val (_, resp) = readPacket(in)
+      val r = new Reader(resp)
+      val clientCaps = r.int4()
+      r.int4(); r.int1(); r.skip(23)
+      r.nulStr() // username — accepted unchecked
+      if ((clientCaps & ClientSecureConnection) != 0) {
+        val n = r.int1(); r.skip(n)
+      } else r.nulStr()
+      if ((clientCaps & ClientConnectWithDb) != 0 && r.remaining > 0) {
+        val db = r.nulStr()
+        if (db.nonEmpty)
+          try session.sql(s"use `$db`")
+          catch { case _: GraftException => () } // match lenient servers: report at first statement
+      }
+      writePacket(out, 2, ok(0)); out.flush()
+
+      // ---- command loop -------------------------------------------
+      var open = true
+      while (open && running.get()) {
+        val (_, cmd) = readPacket(in)
+        val c = new Reader(cmd)
+        c.int1() match {
+          case ComQuit => open = false
+          case ComPing => flushPackets(1, Seq(ok(0)))
+          case ComInitDb =>
+            val db = new String(c.rest(), StandardCharsets.UTF_8)
+            respond(session, out, s"use `$db`")
+          case ComQuery =>
+            respond(session, out, new String(c.rest(), StandardCharsets.UTF_8))
+          case ComFieldList =>
+            val table = c.nulStr()
+            try {
+              val cols = session.query(s"show columns from `$table`").collect()
+              val defs = cols.toSeq.map { row =>
+                val tc = row.getString(1) match {
+                  case "int" => TypeLongLong
+                  case "float" => TypeDouble
+                  case _ => TypeVarString
+                }
+                columnDef(session.currentSchema.getOrElse(""), table,
+                  row.getString(0), tc)
+              }
+              flushPackets(1, defs :+ eof())
+            } catch {
+              case e: GraftException => flushPackets(1, Seq(err(e.code, e.msg)))
+            }
+          case ComStmtPrepare =>
+            val sqlText = new String(c.rest(), StandardCharsets.UTF_8)
+            try {
+              val id = session.prepare(sqlText)
+              val n = graft.engine.SqlText.countParams(sqlText)
+              stmtParams(id) = n
+              val head = new Writer().int1(0x00).int4(id.toLong)
+                .int2(0 /* columns unknown until execute */).int2(n)
+                .int1(0).int2(0).result()
+              val params = (0 until n).map(i =>
+                columnDef("", "", s"?$i", TypeVarString))
+              flushPackets(1, (head +: params) ++
+                (if (n > 0) Seq(eof()) else Nil))
+            } catch {
+              case e: GraftException => flushPackets(1, Seq(err(e.code, e.msg)))
+            }
+          case ComStmtExecute =>
+            val id = c.int4().toInt
+            c.int1(); c.int4() // flags, iteration count
+            val n = stmtParams.getOrElse(id, 0)
+            val params: Seq[Any] =
+              if (n == 0) Nil
+              else {
+                val bitmap = c.bytes((n + 7) / 8)
+                def isNull(i: Int) = (bitmap(i / 8) & (1 << (i % 8))) != 0
+                val newBound = c.int1()
+                val types: Array[Int] =
+                  if (newBound == 1) {
+                    val ts = Array.tabulate(n) { _ =>
+                      val t = c.int1(); c.int1(); t // type, unsigned flag
+                    }
+                    stmtTypes(id) = ts; ts
+                  } else stmtTypes.getOrElse(id, Array.fill(n)(TypeVarString))
+                (0 until n).map { i =>
+                  if (isNull(i)) null
+                  else types(i) match {
+                    case 0x01 => c.int1().toLong // TINY
+                    case 0x02 => c.int2().toLong // SHORT
+                    case 0x03 => c.int4() // LONG
+                    case TypeLongLong => c.int8()
+                    case 0x04 => // FLOAT
+                      java.lang.Float.intBitsToFloat(c.int4().toInt).toDouble
+                    case TypeDouble =>
+                      java.lang.Double.longBitsToDouble(c.int8())
+                    case _ =>
+                      new String(c.lenencBytes(), StandardCharsets.UTF_8)
+                  }
+                }
+              }
+            try {
+              session.executePrepared(id, params) match {
+                case AffectedRows(cnt) => flushPackets(1, Seq(ok(cnt)))
+                case ResultSet(df) =>
+                  val schema = df.schema
+                  val tcs = schema.fields.map(f => f.dataType match {
+                    case LongType => TypeLongLong
+                    case DoubleType => TypeDouble
+                    case _ => TypeVarString
+                  })
+                  val defs = schema.fields.zip(tcs).map { case (f, tc) =>
+                    columnDef(session.currentSchema.getOrElse(""), "", f.name, tc)
+                  }.toSeq
+                  val rows = df.collect().toSeq.map { row =>
+                    binaryRow(schema.fields.indices.map { i =>
+                      val v = if (row.isNullAt(i)) None else Some(row.get(i) match {
+                        case l: Long => l
+                        case d: Double => d
+                        case other => other.toString
+                      })
+                      (v, tcs(i))
+                    })
+                  }
+                  flushPackets(1,
+                    (new Writer().lenenc(schema.fields.length.toLong).result()
+                      +: defs) ++ Seq(eof()) ++ rows ++ Seq(eof()))
+              }
+            } catch {
+              case e: GraftException => flushPackets(1, Seq(err(e.code, e.msg)))
+            }
+          case ComStmtClose =>
+            val id = c.int4().toInt
+            session.closePrepared(id)
+            stmtParams.remove(id); stmtTypes.remove(id)
+            // no response, per protocol
+          case other =>
+            flushPackets(1, Seq(err(1105, s"unsupported command 0x${other.toHexString}")))
+        }
+      }
+    } catch {
+      case _: java.io.EOFException => () // client went away
+      case e: Throwable if running.get() =>
+        System.err.println(s"[wire] connection: ${e.getMessage}")
+    } finally sock.close()
+  }
+
+  /** COM_QUERY: run through the engine, frame the result. */
+  private def respond(session: graft.engine.GraftSession,
+      out: java.io.OutputStream, sqlText: String): Unit = {
+    val payloads: Seq[Array[Byte]] =
+      try session.sql(sqlText) match {
+        case AffectedRows(n) => Seq(ok(n))
+        case ResultSet(df) =>
+          val schema = df.schema
+          val defs = schema.fields.map { f =>
+            val tc = f.dataType match {
+              case LongType => TypeLongLong
+              case DoubleType => TypeDouble
+              case _ => TypeVarString
+            }
+            columnDef(session.currentSchema.getOrElse(""), "", f.name, tc)
+          }.toSeq
+          val rows = df.collect().toSeq.map { row =>
+            textRow(schema.fields.indices.map(i =>
+              if (row.isNullAt(i)) None else Some(String.valueOf(row.get(i)))))
+          }
+          (new Writer().lenenc(schema.fields.length.toLong).result() +: defs) ++
+            Seq(eof()) ++ rows ++ Seq(eof())
+      } catch {
+        case e: GraftException => Seq(err(e.code, e.msg))
+        case e: Throwable => Seq(err(1105, String.valueOf(e.getMessage)))
+      }
+    payloads.zipWithIndex.foreach { case (p, i) => writePacket(out, 1 + i, p) }
+    out.flush()
+  }
+}

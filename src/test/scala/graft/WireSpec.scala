@@ -1,0 +1,335 @@
+package graft
+
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.GraftEngine
+import graft.wire.{MysqlServer, Packets}
+import Packets._
+
+/** MySQL wire protocol: byte-golden codec checks against the
+  * documented packet layouts, plus an end-to-end run with a
+  * hand-rolled client (written independently against the same public
+  * protocol docs): handshake, COM_QUERY text resultsets incl. NULLs,
+  * OK/ERR with engine error codes, COM_INIT_DB/PING/FIELD_LIST,
+  * prepared statements over the binary protocol, and two concurrent
+  * connections with isolated session schemas.
+  */
+class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- codec goldens -----------------------------------------------
+
+  test("length-encoded integers hit the documented boundaries") {
+    def enc(v: Long): Seq[Int] =
+      new Writer().lenenc(v).result().map(_ & 0xff).toSeq
+    assert(enc(0) == Seq(0x00))
+    assert(enc(250) == Seq(0xfa))
+    assert(enc(251) == Seq(0xfc, 0xfb, 0x00))
+    assert(enc(65535) == Seq(0xfc, 0xff, 0xff))
+    assert(enc(65536) == Seq(0xfd, 0x00, 0x00, 0x01))
+    assert(enc(16777215) == Seq(0xfd, 0xff, 0xff, 0xff))
+    assert(enc(16777216).head == 0xfe && enc(16777216).size == 9)
+    // roundtrip through the reader
+    Seq(0L, 250L, 251L, 65535L, 65536L, 16777215L, 16777216L, 1L << 40)
+      .foreach { v =>
+        assert(new Reader(new Writer().lenenc(v).result()).lenenc() == v)
+      }
+  }
+
+  test("OK / ERR / EOF packets match the documented layouts") {
+    val okb = ok(3).map(_ & 0xff).toSeq
+    assert(okb == Seq(0x00, 3, 0, 0x02, 0x00, 0, 0))
+    val errb = err(1062, "dup")
+    assert((errb(0) & 0xff) == 0xff)
+    assert(((errb(1) & 0xff) | ((errb(2) & 0xff) << 8)) == 1062)
+    assert(errb(3) == '#'.toByte)
+    assert(new String(errb.slice(4, 9), StandardCharsets.US_ASCII) == "HY000")
+    assert(new String(errb.drop(9), StandardCharsets.UTF_8) == "dup")
+    val eofb = eof().map(_ & 0xff).toSeq
+    assert(eofb == Seq(0xfe, 0, 0, 0x02, 0x00))
+  }
+
+  // ---- hand-rolled client ------------------------------------------
+
+  /** Minimal independent MySQL client for the spec: speaks
+    * Protocol::41 with classic EOF framing. */
+  private final class Client(port: Int, db: Option[String] = None) {
+    private val sock = new Socket("127.0.0.1", port)
+    private val in = new java.io.BufferedInputStream(sock.getInputStream)
+    private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+
+    val serverVersion: String = {
+      val (_, hs) = readPacket(in)
+      val r = new Reader(hs)
+      assert(r.int1() == 10, "protocol version")
+      val ver = r.nulStr()
+      // respond: caps, max packet, charset, 23 zeros, user, auth, [db]
+      val caps = ClientProtocol41 | ClientSecureConnection |
+        (if (db.isDefined) ClientConnectWithDb else 0)
+      val w = new Writer().int4(caps.toLong).int4(1 << 24).int1(255)
+        .zeros(23).nulStr("root").int1(0)
+      db.foreach(w.nulStr)
+      writePacket(out, 1, w.result()); out.flush()
+      val (_, okp) = readPacket(in)
+      assert((okp(0) & 0xff) == 0x00, "handshake not OK")
+      ver
+    }
+
+    private def cmd(payload: Array[Byte]): Unit = {
+      writePacket(out, 0, payload); out.flush()
+    }
+
+    sealed trait Resp
+    case class Ok(affected: Long) extends Resp
+    case class Err(code: Int, msg: String) extends Resp
+    case class Rows(cols: Seq[String], rows: Seq[Seq[Option[String]]]) extends Resp
+
+    private def readResp(): Resp = {
+      val (_, first) = readPacket(in)
+      (first(0) & 0xff) match {
+        case 0x00 =>
+          val r = new Reader(first); r.int1(); Ok(r.lenenc())
+        case 0xff =>
+          val r = new Reader(first); r.int1()
+          val code = r.int2(); r.skip(6)
+          Err(code, new String(r.rest(), StandardCharsets.UTF_8))
+        case _ =>
+          val n = new Reader(first).lenenc().toInt
+          val cols = (0 until n).map { _ =>
+            val (_, d) = readPacket(in)
+            val r = new Reader(d)
+            r.lenencBytes(); r.lenencBytes(); r.lenencBytes(); r.lenencBytes()
+            new String(r.lenencBytes(), StandardCharsets.UTF_8) // name
+          }
+          readPacket(in) // EOF after defs
+          val rows = Iterator.continually(readPacket(in)._2)
+            .takeWhile(p => (p(0) & 0xff) != 0xfe || p.length >= 9)
+            .map { p =>
+              val r = new Reader(p)
+              (0 until n).map { _ =>
+                if (r.peek == 0xfb) { r.skip(1); None }
+                else Some(new String(r.lenencBytes(), StandardCharsets.UTF_8))
+              }
+            }.toSeq
+          Rows(cols, rows)
+      }
+    }
+
+    def query(sql: String): Resp = {
+      cmd(new Writer().int1(ComQuery)
+        .bytes(sql.getBytes(StandardCharsets.UTF_8)).result())
+      readResp()
+    }
+
+    def initDb(db: String): Resp = {
+      cmd(new Writer().int1(ComInitDb)
+        .bytes(db.getBytes(StandardCharsets.UTF_8)).result())
+      readResp()
+    }
+
+    def ping(): Boolean = {
+      cmd(new Writer().int1(ComPing).result())
+      (readPacket(in)._2.head & 0xff) == 0x00
+    }
+
+    def fieldList(table: String): Seq[String] = {
+      cmd(new Writer().int1(ComFieldList).nulStr(table).result())
+      Iterator.continually(readPacket(in)._2)
+        .takeWhile(p => (p(0) & 0xff) != 0xfe || p.length >= 9)
+        .map { p =>
+          val r = new Reader(p)
+          r.lenencBytes(); r.lenencBytes(); r.lenencBytes(); r.lenencBytes()
+          new String(r.lenencBytes(), StandardCharsets.UTF_8)
+        }.toSeq
+    }
+
+    def prepare(sql: String): (Int, Int) = {
+      cmd(new Writer().int1(ComStmtPrepare)
+        .bytes(sql.getBytes(StandardCharsets.UTF_8)).result())
+      val (_, head) = readPacket(in)
+      assert((head(0) & 0xff) == 0x00, "prepare failed")
+      val r = new Reader(head); r.int1()
+      val id = r.int4().toInt
+      val nCols = r.int2()
+      val nParams = r.int2()
+      (0 until nParams).foreach(_ => readPacket(in)) // param defs
+      if (nParams > 0) readPacket(in) // EOF
+      assert(nCols == 0)
+      (id, nParams)
+    }
+
+    /** Execute with Long/Double/String/null params; parse binary rows. */
+    def execute(id: Int, params: Seq[Any]): Seq[Seq[Option[Any]]] = {
+      val w = new Writer().int1(ComStmtExecute).int4(id.toLong).int1(0).int4(1L)
+      if (params.nonEmpty) {
+        val bitmap = new Array[Byte]((params.size + 7) / 8)
+        params.zipWithIndex.foreach { case (p, i) =>
+          if (p == null) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
+        }
+        w.bytes(bitmap).int1(1)
+        params.foreach { p =>
+          val t = p match {
+            case null => TypeLongLong
+            case _: Long => TypeLongLong
+            case _: Double => TypeDouble
+            case _ => TypeVarString
+          }
+          w.int1(t).int1(0)
+        }
+        params.foreach {
+          case l: Long => w.int8(l)
+          case d: Double => w.int8(java.lang.Double.doubleToLongBits(d))
+          case s: String => w.lenencStr(s)
+          case null => ()
+        }
+      }
+      cmd(w.result())
+      val (_, first) = readPacket(in)
+      assert((first(0) & 0xff) != 0xff,
+        s"execute error: ${new String(first.drop(9), StandardCharsets.UTF_8)}")
+      val n = new Reader(first).lenenc().toInt
+      val types = (0 until n).map { _ =>
+        val (_, d) = readPacket(in)
+        val r = new Reader(d)
+        r.lenencBytes(); r.lenencBytes(); r.lenencBytes(); r.lenencBytes()
+        r.lenencBytes(); r.lenencBytes(); r.lenenc()
+        r.int2(); r.int4() // charset, length
+        r.int1() // type code
+      }
+      readPacket(in) // EOF
+      Iterator.continually(readPacket(in)._2)
+        .takeWhile(p => (p(0) & 0xff) != 0xfe || p.length >= 9)
+        .map { p =>
+          val r = new Reader(p)
+          r.int1() // 0x00 header
+          val bitmap = r.bytes((n + 7 + 2) / 8)
+          def isNull(i: Int) = {
+            val bit = i + 2
+            (bitmap(bit / 8) & (1 << (bit % 8))) != 0
+          }
+          (0 until n).map { i =>
+            if (isNull(i)) None
+            else types(i) match {
+              case TypeLongLong => Some(r.int8())
+              case TypeDouble =>
+                Some(java.lang.Double.longBitsToDouble(r.int8()))
+              case _ =>
+                Some(new String(r.lenencBytes(), StandardCharsets.UTF_8))
+            }
+          }
+        }.toSeq
+    }
+
+    def stmtClose(id: Int): Unit =
+      cmd(new Writer().int1(ComStmtClose).int4(id.toLong).result())
+
+    def quit(): Unit = {
+      cmd(new Writer().int1(ComQuit).result())
+      sock.close()
+    }
+  }
+
+  // ---- end to end --------------------------------------------------
+
+  test("a wire client runs the engine surface end to end") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire_").toString
+    val eng = new GraftEngine(spark, wh)
+    val srv = new MysqlServer(eng)
+    try {
+      val c = new Client(srv.boundPort)
+      assert(c.serverVersion == "8.0.25-graft")
+      assert(c.ping())
+      assert(c.query("create schema app") == c.Ok(1))
+      assert(c.initDb("app") == c.Ok(1))
+      assert(c.query("create table t (id int, name char, PRIMARY KEY(id))") == c.Ok(1))
+      assert(c.query("insert into t values (1, 'lucy'), (2, NULL)") == c.Ok(2))
+      c.query("insert into t values (1, 'dup')") match {
+        case c.Err(code, msg) =>
+          assert(code == 1062 && msg.contains("Duplicate entry"))
+        case other => fail(s"expected 1062, got $other")
+      }
+      c.query("select id, name from t order by id") match {
+        case c.Rows(cols, rows) =>
+          assert(cols == Seq("id", "name"))
+          assert(rows == Seq(Seq(Some("1"), Some("lucy")),
+            Seq(Some("2"), None)))
+        case other => fail(s"expected rows, got $other")
+      }
+      // unknown schema through COM_INIT_DB → 1049
+      c.initDb("nope") match {
+        case c.Err(code, _) => assert(code == 1049)
+        case other => fail(s"expected 1049, got $other")
+      }
+      assert(c.fieldList("t") == Seq("id", "name"))
+      // prepared statements over the binary protocol
+      val (sid, nParams) = c.prepare(
+        "select id, name from t where id >= ? order by id")
+      assert(nParams == 1)
+      val rows = c.execute(sid, Seq(2L))
+      assert(rows == Seq(Seq(Some(2L), None)))
+      c.stmtClose(sid)
+      c.quit()
+    } finally srv.close()
+  }
+
+  test("two connections keep isolated session schemas") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire2_").toString
+    val eng = new GraftEngine(spark, wh)
+    val srv = new MysqlServer(eng)
+    try {
+      val a = new Client(srv.boundPort)
+      val b = new Client(srv.boundPort)
+      assert(a.query("create schema s1") == a.Ok(1))
+      assert(a.query("create schema s2") == a.Ok(1))
+      assert(a.initDb("s1") == a.Ok(1))
+      assert(b.initDb("s2") == b.Ok(1))
+      assert(a.query("create table x (a int)") == a.Ok(1))
+      // b's session is on s2: unqualified x must not resolve
+      b.query("select * from x") match {
+        case b.Err(code, _) => assert(code == 1146)
+        case other => fail(s"expected 1146, got $other")
+      }
+      // database() reflects each session's schema
+      a.query("select database() as d") match {
+        case a.Rows(_, rs) => assert(rs == Seq(Seq(Some("s1"))))
+        case other => fail(s"$other")
+      }
+      b.query("select database() as d") match {
+        case b.Rows(_, rs) => assert(rs == Seq(Seq(Some("s2"))))
+        case other => fail(s"$other")
+      }
+      a.quit(); b.quit()
+    } finally srv.close()
+  }
+
+  test("connect-with-db lands the handshake database") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire3_").toString
+    val eng = new GraftEngine(spark, wh)
+    eng.sql("create schema pre")
+    eng.sql("use pre")
+    eng.sql("create table seeded (v int)")
+    eng.sql("insert into seeded values (7)")
+    val srv = new MysqlServer(eng)
+    try {
+      val c = new Client(srv.boundPort, db = Some("pre"))
+      c.query("select v from seeded") match {
+        case c.Rows(_, rs) => assert(rs == Seq(Seq(Some("7"))))
+        case other => fail(s"$other")
+      }
+      c.quit()
+    } finally srv.close()
+  }
+}
