@@ -108,19 +108,37 @@ object Packets {
 
   // ---- packet framing ----------------------------------------------
 
+  /** Write one logical packet, splitting into 16 MB − 1 frames per
+    * the protocol: every full 0xffffff frame is followed by another
+    * frame (an exactly-full payload ends with an empty one), so the
+    * reader always knows whether to continue. */
   def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
-    // single-frame only: the engine's result rows are far below the
-    // 16 MB frame ceiling; a row that large should fail loudly
-    require(payload.length < 0xffffff, s"packet too large: ${payload.length}")
-    val hdr = new Writer().int3(payload.length).int1(seq).result()
-    out.write(hdr); out.write(payload)
+    var off = 0
+    var s = seq
+    var continue = true
+    while (continue) {
+      val n = math.min(0xffffff, payload.length - off)
+      out.write(new Writer().int3(n).int1(s).result())
+      out.write(payload, off, n)
+      off += n; s += 1
+      continue = n == 0xffffff
+    }
   }
 
+  /** Read one logical packet, reassembling 0xffffff-frame chains.
+    * Returns the FIRST frame's sequence id. */
   def readPacket(in: InputStream): (Int, Array[Byte]) = {
-    val hdr = readN(in, 4)
-    val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
-    val seq = hdr(3) & 0xff
-    (seq, readN(in, len))
+    val buf = new ByteArrayOutputStream()
+    var seq0 = -1
+    var continue = true
+    while (continue) {
+      val hdr = readN(in, 4)
+      val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
+      if (seq0 < 0) seq0 = hdr(3) & 0xff
+      buf.write(readN(in, len))
+      continue = len == 0xffffff
+    }
+    (seq0, buf.toByteArray)
   }
 
   private def readN(in: InputStream, n: Int): Array[Byte] = {

@@ -49,6 +49,28 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("16MB+ logical packets split into 0xffffff frames and reassemble") {
+    val big = Array.tabulate[Byte](0xffffff + 5)(i => (i % 251).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    writePacket(bos, 3, big)
+    val wire = bos.toByteArray
+    // frame 1: 0xffffff seq 3; frame 2: 5 bytes seq 4
+    assert((wire(0) & 0xff, wire(1) & 0xff, wire(2) & 0xff, wire(3) & 0xff) ==
+      ((0xff, 0xff, 0xff, 3)))
+    val f2 = 4 + 0xffffff
+    assert((wire(f2) & 0xff, wire(f2 + 1) & 0xff, wire(f2 + 2) & 0xff,
+      wire(f2 + 3) & 0xff) == ((5, 0, 0, 4)))
+    val (seq, back) = readPacket(new java.io.ByteArrayInputStream(wire))
+    assert(seq == 3 && java.util.Arrays.equals(back, big))
+    // an exactly-full payload is followed by an EMPTY frame
+    val exact = new Array[Byte](0xffffff)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    writePacket(bos2, 0, exact)
+    assert(bos2.size() == 4 + 0xffffff + 4)
+    val (_, back2) = readPacket(new java.io.ByteArrayInputStream(bos2.toByteArray))
+    assert(back2.length == 0xffffff)
+  }
+
   test("OK / ERR / EOF packets match the documented layouts") {
     val okb = ok(3).map(_ & 0xff).toSeq
     assert(okb == Seq(0x00, 3, 0, 0x02, 0x00, 0, 0))
