@@ -202,19 +202,28 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
                   val defs = schema.fields.zip(tcs).map { case (f, tc) =>
                     columnDef(session.currentSchema.getOrElse(""), "", f.name, tc)
                   }.toSeq
-                  val rows = df.collect().toSeq.map { row =>
-                    binaryRow(schema.fields.indices.map { i =>
-                      val v = if (row.isNullAt(i)) None else Some(row.get(i) match {
-                        case l: Long => l
-                        case d: Double => d
-                        case other => other.toString
-                      })
-                      (v, tcs(i))
-                    })
+                  var seq = 1
+                  ((new Writer().lenenc(schema.fields.length.toLong).result()
+                      +: defs) :+ eof()).foreach { p =>
+                    writePacket(out, seq, p); seq += 1
                   }
-                  flushPackets(1,
-                    (new Writer().lenenc(schema.fields.length.toLong).result()
-                      +: defs) ++ Seq(eof()) ++ rows ++ Seq(eof()))
+                  // stream rows partition-by-partition: driver memory
+                  // stays O(partition), not O(result)
+                  df.toLocalIterator().forEachRemaining { row =>
+                    writePacket(out, seq, binaryRow(
+                      schema.fields.indices.map { i =>
+                        val v = if (row.isNullAt(i)) None
+                          else Some(row.get(i) match {
+                            case l: Long => l
+                            case d: Double => d
+                            case other => other.toString
+                          })
+                        (v, tcs(i))
+                      }))
+                    seq += 1
+                  }
+                  writePacket(out, seq, eof())
+                  out.flush()
               }
             } catch {
               case e: GraftException => flushPackets(1, Seq(err(e.code, e.msg)))
@@ -238,30 +247,46 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
   /** COM_QUERY: run through the engine, frame the result. */
   private def respond(session: graft.engine.GraftSession,
       out: java.io.OutputStream, sqlText: String): Unit = {
-    val payloads: Seq[Array[Byte]] =
+    val payloads: Either[Seq[Array[Byte]], org.apache.spark.sql.DataFrame] =
       try session.sql(sqlText) match {
-        case AffectedRows(n) => Seq(ok(n))
-        case ResultSet(df) =>
-          val schema = df.schema
-          val defs = schema.fields.map { f =>
-            val tc = f.dataType match {
-              case LongType => TypeLongLong
-              case DoubleType => TypeDouble
-              case _ => TypeVarString
-            }
-            columnDef(session.currentSchema.getOrElse(""), "", f.name, tc)
-          }.toSeq
-          val rows = df.collect().toSeq.map { row =>
-            textRow(schema.fields.indices.map(i =>
-              if (row.isNullAt(i)) None else Some(String.valueOf(row.get(i)))))
-          }
-          (new Writer().lenenc(schema.fields.length.toLong).result() +: defs) ++
-            Seq(eof()) ++ rows ++ Seq(eof())
+        case AffectedRows(n) => Left(Seq(ok(n)))
+        case ResultSet(df) => Right(df)
       } catch {
-        case e: GraftException => Seq(err(e.code, e.msg))
-        case e: Throwable => Seq(err(1105, String.valueOf(e.getMessage)))
+        case e: GraftException => Left(Seq(err(e.code, e.msg)))
+        case e: Throwable => Left(Seq(err(1105, String.valueOf(e.getMessage))))
       }
-    payloads.zipWithIndex.foreach { case (p, i) => writePacket(out, 1 + i, p) }
+    payloads match {
+      case Left(ps) =>
+        ps.zipWithIndex.foreach { case (p, i) => writePacket(out, 1 + i, p) }
+      case Right(df) =>
+        val schema = df.schema
+        val defs = schema.fields.map { f =>
+          val tc = f.dataType match {
+            case LongType => TypeLongLong
+            case DoubleType => TypeDouble
+            case _ => TypeVarString
+          }
+          columnDef(session.currentSchema.getOrElse(""), "", f.name, tc)
+        }.toSeq
+        var seq = 1
+        ((new Writer().lenenc(schema.fields.length.toLong).result() +: defs)
+          :+ eof()).foreach { p => writePacket(out, seq, p); seq += 1 }
+        // stream the rows: toLocalIterator fetches one partition at a
+        // time, so a huge SELECT through the wire never materializes
+        // on the driver. Row execution errors past this point can only
+        // surface as a dropped connection — the defs are already on
+        // the wire, the same failure mode as any streaming server.
+        try df.toLocalIterator().forEachRemaining { row =>
+          writePacket(out, seq, textRow(schema.fields.indices.map(i =>
+            if (row.isNullAt(i)) None else Some(String.valueOf(row.get(i))))))
+          seq += 1
+        } catch {
+          case e: Throwable =>
+            writePacket(out, seq, err(1105, String.valueOf(e.getMessage)))
+            seq += 1
+        }
+        writePacket(out, seq, eof())
+    }
     out.flush()
   }
 }
