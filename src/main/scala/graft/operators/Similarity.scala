@@ -577,6 +577,50 @@ object Similarity {
         col("norm_centered"), col("kept_mass"))
   }
 
+  /** Approximate top-k JOIN of two embedding corpora — the
+    * corpus-vs-corpus alignment shape (cross-corpus near-dup pairing,
+    * semantic alignment of a new crawl against a curated set,
+    * candidate mining for distillation pairs), where BOTH sides are
+    * large so the [[ivfTopK]] pattern of broadcasting the query side
+    * stops applying. Same IVF structure (Jégou et al. TPAMI'11
+    * coarse quantizer): `nlist` centroids sampled deterministically
+    * from the RIGHT (indexed) side in md5 order, right rows assigned
+    * to their nearest cell, left rows probe their `nprobe` nearest
+    * cells — but the cell match is a plain SHUFFLE hash join keyed on
+    * the cell id, so neither corpus is ever collected, broadcast, or
+    * paired all-vs-all: pair volume is Σ_cell |left probes(cell)| ·
+    * |right(cell)| and the only broadcast is the nlist centroids.
+    * Ids need not be disjoint; an id on both sides pairs like any
+    * other row (filter afterward if self-pairs are meaningless).
+    *
+    * Returns (left_id, right_id, score, rnk) with rnk ≤ k per
+    * left_id, bounded-heap merged ([[TopK.perKey]]) so the shuffle
+    * above the scoring join carries O(partitions·left·k) heap rows. */
+  def annJoin(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val r = spread(right.select(col(idCol).as("right_id"),
+      asDouble(col(vecCol)).as("rv")))
+    val l = spread(left.select(col(idCol).as("left_id"),
+      asDouble(col(vecCol)).as("lv")))
+    val cents = broadcast(
+      r.orderBy(md5(col("right_id").cast("string")), col("right_id"))
+        .limit(nlist)
+        .select(col("right_id").as("cell"), col("rv").as("cv")))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
+      df.crossJoin(cents)
+        .select(col(id), col(vec), col("cell"),
+          cosineExpr(vec, "cv").as("cell_score"))
+        .groupBy(col(id))
+        .agg(first(col(vec)).as(vec),
+          TopK.topK(keep)(col("cell"), col("cell_score")).as("__cells"))
+        .select(col(id), col(vec), explode(col("__cells.id")).as("cell"))
+    val scored = assign(r, "right_id", "rv", 1)
+      .join(assign(l, "left_id", "lv", nprobe), Seq("cell"))
+      .select(col("left_id"), col("right_id"),
+        cosineExpr("lv", "rv").as("score"))
+    TopK.perKey(scored, Seq("left_id"), "right_id", "score", k)
+  }
+
   /** Per-tensor symmetric scalar quantization with a recall@k
     * fidelity report — the embedding-compression gate every
     * large-corpus vector store runs before committing to a code

@@ -2797,6 +2797,50 @@ object Pipeline {
         |   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
         |$duckCandJaccard
         |SELECT a_id AS new_id, b_id AS index_id, round(jac, 4) AS jac
-        |FROM jac WHERE jac >= 0.5 ORDER BY new_id, index_id""".stripMargin))
+        |FROM jac WHERE jac >= 0.5 ORDER BY new_id, index_id""".stripMargin)),
+
+    // ---- p83: corpus-vs-corpus approximate top-k JOIN — the
+    // alignment shape (new crawl vs curated set, distillation-pair
+    // mining) where BOTH sides are large: IVF cells sampled md5-order
+    // from the right side, right assigned to 1 cell, left probing 4,
+    // and the cell match is a SHUFFLE hash join (nothing broadcast
+    // but the 16 centroids; pair space Σ|left_probe|·|right_cell|,
+    // never |L|·|R|). DuckDB replays centroids, both assignments and
+    // the per-left ranking bit-for-bit.
+    "p83_ann_join" -> Q(
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.operators.Similarity.annJoin(
+            e.filter(col("vec_id") % 2 === 0),
+            e.filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", k = 3)
+          .select(col("left_id"), col("right_id"),
+            round(col("score"), 4).as("score"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("left_id"), col("rnk"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |r AS (SELECT vec_id AS right_id, v AS rv FROM e WHERE vec_id % 2 = 1),
+        |l AS (SELECT vec_id AS left_id, v AS lv FROM e WHERE vec_id % 2 = 0),
+        |cents AS (SELECT right_id AS cell, rv AS cv FROM r
+        |  ORDER BY md5(CAST(right_id AS VARCHAR)), right_id LIMIT 16),
+        |ra AS (SELECT r.right_id, r.rv, c.cell, row_number() OVER (
+        |    PARTITION BY r.right_id
+        |    ORDER BY ${duckCos("r.rv", "c.cv")} DESC, c.cell) AS rn
+        |  FROM r CROSS JOIN cents c),
+        |rc AS (SELECT right_id, rv, cell FROM ra WHERE rn = 1),
+        |la AS (SELECT l.left_id, l.lv, c.cell, row_number() OVER (
+        |    PARTITION BY l.left_id
+        |    ORDER BY ${duckCos("l.lv", "c.cv")} DESC, c.cell) AS rn
+        |  FROM l CROSS JOIN cents c),
+        |lc AS (SELECT left_id, lv, cell FROM la WHERE rn <= 4),
+        |scored AS (SELECT lc.left_id, rc.right_id,
+        |    ${duckCos("lc.lv", "rc.rv")} AS s
+        |  FROM lc JOIN rc USING (cell)),
+        |ranked AS (SELECT left_id, right_id, s, row_number() OVER (
+        |    PARTITION BY left_id ORDER BY s DESC, right_id) AS rnk
+        |  FROM scored)
+        |SELECT left_id, right_id, round(s, 4) AS score, rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY left_id, rnk""".stripMargin))
   )
 }

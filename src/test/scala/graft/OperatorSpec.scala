@@ -1778,4 +1778,43 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(guarded.toSeq == Seq((1L, 2L, 2.0), (2L, 1L, 2.0),
       (3L, 4L, 2.0), (4L, 3L, 2.0)))
   }
+
+  test("annJoin with nprobe == nlist is exact; recall holds at defaults") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def corpus(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+    val l = corpus(0 until 40)
+    val r = corpus(1000 until 1120)
+    // exact baseline: brute-force cosine top-3 per left row
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val lv = l.collect().map(row => row.getLong(0) -> row.getSeq[Float](1)).toMap
+    val rv = r.collect().map(row => row.getLong(0) -> row.getSeq[Float](1)).toMap
+    val exact = lv.map { case (lid, v) =>
+      lid -> rv.toSeq.map { case (rid, w) => (rid, cos(v, w)) }
+        .sortBy { case (rid, s) => (-s, rid) }.take(3).map(_._1)
+    }
+    // nprobe == nlist: every cell probed → identical to brute force
+    val full = graft.operators.Similarity
+      .annJoin(l, r, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (lid, rows) =>
+        lid -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    assert(full == exact)
+    // defaults (nprobe 4 of 8 cells): recall@3 against exact ≥ 0.6 on
+    // random vectors — the IVF trade documented in the scaladoc
+    val approx = graft.operators.Similarity
+      .annJoin(l, r, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (lid, rows) => lid -> rows.map(_.getLong(1)).toSet }
+    val recall = exact.map { case (lid, want) =>
+      want.count(approx.getOrElse(lid, Set.empty)).toDouble / want.size
+    }.sum / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
 }
