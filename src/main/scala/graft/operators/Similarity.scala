@@ -589,9 +589,15 @@ object Similarity {
     * cells — but the cell match is a plain SHUFFLE hash join keyed on
     * the cell id, so neither corpus is ever collected, broadcast, or
     * paired all-vs-all: pair volume is Σ_cell |left probes(cell)| ·
-    * |right(cell)| and the only broadcast is the nlist centroids.
-    * Ids need not be disjoint; an id on both sides pairs like any
-    * other row (filter afterward if self-pairs are meaningless).
+    * |right(cell)| ≈ |L|·nprobe·|R|/nlist, and the only broadcast is
+    * the nlist centroids. SIZE nlist to the data: nlist ≈ √|R| (the
+    * standard IVF guidance) keeps the per-left-row probe cost at
+    * O(nprobe·√|R|) — a FIXED nlist makes every cell grow linearly
+    * with the corpus and the join quadratic (measured: 306× wall at
+    * 100×/100× with nlist pinned at 16, ~an order of magnitude less
+    * with √N cells — BENCH_NOTES r13). Ids need not be disjoint; an
+    * id on both sides pairs like any other row (filter afterward if
+    * self-pairs are meaningless).
     *
     * Returns (left_id, right_id, score, rnk) with rnk ≤ k per
     * left_id, bounded-heap merged ([[TopK.perKey]]) so the shuffle

@@ -2804,16 +2804,22 @@ object Pipeline {
     // mining) where BOTH sides are large: IVF cells sampled md5-order
     // from the right side, right assigned to 1 cell, left probing 4,
     // and the cell match is a SHUFFLE hash join (nothing broadcast
-    // but the 16 centroids; pair space Σ|left_probe|·|right_cell|,
-    // never |L|·|R|). DuckDB replays centroids, both assignments and
+    // but the centroids; pair space Σ|left_probe|·|right_cell|, never
+    // |L|·|R|). nlist SCALES as √|right| (max 16) — the standard IVF
+    // sizing, so per-left probe cost stays O(√N) as the corpus grows
+    // (a fixed nlist measured 306× wall at 100×; √N cells restore the
+    // sub-quadratic join). The oracle computes the same data-driven
+    // nlist in its LIMIT and replays centroids, both assignments and
     // the per-left ranking bit-for-bit.
     "p83_ann_join" -> Q(
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
+        val right = e.filter(col("vec_id") % 2 === 1)
+        val nlist = math.max(16L,
+          math.ceil(math.sqrt(right.count().toDouble)).toLong).toInt
         graft.operators.Similarity.annJoin(
-            e.filter(col("vec_id") % 2 === 0),
-            e.filter(col("vec_id") % 2 === 1),
-            "vec_id", "embedding", k = 3)
+            e.filter(col("vec_id") % 2 === 0), right,
+            "vec_id", "embedding", k = 3, nlist = nlist)
           .select(col("left_id"), col("right_id"),
             round(col("score"), 4).as("score"),
             col("rnk").cast("long").as("rnk"))
@@ -2823,7 +2829,8 @@ object Pipeline {
         |r AS (SELECT vec_id AS right_id, v AS rv FROM e WHERE vec_id % 2 = 1),
         |l AS (SELECT vec_id AS left_id, v AS lv FROM e WHERE vec_id % 2 = 0),
         |cents AS (SELECT right_id AS cell, rv AS cv FROM r
-        |  ORDER BY md5(CAST(right_id AS VARCHAR)), right_id LIMIT 16),
+        |  ORDER BY md5(CAST(right_id AS VARCHAR)), right_id
+        |  LIMIT (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM r)),
         |ra AS (SELECT r.right_id, r.rv, c.cell, row_number() OVER (
         |    PARTITION BY r.right_id
         |    ORDER BY ${duckCos("r.rv", "c.cv")} DESC, c.cell) AS rn
