@@ -404,4 +404,68 @@ object Graph {
     cached.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    * for community detection over an undirected edge list — the
+    * cluster-discovery step beyond [[graft.operators.Dedup]]'s
+    * connected components: components glue anything that touches,
+    * LPA splits dense regions from incidental bridges, which is what
+    * a near-dup/citation/co-purchase graph needs before picking
+    * per-community representatives.
+    *
+    * Determinism (the property MLlib's async LPA gives up): labels
+    * initialize to the node id, every node updates simultaneously
+    * each round to the (count desc, label asc) argmax of its
+    * NEIGHBOR labels, ties and convergence replayable in ANSI SQL —
+    * the oracle re-runs every round. `rounds` is fixed (synchronous
+    * LPA may oscillate; a fixed budget is the standard practice and
+    * keeps plan depth bounded).
+    *
+    * Scale shape per round: one edge-sized equi-join (labels onto
+    * symmetrized edges) + one partial-combined (node, label) count +
+    * one bounded argmax heap per node ([[TopK.topK]](1)) — no
+    * all-pairs anything; labels persist per round and the loop runs
+    * no driver actions. Returns (node, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // symmetrized adjacency: one row per (node, neighbor) direction
+    val adj = edges.select(
+        least(col(srcCol), col(dstCol)).as("__u"),
+        greatest(col(srcCol), col(dstCol)).as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
+    val nbrs = adj.select(col("__u").as("__n"), col("__v").as("__m"))
+      .unionAll(adj.select(col("__v").as("__n"), col("__u").as("__m")))
+      .persist(lvl)
+    cached += nbrs
+    var labels = nbrs.select(col("__n")).distinct()
+      .select(col("__n"), col("__n").as("__l"))
+      .persist(lvl)
+    cached += labels
+    (1 to rounds).foreach { _ =>
+      val nbrLabels = nbrs
+        .join(labels.withColumnRenamed("__n", "__m"), Seq("__m"))
+        .groupBy(col("__n"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax by (count desc, label asc), EXACT at any count: one
+      // struct max — max(struct(count, -label)) picks the highest
+      // count and, within it, the smallest label, in a single
+      // partial-combined aggregate (integer comparisons, no windows,
+      // no float encoding)
+      val next = nbrLabels
+        .groupBy(col("__n"))
+        .agg(max(struct(col("__c"), (-col("__l")).as("__nl"))).as("__t"))
+        .select(col("__n"), (-col("__t")("__nl")).as("__l"))
+        .persist(lvl)
+      cached += next
+      labels = next
+    }
+    val out = labels.select(col("__n").as("node"), col("__l").as("label"))
+      .localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
 }

@@ -2848,6 +2848,47 @@ object Pipeline {
         |    PARTITION BY left_id ORDER BY s DESC, right_id) AS rnk
         |  FROM scored)
         |SELECT left_id, right_id, round(s, 4) AS score, rnk
-        |FROM ranked WHERE rnk <= 3 ORDER BY left_id, rnk""".stripMargin))
+        |FROM ranked WHERE rnk <= 3 ORDER BY left_id, rnk""".stripMargin)),
+
+    // ---- p84: label-propagation communities over the co-purchase
+    // graph — the cluster-discovery step beyond connected components
+    // (components glue anything that touches; LPA separates dense
+    // regions from incidental bridges). Synchronous, 3 fixed rounds,
+    // fully deterministic: labels init to node ids, each round every
+    // node takes the (count desc, label asc) argmax of its neighbor
+    // labels — one struct-max aggregate, exact integer comparisons.
+    // The oracle replays all three rounds; output is the per-label
+    // community rollup.
+    "p84_label_propagation" -> Q(
+      (s, dir) => {
+        val pairs = Association.withinGroupPairs(
+          tbl(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        graft.operators.Graph.labelPropagation(pairs, "x", "y", rounds = 3)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("size"), min(col("node")).as("min_node"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH pe AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+        |nb AS MATERIALIZED (SELECT u AS n, v AS m FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT n, n AS l FROM nb),
+        |c1 AS (SELECT nb.n, l0.l, count(*) AS c FROM nb
+        |  JOIN l0 ON l0.n = nb.m GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT n, l FROM (SELECT n, l, row_number() OVER (
+        |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT nb.n, l1.l, count(*) AS c FROM nb
+        |  JOIN l1 ON l1.n = nb.m GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (SELECT n, l FROM (SELECT n, l, row_number() OVER (
+        |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT nb.n, l2.l, count(*) AS c FROM nb
+        |  JOIN l2 ON l2.n = nb.m GROUP BY 1, 2),
+        |l3 AS (SELECT n, l FROM (SELECT n, l, row_number() OVER (
+        |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c3) WHERE rn = 1)
+        |SELECT l AS label, count(*) AS size, min(n) AS min_node
+        |FROM l3 GROUP BY 1 ORDER BY label""".stripMargin))
   )
 }

@@ -1779,6 +1779,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 4L, 2.0), (4L, 3L, 2.0)))
   }
 
+  test("label propagation separates two bridged triangles; partition-invariant") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("x", "y")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Graph.labelPropagation(df, "x", "y", rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(edges)
+    // hand-traced synchronous rounds with the (count desc, label asc)
+    // rule: the bridge edge does NOT merge the triangles
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), got.toString)
+    assert(run(edges.repartition(7)) == got, "partitioning changed labels")
+    // for contrast: connected components WOULD glue them via the bridge
+    val cc = graft.operators.Dedup.duplicateClusters(
+      edges.select(col("x").as("a_id"), col("y").as("b_id")))
+    assert(cc.select(countDistinct(col("cluster_id"))).head().getLong(0) == 1L)
+  }
+
   test("annJoin with nprobe == nlist is exact; recall holds at defaults") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
