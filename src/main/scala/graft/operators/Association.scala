@@ -96,4 +96,48 @@ object Association {
           4).as("confidence"),
         round(col("lift_raw"), 4).as("lift"))
   }
+
+  /** First-order Markov transition matrix over per-key event
+    * sequences: for each key (user/session owner), order events by
+    * (ts, id) and count consecutive (from_state → to_state) steps,
+    * breaking the chain when the gap exceeds `maxGapSeconds` — the
+    * behavioral prior a pipeline fits before simulating traffic,
+    * scoring funnel health, or generating synthetic event data.
+    * Probabilities are row-normalized per from_state and emitted as
+    * integer micros (round(1e6·n/row_total)) so the report is
+    * hash-replayable.
+    *
+    * Scale shape: ONE window pass partitioned by key — each key's
+    * history stays in one task (bounded per-user volume; billions of
+    * independent keys parallelize freely), with (ts, id) ordering
+    * making successor choice deterministic under timestamp ties.
+    * The matrix itself is two partial-combined aggregates over
+    * |states|² keys at most, and the row-total attach is a
+    * broadcast-sized join by construction. No event-sized data
+    * moves after the window.
+    *
+    * Returns (from_state, to_state, n_transitions, prob_micro)
+    * ordered by (from_state, to_state). */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, stateCol: String,
+      maxGapSeconds: Long = 1800L): DataFrame = {
+    require(maxGapSeconds > 0, s"maxGapSeconds $maxGapSeconds must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val steps = events.select(col(stateCol).as("from_state"),
+        col(tsCol).as("__ts"),
+        lead(col(stateCol), 1).over(w).as("to_state"),
+        lead(col(tsCol), 1).over(w).as("__nts"))
+      .filter(col("to_state").isNotNull &&
+        col("__nts") <= col("__ts") + expr(s"INTERVAL $maxGapSeconds SECONDS"))
+    val counts = steps.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = counts.groupBy(col("from_state"))
+      .agg(sum(col("n_transitions")).as("__tot"))
+    counts.join(totals, Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n_transitions"),
+        expr("CAST(ROUND(1e6 * n_transitions / __tot) AS BIGINT)")
+          .as("prob_micro"))
+      .orderBy(col("from_state"), col("to_state"))
+  }
 }

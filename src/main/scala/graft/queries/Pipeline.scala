@@ -2889,6 +2889,137 @@ object Pipeline {
         |l3 AS (SELECT n, l FROM (SELECT n, l, row_number() OVER (
         |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c3) WHERE rn = 1)
         |SELECT l AS label, count(*) AS size, min(n) AS min_node
-        |FROM l3 GROUP BY 1 ORDER BY label""".stripMargin))
+        |FROM l3 GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // ---- rolling z-score anomaly gate over the event telemetry ----
+    // Day-partitioned trailing window, integer z-test (cents), the
+    // ingest-monitoring report. Window membership is (ts, event_id)-
+    // deterministic and all arithmetic is Long, so the partitioned
+    // Spark window and DuckDB's serial one agree bit-for-bit.
+    "p85_rolling_anomaly" -> Q(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events").select(
+          col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        graft.operators.Resample.rollingAnomalyReport(
+          ev, "event_type", "ts", "event_id", "cents",
+          window = 50, minN = 20, zThresh = 3)
+      },
+      Some("""WITH ev AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    ts, event_id, CAST(ROUND(value*100) AS BIGINT) AS x FROM events),
+        |st AS (SELECT k, x, COUNT(x) OVER w AS n,
+        |    CAST(SUM(x) OVER w AS BIGINT) AS s,
+        |    CAST(SUM(x*x) OVER w AS BIGINT) AS q
+        |  FROM ev WINDOW w AS (PARTITION BY k, day ORDER BY ts, event_id
+        |    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+        |fl AS (SELECT k, x, (n >= 20) AS scored,
+        |    (n >= 20 AND (n*x - s)*(n*x - s)*(n-1) > 9*n*(n*q - s*s)) AS anom
+        |  FROM st)
+        |SELECT k AS event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN scored THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |  CAST(SUM(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(COALESCE(SUM(CASE WHEN anom THEN x END), 0) AS BIGINT)
+        |    AS sum_anom_value
+        |FROM fl GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- Adamic-Adar link prediction over the co-purchase graph ----
+    // Top-50 non-adjacent part pairs by Σ 1/ln(deg) over shared
+    // neighbors (integer micro-weights), middles degree-capped at 64
+    // — the candidate-generation step for recommendation /
+    // retrieval-augmentation. The cap is part of the contract and
+    // the oracle applies it identically.
+    "p86_link_prediction" -> Q(
+      (s, dir) => {
+        val pairs = Association.withinGroupPairs(
+          tbl(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        graft.operators.Graph.adamicAdarTopK(
+          pairs, "x", "y", maxDegree = 64, topK = 50)
+      },
+      Some("""WITH pe AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+        |nb AS MATERIALIZED (SELECT u AS n, v AS m FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT n, count(*) AS d FROM nb GROUP BY 1),
+        |mid AS (SELECT n, CAST(ROUND(1e6/LN(d)) AS BIGINT) AS w
+        |  FROM deg WHERE d BETWEEN 2 AND 64),
+        |wg AS (SELECT a.m AS u, b.m AS v, mid.w FROM nb a
+        |  JOIN nb b ON a.n = b.n AND a.m < b.m JOIN mid ON mid.n = a.n),
+        |sc AS (SELECT u, v, COUNT(*) AS common_neighbors,
+        |    CAST(SUM(w) AS BIGINT) AS aa_micro FROM wg GROUP BY 1, 2),
+        |cand AS (SELECT sc.* FROM sc ANTI JOIN e0
+        |  ON sc.u = e0.u AND sc.v = e0.v)
+        |SELECT u, v, common_neighbors, aa_micro FROM cand
+        |ORDER BY aa_micro DESC, u, v LIMIT 50""".stripMargin)),
+
+    // ---- per-column ingest-audit profile of the orders table ----
+    // Two jobs regardless of column count; doubles pre-projected to
+    // cents and timestamps to dates so every rendered bound is
+    // format-stable across engines.
+    "p87_table_profile" -> Q(
+      (s, dir) => {
+        val src = tbl(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            .as("price_cents"),
+          to_date(col("o_orderdate")).as("order_day"))
+        graft.operators.Profile.tableProfile(src)
+      },
+      Some("""WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_orderpriority,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+        |    CAST(o_orderdate AS DATE) AS order_day FROM orders),
+        |m AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*)-COUNT(o_orderkey) AS n_null,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr FROM src
+        |  UNION ALL SELECT 'o_custkey', COUNT(*),
+        |    COUNT(*)-COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'o_orderstatus', COUNT(*),
+        |    COUNT(*)-COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |    MIN(o_orderstatus), MAX(o_orderstatus) FROM src
+        |  UNION ALL SELECT 'o_orderpriority', COUNT(*),
+        |    COUNT(*)-COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    MIN(o_orderpriority), MAX(o_orderpriority) FROM src
+        |  UNION ALL SELECT 'price_cents', COUNT(*),
+        |    COUNT(*)-COUNT(price_cents), COUNT(DISTINCT price_cents),
+        |    CAST(MIN(price_cents) AS VARCHAR),
+        |    CAST(MAX(price_cents) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'order_day', COUNT(*),
+        |    COUNT(*)-COUNT(order_day), COUNT(DISTINCT order_day),
+        |    CAST(MIN(order_day) AS VARCHAR),
+        |    CAST(MAX(order_day) AS VARCHAR) FROM src)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_repr, max_repr
+        |FROM m ORDER BY col_name""".stripMargin)),
+
+    // ---- first-order Markov transitions over per-user event chains ----
+    // Consecutive event-type steps within a 30-min gap, row-normalized
+    // to integer-micro probabilities — the behavioral prior for
+    // synthetic-traffic generation and funnel scoring.
+    "p88_transition_matrix" -> Q(
+      (s, dir) => Association.transitionMatrix(
+        tbl(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        maxGapSeconds = 1800L),
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    LEAD(event_type) OVER w AS nt, LEAD(ts) OVER w AS nts
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT event_type AS from_state, nt AS to_state FROM e
+        |  WHERE nt IS NOT NULL AND nts <= ts + INTERVAL 1800 SECONDS),
+        |c AS (SELECT from_state, to_state, COUNT(*) AS n_transitions
+        |  FROM p GROUP BY 1, 2),
+        |t AS (SELECT from_state, CAST(SUM(n_transitions) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n_transitions,
+        |  CAST(ROUND(1e6 * c.n_transitions / t.tot) AS BIGINT) AS prob_micro
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin))
   )
 }
