@@ -125,6 +125,22 @@ object ScaleGen {
         col("l_linestatus"), col("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
+    // ---- orders: offset order/customer keyspaces per copy — the
+    // ingest-audit profiler (p87) reads orders; key offsets keep
+    // n_distinct growing linearly for key columns while the
+    // low-cardinality columns (status, priority, dates, prices)
+    // keep their source distributions.
+    val ord = graft.queries.QueryUtil.tbl(spark, src, "orders")
+    val nOrd2 = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    val nCust = ord.agg(max("o_custkey")).head().getLong(0) + 1
+    ord.crossJoin(copyDf)
+      .select(
+        (col("o_orderkey") + col("c") * nOrd2).as("o_orderkey"),
+        (col("o_custkey") + col("c") * nCust).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
     println(s"""{"scalegen":"$dst","copies":$copies}""")
     spark.stop()
   }
