@@ -140,7 +140,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       lower.startsWith("desc") || lower.startsWith("use") ||
       lower.startsWith("set") || lower.startsWith("commit") ||
       lower.startsWith("rollback") || lower.startsWith("begin") ||
-      lower.startsWith("start transaction")
+      lower.startsWith("start transaction") || lower.startsWith("analyze")
     val l: java.util.concurrent.locks.Lock =
       if (readOnly) lock.readLock() else lock.writeLock()
     // save/restore instead of set/remove: EXPLAIN re-enters sqlAs for
@@ -165,6 +165,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       else if (lower.startsWith("update")) doUpdate(stmt)
       else if (lower.startsWith("delete")) doDelete(stmt)
       else if (lower.startsWith("optimize")) doOptimize(stmt)
+      else if (lower.startsWith("analyze")) doAnalyze(stmt)
       else if (lower.startsWith("show")) doShow(stmt)
       else if (lower.startsWith("use")) doUse(stmt)
       else if (lower.startsWith("desc")) doDescribe(stmt)
@@ -1114,6 +1115,28 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * min/max row. Always rewrites (re-clustering is the point);
     * returns the files written. Rejected on kv tables — the segment
     * store is already key-ordered. */
+  /** `ANALYZE TABLE <name>` — per-column data profile of the table's
+    * CURRENT visible contents (null/distinct counts, typed bounds)
+    * via [[graft.operators.Profile.tableProfile]]. Beyond-parity
+    * extension surface (the reference has no data-statistics
+    * statement; its SHOW TABLE STATUS is metadata-only): the engine
+    * twin of Spark's ANALYZE TABLE, returned as a result set instead
+    * of written to a stats store. Routes through [[doSelect]] so
+    * rowid hiding, external formats, and KV newest-wins merge all
+    * apply before profiling. */
+  private def doAnalyze(stmt: String): GraftResult = {
+    val m = "(?is)^analyze\\s+table\\s+(.+?)\\s*$".r.findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(
+        s"cannot parse: ${stmt.take(60)} (expected ANALYZE TABLE <name>)"))
+    val t = m.group(1).trim
+    lookup(t) // 1146 before any scan if the table doesn't exist
+    doSelect(s"SELECT * FROM $t") match {
+      case ResultSet(df) =>
+        ResultSet(graft.operators.Profile.tableProfile(df))
+      case other => other
+    }
+  }
+
   private def doOptimize(stmt: String): GraftResult = {
     val m = ("(?is)^optimize\\s+(?:table\\s+)?(\\S+?)" +
       "(?:\\s+zorder\\s+by\\s*\\(([^)]*)\\))?\\s*$").r

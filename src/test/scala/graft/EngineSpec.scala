@@ -620,4 +620,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.sql("UPDATE MC SET NAME = 'b' WHERE ID = 1") == AffectedRows(1))
     assert(rows(e.sql("select name from mc")) == Seq(Seq("b")))
   }
+
+  test("ANALYZE TABLE returns a per-column profile; rowid stays hidden") {
+    val e = freshEngine()
+    e.sql("create schema anl"); e.sql("use anl")
+    e.sql("create table t (id int, name char null, PRIMARY KEY(id))")
+    e.sql("insert into t values (1, 'b')")
+    e.sql("insert into t values (2, NULL)")
+    e.sql("insert into t values (3, 'a')")
+    val prof = rows(e.sql("analyze table t"))
+      .map(r => r.head -> r).toMap
+    // only the two VISIBLE columns — no internal rowid leak
+    assert(prof.keySet == Set("id", "name"), prof.keySet.toString)
+    assert(prof("id") == Seq("id", 3L, 0L, 3L, "1", "3"))
+    assert(prof("name") == Seq("name", 3L, 1L, 2L, "a", "b"))
+    // unknown table is 1146 before any scan
+    val ex = intercept[GraftException](e.sql("analyze table nope"))
+    assert(ex.code == 1146)
+  }
 }
