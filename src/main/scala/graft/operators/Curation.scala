@@ -568,4 +568,71 @@ object Curation {
         round(col("__ssum").cast("double") / col("n_docs"), 4).as("mean_score"))
       .orderBy(col("bin"))
   }
+
+  /** Population Stability Index drift report (the credit-scoring /
+    * model-monitoring standard; Siddiqi 2006, "Credit Risk
+    * Scorecards" §9): per key, PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)
+    * between a reference population (`curCol` false) and a current
+    * one (`curCol` true), over `bins` fixed-width buckets of the
+    * integer `valueCol` clamped to [lo, hi). The drift gate that
+    * closes the monitoring trio: per-event anomalies
+    * ([[Resample.rollingAnomalyReport]]), per-column audits
+    * ([[Profile.tableProfile]]), and THIS — distribution shift
+    * between ingest windows (PSI < 0.1 stable, > 0.25 action).
+    *
+    * Determinism: bin assignment is pure Long arithmetic
+    * (`(x−lo)·bins div (hi−lo)`, clamped — no double division at the
+    * boundary), counts are exact, and each bin's PSI term is
+    * quantized to integer micros BEFORE the per-key sum (the p40
+    * micro-nat discipline), so the report replays bit-for-bit in
+    * ANSI SQL. Laplace smoothing (+1 per bin) keeps empty bins
+    * finite; both engines compute the identical
+    * `(p−q)·ln(p/q)` double from identical integer inputs.
+    *
+    * Scale shape: one partial-combined (key, side, bin) count — the
+    * only event-sized exchange — then everything is
+    * |keys|·bins-sized: the bin spine is generated per key
+    * (sequence explode, no join against data), totals ride a
+    * broadcast-sized key join. Skewed keys cost nothing beyond the
+    * first combine.
+    *
+    * Returns (key, n_ref, n_cur, psi_micro) ordered by key. */
+  def psiDrift(df: DataFrame, keyCol: String, valueCol: String,
+      curCol: String, bins: Int, lo: Long, hi: Long): DataFrame = {
+    require(bins >= 2, s"bins $bins must be >= 2")
+    require(hi > lo, s"range [$lo, $hi) must be non-empty")
+    val pre = df.select(col(keyCol).as("__k"), col(curCol).as("__cur"),
+      col(valueCol).cast("long").as("__x"))
+    // integer bin: Long-exact `div`, clamped — no double division at
+    // any bucket boundary
+    val counts = pre
+      .select(col("__k"), col("__cur"),
+        least(lit((bins - 1).toLong), greatest(lit(0L),
+          expr(s"(__x - $lo) * $bins div ${hi - lo}"))).as("__b"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("__cur"), 0L).otherwise(1L)).as("__nr"))
+    val spine = df.select(col(keyCol).as("__k")).distinct()
+      .select(col("__k"),
+        explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__b"))
+    val full = spine.join(counts, Seq("__k", "__b"), "left")
+      .select(col("__k"), col("__b"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"),
+        coalesce(col("__nr"), lit(0L)).as("__nr"))
+    val totals = full.groupBy(col("__k"))
+      .agg(sum(col("__nr")).as("__tr"), sum(col("__nc")).as("__tc"))
+    full.join(totals, Seq("__k"))
+      .select(col("__k"), col("__nr"), col("__nc"),
+        expr(s"""CAST(ROUND(1e6 * (
+          |  (CAST(__nr + 1 AS DOUBLE) / (__tr + $bins) -
+          |   CAST(__nc + 1 AS DOUBLE) / (__tc + $bins)) *
+          |  LN((CAST(__nr + 1 AS DOUBLE) / (__tr + $bins)) /
+          |     (CAST(__nc + 1 AS DOUBLE) / (__tc + $bins)))
+          |)) AS BIGINT)""".stripMargin).as("__t"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__nr")).as("n_ref"), sum(col("__nc")).as("n_cur"),
+        sum(col("__t")).as("psi_micro"))
+      .withColumnRenamed("__k", keyCol)
+      .orderBy(col(keyCol))
+  }
 }

@@ -3020,6 +3020,46 @@ object Pipeline {
         |SELECT c.from_state, c.to_state, c.n_transitions,
         |  CAST(ROUND(1e6 * c.n_transitions / t.tot) AS BIGINT) AS prob_micro
         |FROM c JOIN t USING (from_state)
-        |ORDER BY from_state, to_state""".stripMargin))
+        |ORDER BY from_state, to_state""".stripMargin)),
+
+    // ---- PSI distribution drift between ingest windows ----
+    // Per event type: population-stability index of the value (cents)
+    // distribution, first half of the month (ref) vs second (cur),
+    // 10 Long-exact bins over [0, 50000), per-bin terms quantized to
+    // micros before the sum. Closes the monitoring trio with p85
+    // (per-event anomalies) and p87 (per-column audit).
+    "p89_psi_drift" -> Q(
+      (s, dir) => Curation.psiDrift(
+        tbl(s, dir, "events").select(col("event_type"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"),
+          (dayofmonth(col("ts")) > 15).as("is_cur")),
+        "event_type", "cents", "is_cur", bins = 10, lo = 0L, hi = 50000L),
+      Some("""WITH ev AS (SELECT event_type AS k, (day(ts) > 15) AS cur,
+        |    CAST(ROUND(value*100) AS BIGINT) AS x FROM events),
+        |b AS (SELECT k, cur, least(9, greatest(0, (x - 0) * 10 // 50000)) AS b
+        |  FROM ev),
+        |c AS (SELECT k, b,
+        |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS nr
+        |  FROM b GROUP BY 1, 2),
+        |spine AS (SELECT k, r.range AS b
+        |  FROM (SELECT DISTINCT k FROM ev), range(0, 10) r),
+        |f AS (SELECT spine.k, spine.b, COALESCE(c.nc, 0) AS nc,
+        |    COALESCE(c.nr, 0) AS nr
+        |  FROM spine LEFT JOIN c ON spine.k = c.k AND spine.b = c.b),
+        |t AS (SELECT k, CAST(SUM(nr) AS BIGINT) AS tr,
+        |    CAST(SUM(nc) AS BIGINT) AS tc FROM f GROUP BY 1),
+        |terms AS (SELECT f.k, f.nr, f.nc,
+        |    CAST(ROUND(1e6 * (
+        |      (CAST(f.nr + 1 AS DOUBLE) / (t.tr + 10) -
+        |       CAST(f.nc + 1 AS DOUBLE) / (t.tc + 10)) *
+        |      LN((CAST(f.nr + 1 AS DOUBLE) / (t.tr + 10)) /
+        |         (CAST(f.nc + 1 AS DOUBLE) / (t.tc + 10)))
+        |    )) AS BIGINT) AS tm
+        |  FROM f JOIN t USING (k))
+        |SELECT k AS event_type, CAST(SUM(nr) AS BIGINT) AS n_ref,
+        |  CAST(SUM(nc) AS BIGINT) AS n_cur,
+        |  CAST(SUM(tm) AS BIGINT) AS psi_micro
+        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

@@ -1911,6 +1911,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("B", "A", 1L, 500000L), ("B", "B", 1L, 500000L)), got.toString)
   }
 
+  test("psiDrift: identical populations score ~0, a shifted one scores high") {
+    import spark.implicits._
+    // ref uniform over bins 0..3; cur identical -> psi ~ 0
+    val same = (0 until 4).flatMap(b =>
+      Seq.fill(25)(("k", b * 250L + 100L, false)) ++
+      Seq.fill(25)(("k", b * 250L + 100L, true)))
+      .toDF("k", "v", "cur")
+    val r0 = Curation.psiDrift(same, "k", "v", "cur",
+      bins = 4, lo = 0L, hi = 1000L).collect().head
+    assert(r0.getAs[Long]("n_ref") == 100L && r0.getAs[Long]("n_cur") == 100L)
+    assert(math.abs(r0.getAs[Long]("psi_micro")) < 1000L, r0.toString)
+    // cur mass collapsed into bin 0 -> large positive PSI (>> 0.25)
+    val shifted = ((0 until 4).flatMap(b =>
+      Seq.fill(25)(("k", b * 250L + 100L, false))) ++
+      Seq.fill(100)(("k", 5L, true))).toDF("k", "v", "cur")
+    val r1 = Curation.psiDrift(shifted, "k", "v", "cur",
+      bins = 4, lo = 0L, hi = 1000L).collect().head
+    assert(r1.getAs[Long]("psi_micro") > 250000L, r1.toString)
+    // out-of-range values clamp into the edge bins, never drop
+    val clamp = Seq(("k", -50L, false), ("k", 99999L, true))
+      .toDF("k", "v", "cur")
+    val rc = Curation.psiDrift(clamp, "k", "v", "cur",
+      bins = 4, lo = 0L, hi = 1000L).collect().head
+    assert(rc.getAs[Long]("n_ref") == 1L && rc.getAs[Long]("n_cur") == 1L)
+  }
+
   test("tableProfile: counts, nulls, distincts, typed bounds") {
     import spark.implicits._
     val df = Seq(
