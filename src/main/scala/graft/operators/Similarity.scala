@@ -699,4 +699,66 @@ object Similarity {
         round(col("n_overlap").cast("double") / lit(k.toDouble), 4)
           .as("recall"))
   }
+
+  /** Dominant principal component of an embedding corpus by power
+    * iteration (the classic von Mises iteration; Golub & Van Loan
+    * §7.3) — the direction a whitening / anisotropy-removal step
+    * (Mu & Viswanath ICLR'18, "All-but-the-top") strips first. The
+    * whole computation is replayable in ANSI SQL, which no float
+    * BLAS path is: every stage is either exact integer arithmetic or
+    * one deterministic double divide.
+    *
+    * Stages: (1) components quantized to `quantScale` fixed-point
+    * Longs (round(quantScale·v[i]), i < dim); (2) the upper-tri Gram
+    * matrix Σ mᵢ·mⱼ accumulated as dim·(dim+1)/2 exact Long sums in
+    * ONE wide partial-combined aggregate — no per-row explode, no
+    * shuffle wider than the Gram itself (overflow bound: rows ≲
+    * 2⁶³/(quantScale²·maxcomp²), ~10¹² at milli scale for unit-ish
+    * vectors); (3) Gram normalized to L∞ = 1e6 micros
+    * (round(1e6·(g/maxabs)), one double divide per entry) so the
+    * iteration's integer magnitudes are CORPUS-SIZE-INDEPENDENT;
+    * (4) `iters` rounds of w = G·v from v₀ = (1e6,…,1e6), each
+    * matvec an exact Long dot (|w| ≤ dim·1e12 ≪ 2⁶³), renormalized
+    * to L∞ = 1e6 by the same round(1e6·(w/maxabs)) rule. The
+    * dim×dim iteration runs driver-side on the COLLECTED 1-row Gram
+    * — bounded state, the codebook-collect discipline, while the
+    * corpus-sized work stays in the single distributed aggregate.
+    *
+    * Returns (component_idx ∈ [1, dim], v_micro): the unnormalized-
+    * sign dominant eigenvector at micro scale, one row per
+    * component. */
+  def topComponentMicro(corpus: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 3, quantScale: Int = 1000): DataFrame = {
+    require(dim >= 2 && dim <= 64, s"dim $dim must be in [2, 64]")
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // half-away-from-zero, matching both engines' SQL ROUND (Scala's
+    // math.round is floor(x+0.5) — differs on negative .5 exactly)
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val m = corpus.select((0 until dim).map(i =>
+      expr(s"CAST(ROUND($quantScale * CAST(element_at($vecCol, ${i + 1}) AS DOUBLE)) AS BIGINT)")
+        .as(s"__m$i")): _*)
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      sum(col(s"__m$i") * col(s"__m$j")).as(s"__g_${i}_$j") }
+    val row = m.agg(aggs.head, aggs.tail: _*).head()
+    val g = Array.ofDim[Long](dim, dim)
+    pairs.zipWithIndex.foreach { case ((i, j), k) =>
+      val v = row.getLong(k); g(i)(j) = v; g(j)(i) = v }
+    val maxg = g.flatten.map(math.abs).max.toDouble
+    require(maxg > 0, "degenerate corpus: zero Gram matrix")
+    val gn = g.map(_.map(x => rnd(1e6 * (x.toDouble / maxg))))
+    var v = Array.fill(dim)(1000000L)
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => gn(i)(j) * v(j)).sum)
+      val mw = w.map(math.abs).max.toDouble
+      v = if (mw == 0) w else w.map(x => rnd(1e6 * (x.toDouble / mw)))
+    }
+    v.zipWithIndex.map { case (x, i) => (i + 1, x) }.toSeq
+      .toDF("component_idx", "v_micro")
+      .orderBy(col("component_idx"))
+  }
 }

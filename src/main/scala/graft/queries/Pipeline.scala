@@ -3060,6 +3060,43 @@ object Pipeline {
         |SELECT k AS event_type, CAST(SUM(nr) AS BIGINT) AS n_ref,
         |  CAST(SUM(nc) AS BIGINT) AS n_cur,
         |  CAST(SUM(tm) AS BIGINT) AS psi_micro
-        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- dominant principal component by exact power iteration ----
+    // Whitening prep (all-but-the-top): milli-quantized Gram over the
+    // first 16 dims in one wide partial-combined aggregate, micro-
+    // normalized, three integer matvec rounds — every stage replayed
+    // bit-for-bit by the oracle's unrolled CTEs.
+    "p90_pca_power" -> Q(
+      (s, dir) => Similarity.topComponentMicro(
+        tbl(s, dir, "embeddings"), "embedding", dim = 16,
+        iters = 3, quantScale = 1000),
+      Some("""WITH m AS (SELECT list_transform(range(1, 17),
+        |    i -> CAST(ROUND(1000 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)) AS mv
+        |  FROM embeddings),
+        |g AS (SELECT i.range AS i, j.range AS j,
+        |    CAST(SUM(mv[i.range] * mv[j.range]) AS BIGINT) AS gv
+        |  FROM m, range(1, 17) i, range(1, 17) j GROUP BY 1, 2),
+        |mg AS (SELECT CAST(MAX(ABS(gv)) AS DOUBLE) AS m FROM g),
+        |gn AS (SELECT i, j, CAST(ROUND(1e6 * (CAST(gv AS DOUBLE) /
+        |    (SELECT m FROM mg))) AS BIGINT) AS gn FROM g),
+        |v0 AS (SELECT range AS i, CAST(1000000 AS BIGINT) AS v FROM range(1, 17)),
+        |w1 AS (SELECT gn.i, CAST(SUM(gn.gn * v0.v) AS BIGINT) AS w
+        |  FROM gn JOIN v0 ON v0.i = gn.j GROUP BY 1),
+        |m1 AS (SELECT CAST(MAX(ABS(w)) AS DOUBLE) AS m FROM w1),
+        |v1 AS (SELECT i, CAST(ROUND(1e6 * (CAST(w AS DOUBLE) /
+        |    (SELECT m FROM m1))) AS BIGINT) AS v FROM w1),
+        |w2 AS (SELECT gn.i, CAST(SUM(gn.gn * v1.v) AS BIGINT) AS w
+        |  FROM gn JOIN v1 ON v1.i = gn.j GROUP BY 1),
+        |m2 AS (SELECT CAST(MAX(ABS(w)) AS DOUBLE) AS m FROM w2),
+        |v2 AS (SELECT i, CAST(ROUND(1e6 * (CAST(w AS DOUBLE) /
+        |    (SELECT m FROM m2))) AS BIGINT) AS v FROM w2),
+        |w3 AS (SELECT gn.i, CAST(SUM(gn.gn * v2.v) AS BIGINT) AS w
+        |  FROM gn JOIN v2 ON v2.i = gn.j GROUP BY 1),
+        |m3 AS (SELECT CAST(MAX(ABS(w)) AS DOUBLE) AS m FROM w3),
+        |v3 AS (SELECT i, CAST(ROUND(1e6 * (CAST(w AS DOUBLE) /
+        |    (SELECT m FROM m3))) AS BIGINT) AS v FROM w3)
+        |SELECT i AS component_idx, v AS v_micro FROM v3
+        |ORDER BY component_idx""".stripMargin))
   )
 }

@@ -1937,6 +1937,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rc.getAs[Long]("n_ref") == 1L && rc.getAs[Long]("n_cur") == 1L)
   }
 
+  test("topComponentMicro finds a planted dominant direction; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 200 vectors: strong variance along axis 2, weak noise elsewhere
+    val vecs = (0 until 200).map { _ =>
+      val s = if (rnd.nextBoolean()) 5f else -5f
+      Array.tabulate(8)(i =>
+        (if (i == 2) s else 0f) + rnd.nextFloat() * 0.2f - 0.1f)
+    }.map(Tuple1(_)).toDF("embedding")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      Similarity.topComponentMicro(df, "embedding", dim = 8, iters = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val got = run(vecs)
+    val byIdx = got.toMap
+    // axis 2 (component_idx 3) dominates at the L-inf normalization
+    assert(math.abs(byIdx(3)) == 1000000L, got.toString)
+    assert((1 to 8).filter(_ != 3).forall(i =>
+      math.abs(byIdx(i)) < 100000L), got.toString)
+    // bit-identical under repartitioning (integer Gram, exact matvec)
+    assert(run(vecs.repartition(7)) == got)
+  }
+
   test("tableProfile: counts, nulls, distincts, typed bounds") {
     import spark.implicits._
     val df = Seq(
