@@ -514,6 +514,19 @@ object Graph {
       .filter(col("__u") =!= col("__v"))
       .distinct()
       .persist(lvl)
+    val out = adamicAdarScored(und, maxDegree, topK)
+      .localCheckpoint(eager = true)
+    und.unpersist(blocking = false)
+    out
+  }
+
+  /** The lazy scoring pipeline of [[adamicAdarTopK]] over an already
+    * canonicalized proper undirected edge frame `(__u < __v)` —
+    * split out so PlanSpec can pin the physical shape (the public
+    * method eagerly materializes, hiding the plan behind an RDD
+    * scan). */
+  private[graft] def adamicAdarScored(und: DataFrame, maxDegree: Int,
+      topK: Int): DataFrame = {
     val nbrs = und.select(col("__u").as("__n"), col("__v").as("__m"))
       .unionAll(und.select(col("__v").as("__n"), col("__u").as("__m")))
     // one row per eligible middle: sorted neighbor array + micro-weight
@@ -529,7 +542,7 @@ object Graph {
           |  transform(slice(__ns, i + 2, size(__ns)),
           |            y -> struct(x AS u, y AS v))))""".stripMargin))
         .as("__p"))
-    val scored = wedges
+    wedges
       .groupBy(col("__p.u").as("u"), col("__p.v").as("v"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum(col("__w")).as("aa_micro"))
@@ -537,8 +550,5 @@ object Graph {
         Seq("u", "v"), "left_anti")
       .orderBy(col("aa_micro").desc, col("u"), col("v"))
       .limit(topK)
-      .localCheckpoint(eager = true)
-    und.unpersist(blocking = false)
-    scored
   }
 }

@@ -737,13 +737,8 @@ object Similarity {
     // math.round is floor(x+0.5) — differs on negative .5 exactly)
     def rnd(x: Double): Long =
       (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
-    val m = corpus.select((0 until dim).map(i =>
-      expr(s"CAST(ROUND($quantScale * CAST(element_at($vecCol, ${i + 1}) AS DOUBLE)) AS BIGINT)")
-        .as(s"__m$i")): _*)
     val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
-    val aggs = pairs.map { case (i, j) =>
-      sum(col(s"__m$i") * col(s"__m$j")).as(s"__g_${i}_$j") }
-    val row = m.agg(aggs.head, aggs.tail: _*).head()
+    val row = gramFrame(corpus, vecCol, dim, quantScale).head()
     val g = Array.ofDim[Long](dim, dim)
     pairs.zipWithIndex.foreach { case ((i, j), k) =>
       val v = row.getLong(k); g(i)(j) = v; g(j)(i) = v }
@@ -760,5 +755,19 @@ object Similarity {
     v.zipWithIndex.map { case (x, i) => (i + 1, x) }.toSeq
       .toDF("component_idx", "v_micro")
       .orderBy(col("component_idx"))
+  }
+
+  /** The distributed stage of [[topComponentMicro]]: the 1-row
+    * upper-tri Gram frame (dim·(dim+1)/2 exact Long sums in one wide
+    * aggregate) — split out so PlanSpec can pin that it plans as a
+    * partial+final HashAggregate with NO per-row pair explode. */
+  private[graft] def gramFrame(corpus: DataFrame, vecCol: String,
+      dim: Int, quantScale: Int): DataFrame = {
+    val m = corpus.select((0 until dim).map(i =>
+      expr(s"CAST(ROUND($quantScale * CAST(element_at($vecCol, ${i + 1}) AS DOUBLE)) AS BIGINT)")
+        .as(s"__m$i")): _*)
+    val aggs = (for { i <- 0 until dim; j <- i until dim } yield
+      sum(col(s"__m$i") * col(s"__m$j")).as(s"__g_${i}_$j")).toSeq
+    m.agg(aggs.head, aggs.tail: _*)
   }
 }

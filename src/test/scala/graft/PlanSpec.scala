@@ -341,4 +341,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t.contains("SortMergeJoin"), t)
     assert(!t.contains("Window "), t)
   }
+
+  test("p85 anomaly gate is ONE window pass + one partial-combined rollup") {
+    // n/S/Q must share a single day-partitioned Window operator — a
+    // second window pass would re-sort the event stream for nothing —
+    // and the report is pure aggregation, no join anywhere
+    val nodes = allNodes(plan("p85_rolling_anomaly"))
+    assert(nodes.count(_.isInstanceOf[WindowExec]) == 1,
+      nodes.map(_.nodeName).mkString(", "))
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("join")),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
+  test("p86 link prediction: wedges generate map-side, top-k fused, no wedge self-join") {
+    // the public operator eagerly materializes (plan hides behind an
+    // RDD scan), so pin the lazy scoring pipeline it runs
+    import org.apache.spark.sql.functions._
+    val und = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("__u"), col("l_partkey").as("__v"))
+      .filter(col("__u") =!= col("__v")).distinct()
+    val t = graft.operators.Graph.adamicAdarScored(und, 64, 50)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // pairs come from the adjacency-array explode (Generate), never
+    // an nb-on-nb self-join; final ranking fuses to TakeOrdered
+    assert(t.contains("Generate"), t.take(2000))
+    assert(t.contains("TakeOrderedAndProject"), t.take(2000))
+    assert(!t.contains("CartesianProduct"), t.take(2000))
+  }
+
+  test("p87 profile joins the 1-row bounds frame by broadcast only") {
+    val t = planText("p87_table_profile")
+    assert(t.contains("BroadcastHashJoin"), t.take(2000))
+    assert(!t.contains("SortMergeJoin"), t.take(2000))
+  }
+
+  test("p90 PCA Gram rides one wide partial+final aggregate, no explode") {
+    // the corpus-sized stage of topComponentMicro is the 1-row Gram
+    // frame; a Generate there would mean a per-row pair explode
+    // (dim^2 row inflation) snuck back in
+    val t = graft.operators.Similarity.gramFrame(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "embedding", dim = 16, quantScale = 1000)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!t.contains("Generate"), t.take(2000))
+    assert(t.contains("HashAggregate"), t.take(2000))
+    assert(!t.contains("Exchange hashpartitioning"), t.take(2000))
+  }
 }
