@@ -601,18 +601,43 @@ object Curation {
       curCol: String, bins: Int, lo: Long, hi: Long): DataFrame = {
     require(bins >= 2, s"bins $bins must be >= 2")
     require(hi > lo, s"range [$lo, $hi) must be non-empty")
-    val pre = df.select(col(keyCol).as("__k"), col(curCol).as("__cur"),
-      col(valueCol).cast("long").as("__x"))
-    // integer bin: Long-exact `div`, clamped — no double division at
-    // any bucket boundary
-    val counts = pre
+    val counts = psiBinCounts(df, keyCol, valueCol, curCol, bins, lo, hi)
+    psiFromBinCounts(counts, keyCol, bins)
+  }
+
+  /** Stage 1 of [[psiDrift]]: per-(key, bin) ref/cur counts — the
+    * only event-sized aggregation, and an ADDITIVE one, so it runs
+    * unchanged as a streaming Complete-mode aggregate (the q72
+    * battery entry) whose sink is bounded at |keys|·bins rows.
+    * Bin assignment is Long-exact `div`, clamped — no double
+    * division at any bucket boundary.
+    * Returns (keyCol, bin, n_cur, n_ref). */
+  def psiBinCounts(df: DataFrame, keyCol: String, valueCol: String,
+      curCol: String, bins: Int, lo: Long, hi: Long): DataFrame = {
+    require(bins >= 2, s"bins $bins must be >= 2")
+    require(hi > lo, s"range [$lo, $hi) must be non-empty")
+    df.select(col(keyCol).as("__k"), col(curCol).as("__cur"),
+        col(valueCol).cast("long").as("__x"))
       .select(col("__k"), col("__cur"),
         least(lit((bins - 1).toLong), greatest(lit(0L),
           expr(s"(__x - $lo) * $bins div ${hi - lo}"))).as("__b"))
       .groupBy(col("__k"), col("__b"))
       .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__nc"),
         sum(when(col("__cur"), 0L).otherwise(1L)).as("__nr"))
-    val spine = df.select(col(keyCol).as("__k")).distinct()
+      .select(col("__k").as(keyCol), col("__b").as("bin"),
+        col("__nc").as("n_cur"), col("__nr").as("n_rf"))
+  }
+
+  /** Stage 2 of [[psiDrift]]: the PSI report from (key, bin, n_cur,
+    * n_rf) counts as produced by [[psiBinCounts]] — batch or drained
+    * from a streaming sink; PSI is a pure function of the counts, so
+    * stream == batch exactly. */
+  def psiFromBinCounts(countsIn: DataFrame, keyCol: String,
+      bins: Int): DataFrame = {
+    val counts = countsIn.select(col(keyCol).as("__k"),
+      col("bin").as("__b"), col("n_cur").as("__nc"),
+      col("n_rf").as("__nr"))
+    val spine = counts.select(col("__k")).distinct()
       .select(col("__k"),
         explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__b"))
     val full = spine.join(counts, Seq("__k", "__b"), "left")

@@ -591,7 +591,60 @@ object EventsQ {
       },
       Some(s"""SELECT event_type, count(*) AS cnt,
         |${oSumCents("value")} AS total_value
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- the PSI drift gate IN-STREAM: p89's stage-1 bin counts as
+    // a Complete-mode streaming aggregate (additive, so stream ==
+    // batch exactly regardless of micro-batching), memory sink
+    // bounded at |keys|·bins rows — never event-sized — then the
+    // pure-function PSI report over the drained counts. The oracle
+    // is p89's batch SQL verbatim: equality pins that the monitoring
+    // gate can run continuously on the live feed.
+    "q72_stream_drift" -> Q(
+      (s, dir) => {
+        val src = tblStream(s, dir, "events").select(col("event_type"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"),
+          (dayofmonth(col("ts")) > 15).as("is_cur"))
+        val counts = graft.operators.Curation.psiBinCounts(
+          src, "event_type", "cents", "is_cur",
+          bins = 10, lo = 0L, hi = 50000L)
+        val sink = s"q72_mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val sq = counts.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        graft.operators.Curation.psiFromBinCounts(
+          s.table(sink), "event_type", bins = 10)
+      },
+      Some("""WITH ev AS (SELECT event_type AS k, (day(ts) > 15) AS cur,
+        |    CAST(ROUND(value*100) AS BIGINT) AS x FROM events),
+        |b AS (SELECT k, cur, least(9, greatest(0, (x - 0) * 10 // 50000)) AS b
+        |  FROM ev),
+        |c AS (SELECT k, b,
+        |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS nr
+        |  FROM b GROUP BY 1, 2),
+        |spine AS (SELECT k, r.range AS b
+        |  FROM (SELECT DISTINCT k FROM ev), range(0, 10) r),
+        |f AS (SELECT spine.k, spine.b, COALESCE(c.nc, 0) AS nc,
+        |    COALESCE(c.nr, 0) AS nr
+        |  FROM spine LEFT JOIN c ON spine.k = c.k AND spine.b = c.b),
+        |t AS (SELECT k, CAST(SUM(nr) AS BIGINT) AS tr,
+        |    CAST(SUM(nc) AS BIGINT) AS tc FROM f GROUP BY 1),
+        |terms AS (SELECT f.k, f.nr, f.nc,
+        |    CAST(ROUND(1e6 * (
+        |      (CAST(f.nr + 1 AS DOUBLE) / (t.tr + 10) -
+        |       CAST(f.nc + 1 AS DOUBLE) / (t.tc + 10)) *
+        |      LN((CAST(f.nr + 1 AS DOUBLE) / (t.tr + 10)) /
+        |         (CAST(f.nc + 1 AS DOUBLE) / (t.tc + 10)))
+        |    )) AS BIGINT) AS tm
+        |  FROM f JOIN t USING (k))
+        |SELECT k AS event_type, CAST(SUM(nr) AS BIGINT) AS n_ref,
+        |  CAST(SUM(nc) AS BIGINT) AS n_cur,
+        |  CAST(SUM(tm) AS BIGINT) AS psi_micro
+        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   /** KV fixture directory keyed by a CONTENT fingerprint of the source
