@@ -660,4 +660,41 @@ object Curation {
       .withColumnRenamed("__k", keyCol)
       .orderBy(col(keyCol))
   }
+
+  /** k-anonymity audit (Sweeney 2002, "k-anonymity: a model for
+    * protecting privacy") over a frame of quasi-identifier columns:
+    * a record is k-anonymous when at least k−1 OTHER records share
+    * its full quasi-identifier tuple, so any group smaller than k is
+    * re-identifiable. The release gate a privacy review runs AFTER
+    * content scrubbing ([[piiScrub]]-style) — scrubbed text can
+    * still leak identity through its metadata combination.
+    *
+    * Reported per value of `byCol` (one QI column chosen as the
+    * report axis): group count, groups below k, rows at risk, and
+    * rows-at-risk in parts-per-million of the partition (integer
+    * micro — exact, replayable). Callers pre-bucket continuous
+    * columns (raw lengths/timestamps make every row its own group).
+    *
+    * Scale shape: one partial-combined count over the QI tuple, one
+    * |groups|-sized rollup — no row-level data ever re-shuffles
+    * after the first combine. */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Int,
+      byCol: String): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    require(quasiCols.contains(byCol),
+      s"report axis $byCol must be one of the quasi-identifier columns")
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    groups.groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_groups"),
+        sum((col("__n") < k).cast("long")).as("n_small_groups"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        sum(col("__n")).as("n_rows"))
+      .select(col(byCol), col("n_groups"), col("n_small_groups"),
+        col("n_rows_at_risk"),
+        expr("CAST(ROUND(1e6 * n_rows_at_risk / n_rows) AS BIGINT)")
+          .as("risk_ppm"))
+      .orderBy(col(byCol))
+  }
 }

@@ -158,4 +158,45 @@ object Sketches {
       .select(col("__k").as("key"), col("true_count"), col("est_count"))
       .orderBy(col("true_count").desc, col("key"))
   }
+
+  /** Mergeable-sketch distinct rollup — THE 100-TB pattern for
+    * distinct counting over arbitrary windows: build one Apache
+    * DataSketches HLL sketch per bucket (day), then answer the
+    * global question by UNIONING the bucket sketches instead of
+    * re-scanning raw data. A naive Σ of per-bucket exact distincts
+    * over-counts every value that appears in several buckets; the
+    * sketch union does not — that gap is exactly what the report
+    * shows. At scale the bucket sketches are the stored artifact
+    * (kilobytes per day), and any ad-hoc window query is a union
+    * over them.
+    *
+    * Emits ONE row: (n_buckets, sum_bucket_exact, exact_total,
+    * union_within_pct) — exact values plus a deterministic
+    * error-bound flag for the union estimate (the q42 discipline:
+    * the sketch estimate itself is engine-specific, so the GATED
+    * columns are the exact counts and the bound check, not the raw
+    * estimate; lgK 12 gives ~1.6% RSD, checked against a `pct`
+    * margin wide enough that estimator details cannot flip it).
+    *
+    * Scale shape: the sketch build is one partial-combined aggregate
+    * per bucket (order- and partition-insensitive bucket state); the
+    * union is a second aggregate over |buckets| kilobyte blobs; the
+    * exact twins are two-phase distinct aggregates — everything
+    * mergeable, nothing quadratic. */
+  def hllDistinctRollup(df: DataFrame, bucketCol: String,
+      valueCol: String, lgK: Int = 12, pct: Double = 0.06): DataFrame = {
+    require(lgK >= 8 && lgK <= 21, s"lgK $lgK out of range")
+    val daily = df.groupBy(col(bucketCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("__sk"),
+        countDistinct(col(valueCol)).as("__ex"))
+    val merged = daily.agg(count(lit(1)).as("n_buckets"),
+      sum(col("__ex")).as("sum_bucket_exact"),
+      hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+    val exact = df.agg(countDistinct(col(valueCol)).as("exact_total"))
+    merged.crossJoin(exact)
+      .select(col("n_buckets"), col("sum_bucket_exact"),
+        col("exact_total"),
+        (abs(col("__est") - col("exact_total")) <=
+          col("exact_total") * pct).cast("long").as("union_within_pct"))
+  }
 }

@@ -3097,6 +3097,45 @@ object Pipeline {
         |v3 AS (SELECT i, CAST(ROUND(1e6 * (CAST(w AS DOUBLE) /
         |    (SELECT m FROM m3))) AS BIGINT) AS v FROM w3)
         |SELECT i AS component_idx, v AS v_micro FROM v3
-        |ORDER BY component_idx""".stripMargin))
+        |ORDER BY component_idx""".stripMargin)),
+
+    // ---- mergeable HLL sketch rollup: daily sketches, monthly union ----
+    // The store-kilobytes-answer-any-window distinct pattern; gated
+    // columns are the exact counts plus the union-estimate bound flag
+    // (q42 discipline). sum_bucket_exact >> exact_total shows the
+    // cross-day overlap a naive rollup would over-count.
+    "p91_hll_rollup" -> Q(
+      (s, dir) => Sketches.hllDistinctRollup(
+        tbl(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")),
+        "day", "user_id", lgK = 12, pct = 0.06),
+      Some("""SELECT
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_buckets,
+        |  (SELECT CAST(SUM(c) AS BIGINT) FROM (
+        |     SELECT COUNT(DISTINCT user_id) AS c FROM events
+        |     GROUP BY CAST(ts AS DATE))) AS sum_bucket_exact,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total,
+        |  CAST(1 AS BIGINT) AS union_within_pct
+        |FROM events""".stripMargin)),
+
+    // ---- k-anonymity privacy audit over document metadata ----
+    // After content scrubbing (p24), the metadata combination can
+    // still re-identify: groups of (lang, source, length-bucket)
+    // smaller than k=5 are at risk, reported per lang in exact ppm.
+    "p92_k_anonymity" -> Q(
+      (s, dir) => Curation.kAnonymityReport(
+        tbl(s, dir, "documents").select(col("lang"), col("source"),
+          expr("n_chars div 500").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = 5, byCol = "lang"),
+      Some("""WITH g AS (SELECT lang, source, n_chars // 500 AS len_bucket,
+        |    COUNT(*) AS n FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(ROUND(1e6 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+        |    / SUM(n)) AS BIGINT) AS risk_ppm
+        |FROM g GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 }

@@ -1959,6 +1959,43 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(vecs.repartition(7)) == got)
   }
 
+  test("hllDistinctRollup: union sees through cross-bucket overlap") {
+    import spark.implicits._
+    // 3 days, 300 users each, all days share the same user set:
+    // naive sum = 900, true distinct = 300
+    val df = (0 until 3).flatMap(d =>
+      (0 until 300).map(u => (d, u.toLong))).toDF("day", "uid")
+    val r = Sketches.hllDistinctRollup(df, "day", "uid").collect().head
+    assert(r.getAs[Long]("n_buckets") == 3L)
+    assert(r.getAs[Long]("sum_bucket_exact") == 900L)
+    assert(r.getAs[Long]("exact_total") == 300L)
+    assert(r.getAs[Long]("union_within_pct") == 1L)
+    // partition count must not move the flag (mergeable bucket state)
+    val rp = Sketches.hllDistinctRollup(df.repartition(13), "day", "uid")
+      .collect().head
+    assert(rp.getAs[Long]("union_within_pct") == 1L)
+  }
+
+  test("kAnonymityReport flags sub-k groups with exact ppm") {
+    import spark.implicits._
+    // lang en: one group of 10 (safe) + one group of 2 (at risk);
+    // lang fr: a singleton group (at risk)
+    val df = (Seq.fill(10)(("en", "web", 0L)) ++
+      Seq.fill(2)(("en", "book", 0L)) ++ Seq(("fr", "web", 1L)))
+      .toDF("lang", "source", "len_bucket")
+    val r = Curation.kAnonymityReport(df,
+        Seq("lang", "source", "len_bucket"), k = 5, byCol = "lang")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val en = r("en")
+    assert(en.getAs[Long]("n_groups") == 2L &&
+      en.getAs[Long]("n_small_groups") == 1L &&
+      en.getAs[Long]("n_rows_at_risk") == 2L &&
+      en.getAs[Long]("risk_ppm") == math.round(1e6 * 2.0 / 12.0))
+    val fr = r("fr")
+    assert(fr.getAs[Long]("n_rows_at_risk") == 1L &&
+      fr.getAs[Long]("risk_ppm") == 1000000L)
+  }
+
   test("tableProfile: counts, nulls, distincts, typed bounds") {
     import spark.implicits._
     val df = Seq(
