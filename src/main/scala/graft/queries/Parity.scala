@@ -963,6 +963,39 @@ object Parity {
         |WHERE o_orderstatus <> 'X' AND o_totalprice >= 1000.0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- CREATE TABLE AS SELECT through the statement surface:
+    // schema inferred from the query onto the engine's {INT, FLOAT,
+    // CHAR} surface, bulk-loaded via the INSERT…SELECT path, then
+    // proven to be a REAL managed table by running a COW DELETE on
+    // it before the gated read-back. The oracle reconstructs the
+    // post-delete materialization declaratively.
+    "q73_engine_ctas" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q73_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q73")
+        eng.sql("use q73")
+        eng.sql(s"create external table cust USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(
+          """create table seg as
+            |select c_mktsegment as seg, count(*) as n_customers,
+            |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double)
+            |    / 100.0 as total_bal
+            |from cust group by c_mktsegment""".stripMargin)
+        eng.sql("delete from seg where seg = 'MACHINERY'")
+        eng.sql("select seg, n_customers, total_bal from seg order by seg") match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_bal
+        |FROM customer GROUP BY c_mktsegment
+        |HAVING c_mktsegment <> 'MACHINERY'
+        |ORDER BY seg""".stripMargin)),
+
     // ---- managed KV tables through the statement surface — the
     // reference's KV-as-primary-store semantics
     // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:

@@ -621,6 +621,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e.sql("select name from mc")) == Seq(Seq("b")))
   }
 
+  test("CREATE TABLE AS SELECT materializes the query with mapped types") {
+    val e = freshEngine()
+    e.sql("create schema ctas"); e.sql("use ctas")
+    e.sql("create table src (id int, name char null, score float, PRIMARY KEY(id))")
+    e.sql("insert into src values (1, 'a', 1.5), (2, 'b', 2.5), (3, NULL, 3.5)")
+    val r = e.sql("create table dst as select id, name, score * 2 as dbl from src")
+    assert(r == AffectedRows(3))
+    assert(rows(e.sql("select id, name, dbl from dst where id <= 2")).toSet ==
+      Set(Seq(1L, "a", 3.0), Seq(2L, "b", 5.0)))
+    // inferred engine types: int / char / float, all nullable, no keys
+    val desc = rows(e.sql("describe dst")).map(x => x.head -> (x(1), x(2), x(3)))
+    assert(desc == Seq("id" -> ("int", "YES", ""),
+      "name" -> ("char", "YES", ""), "dbl" -> ("float", "YES", "")), desc)
+    // the table is a real managed table: further DML works
+    assert(e.sql("insert into dst values (9, 'z', 0.5)") == AffectedRows(1))
+    assert(e.sql("update dst set name = 'y' where id = 9") == AffectedRows(1))
+    // 1050 on existing, 0 rows for IF NOT EXISTS
+    val ex = intercept[GraftException](
+      e.sql("create table dst as select * from src"))
+    assert(ex.code == 1050)
+    assert(e.sql("create table if not exists dst as select * from src") ==
+      AffectedRows(0))
+    // duplicate output columns are rejected before any table appears
+    val dup = intercept[GraftException](
+      e.sql("create table d2 as select id, id from src"))
+    assert(dup.code == 1060)
+    assert(rows(e.sql("show tables")).flatten == Seq("dst", "src"))
+  }
+
   test("ANALYZE TABLE returns a per-column profile; rowid stays hidden") {
     val e = freshEngine()
     e.sql("create schema anl"); e.sql("use anl")
