@@ -737,4 +737,39 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("a_n") + col("b_n") - col("n_inter")).cast("double")).as("jac"))
   }
+
+  /** Snapshot diff between two corpus versions — the daily-crawl
+    * delta report an ingest pipeline runs before reprocessing:
+    * classify every id as added / removed / changed / unchanged by
+    * comparing content FINGERPRINTS (md5 of the content column —
+    * engine-portable, so an external system can replay the exact
+    * classification), and report counts plus id bounds per status.
+    * This is the corpus-level sibling of the engine's row-level
+    * change data feed (`GraftEngine.changes`): that one tracks a
+    * managed table's committed versions; this one diffs two
+    * arbitrary frames that never shared a lineage.
+    *
+    * Scale shape: ONE full-outer hash join on the id — both sides
+    * pre-shrunk to (id, 16-byte digest), so the exchange carries
+    * fingerprints, never content — then a 4-key partial-combined
+    * rollup. Nothing quadratic, nothing driver-sized.
+    *
+    * Returns (status, n, min_id, max_id) ordered by status. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"),
+      md5(col(contentCol).cast("string")).as("__oh"))
+    val n = newDf.select(col(idCol).as("__id"),
+      md5(col(contentCol).cast("string")).as("__nh"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("__id")).as("min_id"),
+        max(col("__id")).as("max_id"))
+      .orderBy(col("status"))
+  }
 }

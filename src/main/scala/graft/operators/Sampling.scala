@@ -124,4 +124,48 @@ object Sampling {
     strata.select(strataCols.map(col) ++ Seq(col(idCol),
       col("key_micro").cast("long").as("key_micro"), col("rnk")): _*)
   }
+
+  /** Temperature-scaled multilingual sampling shares at T = 2 — the
+    * sqrt-smoothing of per-group sizes used to keep head languages
+    * from drowning the tail when building a pretraining mixture
+    * (the UniMax/mT5 family of sampling rules; Conneau et al. 2020
+    * use the same p_i^(1/T) form). Share_i ∝ √n_i, and the report
+    * includes the expected draw per group under `budget` total
+    * samples plus the implied epochs-over-the-group in micro
+    * (expected/size — the over-sampling factor the tail pays).
+    *
+    * T is fixed at 2 because √ is the one power that is CORRECTLY
+    * ROUNDED in IEEE-754 — Math.sqrt here and sqrt() in any
+    * replaying engine return the identical double, so the report is
+    * engine-portable; a general pow(n, 1/T) is not correctly rounded
+    * and could differ in the last ulp across engines. Each √n_i is
+    * quantized to micro Longs BEFORE the normalizing sum (exact,
+    * order-independent), and each share is one deterministic double
+    * divide.
+    *
+    * Scale shape: one partial-combined count per group, then
+    * |groups|-sized arithmetic with the total attached by a
+    * broadcast-sized join. Returns (key, n_docs, weight_micro,
+    * share_micro, expected_docs, epochs_micro) ordered by key. */
+  def sqrtTemperatureShares(df: DataFrame, keyCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget $budget must be > 0")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col(keyCol), col("n_docs"),
+        expr("CAST(ROUND(1e6 * SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)")
+          .as("weight_micro"))
+    val total = counts.agg(sum(col("weight_micro")).as("__tw"))
+    counts.crossJoin(total)
+      .select(col(keyCol), col("n_docs"), col("weight_micro"),
+        expr("CAST(ROUND(1e6 * (CAST(weight_micro AS DOUBLE) / CAST(__tw AS DOUBLE))) AS BIGINT)")
+          .as("share_micro"),
+        expr(s"CAST(ROUND($budget * (CAST(weight_micro AS DOUBLE) / CAST(__tw AS DOUBLE))) AS BIGINT)")
+          .as("expected_docs"))
+      .select(col(keyCol), col("n_docs"), col("weight_micro"),
+        col("share_micro"), col("expected_docs"),
+        expr("CAST(ROUND(1e6 * (CAST(expected_docs AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS BIGINT)")
+          .as("epochs_micro"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -3136,6 +3136,63 @@ object Pipeline {
         |    AS n_rows_at_risk,
         |  CAST(ROUND(1e6 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
         |    / SUM(n)) AS BIGINT) AS risk_ppm
-        |FROM g GROUP BY 1 ORDER BY lang""".stripMargin))
+        |FROM g GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ---- corpus snapshot diff: the daily-crawl delta report ----
+    // v2 is derived deterministically from the corpus (drop %11,
+    // mutate %7, add %13 under fresh negative ids) so both engines
+    // classify the identical delta; the operator exchanges only
+    // (id, digest), never content.
+    "p93_snapshot_diff" -> Q(
+      (s, dir) => {
+        val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val v2 = d.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionAll(d.filter(col("doc_id") % 13 === 0)
+            .select((-col("doc_id") - 1).as("doc_id"),
+              concat(lit("new "), col("text")).as("text")))
+        Dedup.snapshotDiff(d, v2, "doc_id", "text")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM d WHERE doc_id % 11 <> 0
+        |  UNION ALL SELECT -doc_id - 1, 'new ' || text FROM d
+        |  WHERE doc_id % 13 = 0),
+        |j AS (SELECT COALESCE(d.doc_id, v2.doc_id) AS id,
+        |    CASE WHEN d.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(d.text) <> md5(v2.text) THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM d FULL OUTER JOIN v2 ON d.doc_id = v2.doc_id)
+        |SELECT status, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // ---- temperature-scaled multilingual sampling shares (T=2) ----
+    // √-smoothed per-language mixture with expected draws and
+    // epochs-over-the-tail under a 10k budget; √ is the one power
+    // that is correctly rounded in IEEE-754, so the report replays
+    // bit-for-bit across engines.
+    "p94_temperature_mix" -> Q(
+      (s, dir) => Sampling.sqrtTemperatureShares(
+        tbl(s, dir, "documents").select(col("lang")), "lang", 10000L),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |    CAST(ROUND(1e6 * SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+        |      AS weight_micro FROM c),
+        |t AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS tw FROM w),
+        |e AS (SELECT lang, n_docs, weight_micro,
+        |    CAST(ROUND(1e6 * (CAST(weight_micro AS DOUBLE) /
+        |      CAST(tw AS DOUBLE))) AS BIGINT) AS share_micro,
+        |    CAST(ROUND(10000 * (CAST(weight_micro AS DOUBLE) /
+        |      CAST(tw AS DOUBLE))) AS BIGINT) AS expected_docs
+        |  FROM w, t)
+        |SELECT lang, n_docs, weight_micro, share_micro, expected_docs,
+        |  CAST(ROUND(1e6 * (CAST(expected_docs AS DOUBLE) /
+        |    CAST(n_docs AS DOUBLE))) AS BIGINT) AS epochs_micro
+        |FROM e ORDER BY lang""".stripMargin))
   )
 }

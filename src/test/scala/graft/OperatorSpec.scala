@@ -1996,6 +1996,33 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       fr.getAs[Long]("risk_ppm") == 1000000L)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val old_ = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "c")
+    val neu = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("id", "c")
+    val r = Dedup.snapshotDiff(old_, neu, "id", "c").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r == Map("added" -> (1L, 4L, 4L), "removed" -> (1L, 1L, 1L),
+      "changed" -> (1L, 3L, 3L), "unchanged" -> (1L, 2L, 2L)), r.toString)
+  }
+
+  test("sqrtTemperatureShares: sqrt smoothing lifts the tail, shares sum to ~1") {
+    import spark.implicits._
+    // head 900 docs, tail 100: raw share 90/10, sqrt share 75/25
+    val df = (Seq.fill(900)("en") ++ Seq.fill(100)("sw")).toDF("lang")
+    val r = Sampling.sqrtTemperatureShares(df, "lang", budget = 1000L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val en = r("en"); val sw = r("sw")
+    assert(en.getAs[Long]("n_docs") == 900L)
+    assert(en.getAs[Long]("share_micro") == 750000L, en.toString)
+    assert(sw.getAs[Long]("share_micro") == 250000L, sw.toString)
+    assert(sw.getAs[Long]("expected_docs") == 250L)
+    // the tail is over-sampled 2.5 epochs; the head under-sampled
+    assert(sw.getAs[Long]("epochs_micro") == 2500000L)
+    assert(en.getAs[Long]("epochs_micro") < 1000000L)
+  }
+
   test("tableProfile: counts, nulls, distincts, typed bounds") {
     import spark.implicits._
     val df = Seq(
