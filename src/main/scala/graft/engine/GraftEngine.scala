@@ -825,6 +825,17 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     if (lowered.distinct.length != lowered.length)
       throw GraftException(1060,
         s"Duplicate column name in CTAS select list: ${lowered.mkString(", ")}")
+    // unaliased computed columns arrive as generated names like
+    // `count(1)` — parquet forbids several of those characters, so
+    // fail HERE with the MySQL bad-column-name code and a fix hint
+    // instead of letting the bulk load throw a storage error after
+    // the table is already registered
+    lowered.filterNot(_.matches("[a-z_][a-z0-9_]*")).headOption.foreach {
+      bad =>
+        throw GraftException(1166,
+          s"Incorrect column name '$bad' — alias computed columns " +
+            "in the CTAS select list (… AS name)")
+    }
     val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
       val t = f.dataType match {
         case ByteType | ShortType | IntegerType | LongType |

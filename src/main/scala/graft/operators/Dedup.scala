@@ -757,15 +757,21 @@ object Dedup {
     * Returns (status, n, min_id, max_id) ordered by status. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
+    // presence markers, NOT hash nullity, decide added/removed — a
+    // row whose content is NULL must still count as present (its
+    // digest is null); content equality is null-safe so null==null
+    // is unchanged, null vs value is changed
     val o = oldDf.select(col(idCol).as("__id"),
-      md5(col(contentCol).cast("string")).as("__oh"))
+      md5(col(contentCol).cast("string")).as("__oh"),
+      lit(true).as("__op"))
     val n = newDf.select(col(idCol).as("__id"),
-      md5(col(contentCol).cast("string")).as("__nh"))
+      md5(col(contentCol).cast("string")).as("__nh"),
+      lit(true).as("__np"))
     o.join(n, Seq("__id"), "full_outer")
       .select(col("__id"),
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") =!= col("__nh"), "changed")
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(!(col("__oh") <=> col("__nh")), "changed")
           .otherwise("unchanged").as("status"))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"), min(col("__id")).as("min_id"),

@@ -739,6 +739,8 @@ object Similarity {
       (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
     val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
     val row = gramFrame(corpus, vecCol, dim, quantScale).head()
+    require(!row.isNullAt(0),
+      "empty corpus: no vectors to accumulate a Gram matrix from")
     val g = Array.ofDim[Long](dim, dim)
     pairs.zipWithIndex.foreach { case ((i, j), k) =>
       val v = row.getLong(k); g(i)(j) = v; g(j)(i) = v }

@@ -647,6 +647,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dup = intercept[GraftException](
       e.sql("create table d2 as select id, id from src"))
     assert(dup.code == 1060)
+    // unaliased computed columns get the bad-column-name code with a
+    // fix hint, BEFORE any table is registered
+    val una = intercept[GraftException](
+      e.sql("create table d3 as select count(*) from src"))
+    assert(una.code == 1166 && una.msg.contains("alias"), una.msg)
+    assert(intercept[GraftException](e.sql("select * from d3")).code == 1146)
     assert(rows(e.sql("show tables")).flatten == Seq("dst", "src"))
   }
 

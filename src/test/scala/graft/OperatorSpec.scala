@@ -2005,6 +2005,17 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(r == Map("added" -> (1L, 4L, 4L), "removed" -> (1L, 1L, 1L),
       "changed" -> (1L, 3L, 3L), "unchanged" -> (1L, 2L, 2L)), r.toString)
+    // null content: presence decides added/removed, null-safe
+    // equality decides changed — null==null is unchanged, null vs
+    // value is changed, and a null-content row is never "added"
+    val o2 = Seq((1L, Option.empty[String]), (2L, Some("x")),
+      (3L, Option.empty[String])).toDF("id", "c")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (4L, Some("y"))).toDF("id", "c")
+    val r2 = Dedup.snapshotDiff(o2, n2, "id", "c").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L), r2.toString)
   }
 
   test("sqrtTemperatureShares: sqrt smoothing lifts the tail, shares sum to ~1") {
