@@ -204,4 +204,78 @@ object Retrieval {
         .otherwise(round(lit(1000000.0) * col("dcg_micro") / idcg, 0)
           .cast("long")).as("ndcg_micro"))
   }
+
+  /** All-pairs sparse TF-IDF cosine top-k (Bayardo, Ma & Srikant,
+    * WWW'07 "Scaling Up All Pairs Similarity Search" — the
+    * posting-list formulation with frequency pruning): the most
+    * lexically similar document PAIRS in a corpus, by exact cosine
+    * over df-filtered TF-IDF vectors. The lexical sibling of the
+    * dense ANN join (`Similarity.annJoin`) and the exact-similarity
+    * complement of MinHash banding: paraphrase mining, template
+    * detection, and boilerplate clustering all start here.
+    *
+    * Semantics: weights are the p22 TF-IDF (`n_occ·ln((N+1)/(df+1))`)
+    * quantized to MILLI-units (bounds every Long product: w ≤ ~2e6
+    * for a 200-token doc, so Σw² and dots stay ≪ 2⁶³), terms are
+    * df-filtered to 2 ≤ df ≤ `dfCap`, and cosine is computed over
+    * that filtered term subspace — norms included. (df = 1 terms
+    * cannot pair; df > dfCap terms are boilerplate that would
+    * dominate the posting join while carrying the least idf signal —
+    * the cap is the operator CONTRACT, replayed by the oracle, and
+    * the standard all-pairs pruning.) Ranking is (cos desc, a, b).
+    *
+    * Scale shape: the pair space is Σ_t C(df_t, 2) ≤ dfCap·Σ df_t —
+    * LINEAR in corpus tokens for a fixed cap (the posting self-join
+    * shuffles on the term, each term's group bounded at dfCap rows);
+    * the (a,b) dot is one partial-combined sum; norms attach by two
+    * |docs|-sized hash joins; top-k fuses to TakeOrderedAndProject.
+    * The postings frame persists across its three consumers (norms +
+    * both join sides). Returns (a_id, b_id, n_common_terms,
+    * cos_micro). */
+  def sparseCosineTopK(df: DataFrame, idCol: String, textCol: String,
+      dfCap: Int = 500, k: Int = 50): DataFrame = {
+    require(dfCap >= 2, s"dfCap $dfCap must be >= 2")
+    require(k >= 1, s"k $k must be >= 1")
+    val tf = df.select(col(idCol).as("__d"),
+        explode(Dedup.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__d"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(count(lit(1)).as("__nd"))
+    val post = tf
+      .join(dfreq.filter(col("__df").between(2, dfCap)), Seq("__t"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("__t"), col("__d"),
+        expr("CAST(ROUND(1e3 * (__n * LN((__nd + 1.0) / (__df + 1.0)))) AS BIGINT)")
+          .as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // norms stay EXACT sums of squares — rounding √ss to an integer
+    // would let identical vectors score cos ≈ 1.0012; √ is taken at
+    // the final division (correctly-rounded doubles, ~1e-16 error,
+    // far below the micro quantum)
+    val norms = post.groupBy(col("__d"))
+      .agg(sum(col("__w") * col("__w")).as("__ss"))
+    val out = post.select(col("__t"), col("__d").as("a_id"),
+        col("__w").as("__wa"))
+      .join(post.select(col("__t"), col("__d").as("b_id"),
+        col("__w").as("__wb")), Seq("__t"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"),
+        count(lit(1)).as("n_common_terms"))
+      .join(norms.select(col("__d").as("a_id"), col("__ss").as("__sa")),
+        Seq("a_id"))
+      .join(norms.select(col("__d").as("b_id"), col("__ss").as("__sb")),
+        Seq("b_id"))
+      .filter(col("__sa") > 0 && col("__sb") > 0)
+      .select(col("a_id"), col("b_id"), col("n_common_terms"),
+        expr("CAST(ROUND(1e6 * (CAST(__dot AS DOUBLE) / " +
+          "(SQRT(CAST(__sa AS DOUBLE)) * SQRT(CAST(__sb AS DOUBLE))))) AS BIGINT)")
+          .as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("a_id"), col("b_id"))
+      .limit(k)
+      .localCheckpoint(eager = true)
+    post.unpersist(blocking = false)
+    out
+  }
 }

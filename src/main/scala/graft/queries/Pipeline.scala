@@ -3193,6 +3193,40 @@ object Pipeline {
         |SELECT lang, n_docs, weight_micro, share_micro, expected_docs,
         |  CAST(ROUND(1e6 * (CAST(expected_docs AS DOUBLE) /
         |    CAST(n_docs AS DOUBLE))) AS BIGINT) AS epochs_micro
-        |FROM e ORDER BY lang""".stripMargin))
+        |FROM e ORDER BY lang""".stripMargin)),
+
+    // ---- all-pairs sparse TF-IDF cosine: paraphrase/template pairs ----
+    // Exact lexical cosine over df-filtered milli-quantized TF-IDF
+    // postings (Bayardo all-pairs with frequency pruning); the
+    // lexical sibling of the dense ANN join and the exact complement
+    // of MinHash banding.
+    "p95_sparse_cosine" -> Q(
+      (s, dir) => Retrieval.sparseCosineTopK(
+        tbl(s, dir, "documents"), "doc_id", "text", dfCap = 500, k = 50),
+      Some("""WITH tok AS (SELECT doc_id AS d, unnest(str_split_regex(
+        |    trim(lower(text)), '\s+')) AS t FROM documents),
+        |tf AS (SELECT d, t, count(*) AS n FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT t, count(*) AS dfc FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS N FROM documents),
+        |post AS (SELECT tf.t, tf.d,
+        |    CAST(ROUND(1e3 * (tf.n * LN((nn.N + 1.0) / (dfreq.dfc + 1.0))))
+        |      AS BIGINT) AS w
+        |  FROM tf JOIN dfreq ON dfreq.t = tf.t, nn
+        |  WHERE dfreq.dfc BETWEEN 2 AND 500),
+        |norms AS (SELECT d, CAST(SUM(w * w) AS BIGINT) AS ss
+        |  FROM post GROUP BY 1),
+        |pr AS (SELECT a.d AS a_id, b.d AS b_id,
+        |    CAST(SUM(a.w * b.w) AS BIGINT) AS dot,
+        |    COUNT(*) AS n_common_terms
+        |  FROM post a JOIN post b ON a.t = b.t AND a.d < b.d GROUP BY 1, 2),
+        |sc AS (SELECT pr.a_id, pr.b_id, pr.n_common_terms,
+        |    CAST(ROUND(1e6 * (CAST(pr.dot AS DOUBLE) /
+        |      (SQRT(CAST(na.ss AS DOUBLE)) * SQRT(CAST(nb.ss AS DOUBLE)))))
+        |      AS BIGINT) AS cos_micro
+        |  FROM pr JOIN norms na ON na.d = pr.a_id
+        |  JOIN norms nb ON nb.d = pr.b_id
+        |  WHERE na.ss > 0 AND nb.ss > 0)
+        |SELECT a_id, b_id, n_common_terms, cos_micro FROM sc
+        |ORDER BY cos_micro DESC, a_id, b_id LIMIT 50""".stripMargin))
   )
 }

@@ -2034,6 +2034,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(en.getAs[Long]("epochs_micro") < 1000000L)
   }
 
+  test("sparseCosineTopK ranks identical docs at 1.0, prunes by dfCap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // identical to 1 -> cos 1.0
+      (3L, "alpha beta epsilon zeta"),  // partial overlap with 1,2
+      (4L, "completely unrelated words here")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.sparseCosineTopK(docs, "doc_id", "text",
+        dfCap = 500, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // identical pair first at exactly 1e6 micro
+    assert(got.head == (1L, 2L, 1000000L), got.toList.toString)
+    // the partial-overlap pairs follow, strictly below 1.0; doc 4
+    // shares no df>=2 term with anyone and never appears
+    assert(got.tail.forall { case (_, _, c) => c < 1000000L && c > 0L })
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
+    // dfCap = 2 prunes the df=3 terms (alpha, beta): 1-2 still tie
+    // perfectly on their surviving df=2 terms (gamma, delta)
+    val capped = Retrieval.sparseCosineTopK(docs, "doc_id", "text",
+        dfCap = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(capped.head == (1L, 2L, 1000000L), capped.toList.toString)
+    assert(capped.length == 1, capped.toList.toString)
+    // partition invariance
+    val rep = Retrieval.sparseCosineTopK(docs.repartition(7), "doc_id",
+      "text", 500, 10).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(3)))
+    assert(rep.toSeq == got.toSeq)
+  }
+
   test("tableProfile: counts, nulls, distincts, typed bounds") {
     import spark.implicits._
     val df = Seq(
