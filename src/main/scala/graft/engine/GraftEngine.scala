@@ -164,6 +164,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       else if (lower.startsWith("insert")) doInsert(stmt)
       else if (lower.startsWith("update")) doUpdate(stmt)
       else if (lower.startsWith("delete")) doDelete(stmt)
+      else if (lower.startsWith("merge")) doMerge(stmt)
       else if (lower.startsWith("optimize")) doOptimize(stmt)
       else if (lower.startsWith("analyze")) doAnalyze(stmt)
       else if (lower.startsWith("show")) doShow(stmt)
@@ -1285,6 +1286,309 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val n = mutateVersion(td, cond,
       sub => sub.where(not(coalesce(cond, lit(false)))))
     AffectedRows(n)
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE
+  // ------------------------------------------------------------------
+
+  private def parseRelAlias(s: String): (String, Option[String]) =
+    s.trim.split("\\s+").toSeq match {
+      case Seq(n) => (n, None)
+      case Seq(n, a) => (n, Some(ident(a)))
+      case Seq(n, as_, a) if as_.equalsIgnoreCase("as") => (n, Some(ident(a)))
+      case _ => throw Errors.generic(s"cannot parse relation: $s")
+    }
+
+  /** Positions where a `WHEN MATCHED` / `WHEN NOT MATCHED` clause
+    * starts (depth 0, outside quotes) — a `CASE WHEN` inside an
+    * assignment expression does not qualify because its WHEN is never
+    * followed by the MATCHED/NOT keyword. */
+  private def whenClauseStarts(s: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var from = 0
+    while (from < s.length) {
+      val i = indexOfKeyword(s.substring(from), "when")
+      if (i < 0) from = s.length
+      else {
+        val abs = from + i
+        val tail = s.substring(abs + 4).trim.toLowerCase
+        if (tail.startsWith("matched") || tail.startsWith("not ") ||
+          tail.startsWith("not\t") || tail.startsWith("not\n")) out += abs
+        from = abs + 4
+      }
+    }
+    out.toSeq
+  }
+
+  /** `MERGE INTO t [AS a] USING (<subquery>)|<table> [AS b] ON <cond>
+    *   [WHEN MATCHED [AND c] THEN UPDATE SET x = e, …]
+    *   [WHEN MATCHED [AND c] THEN DELETE]
+    *   [WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (e, …)]`
+    *
+    * The upsert statement the reference's surface lacks (its users
+    * emulate it with INSERT-probe-then-UPDATE loops over point gets —
+    * `physical_plan/insert.rs:195-218`'s one-key-at-a-time check is
+    * the closest artifact). Beyond-parity §2.7 extension, executed as
+    * ONE set-oriented plan instead of per-key probes:
+    *
+    *  1. file prune — a LEFT SEMI join of target against source under
+    *     the ON condition, grouped by `input_file_name()`, finds the
+    *     files holding any matched row. Untouched files are CARRIED
+    *     into the new version as hard links (the [[mutateVersion]]
+    *     economics): a merge that touches 1% of files rewrites 1%.
+    *  2. one LEFT OUTER join of the touched subset against the source
+    *     computes, per target row, the first applicable clause in
+    *     declared order (0 keep / 1 update / 2 delete) and both the
+    *     current and assigned column values; kept/updated rows keep
+    *     their rowid (CDF-visible as update_pre/postimage).
+    *  3. unmatched source rows enter through a LEFT ANTI join with the
+    *     INSERT projection (fresh rowids), duplicate-key checked
+    *     against the carried+kept image (error 1062) like any INSERT.
+    *
+    * SQL-standard guard: if any WHEN MATCHED clause exists and one
+    * target row matches >1 source rows, the statement fails (1105)
+    * rather than updating nondeterministically. Multiple UPDATE or
+    * multiple DELETE clauses are rejected; conditions containing a
+    * top-level CASE…THEN are the documented parser limitation (wrap
+    * them in parentheses). KV tables are rejected: their INSERT is
+    * already newest-wins upsert by construction. Affected rows =
+    * updated + deleted + inserted. */
+  private def doMerge(stmt: String): GraftResult = {
+    val head = "(?is)^merge\\s+into\\s+(.*)$".r.findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: ${stmt.take(60)}"))
+    val rest0 = head.group(1)
+    val iUsing = indexOfKeyword(rest0, "using")
+    if (iUsing < 0) throw Errors.generic("MERGE requires USING <source>")
+    val (targetName, tAliasOpt) = parseRelAlias(rest0.substring(0, iUsing))
+    val afterUsing = rest0.substring(iUsing + 5).trim
+    val iOn = indexOfKeyword(afterUsing, "on")
+    if (iOn < 0) throw Errors.generic("MERGE requires ON <condition>")
+    val sourcePart = afterUsing.substring(0, iOn).trim
+    val afterOn = afterUsing.substring(iOn + 2)
+    val whenStartsInOn = whenClauseStarts(afterOn)
+    if (whenStartsInOn.isEmpty)
+      throw Errors.generic("MERGE requires at least one WHEN clause")
+    val onCond = rewrite(afterOn.substring(0, whenStartsInOn.head).trim)
+    val whensText = afterOn.substring(whenStartsInOn.head)
+
+    // --- clause list, declared order preserved
+    val starts = whenClauseStarts(whensText)
+    val clauseTexts = starts.zipAll(starts.drop(1), 0, whensText.length)
+      .map { case (a, b) => whensText.substring(a, b).trim }
+    val updRe =
+      "(?is)^when\\s+matched\\s+(?:and\\s+(.*?)\\s+)?then\\s+update\\s+set\\s+(.*)$".r
+    val delRe = "(?is)^when\\s+matched\\s+(?:and\\s+(.*?)\\s+)?then\\s+delete$".r
+    val insRe = ("(?is)^when\\s+not\\s+matched\\s+(?:and\\s+(.*?)\\s+)?then\\s+" +
+      "insert\\s*(?:\\(([^)]*)\\)\\s*)?values\\s*\\((.*)\\)$").r
+    // (action code, optional AND-condition, payload) in declared order;
+    // action 1 = update, 2 = delete
+    var updClause: Option[(Int, Option[String], String)] = None
+    var delClause: Option[(Int, Option[String])] = None
+    var insClause: Option[(Option[String], Option[String], String)] = None
+    var matchedOrder = List.empty[Int] // action codes in declared order
+    clauseTexts.foreach {
+      case updRe(cond, sets) =>
+        if (updClause.isDefined)
+          throw Errors.generic("MERGE supports at most one WHEN MATCHED … UPDATE clause")
+        updClause = Some((1, Option(cond), sets)); matchedOrder :+= 1
+      case delRe(cond) =>
+        if (delClause.isDefined)
+          throw Errors.generic("MERGE supports at most one WHEN MATCHED … DELETE clause")
+        delClause = Some((2, Option(cond))); matchedOrder :+= 2
+      case insRe(cond, cols, exprs) =>
+        if (insClause.isDefined)
+          throw Errors.generic("MERGE supports at most one WHEN NOT MATCHED clause")
+        insClause = Some((Option(cond), Option(cols), exprs))
+      case other =>
+        throw Errors.generic(s"cannot parse MERGE clause: ${other.take(60)}")
+    }
+
+    val td = lookup(targetName)
+    requireWritable(td)
+    requireNotKv(td, "MERGE") // kv INSERT already upserts newest-wins
+    val tA = tAliasOpt.getOrElse(td.name)
+
+    // --- source relation
+    val (srcDf0, sA) =
+      if (sourcePart.startsWith("(")) {
+        var depth = 0; var i = 0; var end = -1; var quote: Char = 0
+        while (i < sourcePart.length && end < 0) {
+          val c = sourcePart.charAt(i)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else c match {
+            case '\'' | '"' | '`' => quote = c
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (end < 0) throw Errors.generic("unbalanced parens in MERGE USING")
+        val alias = sourcePart.substring(end + 1).trim.split("\\s+").toSeq
+          .filter(_.nonEmpty) match {
+          case Seq() =>
+            throw Errors.generic("MERGE: a derived USING source requires an alias")
+          case Seq(a) => ident(a)
+          case Seq(as_, a) if as_.equalsIgnoreCase("as") => ident(a)
+          case other =>
+            throw Errors.generic(s"cannot parse USING alias: ${other.mkString(" ")}")
+        }
+        val df = doSelect(sourcePart.substring(1, end)) match {
+          case ResultSet(d) => d
+          case other => throw Errors.generic(s"USING source returned $other")
+        }
+        (df, alias)
+      } else {
+        val (n, a) = parseRelAlias(sourcePart)
+        val df = doSelect(s"SELECT * FROM $n") match {
+          case ResultSet(d) => d
+          case other => throw Errors.generic(s"USING source returned $other")
+        }
+        (df, a.getOrElse(ident(n.split('.').last)))
+      }
+    if (srcDf0.columns.contains("__merge_m"))
+      throw Errors.generic("MERGE: source may not have a column named __merge_m")
+    // evaluated by the probe, the multi-match check, both legs, and
+    // the counts — persist so a nondeterministic source stays stable
+    val srcDf = srcDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val tv = s"__merge_t_$nonce"
+    val sv = s"__merge_s_$nonce"
+    def emptyTarget: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], td.fullSchema)
+    try {
+      srcDf.createOrReplaceTempView(sv)
+      val hasData = tableHasData(td)
+      // --- step 1: matched-file prune (semi-join flavor of mutateVersion)
+      val allFiles =
+        if (!hasData) Array.empty[File]
+        else Option(new File(tableDir(td)).listFiles())
+          .getOrElse(Array.empty[File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val matchedNames: Set[String] = if (!hasData) Set.empty else {
+        readFull(td).createOrReplaceTempView(tv)
+        // input_file_name() must bind below the join (single-source
+        // rule), so the target subquery computes it at the scan
+        spark.sql("SELECT DISTINCT __f FROM " +
+            s"(SELECT input_file_name() AS __f, * FROM $tv) AS `$tA` " +
+            s"LEFT SEMI JOIN $sv AS `$sA` ON $onCond")
+          .collect()
+          .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+          .toSet
+      }
+      val (touched, carried) = allFiles.partition(f => matchedNames(f.getName))
+      val sub =
+        if (touched.isEmpty) emptyTarget
+        else if (carried.isEmpty) readFull(td)
+        else spark.read.schema(td.fullSchema)
+          .parquet(touched.map(_.getPath).toIndexedSeq: _*)
+      sub.createOrReplaceTempView(tv)
+
+      // --- SQL-standard cardinality guard (only when a MATCHED clause
+      // can act on the ambiguity)
+      if (matchedOrder.nonEmpty && touched.nonEmpty) {
+        val multi = spark.sql(
+          s"SELECT `$tA`.`$RowId` AS __rid FROM $tv AS `$tA` " +
+            s"JOIN $sv AS `$sA` ON $onCond " +
+            s"GROUP BY `$tA`.`$RowId` HAVING count(*) > 1 LIMIT 1").collect()
+        if (multi.nonEmpty) throw GraftException(1105,
+          "MERGE: a row of the target table matched multiple source rows")
+      }
+
+      // --- step 2: one left-join pass over the touched subset
+      val assigns: Seq[(String, String)] = updClause.toSeq.flatMap {
+        case (_, _, sets) =>
+          splitTopLevel(sets, ',').map { a =>
+            val eq = a.indexOf('=')
+            if (eq < 0) throw Errors.generic(s"bad assignment: $a")
+            val c = ident(a.substring(0, eq))
+            if (!td.columns.exists(_.name == c))
+              throw Errors.unknownColumn(c, td.name)
+            c -> a.substring(eq + 1).trim
+          }
+      }
+      val assignedSet = assigns.map(_._1).toSet
+      val actArms = matchedOrder.map { code =>
+        val condOpt = if (code == 1) updClause.get._2 else delClause.get._2
+        val c = condOpt.map(x => s"(${rewrite(x)})").getOrElse("TRUE")
+        s"WHEN $c THEN $code"
+      }.mkString(" ")
+      val actCase = "CAST(CASE WHEN `" + sA + "`.`__merge_m` IS NULL THEN 0 " +
+        actArms + " ELSE 0 END AS INT)"
+      val typeOf = td.columns.map(c => c.name -> c.sparkType.sql).toMap
+      val innerCols =
+        td.columns.map(c => s"`$tA`.`${c.name}` AS `__cur_${c.name}`") ++
+          assigns.map { case (c, e) =>
+            s"CAST((${rewrite(e)}) AS ${typeOf(c)}) AS `__upd_$c`"
+          }
+      val innerSql =
+        s"SELECT `$tA`.`$RowId` AS `$RowId`, $actCase AS __act, " +
+          innerCols.mkString(", ") +
+          s" FROM $tv AS `$tA` LEFT JOIN " +
+          s"(SELECT 1 AS `__merge_m`, * FROM $sv) AS `$sA` ON $onCond"
+      val keptCols = td.columns.map { c =>
+        if (assignedSet(c.name))
+          s"CASE WHEN __act = 1 THEN `__upd_${c.name}` ELSE `__cur_${c.name}` END AS `${c.name}`"
+        else s"`__cur_${c.name}` AS `${c.name}`"
+      }
+      val keptSql = s"SELECT `$RowId`, ${keptCols.mkString(", ")} " +
+        s"FROM ($innerSql) WHERE __act <> 2"
+      val kept = spark.sql(keptSql)
+      val actCounts: Map[Int, Long] =
+        if (touched.isEmpty) Map.empty
+        else spark.sql(s"SELECT __act, count(*) AS n FROM ($innerSql) GROUP BY __act")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nUpd = actCounts.getOrElse(1, 0L)
+      val nDel = actCounts.getOrElse(2, 0L)
+
+      // --- step 3: NOT MATCHED inserts (anti join; matched target rows
+      // all live in touched files, so anti-vs-sub ≡ anti-vs-full)
+      val insRowsOpt = insClause.map { case (condOpt, colsOpt, exprsText) =>
+        val exprs = splitTopLevel(exprsText, ',')
+        val targetCols = colsOpt
+          .map(g => splitTopLevel(g, ',').map(ident))
+          .getOrElse(td.columns.map(_.name))
+        val unknown = targetCols.filterNot(c => td.columns.exists(_.name == c))
+        if (unknown.nonEmpty) throw Errors.unknownColumn(unknown.head, td.name)
+        if (exprs.size != targetCols.size)
+          throw GraftException(1136,
+            s"Column count doesn't match value count (expected ${targetCols.size}, got ${exprs.size})")
+        val proj = td.columns.map { c =>
+          val i = targetCols.indexOf(c.name)
+          if (i >= 0) s"CAST((${rewrite(exprs(i))}) AS ${typeOf(c.name)}) AS `${c.name}`"
+          else s"CAST(NULL AS ${typeOf(c.name)}) AS `${c.name}`"
+        }
+        val insSql = s"SELECT ${proj.mkString(", ")} FROM $sv AS `$sA` " +
+          s"LEFT ANTI JOIN $tv AS `$tA` ON $onCond" +
+          condOpt.map(c => s" WHERE (${rewrite(c)})").getOrElse("")
+        spark.sql(insSql).select(
+          expr("replace(uuid(), '-', '')").as(RowId) +:
+            td.columns.map(c => col(c.name)): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      try {
+        val nIns = insRowsOpt.map(_.count()).getOrElse(0L)
+        if (touched.isEmpty && nIns == 0L)
+          return AffectedRows(0) // nothing matched, nothing to insert
+        insRowsOpt.foreach { ins =>
+          // duplicate-key gate vs the post-merge image (1062), like INSERT
+          val carriedDf =
+            if (carried.isEmpty) emptyTarget
+            else spark.read.schema(td.fullSchema)
+              .parquet(carried.map(_.getPath).toIndexedSeq: _*)
+          constraintViolation(ins, Some(kept.unionByName(carriedDf)), td)
+        }
+        val image = insRowsOpt.map(kept.unionByName(_)).getOrElse(kept)
+        writeVersion(td, image, carried.toIndexedSeq)
+        AffectedRows(nUpd + nDel + nIns)
+      } finally insRowsOpt.foreach(_.unpersist())
+    } finally {
+      spark.catalog.dropTempView(sv)
+      try spark.catalog.dropTempView(tv) catch { case _: Exception => }
+      srcDf.unpersist()
+    }
   }
 
   // ------------------------------------------------------------------

@@ -405,6 +405,80 @@ object Graph {
     out
   }
 
+  /** Bounded-hop weighted shortest paths from a seed set — the
+    * weighted generalization of [[reachability]], computed as
+    * `rounds` synchronous Bellman-Ford relaxations (Bellman 1958;
+    * the frontier-delta form is the classic distributed SSSP of
+    * Pregel/Lumsdaine et al.). After round r, `dist(n)` is exactly
+    * the minimum total weight over paths from any seed using ≤ r
+    * edges — the bounded-hop semantics that keeps the trajectory
+    * engine-replayable in ANSI SQL (a recursive CTE with a hop
+    * counter replays it verbatim; unbounded SSSP is not expressible
+    * without monotone-recursion extensions). Weights are Long and
+    * must be non-negative (checked per partition at relax time via
+    * a codegen filter: a negative weight would make bounded-hop
+    * distances order-sensitive).
+    *
+    * Scale shape per round: the FRONTIER (nodes whose distance
+    * improved last round — geometrically shrinking on real graphs)
+    * equi-joins the cached edge table, one partial-combined
+    * (node, min cand) aggregate, then a left join back onto the
+    * O(nodes) distance frame to keep only genuine improvements. The
+    * edge table is cached once; nothing edge-sized is shuffled
+    * after round 1 unless the frontier is still edge-spanning. No
+    * driver action inside the loop (an empty frontier makes later
+    * rounds cheap no-op joins). Self-loops are dropped — a
+    * self-edge with w ≥ 0 never improves a distance.
+    *
+    * Returns (node, dist): every node reachable from a seed within
+    * `rounds` hops, seeds at dist 0 (a seed can still improve to a
+    * negative… no: weights are non-negative, so seeds stay 0). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__s") =!= col("__d"))
+      .filter(col("__w") >= 0) // negative weights break bounded-hop minimality
+      .groupBy(col("__s"), col("__d")).agg(min(col("__w")).as("__w"))
+      .persist(lvl)
+    cached += e
+    val dist0 = seeds.select(col(seedCol).as("__n")).distinct()
+      .select(col("__n"), lit(0L).as("__dist"))
+      .persist(lvl)
+    cached += dist0
+    var dist = dist0
+    var frontier = dist0
+    (1 to rounds).foreach { _ =>
+      val cand = e.join(frontier.withColumnRenamed("__n", "__s"), Seq("__s"))
+        .select(col("__d").as("__n"), (col("__dist") + col("__w")).as("__c"))
+        .groupBy(col("__n")).agg(min(col("__c")).as("__c"))
+      // keep only genuine improvements: they are the next frontier
+      val improved = cand.join(dist, Seq("__n"), "left")
+        .filter(col("__dist").isNull || col("__c") < col("__dist"))
+        .select(col("__n"), col("__c").as("__dist"))
+        .persist(lvl)
+      cached += improved
+      val next = dist.join(improved.select(col("__n"), col("__dist").as("__i")),
+          Seq("__n"), "left")
+        .select(col("__n"), coalesce(col("__i"), col("__dist")).as("__dist"))
+        .unionByName(
+          improved.join(dist.select(col("__n")), Seq("__n"), "left_anti"))
+        .persist(lvl)
+      cached += next
+      dist = next
+      frontier = improved
+    }
+    val out = dist
+      .select(col("__n").as("node"), col("__dist").as("dist"))
+      .localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007)
     * for community detection over an undirected edge list — the
     * cluster-discovery step beyond [[graft.operators.Dedup]]'s

@@ -996,6 +996,82 @@ object Parity {
         |HAVING c_mktsegment <> 'MACHINERY'
         |ORDER BY seg""".stripMargin)),
 
+    // ---- MERGE INTO through the statement surface: the set-oriented
+    // upsert (file-pruned COW — `GraftEngine.doMerge`). One statement
+    // exercises all three legs against a derived source built from
+    // orders: heavy customers (≥20 orders) DELETE, other matched
+    // customers UPDATE (balance += their order total), and a
+    // key-shifted branch INSERTs brand-new 'MERGED' customers.
+    // Clause order matters (DELETE declared before UPDATE). The
+    // oracle replays the same semantics declaratively: LEFT JOIN +
+    // clause-precedence CASE for the target legs, anti-join for the
+    // insert leg. Cents are quantized per row before the final sum
+    // (the cross-engine float discipline).
+    "q74_engine_merge" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q74_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q74")
+        eng.sql("use q74")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(s"create external table ord_src USING PARQUET LOCATION '$dir/orders.parquet'")
+        eng.sql(
+          """create table cust (c_custkey int, c_nationkey int,
+            |c_acctbal float, c_mktsegment char,
+            |PRIMARY KEY(c_custkey))""".stripMargin)
+        eng.sql(
+          """insert into cust select c_custkey, c_nationkey, c_acctbal,
+            |c_mktsegment from cust_src""".stripMargin)
+        eng.sql(
+          """merge into cust t using (
+            |  select o_custkey as k, count(*) as n_ord,
+            |    sum(cast(round(o_totalprice * 100) as bigint)) as cents
+            |  from ord_src group by o_custkey
+            |  union all
+            |  select o_custkey + 10000000 as k, 0 as n_ord,
+            |    sum(cast(round(o_totalprice * 100) as bigint)) as cents
+            |  from ord_src where o_orderkey % 1000 = 1 group by o_custkey
+            |) s on t.c_custkey = s.k
+            |when matched and s.n_ord >= 20 then delete
+            |when matched then update set
+            |  c_acctbal = t.c_acctbal + cast(s.cents as double) / 100.0
+            |when not matched then insert
+            |  (c_custkey, c_nationkey, c_acctbal, c_mktsegment)
+            |  values (s.k, 99, cast(s.cents as double) / 100.0, 'MERGED')
+            |""".stripMargin)
+        eng.sql(
+          """select c_mktsegment as seg, count(*) as n,
+            |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0
+            |    as bal
+            |from cust group by c_mktsegment order by seg""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""WITH src AS (
+        |  SELECT o_custkey AS k, count(*) AS n_ord,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT o_custkey + 10000000 AS k, 0 AS n_ord,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders WHERE o_orderkey % 1000 = 1 GROUP BY o_custkey),
+        |merged AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CASE WHEN s.k IS NOT NULL
+        |      THEN c.c_acctbal + CAST(s.cents AS DOUBLE) / 100.0
+        |      ELSE c.c_acctbal END AS b
+        |  FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+        |  WHERE NOT (s.k IS NOT NULL AND s.n_ord >= 20)
+        |  UNION ALL
+        |  SELECT 'MERGED' AS seg, CAST(s.cents AS DOUBLE) / 100.0 AS b
+        |  FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(round(b * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS bal
+        |FROM merged GROUP BY seg ORDER BY seg""".stripMargin)),
+
     // ---- managed KV tables through the statement surface — the
     // reference's KV-as-primary-store semantics
     // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:

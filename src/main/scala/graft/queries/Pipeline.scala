@@ -3227,6 +3227,78 @@ object Pipeline {
         |  JOIN norms nb ON nb.d = pr.b_id
         |  WHERE na.ss > 0 AND nb.ss > 0)
         |SELECT a_id, b_id, n_common_terms, cos_micro FROM sc
-        |ORDER BY cos_micro DESC, a_id, b_id LIMIT 50""".stripMargin))
+        |ORDER BY cos_micro DESC, a_id, b_id LIMIT 50""".stripMargin)),
+
+    // ---- p96: bounded-hop weighted shortest paths (Bellman-Ford
+    // frontier relaxation) over the p74 interaction graph with
+    // deterministic integer weights — the weighted recursive-query
+    // capability. 4 rounds ≡ min path weight over ≤4 edges, which
+    // the DuckDB recursive CTE replays verbatim (hop counter < 4,
+    // min(dist) at the end).
+    "p96_shortest_paths" -> Q(
+      (s, dir) => {
+        val raw = tbl(s, dir, "events")
+          .select(col("user_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").as("item"))
+          .filter(col("item").isNotNull)
+          .filter((col("user_id") * 7 + col("item")) % 13 < 2)
+          .withColumn("w", lit(1) + (col("user_id") + lit(2) * col("item")) % 7)
+        val nodes = raw.select(col("user_id").as("n"))
+          .union(raw.select(col("item").as("n"))).distinct()
+        graft.operators.Graph.shortestPaths(raw, "user_id", "item", "w",
+            nodes.filter(col("n") % 53 === 0), "n", rounds = 4)
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE ae AS (SELECT DISTINCT user_id AS s,
+        |    CAST(props->>'k' AS BIGINT) AS d
+        |  FROM events WHERE props->>'k' IS NOT NULL
+        |    AND (user_id * 7 + CAST(props->>'k' AS BIGINT)) % 13 < 2),
+        |e AS (SELECT s, d, 1 + (s + 2 * d) % 7 AS w FROM ae WHERE s <> d),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT s AS n FROM ae UNION ALL SELECT d FROM ae)),
+        |r AS (
+        |  SELECT n, CAST(0 AS BIGINT) AS dist, 0 AS h
+        |  FROM nodes WHERE n % 53 = 0
+        |  UNION
+        |  SELECT e.d AS n, r.dist + e.w AS dist, r.h + 1 AS h
+        |  FROM r JOIN e ON e.s = r.n WHERE r.h < 4
+        |)
+        |SELECT n AS node, min(dist) AS dist FROM r GROUP BY n
+        |ORDER BY node""".stripMargin)),
+
+    // ---- p97: blocked fuzzy record linkage — edit-distance pairs
+    // within (first-word, size) blocks of the part catalog, the
+    // entity-resolution step that catches single-typo variants exact
+    // and shingle dedup both miss. The report is the per-distance
+    // pair histogram (every surviving pair contributes, so the whole
+    // pair set is hash-gated, not a sample). Block cap 200 drops
+    // nothing at test SFs but bounds the worst-case cell at scale;
+    // the companion oversized report is spec'd in OperatorSpec.
+    "p97_fuzzy_link" -> Q(
+      (s, dir) => {
+        val part = s.read.parquet(s"$dir/part.parquet")
+        graft.operators.Dedup.fuzzyLinkPairs(part, "p_partkey", "p_name",
+            concat_ws("|", split(col("p_name"), " ").getItem(0),
+              col("p_size").cast("string")),
+            maxDist = 4, maxBlockSize = 200)
+          .groupBy(col("dist"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("id_a")).as("min_a"), max(col("id_b")).as("max_b"))
+          .orderBy(col("dist"))
+      },
+      Some("""WITH r AS (SELECT p_partkey AS id, p_name AS t,
+        |    split_part(p_name, ' ', 1) || '|' || CAST(p_size AS VARCHAR) AS b
+        |  FROM part),
+        |bc AS (SELECT b FROM r GROUP BY b HAVING count(*) <= 200),
+        |rr AS (SELECT r.* FROM r JOIN bc ON bc.b = r.b),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |  FROM rr a JOIN rr b ON a.b = b.b AND a.id < b.id
+        |  WHERE levenshtein(a.t, b.t) <= 4)
+        |SELECT dist, count(*) AS n_pairs, min(id_a) AS min_a,
+        |  max(id_b) AS max_b
+        |FROM pr GROUP BY dist ORDER BY dist""".stripMargin))
   )
 }

@@ -2088,4 +2088,59 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.getLong(2) == 1L && n.getLong(3) == 2L &&
       n.getString(4) == "2" && n.getString(5) == "10")
   }
+
+  test("shortestPaths: hand graph exact, hop-bounded, min-weight edge wins") {
+    import spark.implicits._
+    //   1 -2-> 2 -3-> 3 -1-> 4 ; 1 -9-> 3 ; 3 -0-> 3 (self, dropped);
+    //   duplicate edge 1->2 with worse weight 5 (min wins); 5 isolated seed
+    val e = Seq((1L, 2L, 2L), (1L, 2L, 5L), (2L, 3L, 3L), (3L, 4L, 1L),
+      (1L, 3L, 9L), (3L, 3L, 0L)).toDF("s", "d", "w")
+    val seeds = Seq(1L, 5L).toDF("n")
+    val r = Graph.shortestPaths(e, "s", "d", "w", seeds, "n", rounds = 4)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("dist")).toMap
+    // 1->2->3 = 5 beats direct 9; 4 via the length-3 path = 6
+    assert(r == Map(1L -> 0L, 5L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
+    // hop bound: with rounds = 2 node 4 (3 hops) is unreachable and
+    // node 3 still relaxes through the 2-hop path
+    val r2 = Graph.shortestPaths(e, "s", "d", "w", seeds, "n", rounds = 2)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("dist")).toMap
+    assert(r2 == Map(1L -> 0L, 5L -> 0L, 2L -> 2L, 3L -> 5L))
+    // a later round must IMPROVE an earlier greedy distance: with
+    // rounds = 1 the direct 1->3 edge (9) is the best ≤1-hop path
+    val r1 = Graph.shortestPaths(e, "s", "d", "w", seeds, "n", rounds = 1)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("dist")).toMap
+    assert(r1(3L) == 9L && r(3L) == 5L)
+    // negative-weight edges are dropped, not silently relaxed
+    val neg = Seq((1L, 2L, -5L)).toDF("s", "d", "w")
+    assert(Graph.shortestPaths(neg, "s", "d", "w", Seq(1L).toDF("n"), "n", 2)
+      .count() == 1L) // only the seed survives
+  }
+
+  test("fuzzyLinkPairs: blocked typo pairs; cap drops oversized blocks loudly") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "smith john", "s"), (2L, "smith jhon", "s"), // dist 2 transposition
+      (3L, "smith completely other", "s"),
+      (4L, "jones mary", "j"), (5L, "jones mary", "j"), // exact dup, dist 0
+      (6L, "smith john", "x") // same text, DIFFERENT block: never paired
+    ).toDF("id", "t", "b")
+    val pairs = Dedup.fuzzyLinkPairs(recs, "id", "t", col("b"),
+        maxDist = 2, maxBlockSize = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("dist"))).toSet
+    assert(pairs == Set((1L, 2L, 2), (4L, 5L, 0)))
+    // cap: block "s" (3 rows) dropped at maxBlockSize = 2, and the
+    // companion report says so — the no-silent-caps contract
+    val capped = Dedup.fuzzyLinkPairs(recs, "id", "t", col("b"),
+        maxDist = 2, maxBlockSize = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped == Set((4L, 5L)))
+    val over = Dedup.fuzzyLinkOversized(recs, col("b"), 2).head()
+    assert(over.getAs[Long]("n_blocks_dropped") == 1L &&
+      over.getAs[Long]("n_rows_dropped") == 3L)
+    // zero oversized blocks reports 0/0, not an empty frame
+    val none = Dedup.fuzzyLinkOversized(recs, col("b"), 100).head()
+    assert(none.getAs[Long]("n_blocks_dropped") == 0L &&
+      none.getAs[Long]("n_rows_dropped") == 0L)
+  }
 }
