@@ -2100,11 +2100,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("dist")).toMap
     // 1->2->3 = 5 beats direct 9; 4 via the length-3 path = 6
     assert(r == Map(1L -> 0L, 5L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
-    // hop bound: with rounds = 2 node 4 (3 hops) is unreachable and
-    // node 3 still relaxes through the 2-hop path
+    // hop bound: at rounds = 2 node 4 only has the 2-hop route through
+    // the heavy direct edge (9 + 1 = 10); the cheap 3-hop route (6)
+    // needs round 3
     val r2 = Graph.shortestPaths(e, "s", "d", "w", seeds, "n", rounds = 2)
       .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("dist")).toMap
-    assert(r2 == Map(1L -> 0L, 5L -> 0L, 2L -> 2L, 3L -> 5L))
+    assert(r2 == Map(1L -> 0L, 5L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 10L))
     // a later round must IMPROVE an earlier greedy distance: with
     // rounds = 1 the direct 1->3 edge (9) is the best ≤1-hop path
     val r1 = Graph.shortestPaths(e, "s", "d", "w", seeds, "n", rounds = 1)
