@@ -125,14 +125,19 @@ object ScaleGen {
         col("l_linestatus"), col("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
-    // ---- orders: offset order/customer keyspaces per copy — the
-    // ingest-audit profiler (p87) reads orders; key offsets keep
-    // n_distinct growing linearly for key columns while the
-    // low-cardinality columns (status, priority, dates, prices)
-    // keep their source distributions.
+    // ---- orders + customer: offset order/customer keyspaces per
+    // copy with a SHARED customer modulus, so every copy's orders
+    // reference that same copy's customers — the engine-DML merge
+    // probe (q74) joins them and its matched/unmatched split must
+    // scale like `copies` independent tenants. p87 reads orders; key
+    // offsets keep n_distinct growing linearly for key columns while
+    // low-cardinality columns keep their source distributions.
     val ord = graft.queries.QueryUtil.tbl(spark, src, "orders")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
     val nOrd2 = ord.agg(max("o_orderkey")).head().getLong(0) + 1
-    val nCust = ord.agg(max("o_custkey")).head().getLong(0) + 1
+    val nCust = math.max(
+      ord.agg(max("o_custkey")).head().getLong(0),
+      cust.agg(max("c_custkey")).head().getLong(0)) + 1
     ord.crossJoin(copyDf)
       .select(
         (col("o_orderkey") + col("c") * nOrd2).as("o_orderkey"),
@@ -140,6 +145,29 @@ object ScaleGen {
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    cust.crossJoin(copyDf)
+      .select(
+        (col("c_custkey") + col("c") * nCust).as("c_custkey"),
+        format_string("Customer#%09d",
+          col("c_custkey") + col("c") * nCust).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+
+    // ---- part: offset keys + per-copy token bijection on p_name
+    // (same trick as documents) — the fuzzy-linkage blocks
+    // (first word, size) stay disjoint across copies, so the
+    // candidate-pair space grows linearly the way a real larger
+    // catalog's would, while each copy keeps the source's intra-copy
+    // typo-variant structure.
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val nPartKey = part.agg(max("p_partkey")).head().getLong(0) + 1
+    part.crossJoin(copyDf)
+      .select(
+        (col("p_partkey") + col("c") * nPartKey).as("p_partkey"),
+        expr("array_join(transform(split(p_name, ' '), " +
+          "t -> concat(t, 'q', c)), ' ')").as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
 
     println(s"""{"scalegen":"$dst","copies":$copies}""")
     spark.stop()

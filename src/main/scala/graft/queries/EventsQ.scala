@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import QueryUtil._
@@ -644,7 +645,66 @@ object EventsQ {
         |SELECT k AS event_type, CAST(SUM(nr) AS BIGINT) AS n_ref,
         |  CAST(SUM(nc) AS BIGINT) AS n_cur,
         |  CAST(SUM(tm) AS BIGINT) AS psi_micro
-        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- incremental aggregate maintenance via streaming MERGE: the
+    // events feed drains through foreachBatch, each micro-batch
+    // PRE-AGGREGATED to (user, n, cents) and upserted into a managed
+    // per-user summary table by engine-SQL MERGE INTO (matched →
+    // increment, not matched → insert) — the lakehouse foreachBatch-
+    // upsert pattern, on this engine's own file-pruned COW merge. The
+    // batch frame crosses into the engine through a global temp view
+    // (the [[graft.streaming.EngineIngest]] bridge), so rows travel
+    // executor→merge-join, never the driver. Increments are additive,
+    // so any micro-batch partition of the feed converges to the same
+    // table (StreamingSpec drives a multi-batch split and pins it);
+    // unlike q71's overwrite-upsert a REPLAYED batch would
+    // double-count — real deployments add a batch-id column for
+    // replay dedup (documented, not needed under AvailableNow's
+    // run-to-completion). Oracle: plain GROUP BY over the source.
+    "q75_stream_merge" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q75_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q75")
+        eng.sql("use q75")
+        eng.sql(
+          """create table uagg (user_id int, n_events int,
+            |total_cents int, PRIMARY KEY(user_id))""".stripMargin)
+        val view = s"q75_batch_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val sq = tblStream(s, dir, "events")
+          .select(col("user_id"), cents(col("value")).as("cents"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$wh/ckpt")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.createOrReplaceGlobalTempView(view)
+            try { eng.sql(
+              s"""merge into uagg t using (
+                 |  select user_id as k, count(*) as n, sum(cents) as c
+                 |  from global_temp.$view group by user_id) s
+                 |on t.user_id = s.k
+                 |when matched then update set
+                 |  n_events = t.n_events + s.n,
+                 |  total_cents = t.total_cents + s.c
+                 |when not matched then insert (user_id, n_events, total_cents)
+                 |  values (s.k, s.n, s.c)""".stripMargin); () }
+            finally { b.sparkSession.catalog.dropGlobalTempView(view); () }
+          }
+          .start()
+        sq.awaitTermination()
+        eng.sql(
+          """select user_id, n_events,
+            |  cast(total_cents as double) / 100.0 as total_value
+            |from uagg order by user_id""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some(s"""SELECT user_id, count(*) AS n_events,
+        |${oSumCents("value")} AS total_value
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 
   /** KV fixture directory keyed by a CONTENT fingerprint of the source

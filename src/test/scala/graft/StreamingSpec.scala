@@ -469,4 +469,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$wh/data/ing/ev/v0")
     assert(segs.size >= 2, s"expected appended segments, got ${segs.size}")
   }
+
+  test("streaming MERGE accumulates per-user aggregates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_smrg_").toString
+    val eng = new graft.engine.GraftEngine(spark, wh)
+    eng.sql("create schema sm")
+    eng.sql("use sm")
+    eng.sql("create table uagg (user_id int, n_events int, " +
+      "total_cents int, PRIMARY KEY(user_id))")
+    val input = MemoryStream[(Long, Long)] // (user_id, cents)
+    val sq = input.toDF().toDF("user_id", "cents")
+      .writeStream
+      .option("checkpointLocation", s"$wh/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.createOrReplaceGlobalTempView("smrg_batch")
+        try { eng.sql(
+          """merge into uagg t using (
+            |  select user_id as k, count(*) as n, sum(cents) as c
+            |  from global_temp.smrg_batch group by user_id) s
+            |on t.user_id = s.k
+            |when matched then update set
+            |  n_events = t.n_events + s.n, total_cents = t.total_cents + s.c
+            |when not matched then insert (user_id, n_events, total_cents)
+            |  values (s.k, s.n, s.c)""".stripMargin); () }
+        finally { b.sparkSession.catalog.dropGlobalTempView("smrg_batch"); () }
+      }
+      .start()
+    // batch 1: users 1 and 2 appear (insert leg)
+    input.addData((1L, 100L), (1L, 50L), (2L, 10L))
+    sq.processAllAvailable()
+    // batch 2: user 1 accumulates (update leg), user 3 inserts
+    input.addData((1L, 25L), (3L, 7L))
+    sq.processAllAvailable()
+    sq.stop()
+    val img = eng.query(
+      "select user_id, n_events, total_cents from uagg order by user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // same totals as the one-shot batch aggregate: additive increments
+    // are micro-batch-partition invariant
+    assert(img == Seq((1L, 3L, 175L), (2L, 1L, 10L), (3L, 1L, 7L)))
+  }
 }
