@@ -199,4 +199,83 @@ object Sketches {
         (abs(col("__est") - col("exact_total")) <=
           col("exact_total") * pct).cast("long").as("union_within_pct"))
   }
+
+  /** Mergeable fixed-bin quantile rollup — the quantile sibling of
+    * [[hllDistinctRollup]], and the simplest member of the mergeable-
+    * quantile-summary family (the role KLL/t-digest fill with
+    * adaptive bins; fixed equi-width bins trade adaptivity for an
+    * EXACTLY engine-replayable artifact). Per bucket (day), the
+    * stored artifact is a `bins`-long count vector of `valueCol`
+    * clamped into [lo, hi); the union that answers ANY window is
+    * bin-wise addition — here materialized as the 'all' scope. The
+    * estimate for quantile q is the LOWER EDGE of the first bin
+    * whose cumulative count reaches ceil(q·N): error is bounded by
+    * one bin width by construction, and every step is integer
+    * arithmetic (`div`, no doubles), so the DuckDB oracle replays
+    * the report bit-for-bit — including the exact-order-statistic
+    * twin (min v with count(≤v) ≥ ceil(q·N), the SQL-standard
+    * "lower" method) and the absolute error between them.
+    *
+    * Scale shape: one partial-combined (bucket, bin) count (the
+    * only corpus-sized exchange), a |buckets|·bins-sized union
+    * aggregate, per-scope cumulative windows PARTITIONED by scope
+    * (bounded by bins rows for estimates; by distinct values for
+    * the exact twin — drop the twin at petabyte scale, it exists to
+    * gate the sketch). Everything mergeable, nothing quadratic.
+    *
+    * Returns (scope, q_ppm, n, est, exact, abs_err) — scope is the
+    * bucket value or 'all', est/exact in `valueCol` units. */
+  def binQuantileRollup(df: DataFrame, bucketCol: String,
+      valueCol: String, bins: Int, lo: Long, hi: Long,
+      qsPpm: Seq[Long]): DataFrame = {
+    require(bins >= 2, s"bins $bins must be >= 2")
+    require(hi > lo, s"empty value range [$lo, $hi)")
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must be in (0, 1e6] ppm: $qsPpm")
+    val w = org.apache.spark.sql.expressions.Window
+    val v = df.select(col(bucketCol).cast("string").as("__b"),
+      col(valueCol).cast("long").as("__v"))
+    val span = hi - lo
+    val binExpr = expr(
+      s"least(${bins - 1}L, greatest(0L, ((__v - ${lo}L) * ${bins}L) div ${span}L))")
+    val perBucket = v.select(col("__b"), binExpr.as("__bin"))
+      .groupBy(col("__b"), col("__bin")).agg(count(lit(1)).as("__n"))
+    val counts = perBucket
+      .select(col("__b").as("scope"), col("__bin"), col("__n"))
+      .unionByName(perBucket.groupBy(col("__bin"))
+        .agg(sum(col("__n")).as("__n"))
+        .select(lit("all").as("scope"), col("__bin"), col("__n")))
+    val qlit = array(qsPpm.map(lit): _*)
+    val cum = counts
+      .withColumn("__cum", sum(col("__n")).over(
+        w.partitionBy(col("scope")).orderBy(col("__bin"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .withColumn("__tot", sum(col("__n")).over(w.partitionBy(col("scope"))))
+      .select(col("scope"), col("__bin"), col("__cum"), col("__tot"),
+        explode(qlit).as("q_ppm"))
+      .withColumn("__rank", expr("(__tot * q_ppm + 999999) div 1000000"))
+    val est = cum.filter(col("__cum") >= col("__rank"))
+      .groupBy(col("scope"), col("q_ppm"))
+      .agg(max(col("__tot")).as("n"), min(col("__bin")).as("__eb"))
+      .withColumn("est", expr(s"${lo}L + (${span}L * __eb) div ${bins}L"))
+      .drop("__eb")
+    // exact order-statistic twin ("lower" method) over the same scopes
+    val vals = v.select(col("__b").as("scope"), col("__v"))
+      .unionByName(v.select(lit("all").as("scope"), col("__v")))
+      .groupBy(col("scope"), col("__v")).agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", sum(col("__n")).over(
+        w.partitionBy(col("scope")).orderBy(col("__v"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .withColumn("__tot", sum(col("__n")).over(w.partitionBy(col("scope"))))
+      .select(col("scope"), col("__v"), col("__cum"), col("__tot"),
+        explode(qlit).as("q_ppm"))
+      .withColumn("__rank", expr("(__tot * q_ppm + 999999) div 1000000"))
+      .filter(col("__cum") >= col("__rank"))
+      .groupBy(col("scope"), col("q_ppm"))
+      .agg(min(col("__v")).as("exact"))
+    est.join(vals, Seq("scope", "q_ppm"))
+      .select(col("scope"), col("q_ppm"), col("n"), col("est"), col("exact"),
+        abs(col("est") - col("exact")).as("abs_err"))
+      .orderBy(col("scope"), col("q_ppm"))
+  }
 }

@@ -3299,6 +3299,51 @@ object Pipeline {
         |  WHERE levenshtein(a.t, b.t) <= 4)
         |SELECT dist, count(*) AS n_pairs, min(id_a) AS min_a,
         |  max(id_b) AS max_b
-        |FROM pr GROUP BY dist ORDER BY dist""".stripMargin))
+        |FROM pr GROUP BY dist ORDER BY dist""".stripMargin)),
+
+    // ---- p98: mergeable fixed-bin quantile rollup — the quantile
+    // sibling of p91's HLL rollup: per-day bin-count vectors whose
+    // bin-wise sum answers any window ('all' scope here), quantile
+    // estimates as lower bin edges vs the exact order statistic,
+    // everything integer (`div`) so the report replays bit-for-bit
+    // cross-engine. p50/p90/p99 over event value cents, 64 bins.
+    "p98_quantile_rollup" -> Q(
+      (s, dir) => graft.operators.Sketches.binQuantileRollup(
+        tbl(s, dir, "events").select(
+          to_date(col("ts")).cast("string").as("day"),
+          cents(col("value")).as("c")),
+        "day", "c", bins = 64, lo = 0L, hi = 50000L,
+        qsPpm = Seq(500000L, 900000L, 990000L)),
+      Some("""WITH v AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS b,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS x FROM events),
+        |bn AS (SELECT b, least(63, greatest(0, (x * 64) // 50000)) AS bin
+        |  FROM v),
+        |pb AS (SELECT b, bin, count(*) AS n FROM bn GROUP BY 1, 2),
+        |cs AS (SELECT b AS scope, bin, n FROM pb
+        |  UNION ALL SELECT 'all', bin, sum(n) FROM pb GROUP BY 2),
+        |cum AS (SELECT scope, bin,
+        |    sum(n) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY scope) AS tot FROM cs),
+        |q AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT)
+        |    AS q_ppm),
+        |eb AS (SELECT scope, q_ppm, CAST(max(tot) AS BIGINT) AS n,
+        |    min(bin) AS ebin
+        |  FROM cum, q WHERE cum >= (tot * q_ppm + 999999) // 1000000
+        |  GROUP BY 1, 2),
+        |est AS (SELECT scope, q_ppm, n, (50000 * ebin) // 64 AS est
+        |  FROM eb),
+        |vv AS (SELECT b AS scope, x FROM v
+        |  UNION ALL SELECT 'all', x FROM v),
+        |vg AS (SELECT scope, x, count(*) AS n FROM vv GROUP BY 1, 2),
+        |vc AS (SELECT scope, x,
+        |    sum(n) OVER (PARTITION BY scope ORDER BY x) AS cum,
+        |    sum(n) OVER (PARTITION BY scope) AS tot FROM vg),
+        |ex AS (SELECT scope, q_ppm, min(x) AS exact
+        |  FROM vc, q WHERE cum >= (tot * q_ppm + 999999) // 1000000
+        |  GROUP BY 1, 2)
+        |SELECT est.scope, est.q_ppm, est.n, est.est, ex.exact,
+        |  abs(est.est - ex.exact) AS abs_err
+        |FROM est JOIN ex ON ex.scope = est.scope AND ex.q_ppm = est.q_ppm
+        |ORDER BY est.scope, est.q_ppm""".stripMargin))
   )
 }

@@ -2144,4 +2144,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.getAs[Long]("n_blocks_dropped") == 0L &&
       none.getAs[Long]("n_rows_dropped") == 0L)
   }
+
+  test("binQuantileRollup: exact twin is the order statistic; union merges") {
+    import spark.implicits._
+    // two buckets: d1 = 1..100, d2 = 101..200 (values in cents units)
+    val df = ((1L to 100L).map(("d1", _)) ++ (101L to 200L).map(("d2", _)))
+      .toDF("day", "v")
+    val r = Sketches.binQuantileRollup(df, "day", "v",
+        bins = 10, lo = 0L, hi = 200L, qsPpm = Seq(500000L, 990000L))
+      .collect()
+      .map(x => (x.getAs[String]("scope"), x.getAs[Long]("q_ppm")) ->
+        (x.getAs[Long]("n"), x.getAs[Long]("est"), x.getAs[Long]("exact"),
+          x.getAs[Long]("abs_err"))).toMap
+    // exact = the SQL-standard "lower" order statistic: rank ceil(q·N)
+    assert(r(("d1", 500000L))._3 == 50L) // 50th of 1..100
+    assert(r(("d2", 500000L))._3 == 150L)
+    assert(r(("all", 500000L))._3 == 100L) // 100th of 1..200
+    assert(r(("all", 990000L))._3 == 198L) // ceil(0.99·200) = 198th
+    // union scope really merged both buckets
+    assert(r(("all", 500000L))._1 == 200L)
+    // estimate = lower edge of the rank bin; error < one bin width
+    r.values.foreach { case (_, est, exact, err) =>
+      assert(est <= exact && err < 20L,
+        s"est $est exact $exact err $err must sit within one bin width")
+    }
+    // out-of-range values clamp into edge bins but the exact twin
+    // reports truth — the error column shows the clamping honestly
+    val wide = Seq(("d1", -50L), ("d1", 10L), ("d1", 999L)).toDF("day", "v")
+    val w = Sketches.binQuantileRollup(wide, "day", "v",
+        bins = 10, lo = 0L, hi = 100L, qsPpm = Seq(990000L))
+      .filter(col("scope") === "all").head()
+    assert(w.getAs[Long]("exact") == 999L &&
+      w.getAs[Long]("est") == 90L) // top bin lower edge
+  }
 }
