@@ -166,6 +166,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       else if (lower.startsWith("delete")) doDelete(stmt)
       else if (lower.startsWith("merge")) doMerge(stmt)
       else if (lower.startsWith("optimize")) doOptimize(stmt)
+      else if (lower.startsWith("vacuum")) doVacuum(stmt)
+      else if (lower.startsWith("restore")) doRestore(stmt)
       else if (lower.startsWith("analyze")) doAnalyze(stmt)
       else if (lower.startsWith("show")) doShow(stmt)
       else if (lower.startsWith("use")) doUse(stmt)
@@ -1269,6 +1271,81 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       Option(d.listFiles()).getOrElse(Array.empty[File])
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
     AffectedRows(parquetCount2(new File(tableDir(ntd))))
+  }
+
+  /** `VACUUM [TABLE] <name> [RETAIN <n> VERSIONS]` — one-shot GC of
+    * this table's committed version history: every snapshot directory
+    * older than the newest `n` (default: the grace floor of 2) is
+    * deleted; time-travel reads of a vacuumed version then fail with
+    * the standard retention error. The lakehouse maintenance
+    * statement that pairs with OPTIMIZE: retention-as-policy is
+    * [[setVersionRetention]] (applied at every commit), VACUUM is
+    * retention-as-action (reclaim now, policy unchanged). `n >= 2`
+    * is enforced — the floor exists because a concurrent reader's
+    * planned files must survive the commit that races it
+    * ([[writeVersion]]'s grace discipline); vacuuming the previous
+    * version out from under an in-flight reader would break the
+    * documented read contract. Runs under the write lock, so no
+    * statement is mid-analysis while directories disappear. Returns
+    * the number of version directories removed. */
+  private def doVacuum(stmt: String): GraftResult = {
+    val m = ("(?is)^vacuum\\s+(?:table\\s+)?(\\S+?)" +
+      "(?:\\s+retain\\s+(\\d+)\\s+versions?)?\\s*$").r
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(
+        s"cannot parse: ${stmt.take(60)} (expected VACUUM <table> [RETAIN <n> VERSIONS])"))
+    val td = lookup(m.group(1))
+    requireWritable(td) // external tables have no managed history
+    val n = Option(m.group(2)).map(_.toLong).getOrElse(2L)
+    if (n < 2) throw Errors.generic(
+      "VACUUM must retain at least 2 versions (in-flight reader grace)")
+    val base = new File(tableDir(td)).getParentFile
+    val stale = Option(base.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .filter(_.getName.drop(1).toLong <= td.version - n)
+    stale.foreach(deleteRecursively)
+    AffectedRows(stale.length.toLong)
+  }
+
+  /** `RESTORE [TABLE] <name> [TO] VERSION AS OF <n>` — rewind the
+    * table's DATA image to a retained snapshot by committing it as a
+    * NEW version (never by moving the pointer backwards): history is
+    * preserved, the restore itself is time-travelable and CDF-visible
+    * (`changes(n, restoredVersion)` shows what the rewind undid,
+    * rowids are carried from the snapshot so unchanged rows diff
+    * away), and a bad restore is repaired by another RESTORE. Data
+    * only, deliberately: DDL is not rewound — the snapshot is aligned
+    * to the CURRENT declared schema (column added since `n` → NULL,
+    * column dropped since `n` → discarded), because the catalog holds
+    * one live definition per table and resurrecting dropped columns
+    * would silently undo ALTERs. Restoring to the current version is
+    * a no-op (no version committed). A vacuumed / out-of-retention
+    * `n` fails with the standard retention error from the snapshot
+    * read. Runs under the table write lock like every mutation. */
+  private def doRestore(stmt: String): GraftResult = {
+    val m = ("(?is)^restore\\s+(?:table\\s+)?(\\S+?)\\s+(?:to\\s+)?" +
+      "version\\s+as\\s+of\\s+(\\d+)\\s*$").r
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(
+        s"cannot parse: ${stmt.take(60)} " +
+          "(expected RESTORE <table> [TO] VERSION AS OF <n>)"))
+    val td = lookup(m.group(1))
+    requireWritable(td)
+    requireNotKv(td, "RESTORE")
+    val v = m.group(2).toLong
+    if (v == td.version) return AffectedRows(0L)
+    val snap = snapshotRaw(td, v) // throws the retention error if gone
+    val have = snap.columns.toSet
+    val aligned = snap.select(
+      col(RowId) +: td.columns.map { c =>
+        if (have(c.name)) col(c.name).cast(c.sparkType).as(c.name)
+        else lit(null).cast(c.sparkType).as(c.name)
+      }: _*)
+    writeVersion(td, aligned)
+    val ntd = tables((td.schema, td.name))
+    // parquet count(*) is footer-only — no data scan
+    AffectedRows(spark.read.schema(ntd.fullSchema)
+      .parquet(tableDir(ntd)).count())
   }
 
   private def doDelete(stmt: String): GraftResult = {

@@ -1072,6 +1072,66 @@ object Parity {
         |  CAST(sum(CAST(round(b * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS bal
         |FROM merged GROUP BY seg ORDER BY seg""".stripMargin)),
 
+    // ---- RESTORE under the oracle gate: the q63 mutation chain
+    // (INSERT…SELECT → COW UPDATE → COW DELETE), then `RESTORE … TO
+    // VERSION AS OF 1` — which commits the v1 image as a NEW version
+    // (history preserved, pointer never moves backwards) — then one
+    // more DELETE to prove the restored image is the live mutation
+    // base. The gated statement aggregates BOTH the current image
+    // (restored data minus the post-restore delete: the update and
+    // delete are UNDONE) and the pre-restore snapshot v3 (still
+    // time-travelable THROUGH the restore). The oracle reconstructs
+    // both states declaratively from the source table.
+    "q76_engine_restore" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q76_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.setVersionRetention(10)
+        eng.sql("create schema q76")
+        eng.sql("use q76")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(
+          """create table cust (c_custkey int, c_nationkey int,
+            |c_acctbal float, c_mktsegment char,
+            |PRIMARY KEY(c_custkey))""".stripMargin)
+        eng.sql(
+          """insert into cust select c_custkey, c_nationkey,
+            |c_acctbal, c_mktsegment from cust_src""".stripMargin)           // v1
+        eng.sql(
+          "update cust set c_acctbal = 0.0 where c_mktsegment = 'BUILDING'") // v2
+        eng.sql("delete from cust where c_nationkey = 3")                    // v3
+        eng.sql("restore cust to version as of 1")                           // v4 = v1 image
+        eng.sql("delete from cust where c_mktsegment = 'MACHINERY'")         // v5
+        eng.sql(
+          """select 'cur' as snap, c_mktsegment as seg, count(*) as n,
+            |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0 as bal
+            |from cust group by c_mktsegment
+            |union all
+            |select 'v3' as snap, c_mktsegment as seg, count(*) as n,
+            |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0 as bal
+            |from cust version as of 3 group by c_mktsegment
+            |order by snap, seg""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""WITH cur AS (SELECT 'cur' AS snap, c_mktsegment AS seg,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 AS bal
+        |  FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        |  GROUP BY c_mktsegment),
+        |v3 AS (SELECT 'v3' AS snap, c_mktsegment AS seg,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |        THEN CAST(0 AS BIGINT)
+        |        ELSE CAST(round(c_acctbal * 100) AS BIGINT) END)
+        |      AS DOUBLE) / 100.0 AS bal
+        |  FROM customer WHERE c_nationkey <> 3 GROUP BY c_mktsegment)
+        |SELECT * FROM cur UNION ALL SELECT * FROM v3
+        |ORDER BY snap, seg""".stripMargin)),
+
     // ---- managed KV tables through the statement surface — the
     // reference's KV-as-primary-store semantics
     // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:

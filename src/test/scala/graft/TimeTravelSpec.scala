@@ -236,4 +236,69 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.head.getString(0) == "lit version as of 1" &&
       r.head.getLong(1) == 5L)
   }
+
+  test("RESTORE rewinds data as a new version; history and DDL survive") {
+    val (e, dir) = freshEngine()
+    e.setVersionRetention(10)
+    e.sql("create table rt (id int, v int, PRIMARY KEY(id))")
+    e.sql("insert into rt values (1, 10), (2, 20), (3, 30)") // v1
+    e.sql("update rt set v = 99 where id = 2")               // v2
+    e.sql("delete from rt where id = 3")                     // v3
+    // restore commits a NEW version (v4) whose image is v1
+    assert(e.sql("restore rt to version as of 1") == AffectedRows(3))
+    val cur = e.query("select id, v from rt order by id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cur.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // history preserved: the pre-restore image still time-travels
+    assert(e.query("select count(*) from rt version as of 3")
+      .head().getLong(0) == 2L)
+    assert(e.query("show versions for rt").count() == 5) // v0..v4
+    // CDF across the restore shows what the rewind undid
+    val cdf = e.changes("rt", 3, 4).collect()
+      .map(r => r.getAs[String]("_change_type")).sorted
+    assert(cdf.toSeq == Seq("insert", "update_postimage", "update_preimage"))
+    // restore-to-current is a no-op: no version committed
+    assert(e.sql("restore rt to version as of 4") == AffectedRows(0))
+    assert(e.query("show versions for rt").count() == 5)
+    // data-only: a column added AFTER the target version stays
+    // declared and reads NULL from the restored image
+    e.sql("alter table rt add column w int")                 // v5
+    e.sql("update rt set w = 7 where id = 1")                // v6
+    assert(e.sql("restore rt to version as of 1") == AffectedRows(3))
+    val w = e.query("select w from rt where id = 1").head()
+    assert(w.isNullAt(0))
+    // guard rails: out-of-retention / unknown versions, external reject
+    assertThrows[GraftException](e.sql("restore rt to version as of 99"))
+    assertThrows[GraftException](e.sql("restore no_such to version as of 1"))
+  }
+
+  test("VACUUM reclaims old versions now, keeps policy and current image") {
+    val (e, dir) = freshEngine()
+    e.setVersionRetention(10)
+    e.sql("create table vt (id int, v int, PRIMARY KEY(id))")
+    e.sql("insert into vt values (1, 10), (2, 20)")   // v1
+    e.sql("update vt set v = 21 where id = 2")        // v2
+    e.sql("update vt set v = 22 where id = 2")        // v3
+    e.sql("update vt set v = 23 where id = 2")        // v4
+    assert(e.query("show versions for vt").count() == 5) // v0..v4
+    // retain 2 => v0..v2 go
+    assert(e.sql("vacuum vt retain 2 versions") == AffectedRows(3))
+    assert(e.query("show versions for vt").count() == 2)
+    // current image intact; vacuumed snapshot now errors with the
+    // standard retention message; retained one still reads
+    assert(e.query("select v from vt where id = 2").head().getLong(0) == 23L)
+    assert(e.query("select v from vt version as of 3 where id = 2")
+      .head().getLong(0) == 22L)
+    val ex = intercept[GraftException](
+      e.query("select * from vt version as of 1").collect())
+    assert(ex.msg.contains("retention") || ex.msg.contains("does not exist"))
+    // idempotent: nothing left to reclaim
+    assert(e.sql("vacuum vt retain 2 versions") == AffectedRows(0))
+    // guard rails: floor of 2, external tables rejected, 1146 unknown
+    assertThrows[GraftException](e.sql("vacuum vt retain 1 versions"))
+    assertThrows[GraftException](e.sql("vacuum no_such_table"))
+    // policy unchanged: the NEXT commit still retains 10
+    e.sql("update vt set v = 24 where id = 2") // v5
+    assert(e.query("show versions for vt").count() == 3) // v3, v4, v5
+  }
 }
