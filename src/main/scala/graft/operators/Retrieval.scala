@@ -278,4 +278,38 @@ object Retrieval {
     post.unpersist(blocking = false)
     out
   }
+
+  /** Hard-negative mining for embedding-model training — the "BM25
+    * negatives" practice (Karpukhin et al. 2020, Dense Passage
+    * Retrieval): from a ranked retrieval list, keep the
+    * highest-ranked documents NOT in the exclusion set. Random
+    * negatives are trivially separable; the confusable top-ranked
+    * non-answers are what teach a dense encoder its decision
+    * boundary. `exclude` should carry every (query, doc) pair that
+    * must not become a negative: the labeled positives, and the
+    * query's own source document when it is retrievable.
+    *
+    * Scale shape: `ranked` is already a top-k list (≤ k rows per
+    * query), so everything here is candidate-sized — one hash
+    * anti-join against the distinct exclusion pairs (the only frame
+    * that grows with the corpus; it enters keyed on (query, doc) and
+    * AQE sizes the join), then a per-query re-rank window over ≤ k
+    * rows, bounded partitions by construction. The corpus-scale work
+    * lives upstream in the retriever.
+    *
+    * Returns every `ranked` column plus `neg_rnk` (1..nNeg, ordered
+    * by the original rank), filtered to the first `nNeg` survivors
+    * per query. */
+  def hardNegatives(ranked: DataFrame, qidCol: String, idCol: String,
+      rankCol: String, exclude: DataFrame, exQidCol: String,
+      exIdCol: String, nNeg: Int): DataFrame = {
+    require(nNeg >= 1, s"nNeg $nNeg must be >= 1")
+    val ex = exclude.select(col(exQidCol).as(qidCol), col(exIdCol).as(idCol))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col(rankCol))
+    ranked.join(ex, Seq(qidCol, idCol), "left_anti")
+      .withColumn("neg_rnk", row_number().over(w).cast("long"))
+      .filter(col("neg_rnk") <= nNeg)
+  }
 }

@@ -3344,6 +3344,49 @@ object Pipeline {
         |SELECT est.scope, est.q_ppm, est.n, est.est, ex.exact,
         |  abs(est.est - ex.exact) AS abs_err
         |FROM est JOIN ex ON ex.scope = est.scope AND ex.q_ppm = est.q_ppm
-        |ORDER BY est.scope, est.q_ppm""".stripMargin))
+        |ORDER BY est.scope, est.q_ppm""".stripMargin)),
+
+    // ---- p99: hard-negative mining for embedding-model training —
+    // the DPR "BM25 negatives" practice (Karpukhin et al. 2020): the
+    // top-ranked retrieved docs that are NOT same-source (and not the
+    // query doc itself) become training negatives. Exclusion set =
+    // same-source pairs INCLUDING self; the p59 BM25 machinery
+    // supplies the ranked list, so every score replays in DuckDB and
+    // the mining itself is candidate-sized (≤ k rows per query).
+    "p99_hard_negatives" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val queries = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5))
+              .as("qtext"))
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 20)
+        val exclude = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"), col("source"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("source"))
+          .select(col("query_id"), col("doc_id")) // self kept: never a negative
+        Retrieval.hardNegatives(lex, "query_id", "doc_id", "rnk",
+            exclude, "query_id", "doc_id", nNeg = 5)
+          .select(col("query_id"), col("neg_rnk"), col("doc_id"),
+            col("score_micro"), col("rnk").cast("long").as("orig_rnk"))
+          .orderBy(col("query_id"), col("neg_rnk"))
+      },
+      Some(s"""WITH $duckBm25,
+        |ex AS (SELECT q.doc_id AS query_id, d.doc_id AS doc_id
+        |  FROM documents q JOIN documents d USING (source)
+        |  WHERE q.doc_id % 100 = 0),
+        |neg AS (SELECT bm.query_id, bm.doc_id, bm.score_micro, bm.rnk
+        |  FROM bm LEFT JOIN ex ON ex.query_id = bm.query_id
+        |    AND ex.doc_id = bm.doc_id
+        |  WHERE bm.rnk <= 20 AND ex.doc_id IS NULL),
+        |rr AS (SELECT query_id, doc_id, score_micro, rnk,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rnk) AS BIGINT) AS neg_rnk
+        |  FROM neg)
+        |SELECT query_id, neg_rnk, doc_id, score_micro,
+        |  CAST(rnk AS BIGINT) AS orig_rnk
+        |FROM rr WHERE neg_rnk <= 5
+        |ORDER BY query_id, neg_rnk""".stripMargin))
   )
 }

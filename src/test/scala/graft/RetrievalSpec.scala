@@ -200,4 +200,24 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       k = 10).collect().sortBy(_.getAs[Long]("rnk"))
     assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(20L, 21L))
   }
+
+  test("hard negatives: excluded pairs skipped, survivors re-ranked") {
+    import spark.implicits._
+    val ranked = Seq( // two queries, ranks 1..4 each
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L), (2L, 23L, 4L)
+    ).toDF("query_id", "doc_id", "rnk")
+    // q1 excludes its positive 11 and itself-as-doc 10;
+    // q2 excludes nothing (all four are negatives, nNeg caps at 2)
+    val ex = Seq((1L, 11L), (1L, 10L), (1L, 10L)) // dup must not matter
+      .toDF("query_id", "doc_id")
+    val r = Retrieval.hardNegatives(ranked, "query_id", "doc_id",
+        "rnk", ex, "query_id", "doc_id", nNeg = 2)
+      .select(col("query_id"), col("neg_rnk"), col("doc_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 12L), (1L, 2L, 13L), // survivors keep original order
+      (2L, 1L, 20L), (2L, 2L, 21L)))
+  }
 }
