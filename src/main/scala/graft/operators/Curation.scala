@@ -697,4 +697,66 @@ object Curation {
           .as("risk_ppm"))
       .orderBy(col(byCol))
   }
+
+  /** Behavioral-trace → next-event training examples: gap-sessionize
+    * an ordered event stream per key, render each session as (input =
+    * the session's events minus the last, space-joined; target = the
+    * last event) — the assembly step that turns logs into
+    * next-action-prediction SFT rows (the sequential-recommendation
+    * data shape: SASRec, Kang & McAuley 2018). `maxContext` keeps
+    * only the LAST that-many events of the input — context-window
+    * truncation from the recent end, the side a causal model actually
+    * conditions on. Single-event sessions have no target and drop.
+    *
+    * Determinism: events order by (`tsCol`, `tieCol`) — a total order
+    * the oracle replays; the rendered token string comes from the
+    * caller (`tokCol`, pre-rendered), so every string this emits is
+    * engine-independent.
+    *
+    * Scale shape: one per-key window (lag + running sum — partitions
+    * bounded by a key's own history) assigns session indexes, then
+    * ONE (key, session) aggregate collects each session's
+    * (ts, tie, tok) structs — bounded by the session gap by
+    * construction (a human-scale burst, never the corpus). Sorting,
+    * prefix/suffix split, truncation and joining are all narrow
+    * array ops inside codegen after the aggregate. Two data-sized
+    * exchanges total; nothing collects driver-side.
+    *
+    * Returns (key, session_idx 1.., n_events, n_context, input,
+    * target). */
+  def sessionExamples(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, tokCol: String, gapMs: Long,
+      maxContext: Int): DataFrame = {
+    require(gapMs >= 1, s"gapMs $gapMs must be >= 1")
+    require(maxContext >= 1, s"maxContext $maxContext must be >= 1")
+    // µs-exact ordering: events.parquet carries µs timestamps, and a
+    // string assembly (unlike a count) diverges if two same-ms events
+    // swap — so the order key is unix_micros + the caller's tie
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol))
+    val sess = df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") > gapMs * 1000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    sess.groupBy(col(keyCol), col("session_idx"))
+      .agg(sort_array(collect_list(
+        struct(col("__us"), col(tieCol).as("__tie"),
+          col(tokCol).cast("string").as("__tok")))).as("__evs"))
+      .filter(size(col("__evs")) >= 2)
+      .select(col(keyCol), col("session_idx"),
+        size(col("__evs")).cast("long").as("n_events"),
+        expr(s"""slice(transform(slice(__evs, 1, size(__evs) - 1),
+          |  e -> e.__tok),
+          |  greatest(1, size(__evs) - 1 - ${maxContext} + 1),
+          |  ${maxContext})""".stripMargin).as("__ctx"),
+        expr("element_at(__evs, -1).__tok").as("target"))
+      .select(col(keyCol), col("session_idx"), col("n_events"),
+        size(col("__ctx")).cast("long").as("n_context"),
+        array_join(col("__ctx"), " ").as("input"), col("target"))
+  }
 }

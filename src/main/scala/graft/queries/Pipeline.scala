@@ -3387,6 +3387,49 @@ object Pipeline {
         |SELECT query_id, neg_rnk, doc_id, score_micro,
         |  CAST(rnk AS BIGINT) AS orig_rnk
         |FROM rr WHERE neg_rnk <= 5
-        |ORDER BY query_id, neg_rnk""".stripMargin))
+        |ORDER BY query_id, neg_rnk""".stripMargin)),
+
+    // ---- p100: behavioral traces → next-event training examples
+    // (the sequential-recommendation data shape, SASRec): 30-min gap
+    // sessions per user, each rendered as input = the session minus
+    // its last event (truncated to the most recent 8 — the side a
+    // causal model conditions on) and target = the last event. Token
+    // strings are event_type:cents so both engines render
+    // byte-identical text; ordering is µs + event_id everywhere.
+    "p100_sft_examples" -> Q(
+      (s, dir) => graft.operators.Curation.sessionExamples(
+        tbl(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          concat(col("event_type"), lit(":"),
+            cents(col("value")).cast("string")).as("tok")),
+        "user_id", "ts", "event_id", "tok",
+        gapMs = 1800000L, maxContext = 8)
+        .orderBy(col("user_id"), col("session_idx")),
+      Some("""WITH o AS (SELECT user_id, ts, event_id,
+        |    event_type || ':' ||
+        |      CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS tok,
+        |    epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, tok,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS session_idx
+        |  FROM o),
+        |g AS (SELECT user_id, session_idx,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    list(tok ORDER BY ts, event_id) AS toks
+        |  FROM s GROUP BY 1, 2),
+        |t AS (SELECT user_id, session_idx, n_events,
+        |    toks[greatest(1, CAST(n_events AS INTEGER) - 8):
+        |      (CAST(n_events AS INTEGER) - 1)] AS ctx,
+        |    toks[CAST(n_events AS INTEGER)] AS target
+        |  FROM g WHERE n_events >= 2)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  n_events, CAST(len(ctx) AS BIGINT) AS n_context,
+        |  array_to_string(ctx, ' ') AS input, target
+        |FROM t ORDER BY user_id, session_idx""".stripMargin))
   )
 }

@@ -2145,6 +2145,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       none.getAs[Long]("n_rows_dropped") == 0L)
   }
 
+  test("sessionExamples: gap split, order, truncation, singleton drop") {
+    import spark.implicits._
+    val t0 = 1700000000000000L // µs epoch
+    def ts(offsetSec: Long) =
+      new java.sql.Timestamp((t0 + offsetSec * 1000000L) / 1000L)
+    val u1 = Seq(
+      // user 1, session 1: 3 events 10s apart (one out-of-order row)
+      (1L, ts(0), 1L, "a"), (1L, ts(20), 3L, "c"), (1L, ts(10), 2L, "b"),
+      // user 1, session 2 (31-min gap): a singleton — must drop
+      (1L, ts(1860 + 20), 4L, "d"))
+    // user 2: 10 events 1s apart — input truncates to last 4
+    val u2 = (0 until 10).map(i =>
+      (2L, ts(100 + i), 50L + i, ('p' + i).toChar.toString))
+    val df = (u1 ++ u2).toDF("user_id", "ts", "event_id", "tok")
+    val r = graft.operators.Curation.sessionExamples(
+        df, "user_id", "ts", "event_id", "tok",
+        gapMs = 1800000L, maxContext = 4)
+      .collect().map(x => (x.getAs[Long]("user_id"),
+        x.getAs[Long]("session_idx"), x.getAs[Long]("n_events"),
+        x.getAs[Long]("n_context"), x.getAs[String]("input"),
+        x.getAs[String]("target")))
+      .sortBy(t => (t._1, t._2))
+    // user 1: one surviving session, ordered a b despite input order,
+    // target c; the singleton session 2 dropped
+    // user 2: 10 events, context = last 4 of the 9-event prefix
+    assert(r.toSeq == Seq(
+      (1L, 1L, 3L, 2L, "a b", "c"),
+      (2L, 1L, 10L, 4L, "u v w x", "y")))
+  }
+
   test("binQuantileRollup: exact twin is the order statistic; union merges") {
     import spark.implicits._
     // two buckets: d1 = 1..100, d2 = 101..200 (values in cents units)
