@@ -291,11 +291,16 @@ object Retrieval {
     *
     * Scale shape: `ranked` is already a top-k list (≤ k rows per
     * query), so everything here is candidate-sized — one hash
-    * anti-join against the distinct exclusion pairs (the only frame
-    * that grows with the corpus; it enters keyed on (query, doc) and
-    * AQE sizes the join), then a per-query re-rank window over ≤ k
-    * rows, bounded partitions by construction. The corpus-scale work
-    * lives upstream in the retriever.
+    * anti-join against the distinct exclusion pairs, then a per-query
+    * re-rank window over ≤ k rows, bounded partitions by
+    * construction. The exclusion frame is the one input the CALLER
+    * must keep bounded: labeled positives are sparse (a handful per
+    * query — fine as-is), but an ATTRIBUTE-derived exclusion ("every
+    * same-source doc") is a quadratic cross product if materialized —
+    * build it candidate-restricted instead (semi-join the attribute
+    * pairs on `ranked` first; exclusion only matters where it
+    * intersects the candidates — the p99 battery entry is the
+    * worked example, 208s → 43s at its 100× point).
     *
     * Returns every `ranked` column plus `neg_rnk` (1..nNeg, ordered
     * by the original rank), filtered to the first `nNeg` survivors
