@@ -45,6 +45,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
 
   private var schemas: Set[String] = Set.empty
   private var tables: Map[(String, String), TableDef] = Map.empty
+  // (schema, name) -> stored SELECT body, engine dialect (expanded
+  // per statement in doSelect; persisted in info-schema `views`)
+  private var views: Map[(String, String), String] = Map.empty
   private var globals: Map[String, String] = Map.empty
 
   // Engine sessions get the banded range-join rewrite automatically
@@ -86,10 +89,22 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * thread-local so concurrent read statements from different
     * sessions can't see each other's current schema. */
   private val activeTL = new ThreadLocal[GraftSession]
+  // view names being expanded on this thread — cycle breaker for
+  // recursively-defined views (doSelect)
+  private val viewStack: ThreadLocal[Set[(String, String)]] =
+    ThreadLocal.withInitial(() => Set.empty[(String, String)])
 
   private def active: GraftSession = activeTL.get()
 
-  private def currentSchema: Option[String] = active.currentSchema
+  // definer-schema resolution: while a view body expands, bare names
+  // resolve against the view's OWN schema (MySQL semantics), not the
+  // statement's session schema — a thread-local so concurrent
+  // sessions never see each other's override
+  private val schemaOverrideTL: ThreadLocal[Option[String]] =
+    ThreadLocal.withInitial(() => None)
+
+  private def currentSchema: Option[String] =
+    schemaOverrideTL.get().orElse(active.currentSchema)
 
   /** How many newest committed versions each COW table keeps on disk.
     * The floor of 2 is the in-flight-reader grace window
@@ -157,6 +172,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       else if (lower.matches("(?s)create\\s+external\\s+table\\b.*"))
         doCreateExternalTable(stmt)
       else if (lower.matches("(?s)create\\s+table\\b.*")) doCreateTable(stmt)
+      else if (lower.matches("(?s)create\\s+(or\\s+replace\\s+)?view\\b.*"))
+        doCreateView(stmt)
+      else if (lower.matches("(?s)drop\\s+view\\b.*")) doDropView(stmt)
       else if (lower.matches("(?s)drop\\s+(schema|database)\\b.*"))
         doDropSchema(stmt)
       else if (lower.matches("(?s)drop\\s+table\\b.*")) doDropTable(stmt)
@@ -251,10 +269,19 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         r.getAs[String]("index_name"), r.getAs[Long]("seq_in_index"),
         r.getAs[String]("column_name")))
     val tbls = spark.read.parquet(s"$infoRoot/tables").collect()
+      .filter(_.getAs[String]("table_type") != "VIEW")
       .map(r => (r.getAs[String]("table_schema"), r.getAs[String]("table_name"),
         r.getAs[Long]("data_version"),
         Option(r.getAs[String]("location")).filter(_.nonEmpty),
         r.getAs[String]("engine").stripPrefix("external_")))
+    // pre-views warehouses have no views catalog — empty map
+    views =
+      if (new File(s"$infoRoot/views").exists())
+        spark.read.parquet(s"$infoRoot/views").collect()
+          .map(r => (r.getAs[String]("table_schema"),
+            r.getAs[String]("table_name")) ->
+            r.getAs[String]("view_definition")).toMap
+      else Map.empty
     schemas = sch
     tables = tbls.map { case (s, t, v, loc, fmt) =>
       val cds = cols.filter(c => c._1 == s && c._2 == t).sortBy(_._4)
@@ -343,7 +370,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
 
   private val infoTables = Seq("schemata", "tables", "columns", "statistics",
     "table_constraints", "key_column_usage", "check_constraints",
-    "referential_constraints")
+    "referential_constraints", "views")
 
   /** Info tables whose content depends on table definitions — the
     * set a table-level DDL statement has to rewrite. `schemata` only
@@ -357,13 +384,16 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val defs = tables.values.toSeq
     name match {
       case "schemata" => InfoSchema.schemata(spark, schemas.toSeq)
-      case "tables" => InfoSchema.tables(spark, defs)
+      case "tables" =>
+        InfoSchema.tables(spark, defs, views.keys.toSeq)
       case "columns" => InfoSchema.columns(spark, defs)
       case "statistics" => InfoSchema.statistics(spark, defs)
       case "table_constraints" => InfoSchema.tableConstraints(spark, defs)
       case "key_column_usage" => InfoSchema.keyColumnUsage(spark, defs)
       case "check_constraints" => InfoSchema.checkConstraints(spark)
       case "referential_constraints" => InfoSchema.referentialConstraints(spark)
+      case "views" => InfoSchema.views(spark,
+        views.toSeq.map { case ((sc, n), d) => (sc, n, d) })
     }
   }
 
@@ -416,7 +446,11 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
 
   private def lookup(raw: String): TableDef = {
     val (s, t) = resolveName(raw)
-    tables.getOrElse((s, t), throw Errors.noSuchTable(s, t))
+    tables.getOrElse((s, t), {
+      if (views.contains((s, t))) throw Errors.generic(
+        s"'$s.$t' is a view — this statement targets base tables")
+      throw Errors.noSuchTable(s, t)
+    })
   }
 
   private def readFull(td: TableDef): DataFrame =
@@ -549,6 +583,47 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     spark.catalog.setCurrentDatabase(currentSchema.getOrElse("default"))
     var sqlText = rewrite(stmt)
     val shadowed = scala.collection.mutable.ArrayBuffer[String]()
+    // view expansion FIRST: each referenced view becomes a temp view
+    // whose frame is the stored body run through this same pipeline
+    // recursively — nested views, time travel and rowid shadows
+    // inside bodies all compose for free. A thread-local stack breaks
+    // definition cycles (CREATE OR REPLACE can introduce one after
+    // both definitions validated), and a thread-local schema override
+    // gives a body MySQL's definer-schema resolution: its bare names
+    // resolve against the view's own schema, wherever the read runs.
+    views.foreach { case ((vs, vn), body) =>
+      val shadowName = s"__view_${vs}_$vn"
+      val (rewritten, qualified) =
+        replaceQualifiedRef(sqlText, vs, vn, shadowName)
+      val bare = !qualified && currentSchema.contains(vs) &&
+        containsIdent(sqlText, vn)
+      if (qualified || bare) {
+        val key = (vs, vn)
+        val stack = viewStack.get()
+        if (stack.contains(key)) throw Errors.generic(
+          s"view '$vs.$vn' is recursively defined")
+        viewStack.set(stack + key)
+        val prevOverride = schemaOverrideTL.get()
+        schemaOverrideTL.set(Some(vs))
+        val df =
+          try doSelect(body) match {
+            case ResultSet(d) => d
+            case other => throw Errors.generic(
+              s"view '$vs.$vn' body returned $other, not rows")
+          } finally {
+            viewStack.set(stack)
+            schemaOverrideTL.set(prevOverride)
+          }
+        if (qualified) {
+          sqlText = rewritten
+          df.createOrReplaceTempView(shadowName)
+          shadowed += shadowName
+        } else {
+          df.createOrReplaceTempView(vn)
+          shadowed += vn
+        }
+      }
+    }
     // time travel: each `<table> VERSION AS OF <n>` becomes a temp
     // view over that table's committed v<n> snapshot (same
     // register-then-drop discipline as the rowid shadows below).
@@ -692,10 +767,11 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       throw Errors.unknownDb(name)
     }
     tables.values.filter(_.schema == name).toSeq.foreach(dropTableImpl)
+    views = views.filterNot(_._1._1 == name)
     schemas -= name
     spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
     if (currentSchema.contains(name)) active.currentSchema = None
-    persistInfoSchema("schemata" +: tableShapeInfo)
+    persistInfoSchema("schemata" +: "views" +: tableShapeInfo)
     AffectedRows(1)
   }
 
@@ -714,7 +790,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         "(managed tables are PARQUET or KV; other formats via CREATE EXTERNAL TABLE)")
     val (schema, name) = resolveName(m.group(2))
     if (!schemas.contains(schema)) throw Errors.unknownDb(schema)
-    if (tables.contains((schema, name))) {
+    if (tables.contains((schema, name)) ||
+        views.contains((schema, name))) {
       if (ifNotExists) return AffectedRows(0)
       throw Errors.tableExists(name)
     }
@@ -815,7 +892,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val ifNotExists = m.group(1) != null
     val (schema, name) = resolveName(m.group(2))
     if (!schemas.contains(schema)) throw Errors.unknownDb(schema)
-    if (tables.contains((schema, name))) {
+    if (tables.contains((schema, name)) ||
+        views.contains((schema, name))) {
       if (ifNotExists) return AffectedRows(0)
       throw Errors.tableExists(name)
     }
@@ -869,7 +947,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val fmt = Option(m.group(3)).map(_.toLowerCase).getOrElse("parquet")
     val path = m.group(4)
     if (!schemas.contains(schema)) throw Errors.unknownDb(schema)
-    if (tables.contains((schema, name))) {
+    if (tables.contains((schema, name)) ||
+        views.contains((schema, name))) {
       if (ifNotExists) return AffectedRows(0)
       throw Errors.tableExists(name)
     }
@@ -1305,6 +1384,56 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       .filter(_.getName.drop(1).toLong <= td.version - n)
     stale.foreach(deleteRecursively)
     AffectedRows(stale.length.toLong)
+  }
+
+  /** `CREATE [OR REPLACE] VIEW <name> AS <select>` — a stored,
+    * persisted SELECT (info-schema `views`; listed as TABLE_TYPE
+    * 'VIEW' in `tables` and SHOW FULL TABLES). The body is validated
+    * NOW by full analysis through [[doSelect]] (unknown tables / bad
+    * SQL fail the DDL, not the later read), then stored as text and
+    * re-expanded per statement — so a view always reflects the
+    * CURRENT state of its base tables, including schema changes that
+    * re-analyze cleanly. Name conflicts with tables or views → 1050;
+    * OR REPLACE swaps the definition atomically under the write
+    * lock. Beyond the reference surface (it ships only the
+    * Create_view_priv flag in SHOW GRANTS, no view execution —
+    * `show_grants.rs:1283`); semantics follow MySQL except
+    * definer-schema name resolution (see [[doSelect]]). */
+  private def doCreateView(stmt: String): GraftResult = {
+    val m = "(?is)^create\\s+(or\\s+replace\\s+)?view\\s+(\\S+)\\s+as\\s+(.+)$".r
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(
+        s"cannot parse: ${stmt.take(60)} (expected CREATE [OR REPLACE] VIEW <name> AS <select>)"))
+    val orReplace = m.group(1) != null
+    val (vs, vn) = resolveName(m.group(2))
+    if (!schemas.contains(vs)) throw Errors.unknownDb(vs)
+    if (tables.contains((vs, vn))) throw Errors.tableExists(vn)
+    if (views.contains((vs, vn)) && !orReplace) throw Errors.tableExists(vn)
+    val body = m.group(3).trim
+    doSelect(body) // validate: full analysis, result discarded
+    views += (vs, vn) -> body
+    persistInfoSchema(Seq("views", "tables"))
+    AffectedRows(0)
+  }
+
+  /** `DROP VIEW [IF EXISTS] <name>` — 1051 when absent (and a
+    * targeted error when the name is a base table: DROP TABLE is the
+    * statement for those). */
+  private def doDropView(stmt: String): GraftResult = {
+    val m = "(?is)^drop\\s+view\\s+(if\\s+exists\\s+)?(\\S+)\\s*$".r
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val ifExists = m.group(1) != null
+    val (vs, vn) = resolveName(m.group(2))
+    if (!views.contains((vs, vn))) {
+      if (ifExists) return AffectedRows(0)
+      if (tables.contains((vs, vn))) throw Errors.generic(
+        s"'$vs.$vn' is a base table — use DROP TABLE")
+      throw Errors.unknownTable(vn)
+    }
+    views -= ((vs, vn))
+    persistInfoSchema(Seq("views", "tables"))
+    AffectedRows(0)
   }
 
   /** `RESTORE [TABLE] <name> [TO] VERSION AS OF <n>` — rewind the
@@ -2009,8 +2138,10 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         .orElse(currentSchema)
         .getOrElse(throw Errors.noSchemaSelected)
       if (!schemas.contains(db)) throw Errors.unknownDb(db)
-      val base = tables.values.filter(_.schema == db).toSeq
-        .map(t => (t.name, "BASE TABLE")).sortBy(_._1)
+      val base = (tables.values.filter(_.schema == db).toSeq
+        .map(t => (t.name, "BASE TABLE")) ++
+        views.keys.filter(_._1 == db).map(v => (v._2, "VIEW")))
+        .sortBy(_._1)
         .toDF(s"Tables_in_$db", "Table_type")
       val filtered = likeFilter(base, s"Tables_in_$db", likePat)
       ResultSet(if (full) filtered else filtered.drop("Table_type"))
@@ -2020,9 +2151,16 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
       showColumns(lookup(m.group(1)))
     } else if (lower.startsWith("show create table")) {
-      val td = lookup(stmt.trim.split("\\s+").last)
-      ResultSet(Seq((td.name, td.createTableSql))
-        .toDF("Table", "Create Table"))
+      val raw = stmt.trim.split("\\s+").last
+      val (cs, cn) = resolveName(raw)
+      if (views.contains((cs, cn)))
+        ResultSet(Seq((cn, s"CREATE VIEW $cn AS ${views((cs, cn))}"))
+          .toDF("View", "Create View"))
+      else {
+        val td = lookup(raw)
+        ResultSet(Seq((td.name, td.createTableSql))
+          .toDF("Table", "Create Table"))
+      }
     } else if (lower.matches("show versions (for|from|in) .*")) {
       // time-travel history: the on-disk version directories still
       // inside the retention window (newest first). `Current` marks

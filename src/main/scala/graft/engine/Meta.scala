@@ -122,17 +122,31 @@ object InfoSchema {
         "default_character_set_name", "default_collation_name")
   }
 
-  def tables(s: SparkSession, defs: Seq[TableDef]): DataFrame = {
+  def tables(s: SparkSession, defs: Seq[TableDef],
+      views: Seq[(String, String)] = Nil): DataFrame = {
     import s.implicits._
-    defs.sortBy(t => (t.schema, t.name))
+    (defs.sortBy(t => (t.schema, t.name))
       .map(t => (Catalog, t.schema, t.name, "BASE TABLE",
         // managed format round-trips through this column (load()
         // strips the external_ prefix): parquet for COW tables, kv
         // for managed LSM tables
         if (t.external) s"external_${t.format}" else t.format, t.version,
-        t.location.getOrElse("")))
+        t.location.getOrElse(""))) ++
+      views.sorted.map { case (vs, vn) =>
+        (Catalog, vs, vn, "VIEW", "VIEW", 0L, "")
+      })
       .toDF("table_catalog", "table_schema", "table_name",
         "table_type", "engine", "data_version", "location")
+  }
+
+  /** Persisted view definitions — MySQL's information_schema.views
+    * shape (definition text only; the engine re-analyzes per read). */
+  def views(s: SparkSession, vs: Seq[(String, String, String)]): DataFrame = {
+    import s.implicits._
+    vs.sortBy(v => (v._1, v._2))
+      .map { case (sc, n, d) => (Catalog, sc, n, d) }
+      .toDF("table_catalog", "table_schema", "table_name",
+        "view_definition")
   }
 
   def columns(s: SparkSession, defs: Seq[TableDef]): DataFrame = {

@@ -1132,6 +1132,59 @@ object Parity {
         |SELECT * FROM cur UNION ALL SELECT * FROM v3
         |ORDER BY snap, seg""".stripMargin)),
 
+    // ---- views under the oracle gate: CREATE VIEW (a persisted,
+    // re-analyzed-per-read SELECT over external tables), a nested
+    // view on top, and a read through the nested view from ANOTHER
+    // schema — exercising definer-schema resolution (the inner view's
+    // bare names bind to its own schema) and recursive expansion. The
+    // oracle replays both layers as CTEs. Beyond the reference
+    // surface (it ships only the view privilege flags).
+    "q77_engine_view" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q77_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q77")
+        eng.sql("use q77")
+        eng.sql(s"create external table ord USING PARQUET LOCATION '$dir/orders.parquet'")
+        eng.sql(s"create external table cust USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(
+          """create view cust_orders as
+            |select c_mktsegment as seg, o_orderstatus as st,
+            |  count(*) as n,
+            |  sum(cast(round(o_totalprice * 100) as bigint)) as cents
+            |from ord join cust on o_custkey = c_custkey
+            |group by c_mktsegment, o_orderstatus""".stripMargin)
+        eng.sql(
+          """create view seg_summary as
+            |select seg, count(*) as n_status, sum(n) as n_orders,
+            |  cast(sum(cents) as double) / 100.0 as total
+            |from cust_orders group by seg""".stripMargin)
+        eng.sql("create schema q77other")
+        eng.sql("use q77other")
+        eng.sql(
+          """select seg, n_status, n_orders, total
+            |from q77.seg_summary where n_orders > 0
+            |order by seg""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""WITH cust_orders AS (
+        |  SELECT c_mktsegment AS seg, o_orderstatus AS st,
+        |    count(*) AS n,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_orderstatus),
+        |seg_summary AS (
+        |  SELECT seg, count(*) AS n_status, sum(n) AS n_orders,
+        |    CAST(sum(cents) AS DOUBLE) / 100.0 AS total
+        |  FROM cust_orders GROUP BY seg)
+        |SELECT seg, n_status, CAST(n_orders AS BIGINT) AS n_orders,
+        |  total
+        |FROM seg_summary WHERE n_orders > 0
+        |ORDER BY seg""".stripMargin)),
+
     // ---- managed KV tables through the statement surface — the
     // reference's KV-as-primary-store semantics
     // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:

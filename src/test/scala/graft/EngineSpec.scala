@@ -673,4 +673,80 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ex = intercept[GraftException](e.sql("analyze table nope"))
     assert(ex.code == 1146)
   }
+
+  test("views: create, read, nest, replace, list, drop") {
+    val e = freshEngine()
+    e.sql("create schema vw"); e.sql("use vw")
+    e.sql("create table t (id int, grp char, v int, PRIMARY KEY(id))")
+    e.sql("insert into t values (1,'a',10), (2,'a',20), (3,'b',30)")
+    e.sql("create view agg as select grp, count(*) as n, sum(v) as s " +
+      "from t group by grp")
+    // reads reflect the CURRENT base table, later mutations included
+    assert(rows(e.sql("select * from agg order by grp")) ==
+      Seq(Seq("a", 2L, 30L), Seq("b", 1L, 30L)))
+    e.sql("insert into t values (4,'b',40)")
+    assert(rows(e.sql("select s from agg where grp = 'b'")) ==
+      Seq(Seq(70L)))
+    // nested view + schema-qualified reference from another schema
+    e.sql("create view big as select grp from agg where s >= 50")
+    assert(rows(e.sql("select * from big")) == Seq(Seq("b")))
+    e.sql("create schema other"); e.sql("use other")
+    assert(rows(e.sql("select * from vw.big")) == Seq(Seq("b")))
+    e.sql("use vw")
+    // OR REPLACE swaps the definition; plain create on a taken name
+    // (table or view) is 1050, bad body fails the DDL with no change
+    e.sql("create or replace view big as select grp from agg where s >= 500")
+    assert(rows(e.sql("select * from big")).isEmpty)
+    assert(intercept[GraftException](
+      e.sql("create view t as select 1 as x")).code == 1050)
+    assert(intercept[GraftException](
+      e.sql("create view agg as select 1 as x")).code == 1050)
+    assert(intercept[GraftException](
+      e.sql("create view bad as select nope from t")).code == 1105)
+    assert(rows(e.sql("show tables")).flatten ==
+      Seq("agg", "big", "t"))
+    assert(rows(e.sql("show full tables")).map(_(1)) ==
+      Seq("VIEW", "VIEW", "BASE TABLE"))
+    assert(rows(e.sql("show create table agg")).head.head == "agg")
+    // DML through a view is rejected with a targeted message
+    val dml = intercept[GraftException](
+      e.sql("update agg set n = 0"))
+    assert(dml.msg.contains("view"), dml.msg)
+    // DROP VIEW; DROP TABLE stays for base tables; 1051 when absent
+    assert(e.sql("drop view big") == AffectedRows(0))
+    assert(intercept[GraftException](
+      e.sql("select * from big")).code == 1146)
+    assert(intercept[GraftException](e.sql("drop view t")).msg
+      .contains("base table"))
+    assert(intercept[GraftException](e.sql("drop view big")).code == 1051)
+    assert(e.sql("drop view if exists big") == AffectedRows(0))
+  }
+
+  test("views: persist across restart; replace-cycle is caught") {
+    val dir = Files.createTempDirectory("graft_wh_").toString
+    val e = new GraftEngine(spark, dir)
+    e.sql("create schema vp"); e.sql("use vp")
+    e.sql("create table t (id int, PRIMARY KEY(id))")
+    e.sql("insert into t values (1), (2)")
+    e.sql("create view v1 as select count(*) as n from t")
+    e.sql("create view v2 as select n + 1 as m from v1")
+    // a replace can only introduce a cycle AFTER both validated —
+    // the read must fail loudly, not hang
+    e.sql("create or replace view v1 as select m as n from v2")
+    val cyc = intercept[GraftException](e.query("select * from v1").collect())
+    assert(cyc.msg.contains("recursiv"), cyc.msg)
+    e.sql("create or replace view v1 as select count(*) as n from t")
+    // restart: definitions come back from the info-schema catalog
+    val e2 = new GraftEngine(spark, dir)
+    e2.sql("use vp")
+    assert(rows(e2.sql("select * from v2")) == Seq(Seq(3L)))
+    assert(rows(e2.sql(
+      "select table_name from information_schema.views order by 1"))
+      .flatten == Seq("v1", "v2"))
+    // drop schema sweeps its views
+    e2.sql("drop schema vp")
+    val e3 = new GraftEngine(spark, dir)
+    assert(rows(e3.sql(
+      "select count(*) from information_schema.views")).head.head == 0L)
+  }
 }
