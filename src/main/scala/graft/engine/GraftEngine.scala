@@ -149,13 +149,14 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val stmt = statementRaw.trim.stripSuffix(";").trim
     if (stmt.isEmpty) throw Errors.generic("empty statement")
     val lower = stmt.toLowerCase
+    // BEGIN/COMMIT/ROLLBACK take the WRITE lock: they mutate the
+    // engine-wide GC pin registry (txnPins), and ROLLBACK re-commits
+    // table images
     val readOnly = lower.startsWith("select") || lower.startsWith("with") ||
       lower.startsWith("values") || lower.startsWith("(") ||
       lower.startsWith("explain") || lower.startsWith("show") ||
       lower.startsWith("desc") || lower.startsWith("use") ||
-      lower.startsWith("set") || lower.startsWith("commit") ||
-      lower.startsWith("rollback") || lower.startsWith("begin") ||
-      lower.startsWith("start transaction") || lower.startsWith("analyze")
+      lower.startsWith("set") || lower.startsWith("analyze")
     val l: java.util.concurrent.locks.Lock =
       if (readOnly) lock.readLock() else lock.writeLock()
     // save/restore instead of set/remove: EXPLAIN re-enters sqlAs for
@@ -164,6 +165,12 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     activeTL.set(ses)
     l.lock()
     try {
+      // MySQL implicit commit: DDL ends any open transaction BEFORE
+      // executing — a txn can never hold undo entries for a table
+      // whose shape (or existence) changed under it
+      if (ses.txn.isDefined && lower.matches(
+        "(?s)(create|drop|alter|truncate|rename|optimize|vacuum|restore)\\b.*"))
+        endTxn(ses)
       if (lower.startsWith("select") || lower.startsWith("with") ||
         lower.startsWith("values") || lower.startsWith("(")) doSelect(stmt)
       else if (lower.startsWith("explain")) doExplain(stmt)
@@ -191,9 +198,20 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       else if (lower.startsWith("use")) doUse(stmt)
       else if (lower.startsWith("desc")) doDescribe(stmt)
       else if (lower.startsWith("set")) AffectedRows(0) // no-op, like SetVariable (set_variable.rs:34-36)
-      else if (lower.startsWith("commit") || lower.startsWith("rollback") ||
-        lower.startsWith("begin") || lower.startsWith("start transaction"))
-        AffectedRows(0) // autocommit only (execution.rs:1265-1267)
+      else if (lower.startsWith("truncate")) doTruncate(stmt)
+      else if (lower.startsWith("rename")) doRename(stmt)
+      // Reference treats all three as accepted no-ops — autocommit
+      // only (execution.rs:1265-1267). Documented deviation: BEGIN
+      // opens a real transaction over the version store (see
+      // [[GraftSession.txn]]); with no BEGIN the autocommit behavior
+      // is unchanged.
+      else if (lower.startsWith("begin") || lower.startsWith("start transaction")) {
+        endTxn(ses) // MySQL: BEGIN implicitly commits any open txn
+        ses.txn = Some(scala.collection.mutable.LinkedHashMap.empty)
+        AffectedRows(0)
+      }
+      else if (lower.startsWith("commit")) { endTxn(ses); AffectedRows(0) }
+      else if (lower.startsWith("rollback")) doRollback(ses)
       else throw Errors.generic(s"unsupported statement: ${stmt.take(60)}")
     } catch {
       case e: GraftException => throw e
@@ -1018,6 +1036,14 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       .r.findFirstMatchIn(stmt)
     val drop = "(?is)^alter\\s+table\\s+(\\S+)\\s+drop\\s+(?:column\\s+)?(\\w+)\\s*$"
       .r.findFirstMatchIn(stmt)
+    // the ALTER spelling of RENAME TABLE (same semantics, one table)
+    val ren = "(?is)^alter\\s+table\\s+(\\S+)\\s+rename\\s+(?:(?:to|as)\\s+)?(\\S+)\\s*$"
+      .r.findFirstMatchIn(stmt)
+    ren.foreach { m =>
+      renameImpl(lookup(m.group(1)), resolveName(m.group(2)))
+      persistInfoSchema(tableShapeInfo)
+      return AffectedRows(0)
+    }
     (add, drop) match {
       case (Some(m), _) =>
         val td = lookup(m.group(1))
@@ -1169,7 +1195,13 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
           kept = kept.join(newRows.select(cs.map(col): _*), cs, "left_anti")
         }
         writeVersion(td, kept.unionByName(newRows))
-      } else if (retainVersions > 2) {
+      } else if (retainVersions > 2 ||
+          Option(active).flatMap(_.txn).isDefined) {
+        // version commit also whenever a transaction is open: the
+        // in-place append below would bypass writeVersion's undo log
+        // and make an insert-only transaction silently unrollbackable.
+        // Cost matches time-travel mode: existing files are carried
+        // as hard links, never rewritten.
         // time-travel mode: every INSERT is a version commit so each
         // statement is a readable snapshot. Existing files are
         // CARRIED (hard links) — the commit costs O(existing files)
@@ -1463,6 +1495,17 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     requireNotKv(td, "RESTORE")
     val v = m.group(2).toLong
     if (v == td.version) return AffectedRows(0L)
+    restoreImpl(td, v)
+    val ntd = tables((td.schema, td.name))
+    // parquet count(*) is footer-only — no data scan
+    AffectedRows(spark.read.schema(ntd.fullSchema)
+      .parquet(tableDir(ntd)).count())
+  }
+
+  /** Core of RESTORE (shared with ROLLBACK): re-commit the version-`v`
+    * data image, aligned to the CURRENT declared schema, as a NEW
+    * version. Throws the standard retention error if `v` is gone. */
+  private def restoreImpl(td: TableDef, v: Long): Unit = {
     val snap = snapshotRaw(td, v) // throws the retention error if gone
     val have = snap.columns.toSet
     val aligned = snap.select(
@@ -1471,10 +1514,127 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         else lit(null).cast(c.sparkType).as(c.name)
       }: _*)
     writeVersion(td, aligned)
-    val ntd = tables((td.schema, td.name))
-    // parquet count(*) is footer-only — no data scan
-    AffectedRows(spark.read.schema(ntd.fullSchema)
-      .parquet(tableDir(ntd)).count())
+  }
+
+  /** GC pins from open transactions: (schema, table) → the pre-txn
+    * versions some session may still ROLLBACK to (a multiset — two
+    * sessions can pin the same version). [[writeVersion]]'s grace GC
+    * never deletes a version directory at or above a table's lowest
+    * pin, however many COW commits a long transaction stacks on top
+    * of it. Mutated only under the write lock: undo recording happens
+    * inside mutation statements, and BEGIN/COMMIT/ROLLBACK classify
+    * as write statements in [[sqlAs]]. Pins live and die with the
+    * process, like the sessions that own them — after a crash,
+    * reconcileVersions' plain retention window applies. */
+  private val txnPins =
+    scala.collection.mutable.Map[(String, String), List[Long]]()
+
+  /** Close `ses`'s transaction, if open, releasing its GC pins.
+    * COMMIT is exactly this: every mutation already committed its COW
+    * version when it ran — transaction demarcation here buys UNDO
+    * (rollback-to-snapshot), not deferred visibility. Isolation is
+    * unchanged from autocommit (read-committed-ish: other sessions
+    * see each statement as it lands), documented in SURVEY §2.7. */
+  private def endTxn(ses: GraftSession): Unit = {
+    ses.txn.foreach(_.foreach { case (k, v) =>
+      txnPins.updateWith(k) {
+        case Some(vs) =>
+          val rest = vs.diff(List(v))
+          if (rest.isEmpty) None else Some(rest)
+        case None => None
+      }
+    })
+    ses.txn = None
+  }
+
+  /** ROLLBACK — rewind every version-store table this transaction
+    * mutated to its logged pre-transaction version, via the RESTORE
+    * machinery (each rewind is itself a NEW version: history is
+    * preserved and the rollback is CDF-visible, like RESTORE).
+    * Managed-KV mutations are NOT rewound — LSM segment appends are
+    * non-transactional storage here, exactly MySQL's behavior for a
+    * non-transactional engine inside a transaction. Rollback with no
+    * open transaction is a no-op. */
+  private def doRollback(ses: GraftSession): GraftResult = {
+    val log = ses.txn.map(_.toSeq).getOrElse(Nil)
+    // end FIRST: the restore commits below must not log undo entries
+    // into the very transaction they are unwinding. Their source
+    // snapshots stay safe without pins — writeVersion reads the old
+    // image before its GC step runs, and GC is per-table.
+    endTxn(ses)
+    log.foreach { case ((s, t), v) =>
+      // best-effort across concurrent DDL: a table another session
+      // dropped or renamed since our first write has nothing to
+      // rewind under this name
+      tables.get((s, t)).foreach { td =>
+        if (td.version != v) restoreImpl(td, v)
+      }
+    }
+    AffectedRows(0)
+  }
+
+  /** `TRUNCATE [TABLE] <name>` — commit an EMPTY image as a new
+    * version. DDL, MySQL semantics: implicitly commits (sqlAs ended
+    * any open transaction before dispatch) and cannot be rolled back
+    * — but the pre-truncate data stays time-travelable within
+    * retention, and a RESTORE undoes it. Returns 0 affected rows,
+    * as MySQL does. */
+  private def doTruncate(stmt: String): GraftResult = {
+    val m = "(?is)^truncate\\s+(?:table\\s+)?(\\S+)\\s*$".r
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(
+        s"cannot parse: ${stmt.take(60)} (expected TRUNCATE [TABLE] <name>)"))
+    val td = lookup(m.group(1))
+    requireWritable(td)
+    requireNotKv(td, "TRUNCATE")
+    writeVersion(td, spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), td.fullSchema))
+    AffectedRows(0)
+  }
+
+  /** `RENAME TABLE <a> TO <b>[, <c> TO <d>]…` — catalog move, renamed
+    * left to right (each step sees the previous steps' results, so
+    * MySQL's chain-swap idiom `a TO tmp, b TO a, tmp TO b` works).
+    * Managed tables (parquet AND kv) move their whole version/segment
+    * directory tree: all retained history travels with the name, so
+    * time travel, CDF and RESTORE keep working across a rename.
+    * External tables keep their data in place (location-addressed).
+    * Views are NOT rewritten — like MySQL, a view referencing the old
+    * name breaks at next expansion (1146). */
+  private def doRename(stmt: String): GraftResult = {
+    val body = stmt.trim.replaceFirst("(?is)^rename\\s+table\\s+", "")
+    if (body == stmt.trim)
+      throw Errors.generic(s"cannot parse: ${stmt.take(60)}")
+    val pairs = body.split(",").toSeq.map { p =>
+      p.trim.split("(?i)\\s+to\\s+") match {
+        case Array(a, b) => (a.trim, b.trim)
+        case _ => throw Errors.generic(s"cannot parse: ${stmt.take(60)} " +
+          "(expected RENAME TABLE a TO b[, c TO d]…)")
+      }
+    }
+    pairs.foreach { case (from, to) => renameImpl(lookup(from), resolveName(to)) }
+    persistInfoSchema(tableShapeInfo)
+    AffectedRows(0)
+  }
+
+  private def renameImpl(td: TableDef, to: (String, String)): Unit = {
+    val (ns, nn) = to
+    if (!schemas.contains(ns)) throw Errors.unknownDb(ns)
+    if (tables.contains((ns, nn)) || views.contains((ns, nn)))
+      throw GraftException(1050, s"Table '$ns.$nn' already exists")
+    spark.sql(s"DROP TABLE IF EXISTS `${td.schema}`.`${td.name}`")
+    if (!td.external) {
+      val src = new File(s"$dataRoot/${td.schema}/${td.name}")
+      val dst = new File(s"$dataRoot/$ns/$nn")
+      if (src.exists()) {
+        dst.getParentFile.mkdirs()
+        Files.move(src.toPath, dst.toPath)
+      }
+    }
+    tables -= ((td.schema, td.name))
+    val ntd = td.copy(schema = ns, name = nn)
+    tables += (ns, nn) -> ntd
+    registerTable(ntd)
   }
 
   private def doDelete(stmt: String): GraftResult = {
@@ -2038,6 +2198,17 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * reconciliation GCs, exactly as before. */
   private def writeVersion(td: TableDef, df: DataFrame,
       carry: Seq[File] = Nil): Unit = {
+    // open transaction on this session? log the table's PRE-mutation
+    // version once (first write wins — that's the rollback target)
+    // and pin it against the grace GC below. ROLLBACK's own restore
+    // commits never land here: doRollback ends the txn first.
+    Option(active).flatMap(_.txn).foreach { log =>
+      val k = (td.schema, td.name)
+      if (!log.contains(k)) {
+        log(k) = td.version
+        txnPins.updateWith(k)(vs => Some(td.version :: vs.getOrElse(Nil)))
+      }
+    }
     val ntd = td.copy(version = td.version + 1)
     val finalDir = new File(tableDir(ntd))
     if (carry.isEmpty) {
@@ -2078,10 +2249,17 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     // contract: collect promptly). [[retainVersions]] above the floor
     // is time-travel history, kept across restarts
     // ([[reconcileVersions]] applies the same window).
+    // never GC at or above a table's lowest txn pin: an open
+    // transaction's ROLLBACK target must survive however many COW
+    // commits the transaction stacks on top of the retention window
+    val pinFloor = txnPins.get((td.schema, td.name)).map(_.min)
     val base = new File(tableDir(ntd)).getParentFile
     Option(base.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .filter(_.getName.drop(1).toLong <= ntd.version - retainVersions)
+      .filter { f =>
+        val v = f.getName.drop(1).toLong
+        v <= ntd.version - retainVersions && pinFloor.forall(v < _)
+      }
       .foreach(deleteRecursively)
   }
 

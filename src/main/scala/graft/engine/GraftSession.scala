@@ -27,6 +27,20 @@ class GraftSession private[engine] (val engine: GraftEngine) {
   private[engine] val prepared =
     scala.collection.mutable.Map[Int, (String, Int)]()
 
+  /** Open-transaction undo log: table → data version BEFORE this
+    * transaction's first mutation of it. `None` = autocommit (every
+    * statement commits, the reference's only mode —
+    * `/root/reference/src/core/execution.rs:1265-1267` treats
+    * BEGIN/COMMIT/ROLLBACK as accepted no-ops). A `BEGIN` here opens
+    * a real transaction instead: ROLLBACK rewinds every mutated
+    * version-store table to its logged pre-transaction version
+    * through the RESTORE machinery (a documented deviation — the
+    * engine improves on the reference's silent no-op). Guarded by
+    * the engine statement locks: only the session's own statement
+    * thread touches it, under [[GraftEngine.sqlAs]]. */
+  private[engine] var txn: Option[
+    scala.collection.mutable.LinkedHashMap[(String, String), Long]] = None
+
   /** Execute one SQL statement in this session. */
   def sql(statement: String): GraftResult = engine.sqlAs(this, statement)
 

@@ -1185,6 +1185,73 @@ object Parity {
         |FROM seg_summary WHERE n_orders > 0
         |ORDER BY seg""".stripMargin)),
 
+    // ---- transactions through the statement surface: BEGIN /
+    // ROLLBACK / COMMIT over the version store. The reference accepts
+    // all three as no-ops (`/root/reference/src/core/execution.rs:
+    // 1265-1267`, autocommit only); here BEGIN opens a real
+    // snapshot-undo transaction — ROLLBACK rewinds every mutated
+    // table to its pre-transaction version through the RESTORE
+    // machinery (documented deviation/improvement, SURVEY §2.7). The
+    // chain: seed cust from customer; a transaction that zeroes
+    // BUILDING balances, deletes nations < 10 and inserts a GHOST row
+    // is ROLLED BACK (fully undone); a second transaction (+100.00 to
+    // AUTOMOBILE balances, delete nation 3) COMMITs; a trailing bare
+    // ROLLBACK is a no-op. The table is then RENAMEd (catalog +
+    // version-history move) and a scratch copy is TRUNCATEd (DDL:
+    // empty image committed as a new version). The gated statement
+    // reads the renamed table plus the truncated one — only the
+    // committed transaction's effects are visible. The oracle applies
+    // exactly those, declaratively.
+    "q78_engine_txn" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q78_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q78")
+        eng.sql("use q78")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(
+          """create table cust (c_custkey int, c_nationkey int,
+            |c_acctbal float, c_mktsegment char,
+            |PRIMARY KEY(c_custkey))""".stripMargin)
+        eng.sql(
+          """insert into cust select c_custkey, c_nationkey, c_acctbal,
+            |c_mktsegment from cust_src""".stripMargin)
+        eng.sql("begin")
+        eng.sql("update cust set c_acctbal = 0.0 where c_mktsegment = 'BUILDING'")
+        eng.sql("delete from cust where c_nationkey < 10")
+        eng.sql("insert into cust values (99999999, 0, 1.0, 'GHOST')")
+        eng.sql("rollback") // every statement above: undone
+        eng.sql("begin")
+        eng.sql("update cust set c_acctbal = c_acctbal + 100.0 where c_mktsegment = 'AUTOMOBILE'")
+        eng.sql("delete from cust where c_nationkey = 3")
+        eng.sql("commit")
+        eng.sql("rollback") // no-op: nothing open
+        eng.sql("rename table cust to cust_final")
+        eng.sql("create table junk (id int, PRIMARY KEY(id))")
+        eng.sql("insert into junk select c_custkey from cust_src")
+        eng.sql("truncate table junk")
+        eng.sql(
+          """select c_mktsegment as seg, count(*) as n,
+            |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0 as bal
+            |from cust_final group by c_mktsegment
+            |union all
+            |select 'TRUNCATED' as seg, count(*) as n, 0.0 as bal from junk
+            |order by seg""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+        |  CAST(sum(CAST(round((c_acctbal +
+        |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 100.0 ELSE 0.0 END)
+        |    * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS bal
+        |FROM customer WHERE c_nationkey <> 3
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'TRUNCATED' AS seg, CAST(0 AS BIGINT) AS n, 0.0 AS bal
+        |ORDER BY seg""".stripMargin)),
+
     // ---- managed KV tables through the statement surface — the
     // reference's KV-as-primary-store semantics
     // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:

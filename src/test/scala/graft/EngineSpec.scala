@@ -749,4 +749,210 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e3.sql(
       "select count(*) from information_schema.views")).head.head == 0L)
   }
+
+  // ---- transactions: BEGIN / COMMIT / ROLLBACK over the version
+  // store (documented deviation from the reference's accepted no-ops,
+  // execution.rs:1265-1267 — with no BEGIN, autocommit is unchanged)
+
+  private def txnEngine(): GraftEngine = {
+    val e = freshEngine()
+    e.sql("create schema tx"); e.sql("use tx")
+    e.sql("create table t (id int, v char, PRIMARY KEY(id))")
+    e.sql("insert into t values (1, 'a'), (2, 'b'), (3, 'c')")
+    e
+  }
+
+  test("txn: rollback undoes a multi-statement transaction") {
+    val e = txnEngine()
+    e.setVersionRetention(10) // keep mid-txn history time-travelable
+    e.sql("begin")
+    assert(e.sql("update t set v = 'X' where id = 1") == AffectedRows(1))
+    assert(e.sql("delete from t where id = 2") == AffectedRows(1))
+    assert(e.sql("insert into t values (4, 'd')") == AffectedRows(1))
+    // mid-txn state is live (read-committed: no deferred visibility)
+    assert(rows(e.sql("select count(*) from t")).head.head == 3L)
+    assert(e.sql("rollback") == AffectedRows(0))
+    assert(rows(e.sql("select id, v from t order by id")) ==
+      Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    // the rollback is itself a committed version: mid-txn state stays
+    // time-travelable (v1 insert, v2 update, v3 delete, v4 insert,
+    // v5 = rollback restore of v1)
+    assert(rows(e.sql("select v from t version as of 2 where id = 1")) ==
+      Seq(Seq("X")))
+  }
+
+  test("txn: commit persists; rollback after commit is a no-op") {
+    val e = txnEngine()
+    e.sql("begin")
+    e.sql("update t set v = 'X' where id = 1")
+    assert(e.sql("commit") == AffectedRows(0))
+    assert(e.sql("rollback") == AffectedRows(0))
+    assert(rows(e.sql("select v from t where id = 1")) == Seq(Seq("X")))
+  }
+
+  test("txn: BEGIN implicitly commits the open transaction") {
+    val e = txnEngine()
+    e.sql("begin")
+    e.sql("update t set v = 'first' where id = 1")
+    e.sql("start transaction") // commits the first txn, opens a new one
+    e.sql("update t set v = 'second' where id = 2")
+    e.sql("rollback") // undoes only the second
+    assert(rows(e.sql("select id, v from t order by id")) ==
+      Seq(Seq(1, "first"), Seq(2, "b"), Seq(3, "c")))
+  }
+
+  test("txn: DDL implicitly commits (MySQL semantics)") {
+    val e = txnEngine()
+    e.sql("begin")
+    e.sql("update t set v = 'X' where id = 1")
+    e.sql("alter table t add column extra int") // implicit commit
+    e.sql("rollback") // nothing left to roll back
+    assert(rows(e.sql("select v from t where id = 1")) == Seq(Seq("X")))
+    assert(rows(e.sql("select extra from t where id = 1")) ==
+      Seq(Seq(null)))
+  }
+
+  test("txn: an insert-only transaction rolls back (no in-place append leak)") {
+    val e = txnEngine() // default retention: inserts normally append in place
+    e.sql("begin")
+    e.sql("insert into t values (4, 'd'), (5, 'e')")
+    assert(rows(e.sql("select count(*) from t")).head.head == 5L)
+    e.sql("rollback")
+    assert(rows(e.sql("select id from t order by id")).flatten == Seq(1, 2, 3))
+  }
+
+  test("txn: rollback with no open transaction is a no-op") {
+    val e = txnEngine()
+    assert(e.sql("rollback") == AffectedRows(0))
+    assert(rows(e.sql("select count(*) from t")).head.head == 3L)
+  }
+
+  test("txn: GC pin — rollback target survives deep version stacks") {
+    val e = txnEngine()
+    e.setVersionRetention(2) // floor: without the pin, v1 dies fast
+    e.sql("begin")
+    (1 to 6).foreach(i => e.sql(s"update t set v = 'x$i' where id = 1"))
+    // six COW commits later, v1 is far outside the retention window;
+    // only the txn pin keeps it restorable
+    e.sql("rollback")
+    assert(rows(e.sql("select id, v from t order by id")) ==
+      Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+  }
+
+  test("txn: rollback restores every table the transaction touched") {
+    val e = txnEngine()
+    e.sql("create table u (id int, n int, PRIMARY KEY(id))")
+    e.sql("insert into u values (1, 10)")
+    e.sql("begin")
+    e.sql("update t set v = 'X' where id = 1")
+    e.sql("update u set n = 99 where id = 1")
+    e.sql("delete from u where id = 1")
+    e.sql("rollback")
+    assert(rows(e.sql("select v from t where id = 1")) == Seq(Seq("a")))
+    assert(rows(e.sql("select n from u where id = 1")) == Seq(Seq(10)))
+  }
+
+  test("txn: per-session — one session's txn does not capture another's writes") {
+    val e = txnEngine()
+    val s2 = e.newSession()
+    s2.sql("use tx")
+    e.sql("begin")
+    e.sql("update t set v = 'mine' where id = 1")
+    s2.sql("update t set v = 'theirs' where id = 2") // autocommit
+    e.sql("rollback")
+    // the rollback rewinds t to THIS session's pre-txn version —
+    // which predates s2's autocommitted write. Documented limitation
+    // of snapshot-undo without cross-session write locking: last
+    // rollback wins on a shared table.
+    assert(rows(e.sql("select v from t where id = 1")) == Seq(Seq("a")))
+  }
+
+  test("txn: managed-KV mutations are non-transactional (survive rollback)") {
+    val e = freshEngine()
+    e.sql("create schema txkv"); e.sql("use txkv")
+    e.sql("create table kvt (k int, v char) using kv")
+    e.sql("insert into kvt values (1, 'a')")
+    e.sql("begin")
+    e.sql("insert into kvt values (2, 'b')")
+    e.sql("rollback") // like MySQL + a non-transactional engine
+    assert(rows(e.sql("select count(*) from kvt")).head.head == 2L)
+  }
+
+  // ---- TRUNCATE
+
+  test("truncate: empties the table, history stays travelable") {
+    val e = txnEngine()
+    e.setVersionRetention(10)
+    assert(e.sql("truncate table t") == AffectedRows(0))
+    assert(rows(e.sql("select count(*) from t")).head.head == 0L)
+    // pre-truncate image is one version back (v0: in-place inserts
+    // don't bump; the truncate committed v1)
+    assert(rows(e.sql("select count(*) from t version as of 0")).head.head == 3L)
+    // and RESTORE undoes the truncate
+    e.sql("restore t to version as of 0")
+    assert(rows(e.sql("select count(*) from t")).head.head == 3L)
+    // bare spelling, kv/external rejected
+    assert(e.sql("truncate t") == AffectedRows(0))
+    assert(intercept[GraftException](
+      e.sql("truncate nope")).code == 1146)
+  }
+
+  test("truncate: DDL — implicitly commits, cannot be rolled back") {
+    val e = txnEngine()
+    e.sql("begin")
+    e.sql("update t set v = 'X' where id = 1")
+    e.sql("truncate table t") // implicit commit releases the undo log
+    e.sql("rollback")
+    assert(rows(e.sql("select count(*) from t")).head.head == 0L)
+  }
+
+  // ---- RENAME TABLE
+
+  test("rename: catalog + history move; old name gone (1146)") {
+    val e = txnEngine()
+    e.sql("update t set v = 'X' where id = 1") // v1: some history
+    assert(e.sql("rename table t to t2") == AffectedRows(0))
+    assert(rows(e.sql("select id, v from t2 where id = 1")) ==
+      Seq(Seq(1, "X")))
+    // version history travelled with the name
+    assert(rows(e.sql("select v from t2 version as of 0 where id = 1")) ==
+      Seq(Seq("a")))
+    assert(intercept[GraftException](e.sql("select * from t")).code == 1146)
+    assert(rows(e.sql("show tables")).map(_.head) == Seq("t2"))
+    // DML keeps working on the new name
+    assert(e.sql("delete from t2 where id = 3") == AffectedRows(1))
+  }
+
+  test("rename: chain swap, collisions, alter spelling") {
+    val e = txnEngine()
+    e.sql("create table u (id int, n int, PRIMARY KEY(id))")
+    e.sql("insert into u values (9, 90)")
+    // MySQL chain-swap idiom: left-to-right evaluation
+    assert(e.sql("rename table t to tmp, u to t, tmp to u") ==
+      AffectedRows(0))
+    assert(rows(e.sql("select n from t where id = 9")) == Seq(Seq(90)))
+    assert(rows(e.sql("select count(*) from u")).head.head == 3L)
+    // collision with an existing table → 1050
+    assert(intercept[GraftException](
+      e.sql("rename table t to u")).code == 1050)
+    // unknown target schema → 1049
+    assert(intercept[GraftException](
+      e.sql("rename table t to nope.t")).code == 1049)
+    // ALTER TABLE spelling
+    assert(e.sql("alter table t rename to t_alt") == AffectedRows(0))
+    assert(rows(e.sql("select n from t_alt where id = 9")) == Seq(Seq(90)))
+  }
+
+  test("rename: survives restart via the info-schema catalog") {
+    val dir = Files.createTempDirectory("graft_wh_").toString
+    val e = new GraftEngine(spark, dir)
+    e.sql("create schema rn"); e.sql("use rn")
+    e.sql("create table t (id int, PRIMARY KEY(id))")
+    e.sql("insert into t values (1), (2)")
+    e.sql("rename table t to t2")
+    val e2 = new GraftEngine(spark, dir)
+    e2.sql("use rn")
+    assert(rows(e2.sql("select count(*) from t2")).head.head == 2L)
+    assert(intercept[GraftException](e2.sql("select * from t")).code == 1146)
+  }
 }
