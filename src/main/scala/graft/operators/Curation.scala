@@ -759,4 +759,126 @@ object Curation {
         size(col("__ctx")).cast("long").as("n_context"),
         array_join(col("__ctx"), " ").as("input"), col("target"))
   }
+
+  /** Preference-pair construction (the DPO / RLHF reward-model data
+    * shape, Rafailov et al. 2023): per key, pair the best-scored
+    * candidate ("chosen") with the worst-scored one ("rejected"),
+    * keeping only keys with at least two candidates and a score
+    * margin of at least `minMargin` — pairs with no real preference
+    * signal teach nothing. Scores must be integral (compare exactly);
+    * ties break on `tieCol` (max side takes the larger tie, min side
+    * the smaller — both total orders the oracle replays).
+    *
+    * Scale shape: ONE partial-aggregable groupBy — `max_by`/`min_by`
+    * over a (score, tie) struct are declarative aggregates, so each
+    * map task reduces its rows to one candidate pair per key before
+    * the single hash exchange; state per key is two structs, never
+    * the candidate list. No windows, no self-joins.
+    *
+    * Returns (key, chosen, rejected, chosen_score, rejected_score,
+    * margin, n_candidates). */
+  def preferencePairs(df: DataFrame, keyCol: String, itemCol: String,
+      scoreCol: String, tieCol: String, minMargin: Long): DataFrame = {
+    require(minMargin >= 1, s"minMargin $minMargin must be >= 1")
+    df.groupBy(col(keyCol))
+      .agg(
+        max_by(struct(col(itemCol).as("item"),
+            col(scoreCol).cast("long").as("score")),
+          struct(col(scoreCol).cast("long"), col(tieCol))).as("__c"),
+        min_by(struct(col(itemCol).as("item"),
+            col(scoreCol).cast("long").as("score")),
+          struct(col(scoreCol).cast("long"), col(tieCol))).as("__r"),
+        count(lit(1)).as("n_candidates"))
+      .filter(col("n_candidates") >= 2 &&
+        col("__c.score") - col("__r.score") >= minMargin)
+      .select(col(keyCol), col("__c.item").as("chosen"),
+        col("__r.item").as("rejected"),
+        col("__c.score").as("chosen_score"),
+        col("__r.score").as("rejected_score"),
+        (col("__c.score") - col("__r.score")).as("margin"),
+        col("n_candidates"))
+  }
+
+  /** Token-budget corpus selection: order the corpus by a quality
+    * score (descending, `idCol` tie-break) and keep the prefix whose
+    * cumulative `weight` stays within `budgetPpm` parts-per-million
+    * of the corpus-total weight — "spend 40% of the token budget on
+    * the highest-quality documents", the data-selection step before
+    * a training run (quality-pruning as in Gopher / FineWeb-style
+    * curation). All arithmetic is integral: the gate is
+    * `cum*1e6 <= total*budgetPpm`, exact in any engine.
+    *
+    * Scale shape: the global quality-ordered running sum is
+    * [[Ranks.withGlobalRunningSum]]'s two-pass — one hash shuffle on
+    * the caller's score-derived `bucket` (monotone in descending
+    * score; its width is the parallelism knob), a bucket-count
+    * prefix table of fixed size, zero whole-corpus windows. A naive
+    * `Window.orderBy(score)` here would drag 100 TB through one
+    * task — the trap this operator exists to avoid.
+    *
+    * Returns the selected rows (id, qscore, weight, sel_rank,
+    * cum_weight, total_weight). */
+  def budgetSelect(df: DataFrame, idCol: String, score: Column,
+      weight: Column, bucket: Column, budgetPpm: Long): DataFrame = {
+    require(budgetPpm >= 1 && budgetPpm <= 1000000L,
+      s"budgetPpm $budgetPpm must be in [1, 1e6]")
+    val scored = df.select(col(idCol), score.cast("long").as("qscore"),
+      weight.cast("long").as("weight"))
+    Ranks.withGlobalRunningSum(scored, bucket,
+        Seq(col("qscore").desc, col(idCol)), col("weight"),
+        rankCol = "sel_rank", cumCol = "cum_weight",
+        totalCol = "total_weight")
+      .filter(col("cum_weight") * lit(1000000L) <=
+        col("total_weight") * lit(budgetPpm))
+      .select(col(idCol), col("qscore"), col("weight"),
+        col("sel_rank").cast("long").as("sel_rank"),
+        col("cum_weight"), col("total_weight"))
+  }
+
+  /** Length-bucketed training-batch assembly: group sequences into
+    * power-of-two length buckets (bucket = bit-length of the token
+    * count — `length(bin(n))`, exact in integer space), order each
+    * bucket by (length, id), cut batches of `batchSize`, and report
+    * per-batch padding waste (`n_seqs·max_len − sum_len` — the tokens
+    * a fixed-shape batch pads away). Length-bucketed batching is the
+    * standard dynamic-batching trick for sequence-model training;
+    * this is its planning/audit step.
+    *
+    * Scale shape: the within-bucket ordinal is NOT a per-bucket
+    * window (a handful of buckets would serialize the corpus through
+    * a handful of tasks) — it is the two-pass trick at (bucket, len)
+    * grain: a partitioned window over (bucket, len) groups, plus a
+    * (bucket, len)-count prefix table (rows ≤ distinct lengths,
+    * bounded by max sequence length, never the corpus) broadcast
+    * back. One data-sized hash exchange + one batch-sized aggregate.
+    *
+    * Returns (len_bucket, batch_idx 0.., n_seqs, max_len, sum_len,
+    * pad_tokens) ordered by nothing — callers sort. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, len: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize $batchSize must be >= 1")
+    val base = df.select(col(idCol), len.cast("long").as("__len"))
+      .filter(col("__len") >= 1)
+      .withColumn("__bkt", length(bin(col("__len"))).cast("int"))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt"), col("__len")).orderBy(col(idCol))
+    val local = base.withColumn("__lr", row_number().over(wLoc))
+    val counts = base.groupBy(col("__bkt"), col("__len"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col("__len"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offsets = counts.select(col("__bkt"), col("__len"),
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), Seq("__bkt", "__len"))
+      .withColumn("__rn", col("__off") + col("__lr"))
+      .withColumn("batch_idx",
+        expr(s"CAST((__rn - 1) DIV ${batchSize}L AS BIGINT)"))
+      .groupBy(col("__bkt").as("len_bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_seqs"), max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .withColumn("pad_tokens",
+        col("n_seqs") * col("max_len") - col("sum_len"))
+  }
 }

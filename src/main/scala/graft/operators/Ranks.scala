@@ -56,6 +56,45 @@ object Ranks {
       .drop("__b", "__lr", "__off")
   }
 
+  /** Append a global rank AND a global running `sum(weight)` over the
+    * same ordering — the primitive behind budget-prefix selection
+    * ("take documents in quality order until the token budget is
+    * spent"). Identical two-pass shape to [[withGlobalRank]]: local
+    * rank + local running sum per bucket, then a bucket-level
+    * (count, sum) table — one row per bucket, fixed by bucket width —
+    * prefix-summed in a single bounded task and broadcast back.
+    * `bucket` must be numeric and monotone non-decreasing along
+    * `order`, with ordering-prefix ties never straddling a boundary
+    * (derive it from the leading order column). `weight` must be
+    * integral (the running sum stays exact under any partitioning). */
+  def withGlobalRunningSum(df: DataFrame, bucket: Column,
+      order: Seq[Column], weight: Column, rankCol: String = "rank",
+      cumCol: String = "cum_weight",
+      totalCol: String = "total_weight"): DataFrame = {
+    val b = df.withColumn("__b", bucket)
+      .withColumn("__w", weight.cast("long"))
+    val wLoc = Window.partitionBy(col("__b")).orderBy(order: _*)
+    val local = b
+      .withColumn("__lr", row_number().over(wLoc))
+      .withColumn("__ls", sum(col("__w")).over(
+        wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val counts = b.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c"), sum(col("__w")).as("__s"))
+    val one = pmod(col("__b"), lit(1))
+    val wOff = Window.partitionBy(one).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(one)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(col("__b"),
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__roff"),
+      coalesce(sum(col("__s")).over(wOff), lit(0L)).as("__soff"),
+      sum(col("__s")).over(wTot).as(totalCol))
+    local.join(broadcast(offsets), Seq("__b"))
+      .withColumn(rankCol, col("__roff") + col("__lr"))
+      .withColumn(cumCol, col("__soff") + col("__ls"))
+      .drop("__b", "__w", "__lr", "__ls", "__roff", "__soff")
+  }
+
   /** ntile over a global rank: first (n mod t) tiles get one extra
     * row — the standard SQL ntile split, computed from (rank, n)
     * without any global window. */

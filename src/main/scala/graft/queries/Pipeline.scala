@@ -3441,6 +3441,107 @@ object Pipeline {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         |  n_events, CAST(len(ctx) AS BIGINT) AS n_context,
         |  array_to_string(ctx, ' ') AS input, target
-        |FROM t ORDER BY user_id, session_idx""".stripMargin))
+        |FROM t ORDER BY user_id, session_idx""".stripMargin)),
+
+    // ---- p101: DPO-style preference pairs — per user, best vs worst
+    // purchase by exact cents, ties broken on event_id (max side high,
+    // min side low), requiring >= 2 candidates and margin >= 1. One
+    // partial-aggregable max_by/min_by groupBy; no windows, no joins.
+    "p101_preference_pairs" -> Q(
+      (s, dir) => graft.operators.Curation.preferencePairs(
+        tbl(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            cents(col("value")).as("score_cents")),
+        "user_id", "event_id", "score_cents", "event_id",
+        minMargin = 1L)
+        .orderBy(col("user_id")),
+      Some("""WITH p AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS sc
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, sc,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY sc DESC, event_id DESC) AS rc,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY sc ASC, event_id ASC) AS rr,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM p)
+        |SELECT ch.user_id, ch.event_id AS chosen,
+        |  rj.event_id AS rejected, ch.sc AS chosen_score,
+        |  rj.sc AS rejected_score, ch.sc - rj.sc AS margin,
+        |  ch.n AS n_candidates
+        |FROM (SELECT * FROM c WHERE rc = 1) ch
+        |JOIN (SELECT * FROM c WHERE rr = 1) rj USING (user_id)
+        |WHERE ch.n >= 2 AND ch.sc - rj.sc >= 1
+        |ORDER BY user_id""".stripMargin)),
+
+    // ---- p102: token-budget corpus selection — keep the
+    // highest-quality prefix (stopword-ppm quality proxy, doc_id
+    // tie-break) whose cumulative token count stays within 40% of the
+    // corpus total. Global running sum via the two-pass bucket trick,
+    // never a whole-corpus window; gate exact in integer ppm space.
+    "p102_token_budget" -> Q(
+      (s, dir) => {
+        val tk = Dedup.tokens(col("text"))
+        val stops = Seq("the", "a", "an", "and", "or", "of", "to",
+          "in", "is", "it")
+        val scored = tbl(s, dir, "documents").select(col("doc_id"),
+            size(tk).cast("long").as("__n"),
+            size(filter(tk, x => x.isin(stops: _*))).cast("long")
+              .as("__stop"))
+          .select(col("doc_id"),
+            expr("CAST((1000000 * __stop) DIV __n AS BIGINT)").as("q"),
+            col("__n").as("w"))
+        graft.operators.Curation.budgetSelect(scored, "doc_id",
+            col("q"), col("w"),
+            expr("CAST((1000000 - qscore) DIV 62500 AS INT)"),
+            budgetPpm = 400000L)
+          .orderBy(col("sel_rank"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    str_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    (1000000 * CAST(len(list_filter(tk, x -> x IN
+        |      ('the','a','an','and','or','of','to','in','is','it')))
+        |      AS BIGINT)) // CAST(len(tk) AS BIGINT) AS qscore,
+        |    CAST(len(tk) AS BIGINT) AS weight FROM t),
+        |r AS (SELECT doc_id, qscore, weight,
+        |    CAST(row_number() OVER (ORDER BY qscore DESC, doc_id)
+        |      AS BIGINT) AS sel_rank,
+        |    CAST(sum(weight) OVER (ORDER BY qscore DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight,
+        |    CAST(sum(weight) OVER () AS BIGINT) AS total_weight
+        |  FROM s)
+        |SELECT doc_id, qscore, weight, sel_rank, cum_weight,
+        |  total_weight
+        |FROM r WHERE cum_weight * 1000000 <= total_weight * 400000
+        |ORDER BY sel_rank""".stripMargin)),
+
+    // ---- p103: length-bucketed training-batch assembly — power-of-2
+    // length buckets (bit-length of the token count), batches of 32
+    // within each bucket in (len, doc_id) order, per-batch padding
+    // waste. Within-bucket ordinals via the (bucket, len) two-pass,
+    // not a per-bucket window.
+    "p103_length_batches" -> Q(
+      (s, dir) => graft.operators.Curation.lengthBucketBatches(
+        tbl(s, dir, "documents").select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens"), batchSize = 32)
+        .orderBy(col("len_bucket"), col("batch_idx")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(str_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS ln FROM documents),
+        |b AS (SELECT doc_id, ln,
+        |    CAST(length(bin(ln)) AS INTEGER) AS bkt
+        |  FROM t WHERE ln >= 1),
+        |r AS (SELECT doc_id, ln, bkt, row_number() OVER
+        |    (PARTITION BY bkt ORDER BY ln, doc_id) AS rn FROM b)
+        |SELECT bkt AS len_bucket,
+        |  CAST((rn - 1) // 32 AS BIGINT) AS batch_idx,
+        |  CAST(count(*) AS BIGINT) AS n_seqs, max(ln) AS max_len,
+        |  CAST(sum(ln) AS BIGINT) AS sum_len,
+        |  CAST(count(*) AS BIGINT) * max(ln) -
+        |    CAST(sum(ln) AS BIGINT) AS pad_tokens
+        |FROM r GROUP BY 1, 2 ORDER BY len_bucket, batch_idx""".stripMargin))
   )
 }

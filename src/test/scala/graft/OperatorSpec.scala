@@ -2207,4 +2207,88 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.getAs[Long]("exact") == 999L &&
       w.getAs[Long]("est") == 90L) // top bin lower edge
   }
+
+  test("preferencePairs: best-vs-worst with margin gate and tie rules") {
+    import spark.implicits._
+    val cands = Seq(
+      ("k1", 101L, 50L), ("k1", 102L, 90L), ("k1", 103L, 10L),
+      ("k2", 201L, 40L),                       // singleton → dropped
+      ("k3", 301L, 70L), ("k3", 302L, 70L),    // margin 0 → dropped
+      ("k4", 401L, 30L), ("k4", 402L, 30L), ("k4", 403L, 60L),
+      ("k5", 501L, 80L), ("k5", 502L, 80L), ("k5", 503L, 20L)
+    ).toDF("k", "item", "score")
+    val r = Curation.preferencePairs(cands, "k", "item", "score",
+        "item", minMargin = 1L)
+      .orderBy(col("k")).collect()
+    assert(r.map(_.getAs[String]("k")).toSeq == Seq("k1", "k4", "k5"))
+    val k1 = r(0)
+    assert(k1.getAs[Long]("chosen") == 102L &&
+      k1.getAs[Long]("rejected") == 103L &&
+      k1.getAs[Long]("margin") == 80L &&
+      k1.getAs[Long]("n_candidates") == 3L)
+    // rejected-side score tie → SMALLER tie-break item wins
+    assert(r(1).getAs[Long]("rejected") == 401L &&
+      r(1).getAs[Long]("chosen") == 403L)
+    // chosen-side score tie → LARGER tie-break item wins
+    assert(r(2).getAs[Long]("chosen") == 502L &&
+      r(2).getAs[Long]("rejected") == 503L)
+    // partition invariance: max_by/min_by are declarative aggregates
+    val r7 = Curation.preferencePairs(cands.repartition(7), "k",
+        "item", "score", "item", minMargin = 1L)
+      .orderBy(col("k")).collect()
+    assert(r.map(_.toSeq).toSeq == r7.map(_.toSeq).toSeq)
+  }
+
+  test("budgetSelect: exact budget prefix in quality order") {
+    import spark.implicits._
+    // scores 10..60 (id·10), weight 10 each, total 60
+    val df = (1L to 6L).map(i => (i, i * 10L, 10L)).toDF("id", "q", "w")
+    def run(d: org.apache.spark.sql.DataFrame, ppm: Long) =
+      Curation.budgetSelect(d, "id", col("q"), col("w"),
+        expr("CAST((100 - qscore) DIV 7 AS INT)"), ppm)
+    val half = run(df, 500000L).orderBy(col("sel_rank")).collect()
+    // 50% of 60 = 30 → exactly ids 6,5,4 (desc quality), cum 10/20/30
+    assert(half.map(_.getAs[Long]("id")).toSeq == Seq(6L, 5L, 4L))
+    assert(half.map(_.getAs[Long]("cum_weight")).toSeq ==
+      Seq(10L, 20L, 30L))
+    assert(half.forall(_.getAs[Long]("total_weight") == 60L))
+    // boundary is inclusive (cum·1e6 <= total·ppm), exact in integers:
+    // 499999 ppm excludes the third row, 500000 includes it
+    assert(run(df, 499999L).count() == 2L)
+    // score ties order by id ascending
+    val tied = Seq((1L, 50L, 10L), (2L, 50L, 10L), (3L, 50L, 10L))
+      .toDF("id", "q", "w")
+    val t = run(tied, 700000L).orderBy(col("sel_rank")).collect()
+    assert(t.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    // partition invariance of the two-pass global running sum
+    val h7 = run(df.repartition(7), 500000L)
+      .orderBy(col("sel_rank")).collect()
+    assert(half.map(_.toSeq).toSeq == h7.map(_.toSeq).toSeq)
+  }
+
+  test("lengthBucketBatches: power-of-2 buckets, batch cuts, padding") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 2L, 3L, 3L, 4L, 5L, 8L, 9L, 16L, 0L)
+      .zipWithIndex.map { case (l, i) => (i.toLong + 1L, l) }
+      .toDF("id", "ln")
+    val r = Curation.lengthBucketBatches(df, "id", col("ln"), 2)
+      .orderBy(col("len_bucket"), col("batch_idx")).collect()
+      .map(x => (x.getAs[Int]("len_bucket"), x.getAs[Long]("batch_idx")) ->
+        (x.getAs[Long]("n_seqs"), x.getAs[Long]("max_len"),
+          x.getAs[Long]("sum_len"), x.getAs[Long]("pad_tokens"))).toMap
+    // zero-length row dropped; buckets are bit-lengths
+    assert(r.size == 6)
+    assert(r((1, 0L)) == ((2L, 1L, 2L, 0L)))   // [1,1]
+    assert(r((2, 0L)) == ((2L, 3L, 5L, 1L)))   // [2,3] pad 1
+    assert(r((2, 1L)) == ((1L, 3L, 3L, 0L)))   // [3] remainder
+    assert(r((3, 0L)) == ((2L, 5L, 9L, 1L)))   // [4,5]
+    assert(r((4, 0L)) == ((2L, 9L, 17L, 1L)))  // [8,9]
+    assert(r((5, 0L)) == ((1L, 16L, 16L, 0L))) // [16]
+    // partition invariance: the (bucket, len) two-pass ordinal is a
+    // pure function of the data, not its layout
+    val r7 = Curation.lengthBucketBatches(df.repartition(7), "id",
+        col("ln"), 2)
+      .orderBy(col("len_bucket"), col("batch_idx")).collect()
+    assert(r7.length == 6)
+  }
 }
