@@ -3493,7 +3493,7 @@ object Pipeline {
             col("__n").as("w"))
         graft.operators.Curation.budgetSelect(scored, "doc_id",
             col("q"), col("w"),
-            expr("CAST((1000000 - qscore) DIV 62500 AS INT)"),
+            expr("CAST((1000000 - qscore) DIV 3907 AS INT)"),
             budgetPpm = 400000L)
           .orderBy(col("sel_rank"))
       },
