@@ -168,4 +168,64 @@ object Sampling {
           .as("epochs_micro"))
       .orderBy(col(keyCol))
   }
+
+  /** Source-interleaved epoch ordering: a deterministic training-data
+    * order that (a) shuffles every source pseudo-randomly (md5 of
+    * source|id — reproducible on any partitioning, like every sampler
+    * here) and (b) round-robins across sources, so no long
+    * same-source run reaches the training loop (consecutive
+    * positions cycle through all S sources until a source exhausts) —
+    * the data-ordering step between curation and shard export.
+    * `interleave_pos = (src_ordinal − 1)·S + src_idx` is injective by
+    * construction, so the order is total and gap-free per cycle.
+    *
+    * Scale shape: the per-source shuffled ordinal is the two-pass
+    * trick at (source, md5-prefix-bucket) grain — one data-sized hash
+    * exchange into 256 buckets per source, plus a (source, bucket)
+    * COUNT prefix table (≤ 256·S rows) broadcast back. The source
+    * index is a one-task window over the DISTINCT-source table
+    * (|S| rows, bounded by the catalog, not the corpus). Never a
+    * per-source whole-corpus window, never a global sort.
+    *
+    * Returns (id, src, src_ordinal, interleave_pos). */
+  def interleaveBySource(df: DataFrame, idCol: String,
+      srcCol: String): DataFrame = {
+    val keyed = df.select(col(idCol), col(srcCol),
+      md5(concat(col(srcCol).cast("string"), lit("|"),
+        col(idCol).cast("string"))).as("__k"))
+      .withColumn("__b", substring(col("__k"), 1, 2))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol), col("__b"))
+      .orderBy(col("__k"), col(idCol))
+    val local = keyed.withColumn("__lr", row_number().over(wLoc))
+    val counts = keyed.groupBy(col(srcCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offsets = counts.select(col(srcCol), col("__b"),
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"))
+    // source index: |S|-row table, one bounded task (pmod keeps the
+    // partition spec explicit — the Ranks prefix-sum discipline)
+    val srcs = df.select(col(srcCol)).distinct()
+      .withColumn("__one", pmod(lit(0L), lit(1L)))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__one")).orderBy(col(srcCol))
+    val wCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__one"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing)
+    val srcIdx = srcs.select(col(srcCol),
+      (row_number().over(wSrc).cast("long") - 1L).as("__sidx"),
+      count(lit(1)).over(wCnt).as("__ns"))
+    local.join(broadcast(offsets), Seq(srcCol, "__b"))
+      .withColumn("src_ordinal", col("__off") + col("__lr"))
+      .join(broadcast(srcIdx), Seq(srcCol))
+      .select(col(idCol), col(srcCol),
+        col("src_ordinal").cast("long").as("src_ordinal"),
+        ((col("src_ordinal") - 1L) * col("__ns") + col("__sidx"))
+          .cast("long").as("interleave_pos"))
+  }
 }

@@ -110,6 +110,47 @@ object TextAnalysis {
       .select(col(groupCol), col("rnk"), col("token"), col("n_occ"))
   }
 
+  /** Vocabulary-coverage / OOV-rate report: build the corpus-wide
+    * top-`vocabSize` token vocabulary (frequency-ranked, portable-hash
+    * tie-break — the [[vocabTopK]] discipline at a single corpus
+    * group), then report per group (e.g. per language) the fraction
+    * of token OCCURRENCES falling outside it, in exact integer ppm.
+    * This is the coverage audit run before committing to a tokenizer
+    * vocabulary: a language whose oov_ppm is high will fragment into
+    * bytes/unks at training time.
+    *
+    * Scale shape: one token-count aggregate (partial-combined) feeds
+    * a single bounded [[TopK]] heap (the one-group heap still merges
+    * map-side — state is O(vocabSize) per task, never the
+    * vocabulary); the vocabulary (vocabSize rows) broadcasts back
+    * onto the token stream, so the coverage pass is scan + broadcast
+    * join + a |groups|-sized aggregate. Two corpus-sized passes over
+    * the tokens, zero corpus-sized shuffles beyond the count.
+    *
+    * Returns (group, n_tokens, n_oov, oov_ppm) — occurrences, not
+    * distinct types. */
+  def oovRate(df: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize $vocabSize must be >= 1")
+    val toks = df.select(col(groupCol),
+      explode(Dedup.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("th", portableHash60(col("token")))
+    val vocab = TopK.perKey(
+        counts.select(lit(1).as("__g"), col("th").as("id"),
+          col("n_occ").cast("double").as("score")),
+        Seq("__g"), "id", "score", vocabSize)
+      .join(counts.select(col("th").as("id"), col("token")), Seq("id"))
+      .select(col("token"), lit(1L).as("__iv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        expr("CAST((1000000 * n_oov) DIV n_tokens AS BIGINT)"))
+  }
+
   /** n-gram document-frequency heavy-hitters per group: the `k` word
     * n-grams appearing in the most documents (distinct per doc, so a
     * gram repeated inside one document counts once) — the corpus

@@ -3542,6 +3542,55 @@ object Pipeline {
         |  CAST(sum(ln) AS BIGINT) AS sum_len,
         |  CAST(count(*) AS BIGINT) * max(ln) -
         |    CAST(sum(ln) AS BIGINT) AS pad_tokens
-        |FROM r GROUP BY 1, 2 ORDER BY len_bucket, batch_idx""".stripMargin))
+        |FROM r GROUP BY 1, 2 ORDER BY len_bucket, batch_idx""".stripMargin)),
+
+    // ---- p104: source-interleaved epoch ordering — md5-shuffled
+    // within source, round-robin across sources; the per-source
+    // ordinal rides the (source, md5-prefix) two-pass, the source
+    // index is an |S|-row bounded window.
+    "p104_epoch_order" -> Q(
+      (s, dir) => Sampling.interleaveBySource(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source")
+        .orderBy(col("interleave_pos")),
+      Some("""WITH d AS (SELECT doc_id, source,
+        |    md5(source || '|' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |si AS (SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1
+        |      AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM si),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY k, doc_id) AS BIGINT) AS src_ordinal
+        |  FROM d)
+        |SELECT r.doc_id, r.source, r.src_ordinal,
+        |  (r.src_ordinal - 1) * s.ns + si.sidx AS interleave_pos
+        |FROM r JOIN si USING (source) CROSS JOIN s
+        |ORDER BY interleave_pos""".stripMargin)),
+
+    // ---- p105: vocabulary OOV-rate report — corpus top-500 token
+    // vocabulary (frequency-ranked, portable-hash tie-break), then
+    // per-language out-of-vocabulary occurrence ppm.
+    "p105_oov_rate" -> Q(
+      (s, dir) => TextAnalysis.oovRate(
+        tbl(s, dir, "documents"), "lang", "text", vocabSize = 500)
+        .orderBy(col("lang")),
+      Some(s"""WITH tok AS (SELECT lang, unnest(str_split_regex(
+        |    trim(lower(text)), '\\s+')) AS token FROM documents),
+        |counts AS (SELECT token, count(*) AS n_occ,
+        |    ${oPoly60("token")} AS th
+        |  FROM tok GROUP BY token),
+        |vocab AS (SELECT token FROM counts
+        |  ORDER BY n_occ DESC, th LIMIT 500)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  (1000000 * CAST(sum(CASE WHEN v.token IS NULL THEN 1
+        |    ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+        |    AS oov_ppm
+        |FROM tok LEFT JOIN vocab v USING (token)
+        |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

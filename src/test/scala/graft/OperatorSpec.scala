@@ -2291,4 +2291,57 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("len_bucket"), col("batch_idx")).collect()
     assert(r7.length == 6)
   }
+
+  test("interleaveBySource: total injective order, round-robin cycles") {
+    import spark.implicits._
+    // unequal sources: a×4, b×2, c×4
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq.fill(4)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "src")
+    val r = Sampling.interleaveBySource(df, "id", "src")
+      .orderBy(col("interleave_pos")).collect()
+    assert(r.length == 10)
+    // positions are unique (injective) and per-source ordinals are
+    // 1..n_src permutations
+    assert(r.map(_.getAs[Long]("interleave_pos")).distinct.length == 10)
+    val bySrc = r.groupBy(_.getAs[String]("src"))
+    assert(bySrc("a").map(_.getAs[Long]("src_ordinal")).sorted.toSeq ==
+      (1L to 4L))
+    assert(bySrc("b").map(_.getAs[Long]("src_ordinal")).sorted.toSeq ==
+      (1L to 2L))
+    // while no source is exhausted, consecutive positions cycle
+    // through all 3 sources: the first 6 positions are a,b,c,a,b,c
+    // order-wise (position mod 3 == source index)
+    val first6 = r.take(6).map(_.getAs[String]("src")).toSeq
+    assert(first6 == Seq("a", "b", "c", "a", "b", "c"))
+    // after b exhausts (2 cycles), only a and c continue, still in
+    // source-index order within each cycle
+    val rest = r.drop(6).map(_.getAs[String]("src")).toSeq
+    assert(rest == Seq("a", "c", "a", "c"))
+    // md5 shuffle is deterministic: same input, same order, any layout
+    val r7 = Sampling.interleaveBySource(df.repartition(7), "id", "src")
+      .orderBy(col("interleave_pos")).collect()
+    assert(r.map(_.toSeq).toSeq == r7.map(_.toSeq).toSeq)
+  }
+
+  test("oovRate: occurrence coverage against the top-k vocabulary") {
+    import spark.implicits._
+    // corpus frequencies: x×5, y×3, z×2, w×1 → vocab(2) = {x, y}
+    val df = Seq(
+      (1L, "en", "x x x y y"),
+      (2L, "en", "x x y z"),
+      (3L, "de", "z w")
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.oovRate(df, "lang", "text", vocabSize = 2)
+      .orderBy(col("lang")).collect()
+      .map(x => x.getAs[String]("lang") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov"),
+          x.getAs[Long]("oov_ppm"))).toMap
+    assert(r("en") == ((9L, 1L, 111111L))) // z is OOV: 1/9
+    assert(r("de") == ((2L, 2L, 1000000L))) // z and w both OOV
+    // vocab large enough → zero OOV everywhere
+    val full = TextAnalysis.oovRate(df, "lang", "text", vocabSize = 10)
+      .agg(sum(col("n_oov"))).head().getLong(0)
+    assert(full == 0L)
+  }
 }
