@@ -98,6 +98,59 @@ object Sketches {
         col("rho").as("jaccard"))
   }
 
+  /** Per-group KMV sketches: one row per group with the ascending
+    * array of the group's k smallest distinct key hashes. The
+    * bottom-k is the bounded [[TopK]] heap (score = −hash), NOT a
+    * per-group window — a window would drag each group's whole key
+    * universe through one task. Exactness of the heap ordering:
+    * long→double casting is monotone, and TopK breaks score ties
+    * ascending on the id (the hash itself), so (−h_double desc,
+    * h asc) is exactly h ascending even where 2^60-range hashes
+    * collapse onto one 53-bit-mantissa double. */
+  def kmvSketchPerGroup(df: DataFrame, groupCol: String,
+      keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hs = df.select(col(groupCol), kmvHash(col(keyCol)).as("h"))
+      .distinct()
+    TopK.perKey(hs.select(col(groupCol), col("h").as("id"),
+        (-col("h").cast("double")).as("score")),
+      Seq(groupCol), "id", "score", k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("id"))).as("hs"))
+  }
+
+  /** Cross-source overlap matrix: every unordered group pair's
+    * distinct-count / union / intersection / Jaccard estimates, from
+    * the per-group sketches alone — the dedup-planning view ("which
+    * sources duplicate each other enough that cross-source dedup
+    * pays?") over S sources for the cost of ONE corpus scan. After
+    * [[kmvSketchPerGroup]]'s single data-sized exchange, the pair
+    * grid is an |S|-row broadcast self-join (S² pairs of k-long
+    * arrays, catalog-sized) and all estimate math is O(k) array
+    * codegen per pair — same estimators as [[kmvOverlap]].
+    *
+    * Returns (group_a, group_b, est_distinct_a, est_distinct_b,
+    * est_union, est_overlap, jaccard) for group_a < group_b. */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String,
+      keyCol: String, k: Int = 256): DataFrame = {
+    val sk = kmvSketchPerGroup(df, groupCol, keyCol, k)
+    val a = sk.select(col(groupCol).as("group_a"), col("hs").as("ha"))
+    val b = sk.select(col(groupCol).as("group_b"), col("hs").as("hb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .withColumn("m",
+        slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      .withColumn("est_union", estimate(col("m"), k))
+      .withColumn("rho",
+        expr("size(filter(m, x -> array_contains(ha, x) AND array_contains(hb, x)))")
+          .cast("double") / size(col("m")).cast("double"))
+      .select(col("group_a"), col("group_b"),
+        estimate(col("ha"), k).as("est_distinct_a"),
+        estimate(col("hb"), k).as("est_distinct_b"),
+        col("est_union"),
+        (col("rho") * col("est_union")).as("est_overlap"),
+        col("rho").as("jaccard"))
+  }
+
   /** Count-min sketch row hashes for an integer key: pairwise-
     * independent family h_i(x) = ((a_i·(x mod p) + b_i) mod p) mod w
     * with p = 2^31 - 1 (Carter-Wegman) — congruent to a_i·x + b_i

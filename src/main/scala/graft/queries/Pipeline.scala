@@ -3591,6 +3591,54 @@ object Pipeline {
         |    ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT)
         |    AS oov_ppm
         |FROM tok LEFT JOIN vocab v USING (token)
-        |GROUP BY lang ORDER BY lang""".stripMargin))
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- p106: cross-source overlap matrix — every source pair's
+    // distinct/union/intersection/Jaccard estimates from per-source
+    // KMV sketches (one corpus scan, bounded TopK heaps, |S|²
+    // catalog-sized pair grid). k=16 < 25 distinct texts per source,
+    // so the order-statistics estimation path is exercised, not just
+    // the exact small-universe path.
+    "p106_source_overlap" -> Q(
+      (s, dir) => Sketches.kmvOverlapMatrix(
+        tbl(s, dir, "documents"), "source", "text", k = 16)
+        .select(col("group_a"), col("group_b"),
+          round(col("est_distinct_a"), 4).as("est_distinct_a"),
+          round(col("est_distinct_b"), 4).as("est_distinct_b"),
+          round(col("est_union"), 4).as("est_union"),
+          round(col("est_overlap"), 4).as("est_overlap"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("group_a"), col("group_b")),
+      Some("""WITH h AS (SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT source, h, row_number() OVER
+        |    (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT source, list(h ORDER BY h) AS hs
+        |  FROM r WHERE rn <= 16 GROUP BY source),
+        |pr AS (SELECT a.source AS group_a, b.source AS group_b,
+        |    a.hs AS ha, b.hs AS hb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |mg AS (SELECT group_a, group_b, ha, hb,
+        |    list_sort(list_distinct(list_concat(ha, hb)))[1:16] AS m
+        |  FROM pr),
+        |est AS (SELECT group_a, group_b, ha, hb, m,
+        |    CASE WHEN len(ha) < 16 THEN CAST(len(ha) AS DOUBLE)
+        |      ELSE (15 * 1152921504606846976.0) / CAST(ha[16] AS DOUBLE)
+        |    END AS ea,
+        |    CASE WHEN len(hb) < 16 THEN CAST(len(hb) AS DOUBLE)
+        |      ELSE (15 * 1152921504606846976.0) / CAST(hb[16] AS DOUBLE)
+        |    END AS eb,
+        |    CASE WHEN len(m) < 16 THEN CAST(len(m) AS DOUBLE)
+        |      ELSE (15 * 1152921504606846976.0) / CAST(m[16] AS DOUBLE)
+        |    END AS eu,
+        |    CAST(len(list_filter(m, x -> list_contains(ha, x)
+        |      AND list_contains(hb, x))) AS DOUBLE)
+        |      / CAST(len(m) AS DOUBLE) AS rho
+        |  FROM mg)
+        |SELECT group_a, group_b, round(ea, 4) AS est_distinct_a,
+        |  round(eb, 4) AS est_distinct_b, round(eu, 4) AS est_union,
+        |  round(rho * eu, 4) AS est_overlap, round(rho, 4) AS jaccard
+        |FROM est ORDER BY group_a, group_b""".stripMargin))
   )
 }

@@ -2344,4 +2344,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum(col("n_oov"))).head().getLong(0)
     assert(full == 0L)
   }
+
+  test("kmvOverlapMatrix: exact set arithmetic below k, a<b grid") {
+    import spark.implicits._
+    // A = {1..4}, B = {3..6} (|A∩B|=2, |A∪B|=6), C = {7,8} disjoint
+    val df = ((1 to 4).map(("A", _)) ++ (3 to 6).map(("B", _)) ++
+      Seq(("C", 7), ("C", 8))).toDF("src", "k")
+    val r = Sketches.kmvOverlapMatrix(df, "src", "k", k = 16)
+      .orderBy(col("group_a"), col("group_b")).collect()
+      .map(x => (x.getAs[String]("group_a"), x.getAs[String]("group_b")) ->
+        (x.getAs[Double]("est_distinct_a"), x.getAs[Double]("est_union"),
+          x.getAs[Double]("est_overlap"), x.getAs[Double]("jaccard"))).toMap
+    // exactly the 3 unordered pairs, a < b
+    assert(r.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // below k the sketches are the full sets: estimates are exact
+    assert(r(("A", "B")) == ((4.0, 6.0, 2.0, 2.0 / 6.0)))
+    assert(r(("A", "C"))._3 == 0.0 && r(("A", "C"))._4 == 0.0)
+    assert(r(("B", "C"))._2 == 6.0) // 4 + 2 disjoint
+    // duplicate keys collapse (sketch is over DISTINCT hashes)
+    val dup = df.union(df)
+    val r2 = Sketches.kmvOverlapMatrix(dup, "src", "k", k = 16)
+      .orderBy(col("group_a"), col("group_b")).collect()
+    assert(r2.length == 3 &&
+      r2.head.getAs[Double]("est_distinct_a") == 4.0)
+  }
 }
