@@ -835,6 +835,41 @@ object Curation {
         col("cum_weight"), col("total_weight"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): mask a
+    * deterministic ~`noisePpm` fraction of token positions, collapse
+    * each contiguous masked run into one sentinel, and emit
+    * (input = text with spans replaced by `<extra_id_k>`,
+    * target = each sentinel followed by its span's tokens) — the
+    * denoising-pretraining example assembly step. The mask is a pure
+    * function of (id, position): a per-document portable-hash seed
+    * mixed per position by a Carter-Wegman step — the same document
+    * corrupts identically on any partitioning, any engine, any
+    * rerun. Reproducible pretraining data, not RNG.
+    *
+    * Scale shape: ZERO shuffles — the whole example assembles inside
+    * whole-stage codegen, one tight loop per row
+    * ([[graft.functions.SpanCorrupt]]). Two slower formulations are
+    * measured in that expression's scaladoc: explode + per-document
+    * window (two token-row exchanges) and array HOFs (interpreted
+    * per element); the codegen expression is the (b)-tier answer —
+    * a 100 TB corpus corrupts at scan speed.
+    *
+    * Returns (id, n_spans, n_tokens, input, target). */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+      noisePpm: Long): DataFrame = {
+    require(noisePpm >= 1 && noisePpm < 1000000L,
+      s"noisePpm $noisePpm must be in [1, 1e6)")
+    // per-document seed via the portable hash — OUTSIDE the
+    // expression, so the oracle replays mask decisions end to end
+    val seed = pmod(TextAnalysis.portableHash60(
+      col(idCol).cast("string")), lit(2147483647L))
+    df.withColumn("__r",
+        graft.functions.SpanCorrupt(col(textCol), seed, noisePpm))
+      .select(col(idCol), col("__r.n_spans").as("n_spans"),
+        col("__r.n_tokens").as("n_tokens"),
+        col("__r.input").as("input"), col("__r.target").as("target"))
+  }
+
   /** Length-bucketed training-batch assembly: group sequences into
     * power-of-two length buckets (bucket = bit-length of the token
     * count — `length(bin(n))`, exact in integer space), order each

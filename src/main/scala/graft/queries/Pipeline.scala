@@ -3639,6 +3639,53 @@ object Pipeline {
         |SELECT group_a, group_b, round(ea, 4) AS est_distinct_a,
         |  round(eb, 4) AS est_distinct_b, round(eu, 4) AS est_union,
         |  round(rho * eu, 4) AS est_overlap, round(rho, 4) AS jaccard
-        |FROM est ORDER BY group_a, group_b""".stripMargin))
+        |FROM est ORDER BY group_a, group_b""".stripMargin)),
+
+    // ---- p107: T5 span corruption — 15% deterministic position
+    // mask, contiguous runs → sentinels, (input, target) assembly.
+    // The hash is pure (id, pos), so corruption is reproducible on
+    // any layout; strings assemble from ordered (pos, piece) structs.
+    "p107_span_corruption" -> Q(
+      (s, dir) => graft.operators.Curation.spanCorruption(
+        tbl(s, dir, "documents"), "doc_id", "text", noisePpm = 150000L)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (SELECT doc_id,
+        |    str_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents),
+        |pos AS (SELECT doc_id, i AS p, tk[i] AS t
+        |  FROM tok, unnest(range(1, len(tk) + 1)) u(i)),
+        |hp AS (SELECT doc_id,
+        |    ${QueryUtil.oPoly60("CAST(doc_id AS VARCHAR)")}
+        |      % 2147483647 AS h
+        |  FROM documents),
+        |m0 AS (SELECT doc_id, p, t,
+        |    CASE WHEN ((1103515245 * ((h + p * 1013904223)
+        |        % 2147483647) + 12345) % 2147483647) % 1000000
+        |      < 150000 THEN 1 ELSE 0 END AS m
+        |  FROM pos JOIN hp USING (doc_id)),
+        |w AS (SELECT doc_id, p, t, m,
+        |    CASE WHEN m = 1 AND coalesce(lag(m) OVER (
+        |      PARTITION BY doc_id ORDER BY p), 0) = 0
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM m0),
+        |sp AS (SELECT doc_id, p, t, m, st,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM w),
+        |pieces AS (SELECT doc_id, p, st,
+        |    CASE WHEN m = 0 THEN t
+        |      WHEN st = 1 THEN '<extra_id_' ||
+        |        CAST(sid - 1 AS VARCHAR) || '>'
+        |      ELSE NULL END AS inp,
+        |    CASE WHEN st = 1 THEN '<extra_id_' ||
+        |        CAST(sid - 1 AS VARCHAR) || '> ' || t
+        |      WHEN m = 1 THEN t
+        |      ELSE NULL END AS tg
+        |  FROM sp)
+        |SELECT doc_id, CAST(sum(st) AS BIGINT) AS n_spans,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(inp, ' ' ORDER BY p), '') AS input,
+        |  coalesce(string_agg(tg, ' ' ORDER BY p), '') AS target
+        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

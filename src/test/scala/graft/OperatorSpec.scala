@@ -2368,4 +2368,46 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.length == 3 &&
       r2.head.getAs[Double]("est_distinct_a") == 4.0)
   }
+
+  test("spanCorruption: sentinel structure and lossless reassembly") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i,
+      s"alpha$i bravo charlie delta echo foxtrot golf hotel india " +
+        s"juliet kilo lima mike november oscar papa")).toDF("id", "text")
+    // high noise so spans certainly occur across the 20 docs
+    val r = Curation.spanCorruption(df, "id", "text", noisePpm = 400000L)
+      .orderBy(col("id")).collect()
+    assert(r.length == 20)
+    val sentinel = "<extra_id_(\\d+)>".r
+    var sawSpan = false
+    r.foreach { row =>
+      val (nSpans, input, target) = (row.getAs[Long]("n_spans"),
+        row.getAs[String]("input"), row.getAs[String]("target"))
+      assert(row.getAs[Long]("n_tokens") == 16L)
+      // sentinel count and numbering 0..n-1 in BOTH strings, in order
+      val inIds = sentinel.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      val tgIds = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(inIds == (0 until nSpans.toInt) && tgIds == inIds)
+      if (nSpans > 0) sawSpan = true
+      // lossless reassembly: substituting each sentinel's target span
+      // back into the input reproduces the original token stream
+      val spans = target.split("<extra_id_\\d+> ?").toSeq
+        .drop(1) // leading empty before the first sentinel
+        .map(_.trim)
+      val rebuilt = sentinel.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spans(m.group(1).toInt)))
+        .replaceAll("\\s+", " ").trim
+      val orig = row.getAs[Long]("id")
+      val origText = df.filter(col("id") === orig)
+        .head().getAs[String]("text").toLowerCase.trim
+      assert(rebuilt == origText, s"doc $orig failed reassembly")
+    }
+    assert(sawSpan, "40% noise over 20 docs must corrupt something")
+    // deterministic under layout
+    val r7 = Curation.spanCorruption(df.repartition(7), "id", "text",
+        noisePpm = 400000L)
+      .orderBy(col("id")).collect()
+    assert(r.map(_.toSeq).toSeq == r7.map(_.toSeq).toSeq)
+  }
 }

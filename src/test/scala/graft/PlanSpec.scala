@@ -191,7 +191,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hides codegen ids until stages execute, so plan without it.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq("q01_pricing_summary", "q23_case_null", "p11_fingerprint",
-      "p02_ngram_jaccard", "p06_ann_bruteforce").foreach { q =>
+      "p02_ngram_jaccard", "p06_ann_bruteforce",
+      "p107_span_corruption").foreach { q =>
       assert(planText(q).contains("[codegen id :"), s"$q lost codegen")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
