@@ -870,6 +870,48 @@ object Curation {
         col("__r.input").as("input"), col("__r.target").as("target"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    * infilling-pretraining data shape; PSM rendering as in
+    * StarCoder): cut each document at two deterministic token
+    * positions and render `<fim_prefix> P <fim_suffix> S
+    * <fim_middle> M` — suffix shown before middle so a causal model
+    * learns to infill. Cut positions are Carter-Wegman mixes of the
+    * portable per-document seed (the p107 mask arithmetic at two
+    * fixed positions), so the transform is reproducible on any
+    * partitioning and replayable by an ANSI engine.
+    *
+    * Scale shape: zero shuffles, zero per-element lambdas — two
+    * integer mixes per row and three array slices inside codegen.
+    *
+    * Returns (id, n_tokens, cut_lo, cut_hi, fim). */
+  def fimTransform(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val P = 2147483647L
+    def mix(seed: Column, pos: Int): Column =
+      pmod(lit(1103515245L) *
+        pmod(seed + lit(pos.toLong) * lit(1013904223L), lit(P)) +
+        lit(12345L), lit(P))
+    val base = df.select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .withColumn("__seed", pmod(TextAnalysis.portableHash60(
+        col(idCol).cast("string")), lit(P)))
+      .withColumn("__a", pmod(mix(col("__seed"), 1), col("__n") + 1))
+      .withColumn("__b", pmod(mix(col("__seed"), 2), col("__n") + 1))
+      .withColumn("__lo", least(col("__a"), col("__b")))
+      .withColumn("__hi", greatest(col("__a"), col("__b")))
+    def joinSlice(start: Column, len: Column): Column =
+      array_join(slice(col("__tk"), start.cast("int"), len.cast("int")),
+        " ")
+    base.select(col(idCol), col("__n").as("n_tokens"),
+      col("__lo").as("cut_lo"), col("__hi").as("cut_hi"),
+      concat(lit("<fim_prefix> "), joinSlice(lit(1), col("__lo")),
+        lit(" <fim_suffix> "),
+        joinSlice(col("__hi") + 1, col("__n") - col("__hi")),
+        lit(" <fim_middle> "),
+        joinSlice(col("__lo") + 1, col("__hi") - col("__lo")))
+        .as("fim"))
+  }
+
   /** Length-bucketed training-batch assembly: group sequences into
     * power-of-two length buckets (bucket = bit-length of the token
     * count — `length(bin(n))`, exact in integer space), order each

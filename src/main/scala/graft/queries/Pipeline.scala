@@ -3686,6 +3686,39 @@ object Pipeline {
         |  CAST(count(*) AS BIGINT) AS n_tokens,
         |  coalesce(string_agg(inp, ' ' ORDER BY p), '') AS input,
         |  coalesce(string_agg(tg, ' ' ORDER BY p), '') AS target
-        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- p108: fill-in-the-middle rendering — two Carter-Wegman
+    // cut positions per document, PSM order (suffix before middle).
+    "p108_fim" -> Q(
+      (s, dir) => graft.operators.Curation.fimTransform(
+        tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id,
+        |    str_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents),
+        |sd AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+        |    ${QueryUtil.oPoly60("CAST(doc_id AS VARCHAR)")}
+        |      % 2147483647 AS seed
+        |  FROM t),
+        |cuts AS (SELECT doc_id, tk, n,
+        |    ((1103515245 * ((seed + 1013904223) % 2147483647)
+        |      + 12345) % 2147483647) % (n + 1) AS a,
+        |    ((1103515245 * ((seed + 2 * 1013904223) % 2147483647)
+        |      + 12345) % 2147483647) % (n + 1) AS b
+        |  FROM sd),
+        |lohi AS (SELECT doc_id, tk, n, least(a, b) AS lo,
+        |    greatest(a, b) AS hi FROM cuts)
+        |SELECT doc_id, n AS n_tokens, lo AS cut_lo, hi AS cut_hi,
+        |  '<fim_prefix> ' ||
+        |    coalesce(array_to_string(tk[1:CAST(lo AS INTEGER)],
+        |      ' '), '') ||
+        |  ' <fim_suffix> ' ||
+        |    coalesce(array_to_string(tk[CAST(hi + 1 AS INTEGER):
+        |      CAST(n AS INTEGER)], ' '), '') ||
+        |  ' <fim_middle> ' ||
+        |    coalesce(array_to_string(tk[CAST(lo + 1 AS INTEGER):
+        |      CAST(hi AS INTEGER)], ' '), '') AS fim
+        |FROM lohi ORDER BY doc_id""".stripMargin))
   )
 }

@@ -2410,4 +2410,38 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("id")).collect()
     assert(r.map(_.toSeq).toSeq == r7.map(_.toSeq).toSeq)
   }
+
+  test("fimTransform: PSM rendering reassembles the document") {
+    import spark.implicits._
+    val df = (1L to 30L).map(i => (i,
+      s"one$i two three four five six seven eight nine ten"))
+      .toDF("id", "text")
+    val r = Curation.fimTransform(df, "id", "text")
+      .orderBy(col("id")).collect()
+    assert(r.length == 30)
+    var sawAllThree = false
+    r.foreach { row =>
+      val (n, lo, hi, fim) = (row.getAs[Long]("n_tokens"),
+        row.getAs[Long]("cut_lo"), row.getAs[Long]("cut_hi"),
+        row.getAs[String]("fim"))
+      assert(n == 10L && 0 <= lo && lo <= hi && hi <= n)
+      // parse the PSM layout and reassemble prefix+middle+suffix
+      val m = "<fim_prefix> (.*) <fim_suffix> (.*) <fim_middle> (.*)".r
+        .findFirstMatchIn(fim).get
+      val (p, sfx, mid) = (m.group(1), m.group(2), m.group(3))
+      val rebuilt = Seq(p, mid, sfx).filter(_.nonEmpty).mkString(" ")
+      val orig = df.filter(col("id") === row.getAs[Long]("id"))
+        .head().getAs[String]("text").toLowerCase
+      assert(rebuilt == orig, s"doc ${row.getAs[Long]("id")}")
+      // segment sizes match the cuts
+      def nTok(s: String) = if (s.isEmpty) 0L else s.split(" ").length.toLong
+      assert(nTok(p) == lo && nTok(mid) == hi - lo && nTok(sfx) == n - hi)
+      if (lo > 0 && hi > lo && hi < n) sawAllThree = true
+    }
+    assert(sawAllThree, "30 docs must include a 3-nonempty-segment cut")
+    // layout invariance
+    val r7 = Curation.fimTransform(df.repartition(7), "id", "text")
+      .orderBy(col("id")).collect()
+    assert(r.map(_.toSeq).toSeq == r7.map(_.toSeq).toSeq)
+  }
 }
