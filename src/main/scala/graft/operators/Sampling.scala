@@ -169,6 +169,52 @@ object Sampling {
       .orderBy(col(keyCol))
   }
 
+  /** UniMax language-budget allocation (Chung et al. 2023): split a
+    * total training-token budget across languages so that no language
+    * repeats more than `maxEpochsPpm` epochs, spreading what the
+    * capped (low-resource) languages cannot absorb evenly over the
+    * rest — the fairer alternative to temperature sampling
+    * ([[sqrtTemperatureShares]]) at large budget-to-corpus ratios.
+    * Exact integer greedy waterfill: languages ascend by (cap, lang);
+    * at each step the language takes `min(cap, remaining DIV
+    * remaining_langs)`. Deterministic, engine-replayable (the oracle
+    * unrolls it as a recursive CTE); integer remainders flow to the
+    * later (larger) languages by construction.
+    *
+    * Scale shape: ONE partial-combined per-language weight aggregate
+    * is the only corpus-sized work. The waterfill itself runs on the
+    * collected |langs| rows — catalog-sized, the codebook-collect
+    * discipline — and returns as a driver-built bounded frame.
+    *
+    * Returns (lang, n_tokens, cap_tokens, alloc_tokens, epochs_ppm)
+    * ordered by lang. */
+  def unimaxAllocation(df: DataFrame, langCol: String, weight: Column,
+      budgetPpm: Long, maxEpochsPpm: Long): DataFrame = {
+    require(budgetPpm >= 1, s"budgetPpm $budgetPpm must be >= 1")
+    require(maxEpochsPpm >= 1, s"maxEpochsPpm $maxEpochsPpm must be >= 1")
+    val counts = df.groupBy(col(langCol).cast("string").as("lang"))
+      .agg(sum(weight.cast("long")).as("n"))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n")))
+    val total = counts.map(_._2).sum
+    var rem = total * budgetPpm / 1000000L
+    val byCap = counts
+      .map { case (l, n) => (l, n, n * maxEpochsPpm / 1000000L) }
+      .sortBy { case (l, _, cap) => (cap, l) }
+    var k = byCap.length
+    val alloc = byCap.map { case (l, n, cap) =>
+      val share = if (k > 0) rem / k else 0L
+      val b = math.min(cap, share)
+      rem -= b; k -= 1
+      (l, n, cap, b, if (n > 0) 1000000L * b / n else 0L)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    alloc.toSeq
+      .toDF("lang", "n_tokens", "cap_tokens", "alloc_tokens",
+        "epochs_ppm")
+      .orderBy(col("lang"))
+  }
+
   /** Source-interleaved epoch ordering: a deterministic training-data
     * order that (a) shuffles every source pseudo-randomly (md5 of
     * source|id — reproducible on any partitioning, like every sampler
@@ -206,10 +252,14 @@ object Sampling {
         .unboundedPreceding, -1)
     val offsets = counts.select(col(srcCol), col("__b"),
       coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"))
-    // source index: |S|-row table, one bounded task (pmod keeps the
-    // partition spec explicit — the Ranks prefix-sum discipline)
+    // source index: |S|-row table, one bounded task. The partition
+    // key must be COLUMN-derived (Ranks discipline): pmod over two
+    // literals constant-folds away and the window degenerates into
+    // Spark's "No Partition Defined" shape — the battery-wide
+    // PlanSpec window sweep caught exactly that in the first cut.
     val srcs = df.select(col(srcCol)).distinct()
-      .withColumn("__one", pmod(lit(0L), lit(1L)))
+      .withColumn("__one",
+        pmod(length(col(srcCol).cast("string")).cast("long"), lit(1L)))
     val wSrc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__one")).orderBy(col(srcCol))
     val wCnt = org.apache.spark.sql.expressions.Window

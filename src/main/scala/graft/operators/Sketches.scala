@@ -136,7 +136,13 @@ object Sketches {
     val sk = kmvSketchPerGroup(df, groupCol, keyCol, k)
     val a = sk.select(col(groupCol).as("group_a"), col("hs").as("ha"))
     val b = sk.select(col(groupCol).as("group_b"), col("hs").as("hb"))
-    a.join(broadcast(b), col("group_a") < col("group_b"))
+    // a broadcast CROSS + filter, not a theta inner join: same S²
+    // pair grid, but the plan shape is the sanctioned deliberate
+    // fan-out (PlanSpec's battery-wide nested-loop sweep pins the
+    // distinction — an Inner BNL with a condition reads as an
+    // accidental theta join)
+    a.crossJoin(broadcast(b))
+      .filter(col("group_a") < col("group_b"))
       .withColumn("m",
         slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
       .withColumn("est_union", estimate(col("m"), k))

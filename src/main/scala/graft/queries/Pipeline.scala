@@ -3719,6 +3719,41 @@ object Pipeline {
         |  ' <fim_middle> ' ||
         |    coalesce(array_to_string(tk[CAST(lo + 1 AS INTEGER):
         |      CAST(hi AS INTEGER)], ' '), '') AS fim
-        |FROM lohi ORDER BY doc_id""".stripMargin))
+        |FROM lohi ORDER BY doc_id""".stripMargin)),
+
+    // ---- p109: UniMax language-budget allocation — budget 1.2× the
+    // corpus tokens, epoch cap 1.5×: the four minority languages cap
+    // out, en absorbs the remainder. The greedy integer waterfill is
+    // sequential by construction, so the oracle unrolls it as a
+    // recursive CTE (the p74 discipline).
+    "p109_unimax" -> Q(
+      (s, dir) => Sampling.unimaxAllocation(
+        tbl(s, dir, "documents"), "lang",
+        size(Dedup.tokens(col("text"))),
+        budgetPpm = 1200000L, maxEpochsPpm = 1500000L),
+      Some("""WITH RECURSIVE counts AS (SELECT lang,
+        |    CAST(sum(len(str_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+        |ord AS (SELECT lang, n, (n * 1500000) // 1000000 AS cap,
+        |    CAST(row_number() OVER (ORDER BY (n * 1500000) // 1000000,
+        |      lang) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM counts),
+        |alloc AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |    (t * 1200000) // 1000000 AS rem,
+        |    CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS b
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT o.i, a.rem - least(o.cap, a.rem // (o.k - a.i)),
+        |    o.lang, least(o.cap, a.rem // (o.k - a.i))
+        |  FROM alloc a JOIN ord o ON o.i = a.i + 1
+        |)
+        |SELECT o.lang AS lang, o.n AS n_tokens, o.cap AS cap_tokens,
+        |  a.b AS alloc_tokens, (1000000 * a.b) // o.n AS epochs_ppm
+        |FROM alloc a JOIN ord o ON o.lang = a.lang
+        |ORDER BY o.lang""".stripMargin))
   )
 }

@@ -2411,6 +2411,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.map(_.toSeq).toSeq == r7.map(_.toSeq).toSeq)
   }
 
+  test("unimaxAllocation: greedy integer waterfill with epoch caps") {
+    import spark.implicits._
+    // token weights: a=100, b=100, c=800 (total 1000)
+    val df = (Seq.fill(1)(("a", 100L)) ++ Seq.fill(1)(("b", 100L)) ++
+      Seq.fill(2)(("c", 400L))).toDF("lang", "w")
+    def run(budgetPpm: Long, capPpm: Long) =
+      Sampling.unimaxAllocation(df, "lang", col("w"), budgetPpm, capPpm)
+        .collect().map(r => r.getAs[String]("lang") ->
+          (r.getAs[Long]("cap_tokens"), r.getAs[Long]("alloc_tokens"),
+            r.getAs[Long]("epochs_ppm"))).toMap
+    // B = 1200, caps ×2 epochs: a and b cap at 200, c absorbs 800
+    val r = run(1200000L, 2000000L)
+    assert(r("a") == ((200L, 200L, 2000000L)))
+    assert(r("b") == ((200L, 200L, 2000000L)))
+    assert(r("c") == ((1600L, 800L, 1000000L)))
+    assert(r.values.map(_._2).sum == 1200L) // budget fully spent
+    // budget beyond total capacity: everything caps, leftover unspent
+    val over = run(5000000L, 2000000L)
+    assert(over.values.map(_._2).sum == 2000L)
+    assert(over("c") == ((1600L, 1600L, 2000000L)))
+    // nothing caps: equal integer split with remainders to later langs
+    val eq = run(600000L, 9000000L) // B = 600, caps huge
+    assert(eq.values.map(_._2).sum == 600L)
+    assert(eq("a")._2 == 200L && eq("b")._2 == 200L && eq("c")._2 == 200L)
+  }
+
   test("fimTransform: PSM rendering reassembles the document") {
     import spark.implicits._
     val df = (1L to 30L).map(i => (i,
