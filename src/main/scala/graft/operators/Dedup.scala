@@ -830,4 +830,32 @@ object Dedup {
       .filter(col("__bn") > maxBlockSize)
       .agg(count(lit(1)).as("n_blocks_dropped"),
         coalesce(sum(col("__bn")), lit(0L)).as("n_rows_dropped"))
+
+  /** Deterministic token-dropout twins: for each row, a perturbed
+    * copy whose tokens are dropped where the Carter-Wegman mix of
+    * (portable doc seed, position) lands under `dropPpm` — the
+    * planted-near-duplicate generator for dedup-recall evaluation
+    * (the p78 quantization-fidelity idea applied to the dedup stack).
+    * Pure (id, position) function: twins are identical on any
+    * partitioning and an ANSI engine rebuilds them token-for-token.
+    * Twin ids are `id + idOffset`; the caller unions twins with the
+    * originals and asks the candidate miner to find the pairs.
+    * Narrow: tokenize, one filtered-position pass, re-join — no
+    * shuffle. */
+  def dropoutTwins(df: DataFrame, idCol: String, textCol: String,
+      dropPpm: Long, idOffset: Long): DataFrame = {
+    require(dropPpm >= 1 && dropPpm < 1000000L,
+      s"dropPpm $dropPpm must be in [1, 1e6)")
+    val P = 2147483647L
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"),
+        pmod(TextAnalysis.portableHash60(col(idCol).cast("string")),
+          lit(P)).as("__seed"))
+      .select((col(idCol) + lit(idOffset)).as(idCol),
+        array_join(transform(filter(sequence(lit(1), size(col("__tk"))),
+          i => pmod(pmod(lit(1103515245L) *
+            pmod(col("__seed") + i.cast("long") * lit(1013904223L),
+              lit(P)) + lit(12345L), lit(P)), lit(1000000L)) >=
+            lit(dropPpm)),
+          i => element_at(col("__tk"), i)), " ").as(textCol))
+  }
 }

@@ -16,12 +16,14 @@ import QueryUtil._
   */
 object Pipeline {
 
-  private val duckShingles =
-    """SELECT doc_id, list_distinct(list_transform(
+  private def duckShinglesFrom(table: String) =
+    s"""SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(tk) - 1, 1)),
       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-      |FROM (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS tk
-      |      FROM documents)""".stripMargin
+      |FROM (SELECT doc_id, str_split_regex(trim(lower(text)), '\\s+') AS tk
+      |      FROM $table)""".stripMargin
+
+  private val duckShingles = duckShinglesFrom("documents")
 
   private val duckCos =
     (a: String, b: String) =>
@@ -223,7 +225,7 @@ object Pipeline {
   /** CTE chain `sh, hs, sig, bands` — shingles, signatures and LSH
     * band rows of the portable MinHash, without the pair join (the
     * consumer picks self-join or new-vs-index). */
-  private val duckMinhashBands: String = {
+  private def duckMinhashBandsFrom(table: String): String = {
     val P = 1000000007L
     def a(i: Int) = (2654435761L * (i + 1)) % P
     def b(i: Int) = (40503L * (i + 7) + 12345L) % P
@@ -235,7 +237,7 @@ object Pipeline {
         (0 until 4).map(k => s"CAST(m${j * 4 + k} AS VARCHAR)")
           .mkString(" || ',' || ") + " AS band_key FROM sig")
       .mkString(" UNION ALL ")
-    s"""sh AS ($duckShingles),
+    s"""sh AS (${duckShinglesFrom(table)}),
       |hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
       |      list_transform(range(1, length(s)+1),
@@ -245,12 +247,16 @@ object Pipeline {
       |bands AS ($bandArms)""".stripMargin
   }
 
-  private val duckMinhashCand: String =
-    s"""$duckMinhashBands,
+  private val duckMinhashBands: String = duckMinhashBandsFrom("documents")
+
+  private def duckMinhashCandFrom(table: String): String =
+    s"""${duckMinhashBandsFrom(table)},
       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b
       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
       |   AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val duckMinhashCand: String = duckMinhashCandFrom("documents")
 
   /** CTE `jac` — exact shingle Jaccard for every candidate pair, the
     * DuckDB twin of Dedup.jaccardForPairs over `cand`. Shared by the
@@ -3754,6 +3760,60 @@ object Pipeline {
         |SELECT o.lang AS lang, o.n AS n_tokens, o.cap AS cap_tokens,
         |  a.b AS alloc_tokens, (1000000 * a.b) // o.n AS epochs_ppm
         |FROM alloc a JOIN ord o ON o.lang = a.lang
-        |ORDER BY o.lang""".stripMargin))
+        |ORDER BY o.lang""".stripMargin)),
+
+    // ---- p110: dedup-recall evaluation harness — plant deterministic
+    // 10%-token-dropout twins for a 10% document sample, run the
+    // production MinHash-LSH candidate miner over originals ∪ twins,
+    // and report how many planted pairs it recovered (the p78
+    // fidelity-report idea applied to the dedup stack itself).
+    "p110_dedup_recall" -> Q(
+      (s, dir) => {
+        val base = tbl(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val twins = Dedup.dropoutTwins(base, "doc_id", "text",
+          dropPpm = 100000L, idOffset = 100000000L)
+        val cand = Dedup.minhashCandidatesPortable(
+          base.union(twins), "doc_id", "text")
+        val planted = base.agg(count(lit(1)).as("n_planted"))
+        val rec = cand.agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("b_id") - col("a_id") === 100000000L,
+            1L).otherwise(0L)), lit(0L)).as("n_recovered"))
+        planted.crossJoin(rec).select(col("n_planted"),
+          col("n_candidates"), col("n_recovered"),
+          expr("CAST((1000000 * n_recovered) DIV n_planted AS BIGINT)")
+            .as("recall_ppm"),
+          (col("n_candidates") - col("n_recovered")).as("n_extra"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |tw0 AS (SELECT doc_id,
+        |    str_split_regex(trim(lower(text)), '\\s+') AS tk,
+        |    ${QueryUtil.oPoly60("CAST(doc_id AS VARCHAR)")}
+        |      % 2147483647 AS seed
+        |  FROM base),
+        |twins AS (SELECT doc_id + 100000000 AS doc_id,
+        |    coalesce(array_to_string(list_transform(
+        |      list_filter(range(1, len(tk) + 1),
+        |        i -> ((1103515245 * ((seed + i * 1013904223)
+        |          % 2147483647) + 12345) % 2147483647) % 1000000
+        |          >= 100000),
+        |      i -> tk[i]), ' '), '') AS text
+        |  FROM tw0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |${duckMinhashCandFrom("corpus")}
+        |SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_planted,
+        |  CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN b_id - a_id = 100000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_recovered,
+        |  (1000000 * CAST(sum(CASE WHEN b_id - a_id = 100000000
+        |    THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST((SELECT count(*) FROM base) AS BIGINT)
+        |    AS recall_ppm,
+        |  CAST(count(*) AS BIGINT) -
+        |    CAST(sum(CASE WHEN b_id - a_id = 100000000 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_extra
+        |FROM cand""".stripMargin))
   )
 }

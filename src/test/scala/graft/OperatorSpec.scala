@@ -2411,6 +2411,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.map(_.toSeq).toSeq == r7.map(_.toSeq).toSeq)
   }
 
+  test("dropoutTwins: ordered subset, deterministic, tunable rate") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i,
+      (1 to 40).map(j => s"tok${j}x$i").mkString(" "))).toDF("id", "text")
+    val tw = Dedup.dropoutTwins(df, "id", "text", dropPpm = 200000L,
+        idOffset = 1000L)
+      .orderBy(col("id")).collect()
+    assert(tw.length == 50)
+    var dropped = 0L; var total = 0L
+    tw.foreach { row =>
+      val id = row.getAs[Long]("id") - 1000L
+      val orig = (1 to 40).map(j => s"tok${j}x$id")
+      val kept = row.getAs[String]("text").split(" ").toSeq
+      // twin is an ORDERED SUBSEQUENCE of the original token stream
+      assert(kept.foldLeft(orig) { (rest, t) =>
+        val i = rest.indexOf(t); assert(i >= 0, s"$t not in order"); rest.drop(i + 1)
+      } != null)
+      dropped += 40 - kept.length; total += 40
+    }
+    // ~20% dropout across 2000 positions (loose 3σ band)
+    assert(dropped > total / 10 && dropped < total * 3 / 10,
+      s"dropped $dropped of $total")
+    // layout invariance
+    val t7 = Dedup.dropoutTwins(df.repartition(7), "id", "text",
+        200000L, 1000L).orderBy(col("id")).collect()
+    assert(tw.map(_.toSeq).toSeq == t7.map(_.toSeq).toSeq)
+  }
+
   test("unimaxAllocation: greedy integer waterfill with epoch caps") {
     import spark.implicits._
     // token weights: a=100, b=100, c=800 (total 1000)
