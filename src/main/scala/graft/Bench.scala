@@ -50,6 +50,14 @@ object Bench {
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) =>
       val best = (1 to reps).map { _ =>
+        // snapshot temp views so per-rep cleanup can drop only what
+        // THIS query registered (streaming entries create a
+        // UUID-named memory-sink table per rep; without the drop,
+        // those tables — and their in-memory rows — stay registered
+        // for the rest of the 188-query battery, inflating later
+        // streaming entries up to ~3x over their isolated cost)
+        val preViews = spark.sessionState.catalog
+          .listLocalTempViews("*").map(_.table).toSet
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir))
         catch { case e: Throwable =>
@@ -61,6 +69,11 @@ object Bench {
         // tax every later query with eviction + GC churn (measured ~1-4s
         // per query at sf0.1 — isolated runs of the same queries are 3-10x
         // faster than their in-battery times without this)
+        spark.sessionState.catalog.listLocalTempViews("*").map(_.table)
+          .filterNot(preViews).foreach { v =>
+            try spark.catalog.dropTempView(v)
+            catch { case _: Throwable => () }
+          }
         spark.catalog.clearCache()
         dt
       }.min
@@ -84,19 +97,35 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
-    // Truncation-resilient emission for tail-capped captures (the
-    // driver keeps only the LAST N bytes of stdout, and the full
-    // 149-query contract line outgrew that cap — BENCH_r12 lost
-    // p01–p73): per-query timings go out first in ≤40-query JSON
-    // chunk lines (~1 KB each, later chunks survive a front
-    // truncation), and the FULL contract line stays the process's
-    // final line, so an uncapped capture parses exactly as before.
-    val chunks = results.grouped(40).toSeq
+    // Tail-cap-aware stdout emission. The driver keeps only the LAST
+    // ~2000 chars of stdout; the full 188-query contract line is
+    // ~4.8 KB and can NEVER fit, so r12/r13 parsed as null however
+    // the lines were ordered. Emission order, least → most durable:
+    //   1. the FULL contract line (complete captures and the
+    //      committed file carry every query);
+    //   2. per-query chunk lines (the LAST chunks survive a front
+    //      truncation, extending coverage beyond the final line);
+    //   3. a compact contract line LAST, sized to fit the tail cap
+    //      with room to spare: total + the slowest queries (the
+    //      entries any perf audit reads first), slowest-first, plus
+    //      n_queries/omitted/detail pointing at the full record.
+    println(json)
+    val chunks = results.grouped(35).toSeq
     chunks.zipWithIndex.foreach { case (c, i) =>
       val cq = c.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"chunk","part":${i + 1},"of":${chunks.size},"queries":$cq}""")
     }
-    println(json)
+    val bySlow = results.sortBy(-_._2)
+    val budget = 1200 // chars for the compact queries map
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    bySlow.foreach { case (k, v) =>
+      val frag = "\"" + k + f"""":$v%.3f"""
+      if (used + frag.length + 1 <= budget) { kept += frag; used += frag.length + 1 }
+    }
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size},"omitted":${results.size - kept.size},"detail":"$outPath"}"""
+    println(compact)
   }
 }

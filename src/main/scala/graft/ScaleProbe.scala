@@ -117,6 +117,33 @@ object ScaleProbe {
         }
       }
     }
+
+    // ---- transaction-batched catalog flush: an N-statement load
+    // script inside BEGIN…COMMIT pays ONE info-schema write, vs one
+    // per statement under autocommit (writeVersion defers to endTxn)
+    {
+      val wh = s"/tmp/graft_probe_tx_${java.util.UUID.randomUUID.toString.take(8)}"
+      val eng = new graft.engine.GraftEngine(spark, wh, initialRetention = 40)
+      eng.sql("create schema probe"); eng.sql("use probe")
+      eng.sql(s"create external table src USING PARQUET LOCATION '$sfDir/customer.parquet'")
+      eng.sql("""create table c (c_custkey int, c_acctbal float,
+        PRIMARY KEY(c_custkey))""")
+      eng.sql("insert into c select c_custkey, c_acctbal from src")
+      val n = 16
+      def chain(eng: graft.engine.GraftEngine): Unit =
+        (1 to n).foreach(i =>
+          eng.sql(s"update c set c_acctbal = c_acctbal + 1.0 where c_custkey % $n = ${i - 1}"))
+      val w0 = eng.infoWriteCount
+      timed("txn", s"autocommit_${n}_updates",
+          s"catalog_writes:${eng.infoWriteCount - w0}") {
+        chain(eng)
+      }
+      val w1 = eng.infoWriteCount
+      timed("txn", s"begin_commit_${n}_updates",
+          s"catalog_writes:${eng.infoWriteCount - w1}") {
+        eng.sql("begin"); chain(eng); eng.sql("commit")
+      }
+    }
     spark.stop()
   }
 }

@@ -431,9 +431,15 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
   private def persistInfoSchema(names: Seq[String] = infoTables): Unit = {
     names.foreach { n =>
       infoDf(n).coalesce(1).write.mode("overwrite").parquet(s"$infoRoot/$n")
+      infoWriteCount += 1
     }
     registerInfoTables(names)
   }
+
+  /** Count of individual info-schema table writes since engine start
+    * — observability for the transaction-batched catalog flush
+    * (ScaleProbe's O(1)-writes-per-transaction evidence). */
+  private[graft] var infoWriteCount: Long = 0L
 
   private def registerInfoTables(names: Seq[String] = infoTables): Unit =
     names.foreach { n =>
@@ -609,7 +615,17 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     // both definitions validated), and a thread-local schema override
     // gives a body MySQL's definer-schema resolution: its bare names
     // resolve against the view's own schema, wherever the read runs.
+    // cheap substring pre-filter so per-statement analysis cost is
+    // O(referenced views), not O(all registered views): the quote-
+    // aware ident/qualified scans below only run for views whose name
+    // appears SOMEWHERE in the text. Conservative by construction —
+    // rewrites only splice `__view_<vs>_<vn>` shadow names (single
+    // identifiers, no dots), which can never introduce a new genuine
+    // view reference, so the snapshot taken before the loop stays an
+    // over-approximation as sqlText mutates.
+    val lowerStmt = sqlText.toLowerCase
     views.foreach { case ((vs, vn), body) =>
+      if (!lowerStmt.contains(vn.toLowerCase)) () else {
       val shadowName = s"__view_${vs}_$vn"
       val (rewritten, qualified) =
         replaceQualifiedRef(sqlText, vs, vn, shadowName)
@@ -640,6 +656,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
           df.createOrReplaceTempView(vn)
           shadowed += vn
         }
+      }
       }
     }
     // time travel: each `<table> VERSION AS OF <n>` becomes a temp
@@ -1545,6 +1562,14 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       }
     })
     ses.txn = None
+    // flush catalog writes the transaction's mutations deferred —
+    // ONE write however many statements ran (see writeVersion).
+    // Reached by COMMIT, ROLLBACK (the restores re-persist after),
+    // implicit-commit DDL, and BEGIN-over-open-txn alike.
+    if (ses.pendingInfo.nonEmpty) {
+      persistInfoSchema(ses.pendingInfo.toSeq)
+      ses.pendingInfo = Set.empty
+    }
   }
 
   /** ROLLBACK — rewind every version-store table this transaction
@@ -2238,7 +2263,21 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     }
     tables += (td.schema, td.name) -> ntd
     registerTable(ntd)
-    persistInfoSchema(Seq("tables")) // data_version only — no shape change
+    // data_version only — no shape change. Inside an open transaction
+    // the catalog write DEFERS to COMMIT (one flush per transaction,
+    // not per statement — an N-statement load script pays one catalog
+    // write): in-memory state is what every read path uses, so only
+    // the persisted information_schema image lags, and a crash before
+    // the flush makes [[reconcileVersions]] adopt the catalog's
+    // pre-transaction pointer and GC the unflushed versions — the
+    // crash ROLLS THE TRANSACTION BACK, strictly better atomicity
+    // than the per-statement flush (partial transactions were durable
+    // before). Opportunistic, not guaranteed: another session's
+    // autocommit mutation flushes the whole catalog early.
+    Option(active).filter(_.txn.isDefined) match {
+      case Some(ses) => ses.pendingInfo += "tables"
+      case None => persistInfoSchema(Seq("tables"))
+    }
     // Grace-period GC, not immediate delete: a read statement's
     // DataFrame executes OUTSIDE engine locks (sqlAs scaladoc), so
     // the version a concurrent reader planned against must survive

@@ -41,6 +41,13 @@ class GraftSession private[engine] (val engine: GraftEngine) {
   private[engine] var txn: Option[
     scala.collection.mutable.LinkedHashMap[(String, String), Long]] = None
 
+  /** Info-schema tables whose persisted image is stale because a
+    * mutation inside this session's open transaction deferred its
+    * catalog write ([[GraftEngine]] writeVersion) — flushed as ONE
+    * write when the transaction ends. Same locking discipline as
+    * [[txn]]. */
+  private[engine] var pendingInfo: Set[String] = Set.empty
+
   /** Execute one SQL statement in this session. */
   def sql(statement: String): GraftResult = engine.sqlAs(this, statement)
 

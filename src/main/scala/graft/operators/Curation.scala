@@ -782,12 +782,17 @@ object Curation {
     require(minMargin >= 1, s"minMargin $minMargin must be >= 1")
     df.groupBy(col(keyCol))
       .agg(
+        // itemCol is the final ordering component: with it, the pick
+        // is a total order even when (score, tie) collides, so output
+        // never depends on partition/arrival order
         max_by(struct(col(itemCol).as("item"),
             col(scoreCol).cast("long").as("score")),
-          struct(col(scoreCol).cast("long"), col(tieCol))).as("__c"),
+          struct(col(scoreCol).cast("long"), col(tieCol),
+            col(itemCol))).as("__c"),
         min_by(struct(col(itemCol).as("item"),
             col(scoreCol).cast("long").as("score")),
-          struct(col(scoreCol).cast("long"), col(tieCol))).as("__r"),
+          struct(col(scoreCol).cast("long"), col(tieCol),
+            col(itemCol))).as("__r"),
         count(lit(1)).as("n_candidates"))
       .filter(col("n_candidates") >= 2 &&
         col("__c.score") - col("__r.score") >= minMargin)
@@ -828,8 +833,12 @@ object Curation {
         Seq(col("qscore").desc, col(idCol)), col("weight"),
         rankCol = "sel_rank", cumCol = "cum_weight",
         totalCol = "total_weight")
-      .filter(col("cum_weight") * lit(1000000L) <=
-        col("total_weight") * lit(budgetPpm))
+      // decimal(38,0) gate: cum*1e6 overflows Long once corpus-total
+      // weight passes ~9.2e12 tokens (real at 100 TB); DuckDB computes
+      // this product in int128, so the decimal cast is also what keeps
+      // the two engines' inclusive boundary identical at that scale.
+      .filter(col("cum_weight").cast("decimal(38,0)") * lit(1000000L) <=
+        col("total_weight").cast("decimal(38,0)") * lit(budgetPpm))
       .select(col(idCol), col("qscore"), col("weight"),
         col("sel_rank").cast("long").as("sel_rank"),
         col("cum_weight"), col("total_weight"))

@@ -847,7 +847,11 @@ object Dedup {
     require(dropPpm >= 1 && dropPpm < 1000000L,
       s"dropPpm $dropPpm must be in [1, 1e6)")
     val P = 2147483647L
-    df.select(col(idCol), tokens(col(textCol)).as("__tk"),
+    // coalesce mirrors the oracle: a NULL document yields an empty
+    // twin, not a NULL one (and never hits legacy sizeOfNull=-1,
+    // where sequence(1,-1) would count DOWN into garbage positions)
+    df.select(col(idCol),
+        tokens(coalesce(col(textCol), lit(""))).as("__tk"),
         pmod(TextAnalysis.portableHash60(col(idCol).cast("string")),
           lit(P)).as("__seed"))
       .select((col(idCol) + lit(idOffset)).as(idCol),

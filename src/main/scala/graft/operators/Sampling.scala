@@ -195,11 +195,34 @@ object Sampling {
     val counts = df.groupBy(col(langCol).cast("string").as("lang"))
       .agg(sum(weight.cast("long")).as("n"))
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n")))
+    // fail fast on a NULL language group: the greedy order is keyed
+    // on lang, and NULL has no stable place in it (Scala tuple sort
+    // would NPE; engines disagree on NULL collation) — an unlabeled
+    // corpus slice is an upstream bug, not an allocation input
+    require(!counts.exists(_._1 == null),
+      "unimaxAllocation: NULL lang group — label or filter it upstream")
     val total = counts.map(_._2).sum
     var rem = total * budgetPpm / 1000000L
+    // lang ties ordered by UTF-8 bytes (unsigned), matching DuckDB's
+    // binary collation; Scala's String ordering compares UTF-16 code
+    // units, which diverges for supplementary-plane language tags
+    val utf8 = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
     val byCap = counts
       .map { case (l, n) => (l, n, n * maxEpochsPpm / 1000000L) }
-      .sortBy { case (l, _, cap) => (cap, l) }
+      .sortBy { case (l, _, cap) => (cap, l) }(
+        Ordering.Tuple2(Ordering.Long, utf8))
     var k = byCap.length
     val alloc = byCap.map { case (l, n, cap) =>
       val share = if (k > 0) rem / k else 0L

@@ -148,7 +148,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_ppm",
-        expr("CAST((1000000 * n_oov) DIV n_tokens AS BIGINT)"))
+        // decimal(38,0) product: 1e6 * a per-group token count
+        // overflows Long past ~9.2e12 tokens — the corpus sizes this
+        // audit exists for (DuckDB widens to int128 on its own)
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_oov)" +
+          " DIV n_tokens AS BIGINT)"))
   }
 
   /** n-gram document-frequency heavy-hitters per group: the `k` word
@@ -678,27 +682,36 @@ object TextAnalysis {
     * Scale shape: per-doc distinct gram hashes come out of the
     * codegen [[graft.functions.ShingleHashes]] pass (poly hashes,
     * the [[Dedup.duplicatedSpans]] discipline — the oracle
-    * recomputes each hash from gram text); the corpus-wide first-
-    * occurrence table is ONE partial-combined min aggregate on the
-    * gram hash, and the join back is gram-hash-keyed — two
-    * gram-stream exchanges total, nothing quadratic. Documents with
-    * fewer than `n` tokens have no grams and are absent, matching
-    * the declarative formulation.
+    * recomputes each hash from gram text), and the TEXT IS SCANNED
+    * EXACTLY ONCE: the exploded (id, gram-hash) stream goes through
+    * one explicit gram-hash repartition whose exchange BOTH
+    * aggregates consume (Catalyst's ReuseExchange — the r13 shape
+    * ran the tokenize+shingle scan once per branch, and at 100 TB
+    * the text scan, not the aggregation, is the dominant cost:
+    * measured 17s scan vs 7.5s agg at the 100x point, BENCH_NOTES
+    * r14). Downstream of the exchange everything is gram-hash-local:
+    * min-id per gram feeds a per-first-doc count (the novel count per
+    * doc is exactly the number of grams whose corpus-min id is that
+    * doc — nothing ever joins back at gram grain), and the per-doc
+    * gram count partial-combines before its doc-sized exchange. The
+    * final join is doc-grain. Documents with fewer than `n` tokens
+    * have no grams and are absent, matching the declarative
+    * formulation.
     *
     * Returns (idCol, n_grams, n_novel, novelty 4dp) by id. */
   def noveltyRate(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val g = df.select(col(idCol).as("__id"),
-      explode(graft.functions.ShingleHashes(col(textCol), n,
-        poly = true, distinct = true)).as("__gh"))
-    val first = g.groupBy(col("__gh")).agg(min(col("__id")).as("__first"))
-    g.join(first, Seq("__gh"))
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 4)
-          .as("novelty"))
+        explode(graft.functions.ShingleHashes(col(textCol), n,
+          poly = true, distinct = true)).as("__gh"))
+      .repartition(col("__gh")) // the ONE shared gram-grain exchange
+    val novel = g.groupBy(col("__gh")).agg(min(col("__id")).as("__first"))
+      .groupBy(col("__first")).agg(count(lit(1)).as("__nn"))
+    val perDoc = g.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    perDoc.join(novel, perDoc("__id") === novel("__first"), "left")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"),
+        round(coalesce(col("__nn"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 4).as("novelty"))
   }
 }

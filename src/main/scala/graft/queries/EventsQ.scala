@@ -434,9 +434,12 @@ object EventsQ {
     // AvailableNow run is complete under ANY micro-batching — which
     // is what lets a plain SQL self-join oracle gate it. (The
     // production shape — tight watermark, left-outer null emission,
-    // state eviction — is twin-checked in StreamingSpec.) The memory
-    // sink holds matched pairs; the compact hourly rollup happens
-    // batch-side on the sink table.
+    // state eviction — is twin-checked in StreamingSpec.) The sink is
+    // a parquet DIRECTORY, q59's shape: matched pairs stay distributed
+    // in executor-written part files (a memory sink would land every
+    // pair on the driver AND leave a temp table registered for the
+    // rest of a bench battery); the compact hourly rollup is a batch
+    // aggregate over those files.
     "q60_stream_join" -> Q(
       (s, dir) => {
         val views = tblStream(s, dir, "events")
@@ -446,14 +449,15 @@ object EventsQ {
         val joined = graft.streaming.EventStreams.viewPurchaseJoin(
           views, purchases, intervalMs = 3600000L,
           watermark = "30 days", joinType = "inner")
-        val sink = s"q60_mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val out = s"/tmp/graft_q60_${java.util.UUID.randomUUID.toString.replace("-", "")}"
         val sq = joined.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .format("memory").queryName(sink)
+          .format("parquet").option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         sq.awaitTermination()
-        s.table(sink)
+        s.read.parquet(s"$out/data")
           .groupBy(unix_millis(date_trunc("hour", col("view_ts")))
             .as("hour_ms"))
           .agg(count(lit(1)).as("n_pairs"),

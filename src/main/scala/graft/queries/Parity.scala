@@ -1252,6 +1252,80 @@ object Parity {
         |SELECT 'TRUNCATED' AS seg, CAST(0 AS BIGINT) AS n, 0.0 AS bal
         |ORDER BY seg""".stripMargin)),
 
+    // ---- the WIRE PROTOCOL under the oracle gate: the q62 SELECT
+    // executed through a real TCP connection to `wire.MysqlServer`
+    // (handshake → COM_QUERY → text resultset), the rows parsed from
+    // lenenc-text cells back into typed values and hash-compared to
+    // the same DuckDB truth as every other entry. This pins the
+    // server's value→text serialization (the reference's all-text
+    // row conversion, `core_util.rs:357-427`) end-to-end: a wrong
+    // NULL marker, a double formatted differently, or a swapped
+    // column def would hash-mismatch. The resultset is
+    // statement-sized (one row per market segment), so the
+    // text→local→createDataFrame hop is catalog-scale, not
+    // data-scale — the payload query itself still runs distributed
+    // inside the engine.
+    "q79_wire_query" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q79_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q79")
+        eng.sql("use q79")
+        eng.sql(s"create external table ord USING PARQUET LOCATION '$dir/orders.parquet'")
+        eng.sql(s"create external table cust USING PARQUET LOCATION '$dir/customer.parquet'")
+        val server = new graft.wire.MysqlServer(eng, 0)
+        try {
+          val cli = new graft.wire.TextClient("127.0.0.1", server.boundPort)
+          try {
+            cli.query("use q79") // wire connections get a fresh session
+            val (cols, rows) = cli.query(
+              """select c_mktsegment,
+                |  count(*) as n_orders,
+                |  count(distinct o_custkey) as n_customers,
+                |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as double) / 100.0
+                |    as total_price
+                |from ord join cust on o_custkey = c_custkey
+                |where o_orderstatus <> 'X'
+                |group by c_mktsegment
+                |having count(*) > 0
+                |order by c_mktsegment""".stripMargin)
+            require(cols == Seq("c_mktsegment", "n_orders",
+              "n_customers", "total_price"),
+              s"unexpected wire column defs: $cols")
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("c_mktsegment",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n_orders",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_customers",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("total_price",
+                org.apache.spark.sql.types.DoubleType)))
+            val data = rows.map { r =>
+              org.apache.spark.sql.Row(
+                r(0).orNull,
+                r(1).map(v => java.lang.Long.valueOf(v)).orNull,
+                r(2).map(v => java.lang.Long.valueOf(v)).orNull,
+                r(3).map(v => java.lang.Double.valueOf(v)).orNull)
+            }
+            s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+              schema)
+          } finally cli.close()
+        } finally server.close()
+      },
+      Some("""SELECT c_mktsegment,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'X'
+        |GROUP BY c_mktsegment
+        |HAVING count(*) > 0
+        |ORDER BY c_mktsegment""".stripMargin)),
+
     // ---- managed KV tables through the statement surface — the
     // reference's KV-as-primary-store semantics
     // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:
