@@ -974,7 +974,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * never written by this engine. */
   private def doCreateExternalTable(stmt: String): GraftResult = {
     val m = ("(?is)^create\\s+external\\s+table\\s+(if\\s+not\\s+exists\\s+)?(\\S+)\\s+" +
-      "(?:using\\s+(parquet|csv|json|kv)\\s+)?location\\s+'([^']+)'\\s*$").r
+      "(?:using\\s+(parquet|csv|json|orc|kv)\\s+)?location\\s+'([^']+)'\\s*$").r
       .findFirstMatchIn(stmt)
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     val ifNotExists = m.group(1) != null

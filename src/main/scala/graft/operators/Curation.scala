@@ -967,4 +967,39 @@ object Curation {
       .withColumn("pad_tokens",
         col("n_seqs") * col("max_len") - col("sum_len"))
   }
+
+  /** Wilson-score lower confidence bound on a per-group pass rate —
+    * the small-sample-honest quality gate: ranking sources by raw
+    * pass rate lets a 3-document source with 3 passes outrank a
+    * 10k-document source at 99%, while the Wilson lower bound
+    * (Wilson 1927; the standard fix, e.g. how review-score ranking
+    * is done) shrinks toward 0 exactly when n is small. Gate sources
+    * on `wilson_lb >= threshold` instead of `pass_rate`.
+    *
+    * Cross-engine determinism: the bound is computed in IEEE-754
+    * doubles with `+ - * /` and `sqrt` only — every one of those is
+    * correctly rounded by both engines, and the expression tree here
+    * is written in exactly the oracle's shape, so the doubles match
+    * bit-for-bit before the final `round(…, 4)`.
+    *
+    * Scale shape: one partial-combined count aggregate; everything
+    * after is per-group arithmetic.
+    *
+    * Returns (groupCol, n_docs, n_pass, pass_rate 4dp,
+    * wilson_lb 4dp). */
+  def wilsonLowerBound(df: DataFrame, groupCol: String, pass: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z $z must be > 0")
+    val ag = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_pass"))
+    val nn = col("n_docs").cast("double")
+    val p = col("n_pass").cast("double") / nn
+    val z2 = lit(z) * lit(z)
+    ag.select(col(groupCol), col("n_docs"), col("n_pass"),
+      round(p, 4).as("pass_rate"),
+      round((p + z2 / (lit(2.0) * nn) - lit(z) *
+          sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nn)) / nn)) /
+        (lit(1.0) + z2 / nn), 4).as("wilson_lb"))
+  }
 }

@@ -862,4 +862,64 @@ object Dedup {
             lit(dropPpm)),
           i => element_at(col("__tk"), i)), " ").as(textCol))
   }
+
+  /** Concatenation-stitch detection: pairs (a, b) where a's last `k`
+    * tokens EXACTLY equal b's first `k` tokens — the seam left when
+    * a pipeline chunks one source document into two (or re-joins
+    * chunks with an overlap window), a dedup class MinHash misses
+    * because the documents as wholes are dissimilar. Boundary
+    * equality is exact token equality on the joined string (tokens
+    * contain no whitespace, so the join is bijective).
+    *
+    * Scale shape: one narrow tokenize pass per side, then an
+    * equi-join on the boundary string — hash-partitioned, pair space
+    * Σ|suffixes(g)|·|prefixes(g)| per boundary g. Boilerplate
+    * boundaries (a shared header/footer) are the skew hazard: any
+    * boundary occurring more than `maxBoundaryFreq` times on either
+    * side is EXCLUDED from matching (pair space per boundary is then
+    * ≤ maxBoundaryFreq²), and [[stitchOversized]] reports what was
+    * dropped — the no-silent-caps contract.
+    *
+    * Returns (a_id, b_id, boundary). */
+  def stitchPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxBoundaryFreq: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(maxBoundaryFreq >= 1,
+      s"maxBoundaryFreq $maxBoundaryFreq must be >= 1")
+    val t = df.select(col(idCol).as("__id"),
+        tokens(coalesce(col(textCol), lit(""))).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+    val pre = t.select(col("__id").as("b_id"),
+      array_join(slice(col("__tk"), 1, k), " ").as("boundary"))
+    val suf = t.select(col("__id").as("a_id"),
+      array_join(slice(col("__tk"), -k, k), " ").as("boundary"))
+    def hot(side: DataFrame) = side.groupBy(col("boundary"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBoundaryFreq).select(col("boundary"))
+    val dropped = hot(pre).union(hot(suf)).distinct()
+    suf.join(dropped, Seq("boundary"), "left_anti")
+      .join(pre.join(dropped, Seq("boundary"), "left_anti"),
+        Seq("boundary"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("boundary"))
+  }
+
+  /** Companion report for [[stitchPairs]]' boundary-frequency cap:
+    * how many boundaries (and suffix/prefix rows) the cap excluded. */
+  def stitchOversized(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxBoundaryFreq: Int): DataFrame = {
+    val t = df.select(col(idCol).as("__id"),
+        tokens(coalesce(col(textCol), lit(""))).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+    val sides = t.select(lit("prefix").as("side"),
+        array_join(slice(col("__tk"), 1, k), " ").as("boundary"))
+      .unionAll(t.select(lit("suffix").as("side"),
+        array_join(slice(col("__tk"), -k, k), " ").as("boundary")))
+    sides.groupBy(col("side"), col("boundary"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBoundaryFreq)
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_boundaries_dropped"),
+        sum(col("__n")).as("n_rows_dropped"))
+  }
 }

@@ -301,4 +301,49 @@ object Sampling {
         ((col("src_ordinal") - 1L) * col("__ns") + col("__sidx"))
           .cast("long").as("interleave_pos"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer ppm
+    * budget across keys by weight: each key gets
+    * floor(w·totalPpm / W), and the shortfall ppm go one each to the
+    * largest remainders (key ascending on ties) — the EXACT mixture
+    * normalization for a training-data recipe ("30.0000% web,
+    * 12.5000% code, …" that provably sums to 100%), where naive
+    * per-key rounding drifts by up to |keys|/2 ppm. All integral:
+    * products in decimal(38,0) so a 100 TB token count cannot
+    * overflow the gate.
+    *
+    * Scale shape: ONE partial-combined weight aggregate is the only
+    * corpus-sized work; the floors/remainders/rank run on |keys|
+    * rows (catalog-sized — the [[unimaxAllocation]] discipline), so
+    * the single-partition remainder window is bounded by the key
+    * inventory, never the corpus.
+    *
+    * Returns (key, weight, floor_ppm, share_ppm) ordered by key;
+    * sum(share_ppm) == totalPpm by construction. */
+  def largestRemainderShares(df: DataFrame, keyCol: String,
+      weight: Column, totalPpm: Long = 1000000L): DataFrame = {
+    require(totalPpm >= 1, s"totalPpm $totalPpm must be >= 1")
+    val w = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(sum(weight.cast("long")).as("weight"))
+    val tot = w.agg(sum(col("weight")).cast("decimal(38,0)").as("__tw"))
+    val fl = w.crossJoin(broadcast(tot)).select(col("key"), col("weight"),
+      expr(s"CAST((CAST(weight AS DECIMAL(38,0)) * ${totalPpm}L)" +
+        " DIV __tw AS BIGINT)").as("floor_ppm"),
+      expr(s"(CAST(weight AS DECIMAL(38,0)) * ${totalPpm}L) % __tw")
+        .as("__rem"))
+    val short = fl.agg((lit(totalPpm) - sum(col("floor_ppm")))
+      .as("__short"))
+    // |keys|-row table, one bounded task; the partition key is
+    // column-derived (the interleaveBySource discipline) so the
+    // window never degenerates into Spark's global no-partition shape
+    val wRem = Window
+      .partitionBy(pmod(length(col("key")).cast("long"), lit(1L)))
+      .orderBy(col("__rem").desc, col("key"))
+    fl.withColumn("__rk", row_number().over(wRem).cast("long"))
+      .crossJoin(broadcast(short))
+      .select(col("key"), col("weight"), col("floor_ppm"),
+        (col("floor_ppm") + when(col("__rk") <= col("__short"), 1L)
+          .otherwise(0L)).as("share_ppm"))
+      .orderBy(col("key"))
+  }
 }

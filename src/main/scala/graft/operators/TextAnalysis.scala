@@ -714,4 +714,70 @@ object TextAnalysis {
         round(coalesce(col("__nn"), lit(0L)).cast("double") /
           col("n_grams").cast("double"), 4).as("novelty"))
   }
+
+  /** Cross-lingual n-gram leakage: for each unordered language pair,
+    * how many distinct word n-gram hashes occur in BOTH languages —
+    * the contamination audit run before claiming a multilingual
+    * benchmark split is clean (translated or copy-pasted passages
+    * surface as shared long n-grams; 8 words of exact overlap across
+    * languages is never coincidence in natural text).
+    *
+    * Scale shape: ONE gram-grain exchange, all codegen. Distinct
+    * per-doc gram hashes come from the codegen
+    * [[graft.functions.ShingleHashes]] pass; the explicit gram-hash
+    * repartition both dedups (lang, gram) — HashPartitioning on the
+    * hash alone satisfies the distinct's clustering, since it is a
+    * coarsening — and feeds BOTH sides of the per-gram language
+    * self-join through Catalyst's ReuseExchange. Per gram the match
+    * fan-out is bounded by the language inventory (≤ C(|langs|, 2)
+    * pairs — a catalog-sized constant), so the join is linear in the
+    * gram stream. A `collect_set(lang)` formulation measured 1.7×
+    * slower at the 100× point (BENCH_NOTES r14): ObjectHashAggregate
+    * falls back to sort-based aggregation past 128 map entries, which
+    * sort-orders the whole gram stream.
+    *
+    * Returns (lang_a, lang_b, n_shared_grams) with lang_a < lang_b,
+    * ordered by pair. */
+  def crossLingualLeakage(df: DataFrame, langCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val gl = df.select(col(langCol).cast("string").as("__lang"),
+        explode(graft.functions.ShingleHashes(
+          coalesce(col(textCol), lit("")), n,
+          poly = true, distinct = true)).as("__gh"))
+      .repartition(col("__gh"))
+      .distinct()
+    gl.select(col("__gh"), col("__lang").as("lang_a"))
+      .join(gl.select(col("__gh"), col("__lang").as("lang_b")),
+        Seq("__gh"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Per-group BPE fertility: words, BPE tokens, and tokens-per-word
+    * under a trained merge table — the tokenizer-equity audit
+    * (Chung et al. 2023 §2 measure low-resource languages paying
+    * more tokens per word under a shared vocabulary; fertility is
+    * THE number a multilingual budget allocation like
+    * [[Sampling.unimaxAllocation]] should be corrected by).
+    *
+    * Scale shape: [[bpeEncode]]'s discipline — merges apply to the
+    * DISTINCT-word table (vocabulary-sized), documents join the
+    * word→token-count map on the word key, and the per-group rollup
+    * is one partial-aggregable groupBy over doc-grain rows. The text
+    * is never reprocessed per merge.
+    *
+    * Returns (groupCol, n_docs, n_words, n_bpe_tokens,
+    * fertility 4dp). */
+  def bpeFertility(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, merges: Seq[(String, String, Long)]): DataFrame =
+    bpeEncode(df, idCol, textCol, merges)
+      .join(df.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 4))
 }

@@ -1326,6 +1326,43 @@ object Parity {
         |HAVING count(*) > 0
         |ORDER BY c_mktsegment""".stripMargin)),
 
+    // ---- ORC as an external-table format (§2.1 source matrix,
+    // alongside parquet/CSV/JSON/KV): executor-written ORC files of
+    // the customer table, cataloged via CREATE EXTERNAL TABLE …
+    // USING ORC, aggregated through engine SQL. ORC scans get the
+    // same vectorized reader + predicate pushdown treatment parquet
+    // does in Spark; the oracle recomputes from the parquet source,
+    // so the entry pins that the ORC write→catalog→scan loop is
+    // value-exact.
+    "q80_engine_orc" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q80_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val orcDir = s"$wh/orc_src"
+        s.read.parquet(s"$dir/customer.parquet")
+          .write.mode("overwrite").orc(orcDir)
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q80")
+        eng.sql("use q80")
+        eng.sql(s"create external table cust USING ORC LOCATION '$orcDir'")
+        eng.sql(
+          """select c_mktsegment, count(*) as n,
+            |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0
+            |    as bal,
+            |  min(c_custkey) as min_k, max(c_custkey) as max_k
+            |from cust group by c_mktsegment
+            |order by c_mktsegment""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS bal,
+        |  min(c_custkey) AS min_k, max(c_custkey) AS max_k
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)),
+
     // ---- managed KV tables through the statement surface — the
     // reference's KV-as-primary-store semantics
     // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:

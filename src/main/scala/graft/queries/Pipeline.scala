@@ -3814,6 +3814,140 @@ object Pipeline {
         |  CAST(count(*) AS BIGINT) -
         |    CAST(sum(CASE WHEN b_id - a_id = 100000000 THEN 1 ELSE 0
         |      END) AS BIGINT) AS n_extra
-        |FROM cand""".stripMargin))
+        |FROM cand""".stripMargin)),
+
+    // ---- p111: cross-lingual 8-gram leakage — shared distinct gram
+    // hashes per unordered language pair (translated/copy-pasted
+    // passages across language splits). One gram-grain exchange;
+    // per-gram state is the language set (catalog-bounded), pair
+    // fan-out ≤ C(|langs|, 2). DuckDB recomputes every gram hash
+    // from text (the p80 discipline).
+    "p111_cross_lingual_leakage" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.crossLingualLeakage(
+          tbl(s, dir, "documents"), "lang", "text", n = 8)
+        .orderBy(col("lang_a"), col("lang_b")),
+      Some(s"""WITH tok AS (SELECT lang,
+        |    str_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents),
+        |g0 AS (SELECT lang, array_to_string(tk[i:i+7], ' ') AS gr
+        |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
+        |gl AS (SELECT DISTINCT lang,
+        |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM gl a JOIN gl b ON a.gh = b.gh AND a.lang < b.lang
+        |GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin)),
+
+    // ---- p112: concatenation-stitch pairs — a's last 3 tokens ==
+    // b's first 3 (the chunking-seam dedup class MinHash misses).
+    // Boundary equi-join with the maxBoundaryFreq=2 hot-boundary cap
+    // exercised (one prefix boundary is dropped at sf0.01); the
+    // companion oversized report is spec-gated in OperatorSpec.
+    "p112_stitch_pairs" -> Q(
+      (s, dir) => graft.operators.Dedup.stitchPairs(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          k = 3, maxBoundaryFreq = 2)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH tok AS (SELECT doc_id,
+        |    str_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |t AS (SELECT doc_id, tk FROM tok WHERE len(tk) >= 3),
+        |pre AS (SELECT doc_id AS b_id,
+        |    array_to_string(tk[1:3], ' ') AS boundary FROM t),
+        |suf AS (SELECT doc_id AS a_id,
+        |    array_to_string(tk[len(tk)-2:len(tk)], ' ') AS boundary
+        |  FROM t),
+        |hot AS (SELECT boundary FROM (SELECT boundary, count(*) AS c
+        |    FROM pre GROUP BY 1) WHERE c > 2
+        |  UNION SELECT boundary FROM (SELECT boundary, count(*) AS c
+        |    FROM suf GROUP BY 1) WHERE c > 2)
+        |SELECT a_id, b_id, boundary
+        |FROM suf JOIN pre USING (boundary)
+        |WHERE a_id <> b_id
+        |  AND boundary NOT IN (SELECT boundary FROM hot)
+        |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- p113: largest-remainder mixture shares — the exact ppm
+    // apportionment of a training recipe across sources by token
+    // weight (shares provably sum to 1e6). One corpus-sized weight
+    // aggregate; floors/remainders/rank on the 20-source table.
+    "p113_mixture_shares" -> Q(
+      (s, dir) => graft.operators.Sampling.largestRemainderShares(
+        tbl(s, dir, "documents").select(col("source"),
+          size(graft.operators.Dedup.tokens(col("text"))).cast("long")
+            .as("ntok")),
+        "source", col("ntok")),
+      Some("""WITH w AS (SELECT source AS key,
+        |    CAST(sum(len(str_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(weight) AS HUGEINT) AS tw FROM w),
+        |f AS (SELECT key, weight,
+        |    CAST((CAST(weight AS HUGEINT) * 1000000) // tw AS BIGINT)
+        |      AS floor_ppm,
+        |    (CAST(weight AS HUGEINT) * 1000000) % tw AS rem
+        |  FROM w CROSS JOIN t),
+        |sh AS (SELECT 1000000 - CAST(sum(floor_ppm) AS BIGINT) AS s
+        |  FROM f),
+        |r AS (SELECT key, weight, floor_ppm,
+        |    row_number() OVER (ORDER BY rem DESC, key) AS rk FROM f)
+        |SELECT key, weight, floor_ppm,
+        |  CAST(floor_ppm + CASE WHEN rk <= s THEN 1 ELSE 0 END
+        |    AS BIGINT) AS share_ppm
+        |FROM r CROSS JOIN sh ORDER BY key""".stripMargin)),
+
+    // ---- p114: Wilson lower-bound quality gate per source — the
+    // small-sample-honest pass-rate ranking (pass = n_chars >= 300).
+    // IEEE doubles with +,-,*,/,sqrt only, expression tree mirrored
+    // textually in the oracle, so both engines produce identical
+    // bits before round(…, 4).
+    "p114_wilson_gate" -> Q(
+      (s, dir) => graft.operators.Curation.wilsonLowerBound(
+          tbl(s, dir, "documents").select(col("source"), col("n_chars")),
+          "source", col("n_chars") >= 300)
+        .orderBy(col("source")),
+      Some("""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pass
+        |  FROM documents GROUP BY 1),
+        |d AS (SELECT source, n_docs, n_pass,
+        |    CAST(n_docs AS DOUBLE) AS nn,
+        |    CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p
+        |  FROM a)
+        |SELECT source, n_docs, n_pass, round(p, 4) AS pass_rate,
+        |  round((p + (1.96*1.96)/(2.0*nn) - 1.96*sqrt((p*(1.0-p)
+        |      + (1.96*1.96)/(4.0*nn))/nn)) / (1.0 + (1.96*1.96)/nn), 4)
+        |    AS wilson_lb
+        |FROM d ORDER BY source""".stripMargin)),
+
+    // ---- p115: BPE fertility per language — tokens-per-word under
+    // the p39-trained 8-merge table, the tokenizer-equity number a
+    // UniMax-style budget should be corrected by. Merges apply to the
+    // distinct-word table; per-lang rollup over doc-grain counts.
+    "p115_bpe_fertility" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val merges = TextAnalysis.bpeMerges(docs, "text", 8)
+        TextAnalysis.bpeFertility(docs, "lang", "doc_id", "text", merges)
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $duckBpe8,
+        |wt AS (SELECT w, CAST(len(str_split(trim(s, chr(1)),
+        |    chr(1)||chr(1))) AS BIGINT) AS ntok FROM words8),
+        |dt AS (SELECT doc_id,
+        |    unnest(str_split_regex(trim(lower(text)), '\\s+')) AS w
+        |  FROM documents),
+        |dm AS (SELECT doc_id, w, count(*) AS m FROM dt
+        |  WHERE length(w) >= 1 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_words,
+        |    CAST(sum(m * ntok) AS BIGINT) AS n_bpe
+        |  FROM dm JOIN wt USING (w) GROUP BY 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 4)
+        |    AS fertility
+        |FROM pd JOIN documents USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

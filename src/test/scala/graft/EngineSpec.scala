@@ -998,6 +998,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"one-view stmt $oneView%.1f ms @ $n views")
   }
 
+  test("orc external table: scan, aggregate, restart persistence") {
+    val dir = Files.createTempDirectory("graft_wh_").toString
+    val orcDir = s"$dir/ext_orc"
+    import spark.implicits._
+    Seq((1, "a", 10.5), (2, "b", 20.25), (3, "a", 0.25))
+      .toDF("id", "tag", "v").write.mode("overwrite").orc(orcDir)
+    val e = new GraftEngine(spark, dir)
+    e.sql("create schema orcs"); e.sql("use orcs")
+    e.sql(s"create external table t USING ORC LOCATION '$orcDir'")
+    assert(rows(e.sql(
+      "select tag, count(*) as n from t group by tag order by tag")) ==
+      Seq(Seq("a", 2L), Seq("b", 1L)))
+    // read-only like every external format
+    assert(intercept[GraftException](
+      e.sql("insert into t values (9, 'z', 1.0)")).code == 1105)
+    // format survives an engine restart through the catalog
+    val e2 = new GraftEngine(spark, dir)
+    e2.sql("use orcs")
+    assert(rows(e2.sql("select count(*) as n from t")).head.head == 3L)
+  }
+
   test("txn: catalog writes defer to COMMIT — one flush per transaction") {
     val dir = Files.createTempDirectory("graft_wh_").toString
     val e = new GraftEngine(spark, dir)

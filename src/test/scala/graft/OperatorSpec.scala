@@ -2498,4 +2498,108 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("id")).collect()
     assert(r.map(_.toSeq).toSeq == r7.map(_.toSeq).toSeq)
   }
+
+  test("stitchPairs: seam detection, self-exclusion, hot-boundary cap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta one two three"), // suffix: one two three
+      (2L, "one two three more words follow here"), // prefix: one two three → 1 stitches 2
+      (3L, "one two three yet another continuation"), // also prefix match → 1 stitches 3
+      (4L, "xx yy zz xx yy zz"), // suffix == own prefix: self-pair excluded
+      (5L, "hot hot hot filler a"), (6L, "hot hot hot filler b"),
+      (7L, "hot hot hot filler c"), // 3 docs share prefix "hot hot hot"
+      (8L, "ends with hot hot hot") // would stitch 5,6,7 but boundary is hot (freq 3 > cap 2)
+    ).toDF("doc_id", "text")
+    val r = Dedup.stitchPairs(df, "doc_id", "text", k = 3,
+      maxBoundaryFreq = 2).orderBy(col("a_id"), col("b_id")).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (1L, 3L)))
+    val over = Dedup.stitchOversized(df, "doc_id", "text", 3, 2).collect()
+    assert(over.length == 1 && over.head.getString(0) == "prefix" &&
+      over.head.getLong(1) == 1L && over.head.getLong(2) == 3L)
+    // NULL text is an empty doc, never a match
+    val withNull = df.unionAll(Seq((9L, null: String)).toDF("doc_id", "text"))
+    assert(Dedup.stitchPairs(withNull, "doc_id", "text", 3, 2).count() == 2)
+  }
+
+  test("largestRemainderShares: exact ppm sum, remainder order, overflow-safe") {
+    import spark.implicits._
+    // weights 1,1,1 over 1e6: floor 333333 each, shortfall 1 → the
+    // largest remainder (all tie) goes to the smallest key
+    val eq = Sampling.largestRemainderShares(
+      Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "w"), "k", col("w"))
+      .collect()
+    assert(eq.map(_.getAs[Long]("share_ppm")).sum == 1000000L)
+    assert(eq.find(_.getString(0) == "a").get.getAs[Long]("share_ppm") == 333334L)
+    // skewed weights still sum exactly
+    val sk = Sampling.largestRemainderShares(
+      Seq(("x", 7L), ("y", 1L), ("z", 5L)).toDF("k", "w"), "k", col("w"))
+      .collect()
+    assert(sk.map(_.getAs[Long]("share_ppm")).sum == 1000000L)
+    assert(sk.find(_.getString(0) == "x").get.getAs[Long]("share_ppm") >
+      sk.find(_.getString(0) == "z").get.getAs[Long]("share_ppm"))
+    // Long-overflow regime: weights near 1e13 tokens (1e13 * 1e6
+    // overflows int64; the decimal gate must stay exact)
+    val big = Sampling.largestRemainderShares(
+      Seq(("p", 9000000000000L), ("q", 3000000000001L))
+        .toDF("k", "w"), "k", col("w")).collect()
+    assert(big.map(_.getAs[Long]("share_ppm")).sum == 1000000L)
+    val p = big.find(_.getString(0) == "p").get
+    assert(p.getAs[Long]("share_ppm") == 750000L ||
+      p.getAs[Long]("share_ppm") == 749999L)
+  }
+
+  test("wilsonLowerBound: shrinks small samples, bounded by pass rate") {
+    import spark.implicits._
+    // same 100% pass rate: n=3 must rank BELOW n=1000 on the bound
+    val df = (1 to 3).map(i => ("tiny", i)).toDF("src", "v")
+      .unionAll((1 to 1000).map(i => ("big", i)).toDF("src", "v"))
+    val r = Curation.wilsonLowerBound(df, "src", lit(true))
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("wilson_lb")).toMap
+    assert(r("tiny") < r("big"))
+    assert(r("tiny") > 0.4 && r("tiny") < 0.8) // 1.96 LB for 3/3 ≈ 0.44
+    assert(r("big") > 0.99)
+    // the bound never exceeds the observed rate
+    val mixed = Curation.wilsonLowerBound(
+      (1 to 10).map(i => ("m", i % 2 == 0)).toDF("src", "p"),
+      "src", col("p")).head()
+    assert(mixed.getAs[Double]("wilson_lb") <
+      mixed.getAs[Double]("pass_rate"))
+  }
+
+  test("crossLingualLeakage: shared grams counted once per pair, ordered") {
+    import spark.implicits._
+    val common = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, "en", common + " en tail"),
+      (2L, "de", common + " de tail"),
+      (3L, "de", common + " de other"), // same gram in de twice: DISTINCT per lang
+      (4L, "fr", "nothing shared here at all in this one")
+    ).toDF("id", "lang", "text")
+    val r = TextAnalysis.crossLingualLeakage(df, "lang", "text", n = 8)
+      .orderBy(col("lang_a"), col("lang_b")).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "de" && r.head.getString(1) == "en")
+    assert(r.head.getAs[Long]("n_shared_grams") == 1L)
+  }
+
+  test("bpeFertility: rollup matches per-doc encode totals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "aa bb aa bb"),
+      (2L, "en", "aa aa"),
+      (3L, "de", "cc dd")
+    ).toDF("doc_id", "lang", "text")
+    val merges = TextAnalysis.bpeMerges(df, "text", 2)
+    val enc = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"))).toMap
+    val fert = TextAnalysis.bpeFertility(df, "lang", "doc_id", "text",
+      merges).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(fert("en")._1 == 2L && fert("de")._1 == 1L)
+    assert(fert("en")._2 == enc(1L)._1 + enc(2L)._1)
+    assert(fert("en")._3 == enc(1L)._2 + enc(2L)._2)
+  }
 }
