@@ -186,7 +186,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         doDropSchema(stmt)
       else if (lower.matches("(?s)drop\\s+table\\b.*")) doDropTable(stmt)
       else if (lower.matches("(?s)alter\\s+table\\b.*")) doAlterTable(stmt)
-      else if (lower.startsWith("insert")) doInsert(stmt)
+      else if (lower.startsWith("insert") ||
+        lower.startsWith("replace")) doInsert(stmt)
       else if (lower.startsWith("update")) doUpdate(stmt)
       else if (lower.startsWith("delete")) doDelete(stmt)
       else if (lower.startsWith("merge")) doMerge(stmt)
@@ -1132,16 +1133,36 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
   }
 
   private def doInsert(stmt: String): GraftResult = {
-    val m = ("(?is)^insert\\s+(overwrite\\s+)?into\\s+([^(\\s]+)\\s*" +
+    val m = ("(?is)^(insert|replace)\\s+(overwrite\\s+)?into\\s+([^(\\s]+)\\s*" +
       "(\\(([^)]*)\\)\\s*)?(.*)$").r.findFirstMatchIn(stmt)
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
-    val overwrite = m.group(1) != null
-    val td = lookup(m.group(2))
+    // REPLACE INTO: MySQL's delete-then-insert upsert — rows
+    // conflicting with the new batch on ANY unique key are dropped,
+    // then every new row appends; affected = inserted + deleted.
+    val replaceMode = m.group(1).equalsIgnoreCase("replace")
+    val overwrite = m.group(2) != null
+    if (replaceMode && overwrite)
+      throw Errors.generic("REPLACE does not take OVERWRITE")
+    val td = lookup(m.group(3))
     requireWritable(td)
     val targetCols =
-      Option(m.group(4)).map(g => splitTopLevel(g, ',').map(ident))
+      Option(m.group(5)).map(g => splitTopLevel(g, ',').map(ident))
         .getOrElse(td.columns.map(_.name))
-    val rest = m.group(5).trim
+    var rest = m.group(6).trim
+    // INSERT … ON DUPLICATE KEY UPDATE <assignments>: split the
+    // clause off the source text (quote-aware — a literal containing
+    // the phrase never matches)
+    val odku: Option[String] = {
+      val re = "(?is)\\s+on\\s+duplicate\\s+key\\s+update\\s+".r
+      re.findAllMatchIn(rest).toSeq
+        .filterNot(mm => inQuotes(rest, mm.start)).lastOption.map { mm =>
+          val clause = rest.substring(mm.end).trim
+          rest = rest.substring(0, mm.start).trim
+          clause
+        }
+    }
+    if (odku.isDefined && replaceMode)
+      throw Errors.generic("REPLACE does not take ON DUPLICATE KEY UPDATE")
     val restLower = rest.toLowerCase
     val unknown = targetCols.filterNot(c => td.columns.exists(_.name == c))
     if (unknown.nonEmpty) throw Errors.unknownColumn(unknown.head, td.name)
@@ -1183,8 +1204,13 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       } else throw Errors.generic(
         "only INSERT ... VALUES or INSERT ... SELECT is supported")
 
-    if (td.format == "kv")
-      return kvInsert(td, sourceDf, targetCols, knownCount, overwrite)
+    if (td.format == "kv") {
+      // REPLACE on the LSM store IS the upsert append (newest wins);
+      // ODKU's read-modify-write has the UPDATE statement for that
+      if (odku.isDefined) requireNotKv(td, "ON DUPLICATE KEY UPDATE")
+      return kvInsert(td, sourceDf, targetCols, knownCount,
+        overwrite || replaceMode)
+    }
 
     val newRowsPlan = sourceDf.select(
       expr("replace(uuid(), '-', '')").as(RowId) +:
@@ -1200,6 +1226,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       else newRowsPlan
     try {
       val existing = if (tableHasData(td)) Some(readFull(td)) else None
+      if (replaceMode || odku.isDefined)
+        return doUpsert(td, newRows, existing, knownCount, replaceMode,
+          odku)
       // duplicate-key rejection (error 1062) unless INSERT OVERWRITE
       // (insert.rs:195-218)
       constraintViolation(newRows, if (overwrite) None else existing, td)
@@ -1252,6 +1281,76 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val i = indexOfKeyword(s, "where")
     if (i < 0) (s, None)
     else (s.substring(0, i), Some(s.substring(i + 5)))
+  }
+
+  /** REPLACE INTO / INSERT … ON DUPLICATE KEY UPDATE over the COW
+    * store. Batch semantics: a batch that conflicts with ITSELF is
+    * rejected (1062) — MySQL replays rows sequentially, so a
+    * self-conflicting batch is order-defined there; rejecting keeps
+    * the set-oriented engine deterministic. REPLACE drops existing
+    * rows conflicting on ANY unique key then appends the whole batch
+    * (affected = inserted + deleted, MySQL's arithmetic); ODKU is
+    * scoped to the PRIMARY key — matched rows get the assignments
+    * (with `VALUES(col)` meaning the incoming row's value, and bare
+    * column names the OLD row's — MySQL's rules), unmatched rows
+    * insert (affected = inserts + 2·updates, MySQL's arithmetic).
+    * Both are single COW version commits — one statement, one
+    * snapshot, however many rows conflict. */
+  private def doUpsert(td: TableDef, newRows: DataFrame,
+      existing: Option[DataFrame], knownCount: Option[Long],
+      replaceMode: Boolean, odku: Option[String]): GraftResult = {
+    constraintViolation(newRows, None, td)
+    val n = knownCount.getOrElse(newRows.count())
+    existing match {
+      case None =>
+        writeVersion(td, newRows)
+        AffectedRows(n)
+      case Some(ex) if replaceMode =>
+        var kept = ex
+        td.allConstraints.foreach { case (_, cs) =>
+          kept = kept.join(newRows.select(cs.map(col): _*), cs, "left_anti")
+        }
+        val deleted = ex.count() - kept.count()
+        writeVersion(td, kept.unionByName(newRows))
+        AffectedRows(n + deleted)
+      case Some(ex) =>
+        val pk = td.primaryKey
+        if (pk.isEmpty) throw Errors.generic(
+          "ON DUPLICATE KEY UPDATE requires a PRIMARY KEY")
+        val assignments = splitTopLevel(odku.get, ',').map { a =>
+          val i = a.indexOf('=')
+          if (i < 0) throw Errors.generic(s"bad assignment: $a")
+          (ident(a.substring(0, i)), a.substring(i + 1).trim)
+        }
+        assignments.map(_._1).filterNot(c => td.columns.exists(_.name == c))
+          .foreach(c => throw Errors.unknownColumn(c, td.name))
+        if (assignments.exists(a => pk.contains(a._1)))
+          throw Errors.generic(
+            "ON DUPLICATE KEY UPDATE cannot change the PRIMARY KEY")
+        // VALUES(col) → the incoming row's column (aliased __new_*)
+        def rewriteValues(e: String): String =
+          "(?i)values\\s*\\(\\s*(`?[A-Za-z_]\\w*`?)\\s*\\)".r
+            .replaceAllIn(e, mm => "__new_" + ident(mm.group(1)))
+        val newSide = newRows.select(td.columns.map(c =>
+          col(c.name).as(s"__new_${c.name}")): _*)
+        val joined = ex.join(newSide,
+          pk.map(c => col(c) === col(s"__new_$c")).reduce(_ && _))
+        val updated = joined.select(
+          col(RowId) +: td.columns.map { c =>
+            assignments.find(_._1 == c.name) match {
+              case Some((_, rhs)) =>
+                expr(rewrite(rewriteValues(rhs))).cast(c.sparkType).as(c.name)
+              case None => col(c.name)
+            }
+          }: _*)
+        val untouched = ex.join(newRows.select(pk.map(col): _*), pk,
+          "left_anti")
+        val fresh = newRows.join(ex.select(pk.map(col): _*), pk,
+          "left_anti")
+        val matched = joined.count()
+        writeVersion(td, untouched.unionByName(updated).unionByName(fresh))
+        AffectedRows((n - matched) + 2 * matched)
+    }
   }
 
   private def doUpdate(stmt: String): GraftResult = {

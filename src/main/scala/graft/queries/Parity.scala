@@ -1363,6 +1363,88 @@ object Parity {
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin)),
 
+    // ---- INSERT … ON DUPLICATE KEY UPDATE under the oracle gate:
+    // MySQL's upsert — a second overlapping INSERT…SELECT batch
+    // updates the matched rows (VALUES() pulls the incoming value,
+    // bare columns read the OLD row) and inserts the rest, in ONE
+    // COW version commit. The oracle reconstructs the final image
+    // declaratively: keys ≤500 untouched, 501–1000 updated (doubled
+    // balance, hits+1), 1001–1500 fresh inserts.
+    "q81_engine_upsert" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q81_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q81")
+        eng.sql("use q81")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql(
+          """create table acc (k int, bal float, hits int,
+            |PRIMARY KEY(k))""".stripMargin)
+        eng.sql(
+          """insert into acc select c_custkey, c_acctbal, 1
+            |from cust_src where c_custkey <= 1000""".stripMargin)
+        eng.sql(
+          """insert into acc select c_custkey, c_acctbal * 2, 1
+            |from cust_src where c_custkey between 501 and 1500
+            |on duplicate key update bal = VALUES(bal),
+            |hits = hits + 1""".stripMargin)
+        eng.sql(
+          """select hits, count(*) as n,
+            |  cast(sum(cast(round(bal * 100) as bigint)) as double) / 100.0
+            |    as total_bal,
+            |  min(k) as min_k, max(k) as max_k
+            |from acc group by hits order by hits""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""WITH img AS (SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey >= 501 THEN c_acctbal * 2
+        |      ELSE c_acctbal END AS bal,
+        |    CASE WHEN c_custkey BETWEEN 501 AND 1000
+        |      THEN 2 ELSE 1 END AS hits
+        |  FROM customer WHERE c_custkey <= 1500)
+        |SELECT hits, count(*) AS n,
+        |  CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total_bal,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM img GROUP BY hits ORDER BY hits""".stripMargin)),
+
+    // ---- REPLACE INTO under the oracle gate: MySQL's
+    // delete-then-insert upsert — the overlapping half of the second
+    // batch evicts and re-inserts (lowercased segment), the rest
+    // appends; one COW version commit. Oracle reconstructs the final
+    // image declaratively.
+    "q82_engine_replace" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q82_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q82")
+        eng.sql("use q82")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql("create table tag (k int, seg char, PRIMARY KEY(k))")
+        eng.sql(
+          """insert into tag select c_custkey, c_mktsegment
+            |from cust_src where c_custkey <= 1000""".stripMargin)
+        eng.sql(
+          """replace into tag select c_custkey, lower(c_mktsegment)
+            |from cust_src where c_custkey between 501 and 1500""".stripMargin)
+        eng.sql(
+          """select seg, count(*) as n, min(k) as min_k, max(k) as max_k
+            |from tag group by seg order by seg""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""WITH img AS (SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey >= 501 THEN lower(c_mktsegment)
+        |      ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey <= 1500)
+        |SELECT seg, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        |FROM img GROUP BY seg ORDER BY seg""".stripMargin)),
+
     // ---- managed KV tables through the statement surface — the
     // reference's KV-as-primary-store semantics
     // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:

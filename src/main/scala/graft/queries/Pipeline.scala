@@ -258,6 +258,31 @@ object Pipeline {
 
   private val duckMinhashCand: String = duckMinhashCandFrom("documents")
 
+  /** CTE chain replaying Graph.labelPropagation (3 synchronous
+    * rounds, (count desc, label asc) argmax) over the lineitem
+    * co-purchase graph: `pe, e0` (distinct undirected edges), `nb`
+    * (symmetrized adjacency), `l0..l3` (labels per round). Shared by
+    * the p84 and p116 oracles. */
+  private val duckCoPurchaseLp3: String =
+    """pe AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+      |nb AS MATERIALIZED (SELECT u AS n, v AS m FROM e0
+      |  UNION ALL SELECT v, u FROM e0),
+      |l0 AS (SELECT DISTINCT n, n AS l FROM nb),
+      |c1 AS (SELECT nb.n, l0.l, count(*) AS c FROM nb
+      |  JOIN l0 ON l0.n = nb.m GROUP BY 1, 2),
+      |l1 AS MATERIALIZED (SELECT n, l FROM (SELECT n, l, row_number() OVER (
+      |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c1) WHERE rn = 1),
+      |c2 AS (SELECT nb.n, l1.l, count(*) AS c FROM nb
+      |  JOIN l1 ON l1.n = nb.m GROUP BY 1, 2),
+      |l2 AS MATERIALIZED (SELECT n, l FROM (SELECT n, l, row_number() OVER (
+      |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c2) WHERE rn = 1),
+      |c3 AS (SELECT nb.n, l2.l, count(*) AS c FROM nb
+      |  JOIN l2 ON l2.n = nb.m GROUP BY 1, 2),
+      |l3 AS (SELECT n, l FROM (SELECT n, l, row_number() OVER (
+      |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c3) WHERE rn = 1)""".stripMargin
+
   /** CTE `jac` — exact shingle Jaccard for every candidate pair, the
     * DuckDB twin of Dedup.jaccardForPairs over `cand`. Shared by the
     * p17/p27/p28 oracles. */
@@ -2876,24 +2901,7 @@ object Pipeline {
           .agg(count(lit(1)).as("size"), min(col("node")).as("min_node"))
           .orderBy(col("label"))
       },
-      Some("""WITH pe AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
-        |nb AS MATERIALIZED (SELECT u AS n, v AS m FROM e0
-        |  UNION ALL SELECT v, u FROM e0),
-        |l0 AS (SELECT DISTINCT n, n AS l FROM nb),
-        |c1 AS (SELECT nb.n, l0.l, count(*) AS c FROM nb
-        |  JOIN l0 ON l0.n = nb.m GROUP BY 1, 2),
-        |l1 AS MATERIALIZED (SELECT n, l FROM (SELECT n, l, row_number() OVER (
-        |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c1) WHERE rn = 1),
-        |c2 AS (SELECT nb.n, l1.l, count(*) AS c FROM nb
-        |  JOIN l1 ON l1.n = nb.m GROUP BY 1, 2),
-        |l2 AS MATERIALIZED (SELECT n, l FROM (SELECT n, l, row_number() OVER (
-        |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c2) WHERE rn = 1),
-        |c3 AS (SELECT nb.n, l2.l, count(*) AS c FROM nb
-        |  JOIN l2 ON l2.n = nb.m GROUP BY 1, 2),
-        |l3 AS (SELECT n, l FROM (SELECT n, l, row_number() OVER (
-        |    PARTITION BY n ORDER BY c DESC, l) AS rn FROM c3) WHERE rn = 1)
+      Some(s"""WITH $duckCoPurchaseLp3
         |SELECT l AS label, count(*) AS size, min(n) AS min_node
         |FROM l3 GROUP BY 1 ORDER BY label""".stripMargin)),
 
@@ -3948,6 +3956,73 @@ object Pipeline {
         |  round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 4)
         |    AS fertility
         |FROM pd JOIN documents USING (doc_id)
-        |GROUP BY lang ORDER BY lang""".stripMargin))
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- p116: Newman modularity of the p84 label-prop communities
+    // over the co-purchase graph — the clustering-quality gate
+    // (near-zero total = the "communities" are noise). Exact integer
+    // rational (4·m·e_c − d_c²)/(4·m²) per community, decimal
+    // products, ONE double divide rounded to micro at the end. The
+    // oracle replays the full 3-round LPA chain (shared with p84)
+    // plus the degree/intra-edge aggregates.
+    "p116_modularity" -> Q(
+      (s, dir) => {
+        val pairs = Association.withinGroupPairs(
+          tbl(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        val labels = graft.operators.Graph.labelPropagation(
+          pairs, "x", "y", rounds = 3)
+        graft.operators.Graph.modularity(pairs, "x", "y",
+            labels, "node", "label")
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH $duckCoPurchaseLp3,
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |  FROM nb GROUP BY 1),
+        |pl AS (SELECT l3.l, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d) AS BIGINT) AS sum_degree
+        |  FROM deg JOIN l3 USING (n) GROUP BY 1),
+        |ie AS (SELECT la.l, CAST(count(*) AS BIGINT) AS intra_edges
+        |  FROM e0 JOIN l3 la ON la.n = e0.u JOIN l3 lb ON lb.n = e0.v
+        |  WHERE la.l = lb.l GROUP BY 1)
+        |SELECT pl.l AS label, n_nodes,
+        |  coalesce(intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+        |  sum_degree,
+        |  CAST(round((CAST(4 * m * CAST(coalesce(intra_edges, 0)
+        |      AS HUGEINT) - CAST(sum_degree AS HUGEINT) * sum_degree
+        |      AS DOUBLE) / CAST(4 * m * m AS DOUBLE)) * 1000000.0, 0)
+        |    AS BIGINT) AS contribution_micro
+        |FROM pl LEFT JOIN ie ON ie.l = pl.l CROSS JOIN m
+        |ORDER BY label""".stripMargin)),
+
+    // ---- p117: MinHash fidelity audit — estimated (matching
+    // signature slots / 32) vs exact shingle Jaccard for every LSH
+    // candidate pair, integer micro units; the calibration check
+    // before trusting signature-only dedup thresholds. The oracle
+    // replays signatures, candidates AND the exact Jaccard (shared
+    // chains with p03/p17).
+    "p117_minhash_fidelity" -> Q(
+      (s, dir) => graft.operators.Dedup.minhashFidelity(
+          tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("a_id"), col("b_id")),
+      Some {
+        val matches = (0 until 32).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $duckMinhashCand,
+          |$duckCandJaccard,
+          |est AS (SELECT c.a_id, c.b_id,
+          |    CAST((1000000 * ($matches)) // 32 AS BIGINT)
+          |      AS est_jac_micro
+          |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id
+          |  JOIN sig sb ON sb.doc_id = c.b_id)
+          |SELECT e.a_id, e.b_id, est_jac_micro,
+          |  CAST(round(j.jac * 1000000) AS BIGINT) AS true_jac_micro,
+          |  abs(est_jac_micro - CAST(round(j.jac * 1000000) AS BIGINT))
+          |    AS err_micro
+          |FROM est e JOIN jac j ON j.a_id = e.a_id AND j.b_id = e.b_id
+          |ORDER BY e.a_id, e.b_id""".stripMargin
+      })
   )
 }

@@ -998,6 +998,83 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"one-view stmt $oneView%.1f ms @ $n views")
   }
 
+  test("replace into: delete-then-insert upsert, MySQL affected arithmetic") {
+    val e = freshEngine()
+    e.sql("create schema rp"); e.sql("use rp")
+    e.sql("create table t (id int, v char, PRIMARY KEY(id))")
+    assert(e.sql("insert into t values (1, 'a'), (2, 'b')") == AffectedRows(2))
+    // 1 fresh insert + 1 conflict (delete+insert) = 3 affected
+    assert(e.sql("replace into t values (2, 'B'), (3, 'c')") == AffectedRows(3))
+    assert(rows(e.sql("select id, v from t order by id")) ==
+      Seq(Seq(1, "a"), Seq(2, "B"), Seq(3, "c")))
+    // replace into an empty-overlap batch behaves as plain insert
+    assert(e.sql("replace into t values (4, 'd')") == AffectedRows(1))
+    // self-conflicting batch: rejected 1062 (documented batch semantics)
+    assert(intercept[GraftException](
+      e.sql("replace into t values (9, 'x'), (9, 'y')")).code == 1062)
+    // unique-key conflicts count too
+    e.sql("create table u (id int, tag char, PRIMARY KEY(id), UNIQUE KEY uq (tag))")
+    e.sql("insert into u values (1, 'red'), (2, 'blue')")
+    // new row (3,'red') evicts id=1 via the UNIQUE key
+    assert(e.sql("replace into u values (3, 'red')") == AffectedRows(2))
+    assert(rows(e.sql("select id, tag from u order by id")) ==
+      Seq(Seq(2, "blue"), Seq(3, "red")))
+    // REPLACE on managed KV is the LSM upsert append
+    e.sql("create table kvt (k int, v char) using kv")
+    e.sql("insert into kvt values (1, 'a')")
+    e.sql("replace into kvt values (1, 'A'), (2, 'b')")
+    assert(rows(e.sql("select k, v from kvt order by k")) ==
+      Seq(Seq(1, "A"), Seq(2, "b")))
+  }
+
+  test("insert on duplicate key update: VALUES() refs, old-row exprs, counts") {
+    val e = freshEngine()
+    e.sql("create schema od"); e.sql("use od")
+    e.sql("create table t (id int, v char, hits int, PRIMARY KEY(id))")
+    e.sql("insert into t values (1, 'a', 1), (2, 'b', 1)")
+    // one update (counts 2) + one insert (counts 1) = 3
+    assert(e.sql("""insert into t values (2, 'B', 1), (3, 'c', 1)
+      |on duplicate key update v = VALUES(v), hits = hits + 1""".stripMargin)
+      == AffectedRows(3))
+    assert(rows(e.sql("select id, v, hits from t order by id")) ==
+      Seq(Seq(1, "a", 1), Seq(2, "B", 2), Seq(3, "c", 1)))
+    // assignments not listed keep the OLD value
+    e.sql("insert into t values (2, 'ZZZ', 99) on duplicate key update hits = hits + 1")
+    assert(rows(e.sql("select v, hits from t where id = 2")) ==
+      Seq(Seq("B", 3)))
+    // guards: PK reassignment, unknown column, missing PK, KV
+    assert(intercept[GraftException](e.sql(
+      "insert into t values (2,'x',0) on duplicate key update id = 9")).code == 1105)
+    assert(intercept[GraftException](e.sql(
+      "insert into t values (2,'x',0) on duplicate key update nope = 1")).code == 1054)
+    // works through INSERT…SELECT sources too
+    e.sql("create table src (id int, v char, hits int, PRIMARY KEY(id))")
+    e.sql("insert into src values (1, 'fresh', 5), (9, 'nine', 5)")
+    assert(e.sql("""insert into t select id, v, hits from src
+      |on duplicate key update v = VALUES(v)""".stripMargin) == AffectedRows(3))
+    assert(rows(e.sql("select v, hits from t where id = 1")) ==
+      Seq(Seq("fresh", 1)))
+    assert(rows(e.sql("select v, hits from t where id = 9")) ==
+      Seq(Seq("nine", 5)))
+    // a string literal containing the phrase is NOT the clause
+    e.sql("insert into t values (7, 'on duplicate key update v = 1', 0)")
+    assert(rows(e.sql("select hits from t where id = 7")) == Seq(Seq(0)))
+  }
+
+  test("upsert statements inside transactions roll back like any mutation") {
+    val e = freshEngine()
+    e.sql("create schema odt"); e.sql("use odt")
+    e.sql("create table t (id int, v int, PRIMARY KEY(id))")
+    e.sql("insert into t values (1, 10)")
+    e.sql("begin")
+    e.sql("replace into t values (1, 99), (2, 20)")
+    e.sql("insert into t values (1, 0) on duplicate key update v = v + 1")
+    assert(rows(e.sql("select id, v from t order by id")) ==
+      Seq(Seq(1, 100), Seq(2, 20)))
+    e.sql("rollback")
+    assert(rows(e.sql("select id, v from t order by id")) == Seq(Seq(1, 10)))
+  }
+
   test("orc external table: scan, aggregate, restart persistence") {
     val dir = Files.createTempDirectory("graft_wh_").toString
     val orcDir = s"$dir/ext_orc"

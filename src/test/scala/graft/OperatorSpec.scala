@@ -2583,6 +2583,55 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.head.getAs[Long]("n_shared_grams") == 1L)
   }
 
+  test("modularity: two cliques + a bridge, exact rational contributions") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by edge 3-4:
+    // m=7; community A: e=3, d=7; B: e=3, d=7
+    // Q_c = (4·7·3 − 49)/(4·49) = 35/196 each; total Q = 70/196 ≈ 0.357
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "label")
+    val r = Graph.modularity(edges, "a", "b", labels, "node", "label")
+      .orderBy(col("label")).collect()
+    assert(r.length == 2)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_nodes") == 3L)
+      assert(x.getAs[Long]("intra_edges") == 3L)
+      assert(x.getAs[Long]("sum_degree") == 7L)
+      assert(x.getAs[Long]("contribution_micro") ==
+        math.round(35.0 / 196.0 * 1e6))
+    }
+    // everyone in ONE community: Q = (4m·m − (2m)²)/(4m²) = 0 exactly
+    val one = Graph.modularity(edges, "a", "b",
+      labels.select(col("node"), lit(7L).as("label")), "node", "label")
+      .head()
+    assert(one.getAs[Long]("contribution_micro") == 0L)
+    // duplicate + reversed + self-loop edges collapse before counting
+    val messy = edges.unionAll(Seq((2L, 1L), (3L, 3L)).toDF("a", "b"))
+    val r2 = Graph.modularity(messy, "a", "b", labels, "node", "label")
+      .orderBy(col("label")).collect()
+    assert(r2.map(_.getAs[Long]("contribution_micro")).toSeq ==
+      r.map(_.getAs[Long]("contribution_micro")).toSeq)
+  }
+
+  test("minhashFidelity: exact duplicates estimate 1.0, err bounded") {
+    val r = Dedup.minhashFidelity(docs(), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id")).collect()
+    assert(r.nonEmpty)
+    val dup = r.find(x => x.getLong(0) == 1L && x.getLong(1) == 2L).get
+    assert(dup.getAs[Long]("est_jac_micro") == 1000000L)
+    assert(dup.getAs[Long]("true_jac_micro") == 1000000L)
+    assert(dup.getAs[Long]("err_micro") == 0L)
+    r.foreach { x =>
+      assert(x.getAs[Long]("est_jac_micro") >= 0L &&
+        x.getAs[Long]("est_jac_micro") <= 1000000L)
+      assert(x.getAs[Long]("err_micro") ==
+        math.abs(x.getAs[Long]("est_jac_micro") -
+          x.getAs[Long]("true_jac_micro")))
+    }
+  }
+
   test("bpeFertility: rollup matches per-doc encode totals") {
     import spark.implicits._
     val df = Seq(
