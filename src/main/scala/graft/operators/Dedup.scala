@@ -371,9 +371,12 @@ object Dedup {
 
   private def minhashBandsPortable(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int, rowsPerBand: Int,
-      shingleSize: Int): DataFrame = {
-    val sigs = minhashSigColsPortable(df, idCol, textCol, numHashes,
-      shingleSize)
+      shingleSize: Int): DataFrame =
+    bandsFromSigCols(minhashSigColsPortable(df, idCol, textCol,
+      numHashes, shingleSize), idCol, numHashes, rowsPerBand)
+
+  private def bandsFromSigCols(sigs: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bandKeys = (0 until nBands).map { j =>
       concat_ws(",", (0 until rowsPerBand).map(k =>
@@ -403,12 +406,20 @@ object Dedup {
     require(shingleSize == 3,
       "minhashFidelity: the exact side (jaccardForPairs) shingles at " +
         "n=3; estimate and truth must measure the same set")
-    val cand = minhashCandidatesPortable(df, idCol, textCol, numHashes,
-      rowsPerBand, shingleSize)
-    val sigs = minhashSigColsPortable(df, idCol, textCol, numHashes,
+    // ONE signature aggregate feeds both the band miner and the
+    // estimate join (the corpus-scan discipline: without the persist
+    // the shingle→hash→min pipeline would run once per consumer)
+    val sigCols = minhashSigColsPortable(df, idCol, textCol, numHashes,
         shingleSize)
-      .select(col(idCol), array((0 until numHashes).map(i =>
-        col(s"m$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsFromSigCols(sigCols, idCol, numHashes, rowsPerBand)
+    val cand = bands.toDF("a_id", "band_idx", "band_key")
+      .join(bands.toDF("b_id", "band_idx", "band_key"),
+        Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sigs = sigCols.select(col(idCol),
+      array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     val est = cand
       .join(sigs.toDF("a_id", "sa"), Seq("a_id"))
       .join(sigs.toDF("b_id", "sb"), Seq("b_id"))
