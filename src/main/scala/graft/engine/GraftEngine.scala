@@ -815,6 +815,31 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val ctas = ("(?is)^create\\s+table\\s+(if\\s+not\\s+exists\\s+)?" +
       "([^(\\s]+)\\s+as\\s+((?:select|with|\\().*)$").r.findFirstMatchIn(stmt)
     ctas.foreach { c => return doCreateTableAs(c) }
+    // CREATE TABLE … LIKE: MySQL's empty structural clone — columns,
+    // PRIMARY KEY and UNIQUE keys copy; data and history do not.
+    val like = ("(?is)^create\\s+table\\s+(if\\s+not\\s+exists\\s+)?" +
+      "([^(\\s]+)\\s+like\\s+(\\S+)\\s*$").r.findFirstMatchIn(stmt)
+    like.foreach { c =>
+      val ifNotExists = c.group(1) != null
+      val (schema, name) = resolveName(c.group(2))
+      if (!schemas.contains(schema)) throw Errors.unknownDb(schema)
+      val src = lookup(c.group(3))
+      if (tables.contains((schema, name)) ||
+          views.contains((schema, name))) {
+        if (ifNotExists) return AffectedRows(0)
+        throw Errors.tableExists(name)
+      }
+      if (src.format == "kv" || src.external)
+        throw Errors.generic("CREATE TABLE LIKE clones managed parquet " +
+          s"tables; '${src.qualified}' is ${if (src.external) "external"
+            else "a kv table"}")
+      val td = TableDef(schema, name, src.columns, src.primaryKey,
+        src.uniques, src.nextStoreId, 0L)
+      tables += (schema, name) -> td
+      registerTable(td)
+      persistInfoSchema(tableShapeInfo)
+      return AffectedRows(0)
+    }
     val m = ("(?is)^create\\s+table\\s+(if\\s+not\\s+exists\\s+)?([^(\\s]+)\\s*" +
       "\\((.*)\\)\\s*(?:using\\s+(\\w+)\\s*)?$")
       .r.findFirstMatchIn(stmt)
@@ -1133,22 +1158,30 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
   }
 
   private def doInsert(stmt: String): GraftResult = {
-    val m = ("(?is)^(insert|replace)\\s+(overwrite\\s+)?into\\s+([^(\\s]+)\\s*" +
-      "(\\(([^)]*)\\)\\s*)?(.*)$").r.findFirstMatchIn(stmt)
+    val m = ("(?is)^(insert|replace)\\s+(ignore\\s+)?(overwrite\\s+)?" +
+      "into\\s+([^(\\s]+)\\s*(\\(([^)]*)\\)\\s*)?(.*)$").r
+      .findFirstMatchIn(stmt)
       .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
     // REPLACE INTO: MySQL's delete-then-insert upsert — rows
     // conflicting with the new batch on ANY unique key are dropped,
     // then every new row appends; affected = inserted + deleted.
     val replaceMode = m.group(1).equalsIgnoreCase("replace")
-    val overwrite = m.group(2) != null
-    if (replaceMode && overwrite)
-      throw Errors.generic("REPLACE does not take OVERWRITE")
-    val td = lookup(m.group(3))
+    // INSERT IGNORE: rows conflicting with EXISTING data skip
+    // silently (affected = what landed). In-batch self-conflicts
+    // stay 1062 — the documented batch-semantics deviation shared
+    // with REPLACE/ODKU (MySQL resolves them by row order).
+    val ignoreMode = m.group(2) != null
+    val overwrite = m.group(3) != null
+    if (replaceMode && (overwrite || ignoreMode))
+      throw Errors.generic("REPLACE does not take IGNORE or OVERWRITE")
+    if (ignoreMode && overwrite)
+      throw Errors.generic("INSERT takes IGNORE or OVERWRITE, not both")
+    val td = lookup(m.group(4))
     requireWritable(td)
     val targetCols =
-      Option(m.group(5)).map(g => splitTopLevel(g, ',').map(ident))
+      Option(m.group(6)).map(g => splitTopLevel(g, ',').map(ident))
         .getOrElse(td.columns.map(_.name))
-    var rest = m.group(6).trim
+    var rest = m.group(7).trim
     // INSERT … ON DUPLICATE KEY UPDATE <assignments>: split the
     // clause off the source text (quote-aware — a literal containing
     // the phrase never matches)
@@ -1161,8 +1194,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
           clause
         }
     }
-    if (odku.isDefined && replaceMode)
-      throw Errors.generic("REPLACE does not take ON DUPLICATE KEY UPDATE")
+    if (odku.isDefined && (replaceMode || ignoreMode))
+      throw Errors.generic(
+        "ON DUPLICATE KEY UPDATE does not combine with REPLACE/IGNORE")
     val restLower = rest.toLowerCase
     val unknown = targetCols.filterNot(c => td.columns.exists(_.name == c))
     if (unknown.nonEmpty) throw Errors.unknownColumn(unknown.head, td.name)
@@ -1208,6 +1242,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       // REPLACE on the LSM store IS the upsert append (newest wins);
       // ODKU's read-modify-write has the UPDATE statement for that
       if (odku.isDefined) requireNotKv(td, "ON DUPLICATE KEY UPDATE")
+      if (ignoreMode) requireNotKv(td, "INSERT IGNORE")
       return kvInsert(td, sourceDf, targetCols, knownCount,
         overwrite || replaceMode)
     }
@@ -1229,6 +1264,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       if (replaceMode || odku.isDefined)
         return doUpsert(td, newRows, existing, knownCount, replaceMode,
           odku)
+      if (ignoreMode)
+        return doInsertIgnore(td, newRows, existing, knownCount)
       // duplicate-key rejection (error 1062) unless INSERT OVERWRITE
       // (insert.rs:195-218)
       constraintViolation(newRows, if (overwrite) None else existing, td)
@@ -1281,6 +1318,41 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     val i = indexOfKeyword(s, "where")
     if (i < 0) (s, None)
     else (s.substring(0, i), Some(s.substring(i + 5)))
+  }
+
+  /** INSERT IGNORE: new rows conflicting with EXISTING data on any
+    * unique key skip silently; the rest land through the same
+    * append paths plain INSERT uses (in-place append at the grace
+    * floor, carry-linked version commit in time-travel mode or
+    * inside a transaction). In-batch self-conflicts stay 1062 —
+    * batch semantics, as [[doUpsert]]. */
+  private def doInsertIgnore(td: TableDef, newRows: DataFrame,
+      existing: Option[DataFrame],
+      knownCount: Option[Long]): GraftResult = {
+    constraintViolation(newRows, None, td)
+    val fresh = existing match {
+      case None => newRows
+      case Some(ex) =>
+        var f = newRows
+        td.allConstraints.foreach { case (_, cs) =>
+          f = f.join(ex.select(cs.map(col): _*), cs, "left_anti")
+        }
+        f
+    }
+    val n =
+      if (existing.isEmpty) knownCount.getOrElse(fresh.count())
+      else fresh.count()
+    if (n == 0) return AffectedRows(0)
+    if (retainVersions > 2 || Option(active).flatMap(_.txn).isDefined) {
+      val cur = new File(tableDir(td))
+      val carry = Option(cur.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      writeVersion(td, fresh, carry)
+    } else {
+      fresh.write.mode("append").parquet(tableDir(td))
+      spark.catalog.refreshTable(s"${td.schema}.${td.name}")
+    }
+    AffectedRows(n)
   }
 
   /** REPLACE INTO / INSERT … ON DUPLICATE KEY UPDATE over the COW

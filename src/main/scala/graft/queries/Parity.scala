@@ -1445,6 +1445,39 @@ object Parity {
         |SELECT seg, count(*) AS n, min(k) AS min_k, max(k) AS max_k
         |FROM img GROUP BY seg ORDER BY seg""".stripMargin)),
 
+    // ---- INSERT IGNORE under the oracle gate: the overlapping half
+    // of the second batch (501–1000, lowercased) is silently skipped
+    // — the existing rows win — and only 1001–1500 land. Oracle
+    // reconstructs the final image declaratively.
+    "q83_engine_insert_ignore" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q83_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q83")
+        eng.sql("use q83")
+        eng.sql(s"create external table cust_src USING PARQUET LOCATION '$dir/customer.parquet'")
+        eng.sql("create table tag (k int, seg char, PRIMARY KEY(k))")
+        eng.sql(
+          """insert into tag select c_custkey, c_mktsegment
+            |from cust_src where c_custkey <= 1000""".stripMargin)
+        eng.sql(
+          """insert ignore into tag select c_custkey, lower(c_mktsegment)
+            |from cust_src where c_custkey between 501 and 1500""".stripMargin)
+        eng.sql(
+          """select seg, count(*) as n, min(k) as min_k, max(k) as max_k
+            |from tag group by seg order by seg""".stripMargin) match {
+          case graft.engine.ResultSet(df) => df
+          case other => throw new IllegalStateException(
+            s"expected a result set from the engine, got $other")
+        }
+      },
+      Some("""WITH img AS (SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey > 1000 THEN lower(c_mktsegment)
+        |      ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey <= 1500)
+        |SELECT seg, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        |FROM img GROUP BY seg ORDER BY seg""".stripMargin)),
+
     // ---- managed KV tables through the statement surface — the
     // reference's KV-as-primary-store semantics
     // (`src/store/engine/sled.rs:36-44`, `physical_plan/insert.rs:

@@ -51,6 +51,8 @@ class EngineFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private case class DropTable(s: String, t: String) extends Op
   private case class Insert(s: String, t: String, k: Long, v: Long) extends Op
   private case class Upsert(s: String, t: String, k: Long, v: Long) extends Op
+  private case class Replace(s: String, t: String, k: Long, v: Long) extends Op
+  private case class Odku(s: String, t: String, k: Long, v: Long) extends Op
   private case class Update(s: String, t: String, k: Long, v: Long) extends Op
   private case class Delete(s: String, t: String, k: Long) extends Op
   private case class SelectCount(s: String, t: String) extends Op
@@ -75,6 +77,10 @@ class EngineFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (s, t, k, v) => Insert(s, t, k, v) },
     1 -> Gen.zip(genS, genT, genK, genV)
       .map { case (s, t, k, v) => Upsert(s, t, k, v) },
+    1 -> Gen.zip(genS, genT, genK, genV)
+      .map { case (s, t, k, v) => Replace(s, t, k, v) },
+    1 -> Gen.zip(genS, genT, genK, genV)
+      .map { case (s, t, k, v) => Odku(s, t, k, v) },
     2 -> Gen.zip(genS, genT, genK, genV)
       .map { case (s, t, k, v) => Update(s, t, k, v) },
     2 -> Gen.zip(genS, genT, genK)
@@ -163,6 +169,31 @@ class EngineFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           case None => assert(run(ins) == Left(1146), ctx)
           case Some(m) =>
             assert(affected(run(ins), ctx) == 1L)
+            m(k) = v
+        }
+      }
+    case Replace(s, t, k, v) =>
+      if (useSchema(s)) {
+        val st = s"replace into $t values ($k, $v)"
+        mTables.get((s, t)) match {
+          case None => assert(run(st) == Left(1146), ctx)
+          case Some(m) =>
+            // MySQL arithmetic: inserted + deleted
+            val expected = if (m.contains(k)) 2L else 1L
+            assert(affected(run(st), ctx) == expected, ctx)
+            m(k) = v
+        }
+      }
+    case Odku(s, t, k, v) =>
+      if (useSchema(s)) {
+        val st = s"insert into $t values ($k, $v) " +
+          "on duplicate key update v = VALUES(v)"
+        mTables.get((s, t)) match {
+          case None => assert(run(st) == Left(1146), ctx)
+          case Some(m) =>
+            // MySQL arithmetic: 1 per insert, 2 per update
+            val expected = if (m.contains(k)) 2L else 1L
+            assert(affected(run(st), ctx) == expected, ctx)
             m(k) = v
         }
       }

@@ -1061,6 +1061,60 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e.sql("select hits from t where id = 7")) == Seq(Seq(0)))
   }
 
+  test("insert ignore: skips existing-key conflicts, lands the rest") {
+    val e = freshEngine()
+    e.sql("create schema ig"); e.sql("use ig")
+    e.sql("create table t (id int, v char, PRIMARY KEY(id))")
+    e.sql("insert into t values (1, 'a'), (2, 'b')")
+    // 2 conflicts skipped, 1 lands
+    assert(e.sql("insert ignore into t values (1, 'X'), (2, 'Y'), (3, 'c')")
+      == AffectedRows(1))
+    assert(rows(e.sql("select id, v from t order by id")) ==
+      Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    // all conflicts: 0 affected, no version churn
+    assert(e.sql("insert ignore into t values (1, 'X')") == AffectedRows(0))
+    // in-batch self-conflict stays 1062 (documented batch semantics)
+    assert(intercept[GraftException](
+      e.sql("insert ignore into t values (8, 'x'), (8, 'y')")).code == 1062)
+    // UNIQUE keys skip too
+    e.sql("create table u (id int, tag char, PRIMARY KEY(id), UNIQUE KEY uq (tag))")
+    e.sql("insert into u values (1, 'red')")
+    assert(e.sql("insert ignore into u values (2, 'red'), (3, 'blue')")
+      == AffectedRows(1))
+    assert(rows(e.sql("select id, tag from u order by id")) ==
+      Seq(Seq(1, "red"), Seq(3, "blue")))
+    // ignore through INSERT…SELECT
+    e.sql("create table s2 (id int, v char, PRIMARY KEY(id))")
+    e.sql("insert into s2 values (3, 'zz'), (4, 'd')")
+    assert(e.sql("insert ignore into t select id, v from s2")
+      == AffectedRows(1))
+    assert(rows(e.sql("select v from t where id = 3")) == Seq(Seq("c")))
+    assert(rows(e.sql("select v from t where id = 4")) == Seq(Seq("d")))
+  }
+
+  test("create table like: empty structural clone of columns and keys") {
+    val e = freshEngine()
+    e.sql("create schema lk"); e.sql("use lk")
+    e.sql("""create table src (id int, tag char, v float,
+      |PRIMARY KEY(id), UNIQUE KEY uq (tag))""".stripMargin)
+    e.sql("insert into src values (1, 'a', 1.5)")
+    assert(e.sql("create table dst like src") == AffectedRows(0))
+    // empty, same shape, same constraints
+    assert(rows(e.sql("select count(*) as c from dst")).head.head == 0L)
+    e.sql("insert into dst values (1, 'a', 9.0)")
+    assert(intercept[GraftException](
+      e.sql("insert into dst values (1, 'zzz', 0.0)")).code == 1062)
+    assert(intercept[GraftException](
+      e.sql("insert into dst values (2, 'a', 0.0)")).code == 1062)
+    // name collision + IF NOT EXISTS
+    assert(intercept[GraftException](
+      e.sql("create table dst like src")).code == 1050)
+    assert(e.sql("create table if not exists dst like src") == AffectedRows(0))
+    // survives restart through the catalog
+    assert(intercept[GraftException](
+      e.sql("create table nope like missing")).code == 1146)
+  }
+
   test("upsert statements inside transactions roll back like any mutation") {
     val e = freshEngine()
     e.sql("create schema odt"); e.sql("use odt")
