@@ -352,4 +352,63 @@ class ConcurrencyFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e.tableAsOf("snap.t", n).count() == n.toLong)
     }
   }
+
+  test("txn catalog deferral stays consistent under a concurrent autocommit flusher") {
+    // session A defers its catalog writes inside BEGIN…COMMIT while
+    // session B's autocommit mutations flush the WHOLE catalog
+    // (including A's in-flight pointers) mid-transaction — the
+    // documented opportunistic-early-flush interleaving. Both
+    // sessions' final images must match their sequential models, and
+    // a FRESH engine over the same warehouse (catalog + reconcile
+    // path) must load exactly the committed state.
+    val dir = Files.createTempDirectory("graft_cfz_txn_").toString
+    val eng = new GraftEngine(spark, dir)
+    eng.sql("create schema cz")
+    val a = eng.newSession(); val b = eng.newSession()
+    a.sql("use cz"); b.sql("use cz")
+    a.sql("create table ta (id int, v int, PRIMARY KEY(id))")
+    a.sql("insert into ta values (1, 0)")
+    b.sql("create table tb (id int, v int, PRIMARY KEY(id))")
+    b.sql("insert into tb values (1, 0)")
+    val rounds = 18
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    def worker(body: => Unit) = new Thread(() => {
+      start.await()
+      try body catch { case t: Throwable => errs.add(t) }
+    })
+    val ta = worker {
+      (1 to rounds).foreach { r =>
+        a.sql("begin")
+        a.sql(s"update ta set v = $r where id = 1")
+        a.sql(s"insert into ta values (${100 + r}, $r)")
+        if (r % 3 == 0) a.sql("rollback") else a.sql("commit")
+      }
+    }
+    val tb = worker {
+      (1 to rounds).foreach { r =>
+        b.sql(s"update tb set v = $r where id = 1")
+        b.sql(s"replace into tb values (${200 + r}, $r)")
+      }
+    }
+    ta.start(); tb.start(); start.countDown()
+    ta.join(300000); tb.join(300000)
+    assert(errs.isEmpty, s"worker errors: ${errs.toArray.toSeq}")
+    val committed = (1 to rounds).filter(_ % 3 != 0)
+    def check(e: GraftEngine): Unit = {
+      def one(q: String): Long = e.query(q).collect().head.getLong(0)
+      assert(one("select count(*) as c from cz.ta") ==
+        1L + committed.size)
+      assert(one("select cast(v as bigint) as v from cz.ta where id = 1") ==
+        committed.max.toLong)
+      // rolled-back inserts are gone; committed ones present
+      assert(one(s"select count(*) as c from cz.ta where id > 100") ==
+        committed.size.toLong)
+      assert(one("select count(*) as c from cz.tb") == 1L + rounds)
+      assert(one("select cast(v as bigint) as v from cz.tb where id = 1") ==
+        rounds.toLong)
+    }
+    check(eng)
+    check(new GraftEngine(spark, dir)) // reload through the catalog
+  }
 }
