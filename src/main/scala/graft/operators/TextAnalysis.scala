@@ -754,6 +754,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Incremental novelty: per NEW-batch document, what fraction of
+    * its distinct n-grams the existing corpus has never seen — the
+    * daily-increment twin of [[noveltyRate]] (p82's new-vs-index
+    * shape applied to the diversity diagnostic): a crawler appends a
+    * batch and asks "how much of this is actually new text?" before
+    * paying for full dedup. Within-batch attribution is min-id, so
+    * batch ∪ history behaves exactly like one corpus scored at the
+    * batch's ids.
+    *
+    * Scale shape: the history side reduces to DISTINCT gram hashes
+    * (one exchange, reusable across increments — persist it and each
+    * day's audit pays only the new batch's scan plus a gram-keyed
+    * anti-join); the batch side is [[noveltyRate]]'s single-scan
+    * shape. Nothing joins at corpus×batch grain.
+    *
+    * Returns (idCol, n_grams, n_novel, novelty 4dp) for batch docs. */
+  def incrementalNovelty(batch: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("__id"),
+      explode(graft.functions.ShingleHashes(
+        coalesce(col(textCol), lit("")), n,
+        poly = true, distinct = true)).as("__gh"))
+    val hist = grams(history).select(col("__gh")).distinct()
+    val g = grams(batch).repartition(col("__gh"))
+    val perDoc = g.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    val novel = g.join(hist, Seq("__gh"), "left_anti")
+      .groupBy(col("__gh")).agg(min(col("__id")).as("__first"))
+      .groupBy(col("__first")).agg(count(lit(1)).as("__nn"))
+    perDoc.join(novel, perDoc("__id") === novel("__first"), "left")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"),
+        round(coalesce(col("__nn"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 4).as("novelty"))
+  }
+
   /** Per-group BPE fertility: words, BPE tokens, and tokens-per-word
     * under a trained merge table — the tokenizer-equity audit
     * (Chung et al. 2023 §2 measure low-resource languages paying

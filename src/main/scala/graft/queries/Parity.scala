@@ -1326,6 +1326,64 @@ object Parity {
         |HAVING count(*) > 0
         |ORDER BY c_mktsegment""".stripMargin)),
 
+    // ---- the BINARY protocol under the oracle gate (q79's twin for
+    // COM_STMT_PREPARE/EXECUTE): a parameterized aggregate prepared
+    // and executed through a real TCP connection, the `?` spliced
+    // server-side from a binary LONGLONG param, and the BINARY
+    // resultset rows (NULL-bitmap, little-endian LONGLONG/DOUBLE,
+    // lenenc strings) parsed back into typed values and
+    // hash-compared against DuckDB. A wrong endianness, bitmap
+    // offset, or type code would hash-mismatch.
+    "q84_wire_prepared" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q84_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q84")
+        eng.sql("use q84")
+        eng.sql(s"create external table cust USING PARQUET LOCATION '$dir/customer.parquet'")
+        val server = new graft.wire.MysqlServer(eng, 0)
+        try {
+          val cli = new graft.wire.TextClient("127.0.0.1", server.boundPort)
+          try {
+            cli.query("use q84")
+            val (stmtId, nParams) = cli.prepare(
+              """select c_mktsegment, count(*) as n,
+                |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as double) / 100.0
+                |    as bal,
+                |  cast(min(c_custkey) as bigint) as min_k
+                |from cust where c_custkey <= ?
+                |group by c_mktsegment order by c_mktsegment""".stripMargin)
+            require(nParams == 1, s"expected 1 param, got $nParams")
+            val (cols, rows) = cli.executeQuery(stmtId, Seq(1000L))
+            require(cols == Seq("c_mktsegment", "n", "bal", "min_k"),
+              s"unexpected wire column defs: $cols")
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("c_mktsegment",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("bal",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("min_k",
+                org.apache.spark.sql.types.LongType)))
+            val data = rows.map { r =>
+              org.apache.spark.sql.Row(r(0).orNull, r(1).orNull,
+                r(2).orNull, r(3).orNull)
+            }
+            s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+              schema)
+          } finally cli.close()
+        } finally server.close()
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS bal,
+        |  CAST(min(c_custkey) AS BIGINT) AS min_k
+        |FROM customer WHERE c_custkey <= 1000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // ---- ORC as an external-table format (§2.1 source matrix,
     // alongside parquet/CSV/JSON/KV): executor-written ORC files of
     // the customer table, cataloged via CREATE EXTERNAL TABLE …

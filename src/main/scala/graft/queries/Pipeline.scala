@@ -4023,6 +4023,43 @@ object Pipeline {
           |    AS err_micro
           |FROM est e JOIN jac j ON j.a_id = e.a_id AND j.b_id = e.b_id
           |ORDER BY e.a_id, e.b_id""".stripMargin
-      })
+      }),
+
+    // ---- p118: incremental novelty — the daily-crawl batch
+    // (doc_id % 10 = 0) scored against the rest of the corpus as
+    // history: per batch doc, the fraction of its distinct 8-grams
+    // the history has never seen, min-id attribution within the
+    // batch. History reduces to distinct gram hashes (reusable across
+    // increments); the batch side is p80's single-scan shape.
+    "p118_incremental_novelty" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.operators.TextAnalysis.incrementalNovelty(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id,
+        |    str_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gr
+        |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
+        |g AS (SELECT DISTINCT doc_id,
+        |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+        |hist AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 <> 0),
+        |b AS (SELECT doc_id, gh FROM g WHERE doc_id % 10 = 0),
+        |f AS (SELECT gh, min(doc_id) AS first_id FROM b
+        |  WHERE gh NOT IN (SELECT gh FROM hist) GROUP BY 1),
+        |nv AS (SELECT first_id AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_novel FROM f GROUP BY 1),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM b GROUP BY 1)
+        |SELECT pd.doc_id, n_grams,
+        |  coalesce(n_novel, CAST(0 AS BIGINT)) AS n_novel,
+        |  round(CAST(coalesce(n_novel, 0) AS DOUBLE) /
+        |    CAST(n_grams AS DOUBLE), 4) AS novelty
+        |FROM pd LEFT JOIN nv ON nv.doc_id = pd.doc_id
+        |ORDER BY pd.doc_id""".stripMargin))
   )
 }

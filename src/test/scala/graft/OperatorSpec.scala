@@ -2632,6 +2632,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incrementalNovelty: empty history == noveltyRate; seen grams excluded") {
+    import spark.implicits._
+    val batch = Seq(
+      (10L, "a b c d e f g h extra words here"),
+      (20L, "a b c d e f g h completely new tail piece")
+    ).toDF("doc_id", "text")
+    // empty history: must equal the batch-only noveltyRate
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val inc = TextAnalysis.incrementalNovelty(batch, empty,
+      "doc_id", "text", n = 8).orderBy(col("doc_id")).collect()
+    val base = TextAnalysis.noveltyRate(batch, "doc_id", "text", n = 8)
+      .orderBy(col("doc_id")).collect()
+    assert(inc.map(_.toSeq).toSeq == base.map(_.toSeq).toSeq)
+    // history containing the shared prefix gram kills it for BOTH docs
+    val hist = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val inc2 = TextAnalysis.incrementalNovelty(batch, hist,
+      "doc_id", "text", n = 8).orderBy(col("doc_id")).collect()
+    val m = inc2.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toMap
+    val b = base.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toMap
+    assert(m(10L)._1 == b(10L)._1) // gram counts unchanged
+    assert(m(10L)._2 == b(10L)._2 - 1) // doc 10 owned the shared gram
+    assert(m(20L)._2 == b(20L)._2) // doc 20 never owned it
+  }
+
   test("bpeFertility: rollup matches per-doc encode totals") {
     import spark.implicits._
     val df = Seq(
