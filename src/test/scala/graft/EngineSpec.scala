@@ -1148,6 +1148,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e2 = new GraftEngine(spark, dir)
     e2.sql("use orcs")
     assert(rows(e2.sql("select count(*) as n from t")).head.head == 3L)
+    // ORC scans get the same predicate pushdown treatment parquet
+    // does: the filter must reach the file source, and only the
+    // referenced columns survive into ReadSchema
+    val plan = e2.query("select id from t where id > 1")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      plan)
+    val read = plan.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse("")
+    assert(read.contains("id") && !read.contains("tag"), read)
   }
 
   test("txn: catalog writes defer to COMMIT — one flush per transaction") {
