@@ -38,52 +38,69 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-    // Per-query repetitions, reporting the MIN: three rounds running
-    // (r5, r8, r9) single-shot deltas turned out to be same-boot host
-    // noise needing manual adjudication against isolated runs. The min
-    // of 2+ runs suppresses one-off scheduler/GC spikes while staying
-    // an honest cold-cache measure (caches are cleared between reps).
+    // Repetitions as FULL BATTERY PASSES, per-query min ACROSS
+    // passes — not back-to-back reps of one query. Back-to-back reps
+    // (r5–r14) let a transient host-load window poison BOTH samples
+    // of a contiguous query cluster (r14: p86–p89/p21/p112 spiked
+    // 12–47× in the driver capture while isolated runs matched the
+    // committed numbers). Two passes separated by the whole battery
+    // (~minutes) decorrelate the samples: a load window would have to
+    // recur at the same query an entire pass later to survive the
+    // min. Still an honest cold-cache measure — caches are cleared
+    // after every query.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // /proc/loadavg at start/end makes a noisy run self-labeling in
+    // the contract line (1/5/15-min runqueue averages).
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "n/a" }
+    val loadStart = loadavg
+
+    val battery = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-      .map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
-        // snapshot temp views so per-rep cleanup can drop only what
+    val best = scala.collection.mutable.Map[String, Double]()
+    (1 to reps).foreach { pass =>
+      battery.foreach { case (name, fn) =>
+        // snapshot temp views so per-query cleanup can drop only what
         // THIS query registered (streaming entries create a
-        // UUID-named memory-sink table per rep; without the drop,
+        // UUID-named memory-sink table per run; without the drop,
         // those tables — and their in-memory rows — stay registered
-        // for the rest of the 188-query battery, inflating later
-        // streaming entries up to ~3x over their isolated cost)
+        // for the rest of the battery, inflating later streaming
+        // entries up to ~3x over their isolated cost)
         val preViews = spark.sessionState.catalog
           .listLocalTempViews("*").map(_.table).toSet
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir))
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // release this query's persist()ed frames: cached blocks left
-        // behind otherwise accumulate across the 60+ query battery and
-        // tax every later query with eviction + GC churn (measured ~1-4s
-        // per query at sf0.1 — isolated runs of the same queries are 3-10x
-        // faster than their in-battery times without this)
+        // behind otherwise accumulate across the battery and tax
+        // every later query with eviction + GC churn (measured ~1-4s
+        // per query at sf0.1 — isolated runs of the same queries are
+        // 3-10x faster than their in-battery times without this)
         spark.sessionState.catalog.listLocalTempViews("*").map(_.table)
           .filterNot(preViews).foreach { v =>
             try spark.catalog.dropTempView(v)
             catch { case _: Throwable => () }
           }
         spark.catalog.clearCache()
-        dt
-      }.min
-      name -> best
+        best(name) = best.get(name).fold(dt)(math.min(_, dt))
+      }
     }
+    val results = battery.map { case (name, _) => name -> best(name) }
+    val loadEnd = loadavg
+    val loadJson =
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$loadJson}"""
     // The JSON contract line goes to BOTH stdout (printed after
     // spark.stop() so it is the process's final line, immune to
     // shutdown-log interleaving and front-truncated log tails) and a
@@ -124,8 +141,12 @@ object Bench {
       val frag = "\"" + k + f"""":$v%.3f"""
       if (used + frag.length + 1 <= budget) { kept += frag; used += frag.length + 1 }
     }
+    // distinct metric name: one run must never emit two "total" lines
+    // with DIFFERENT queries maps — a consumer picking the first (or
+    // any) total line would silently read the capped slowest-only map
+    // as the full per-query record
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size},"omitted":${results.size - kept.size},"detail":"$outPath"}"""
+      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size},"omitted":${results.size - kept.size},"detail":"$outPath",$loadJson}"""
     println(compact)
   }
 }

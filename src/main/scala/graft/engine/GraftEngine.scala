@@ -1361,11 +1361,16 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * self-conflicting batch is order-defined there; rejecting keeps
     * the set-oriented engine deterministic. REPLACE drops existing
     * rows conflicting on ANY unique key then appends the whole batch
-    * (affected = inserted + deleted, MySQL's arithmetic); ODKU is
-    * scoped to the PRIMARY key — matched rows get the assignments
+    * (affected = inserted + deleted, MySQL's arithmetic); ODKU
+    * MATCHES on the PRIMARY key — matched rows get the assignments
     * (with `VALUES(col)` meaning the incoming row's value, and bare
     * column names the OLD row's — MySQL's rules), unmatched rows
-    * insert (affected = inserts + 2·updates, MySQL's arithmetic).
+    * insert (affected = inserts + 2·CHANGED updates; a matched row
+    * whose post-image equals its pre-image counts 0, as MySQL). The
+    * final image is then re-validated against every non-PK UNIQUE
+    * key (1062 on collision): MySQL resolves ODKU on ANY unique
+    * index, so a "fresh" row colliding on a UNIQUE key, or an
+    * assignment creating a UNIQUE collision, must not persist.
     * Both are single COW version commits — one statement, one
     * snapshot, however many rows conflict. */
   private def doUpsert(td: TableDef, newRows: DataFrame,
@@ -1419,9 +1424,32 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
           "left_anti")
         val fresh = newRows.join(ex.select(pk.map(col): _*), pk,
           "left_anti")
-        val matched = joined.count()
-        writeVersion(td, untouched.unionByName(updated).unionByName(fresh))
-        AffectedRows((n - matched) + 2 * matched)
+        // matched + actually-changed in ONE job. MySQL's affected
+        // arithmetic counts 2 only for rows the assignments CHANGED
+        // — a PK-matched row whose post-image is identical counts 0
+        // (null-safe compare, so NULL→NULL is "unchanged").
+        val changedCond = assignments.map { case (c, rhs) =>
+          val cd = td.columns.find(_.name == c).get
+          not(expr(rewrite(rewriteValues(rhs))).cast(cd.sparkType)
+            <=> col(c))
+        }.reduce(_ || _)
+        val mc = joined.agg(count(lit(1)).as("__m"),
+          coalesce(sum(when(changedCond, 1L).otherwise(0L)), lit(0L))
+            .as("__c")).collect()(0)
+        val matched = mc.getLong(0)
+        val changed = mc.getLong(1)
+        val image = untouched.unionByName(updated).unionByName(fresh)
+        // ODKU resolves on the PRIMARY key only (the match above);
+        // MySQL resolves on ANY unique index, so a fresh row that
+        // collides with a kept row on a non-PK UNIQUE key — or an
+        // assignment that SETS a unique column to a colliding value
+        // — must still be 1062, not silently persisted. Validate the
+        // final image against every declared unique key (the PK probe
+        // rides along in the same single job; it is clean by
+        // construction). Skipped when the PK is the only constraint.
+        if (td.uniques.nonEmpty) constraintViolation(image, None, td)
+        writeVersion(td, image)
+        AffectedRows((n - matched) + 2 * changed)
     }
   }
 
@@ -1723,7 +1751,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * (rollback-to-snapshot), not deferred visibility. Isolation is
     * unchanged from autocommit (read-committed-ish: other sessions
     * see each statement as it lands), documented in SURVEY §2.7. */
-  private def endTxn(ses: GraftSession): Unit = {
+  private def endTxn(ses: GraftSession,
+      flushPending: Boolean = true): Unit = {
     ses.txn.foreach(_.foreach { case (k, v) =>
       txnPins.updateWith(k) {
         case Some(vs) =>
@@ -1735,12 +1764,16 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     ses.txn = None
     // flush catalog writes the transaction's mutations deferred —
     // ONE write however many statements ran (see writeVersion).
-    // Reached by COMMIT, ROLLBACK (the restores re-persist after),
-    // implicit-commit DDL, and BEGIN-over-open-txn alike.
-    if (ses.pendingInfo.nonEmpty) {
+    // Reached by COMMIT, implicit-commit DDL, and BEGIN-over-open-txn
+    // with flushPending=true. ROLLBACK passes false: its pendingInfo
+    // holds pointers at the UNCOMMITTED txn versions, and flushing
+    // them here would open a crash window in which the partial
+    // transaction is durable — the restores that follow persist the
+    // correct restored image themselves (restoreImpl → writeVersion
+    // runs with txn=None, so each rewind flushes immediately).
+    if (flushPending && ses.pendingInfo.nonEmpty)
       persistInfoSchema(ses.pendingInfo.toSeq)
-      ses.pendingInfo = Set.empty
-    }
+    ses.pendingInfo = Set.empty
   }
 
   /** ROLLBACK — rewind every version-store table this transaction
@@ -1757,7 +1790,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     // into the very transaction they are unwinding. Their source
     // snapshots stay safe without pins — writeVersion reads the old
     // image before its GC step runs, and GC is per-table.
-    endTxn(ses)
+    // flushPending=false: do NOT persist the uncommitted txn versions
+    // (see endTxn) — the restores below write the durable image.
+    endTxn(ses, flushPending = false)
     log.foreach { case ((s, t), v) =>
       // best-effort across concurrent DDL: a table another session
       // dropped or renamed since our first write has nothing to

@@ -397,7 +397,9 @@ object Dedup {
     * Scale shape: candidates come from the banded LSH miner (never
     * all-pairs); the estimate is two id-keyed hash joins onto the
     * signature table and a 32-slot zip_with per candidate; the exact
-    * side is [[jaccardForPairs]]' candidate-sized overlap joins.
+    * side shingles CANDIDATE DOCS ONLY into per-doc distinct-hash
+    * arrays and intersects them per pair row — candidate-sized joins
+    * carrying bounded arrays, no pair×shingle fan-out.
     *
     * Returns (a_id, b_id, est_jac_micro, true_jac_micro, err_micro). */
   def minhashFidelity(df: DataFrame, idCol: String, textCol: String,
@@ -413,11 +415,15 @@ object Dedup {
         shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandsFromSigCols(sigCols, idCol, numHashes, rowsPerBand)
+    // candidate list feeds THREE consumers (estimate join, candidate-
+    // doc semi join, truth join) — persist so the band self-join runs
+    // once, not per branch
     val cand = bands.toDF("a_id", "band_idx", "band_key")
       .join(bands.toDF("b_id", "band_idx", "band_key"),
         Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sigCols.select(col(idCol),
       array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     val est = cand
@@ -427,9 +433,32 @@ object Dedup {
         expr(s"CAST((1000000 * size(filter(zip_with(sa, sb, " +
           s"(x, y) -> x = y), v -> v))) DIV $numHashes AS BIGINT)")
           .as("est_jac_micro"))
-    val truth = jaccardForPairs(cand, df, idCol, textCol)
+    // Exact side: per-doc DISTINCT shingle-hash ARRAYS for candidate
+    // docs only (semi join first — the corpus never re-shingles),
+    // then two id-keyed candidate-sized joins and a per-row
+    // array_intersect. The former jaccardForPairs shape fanned every
+    // pair out to |pairs|×|A| exploded shingle rows before the
+    // co-count — the dominant shuffle at 100× (32.5× wall ratio);
+    // here pair rows carry two bounded arrays and the intersection
+    // never shuffles (the p65 adjacency-array discipline). 64-bit FNV
+    // hashes keep set cardinalities exact vs the oracle's string
+    // lists (collision odds ~1e-14).
+    val candDocs = cand.select(col("a_id").as(idCol))
+      .union(cand.select(col("b_id").as(idCol))).distinct()
+    val hs = df.join(candDocs, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.functions.ShingleHashes(col(textCol), shingleSize).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = cand
+      .join(hs.toDF("a_id", "ha"), Seq("a_id"))
+      .join(hs.toDF("b_id", "hb"), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        expr("CAST(round(jac * 1000000) AS BIGINT)").as("true_jac_micro"))
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("ni"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(round(CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE)" +
+          " * 1000000) AS BIGINT)").as("true_jac_micro"))
     est.join(truth, Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), col("est_jac_micro"),
         col("true_jac_micro"),
@@ -757,6 +786,61 @@ object Dedup {
       .select(col(idCol), col("n_grams"), col("n_dup_grams"),
         (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
           .as("dup_frac"))
+  }
+
+  /** Maximal exact duplicated substrings (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr tier, at n-token fingerprint granularity): every
+    * maximal token span of ≥ `minTokens` tokens shared VERBATIM by a
+    * document pair, with both start positions. This is the dedup tier
+    * n-gram thresholds blur: a 200-token verbatim quote inside two
+    * otherwise-different documents barely moves their Jaccard, but is
+    * exactly what contaminates training data.
+    *
+    * Where the paper concatenates the corpus into one suffix array,
+    * the distributed shape is: the positional gram-hash stream (one
+    * codegen pass, [[graft.functions.ShingleHashes]] positional mode
+    * — gram strings never leave the row), a hash-BUCKETED positional
+    * match join (pair volume Σ_h cnt(h)², never corpus²), and a
+    * gaps-and-islands run-merge: positional matches of a pair on one
+    * DIAGONAL (a_pos − b_pos constant) with consecutive a_pos merge
+    * into one maximal span of run + n − 1 tokens. The run-merge
+    * window partitions by (pair, diagonal) — bounded by the shorter
+    * document's length, never the corpus.
+    *
+    * The poly hash keeps every fingerprint ANSI-SQL-replayable (the
+    * p44 discipline): an oracle recomputes identical hashes, so even
+    * a mod-1e9+7 collision reproduces identically on both sides.
+    *
+    * Returns (a_id, b_id, a_pos, b_pos, span_tokens) — 1-based token
+    * positions, one row per MAXIMAL cross-doc span ≥ `minTokens`
+    * tokens; sub-spans of a reported span never appear. */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minTokens: Int = 16): DataFrame = {
+    require(n >= 1, s"gram width $n must be >= 1")
+    require(minTokens >= n,
+      s"minTokens $minTokens must be >= the gram width $n")
+    val g = df.select(col(idCol).as("__id"),
+        posexplode(graft.functions.ShingleHashes(col(textCol), n,
+          poly = true, distinct = false)).as(Seq("__p", "__gh")))
+      .select(col("__id"), (col("__p") + 1).cast("long").as("__pos"),
+        col("__gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = g.toDF("a_id", "a_pos", "gh")
+      .join(g.toDF("b_id", "b_pos", "gh"), Seq("gh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"), col("b_id"), col("a_pos") - col("b_pos"))
+      .orderBy(col("a_pos"))
+    m.withColumn("__island", col("a_pos") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"),
+        (col("a_pos") - col("b_pos")).as("__diag"), col("__island"))
+      .agg(min(col("a_pos")).as("a_pos"), min(col("b_pos")).as("b_pos"),
+        (count(lit(1)) + lit(n - 1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"),
+        col("span_tokens"))
   }
 
   def jaccard(aSh: Column, bSh: Column): Column =

@@ -505,6 +505,13 @@ object Graph {
       .distinct()
     val nbrs = adj.select(col("__u").as("__n"), col("__v").as("__m"))
       .unionAll(adj.select(col("__v").as("__n"), col("__u").as("__m")))
+      // pre-partition ONCE on the per-round join key: every round
+      // joins labels on __m, and an unpartitioned cache re-exchanged
+      // the full edge list per round (rounds × edge-sized shuffles —
+      // the dominant 100× cost). The cached hash partitioning on __m
+      // satisfies EnsureRequirements in each round's join, so only
+      // the label side (node-sized) moves.
+      .repartition(col("__m"))
       .persist(lvl)
     cached += nbrs
     var labels = nbrs.select(col("__n")).distinct()

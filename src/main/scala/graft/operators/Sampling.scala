@@ -333,11 +333,15 @@ object Sampling {
         .as("__rem"))
     val short = fl.agg((lit(totalPpm) - sum(col("floor_ppm")))
       .as("__short"))
-    // |keys|-row table, one bounded task; the partition key is
-    // column-derived (the interleaveBySource discipline) so the
-    // window never degenerates into Spark's global no-partition shape
+    // |keys|-row table, one bounded task. The partition expression is
+    // a key-INDEPENDENT constant: a key-derived expression (the old
+    // pmod(length(key),1)) goes NULL on a NULL key, splitting the
+    // remainder ranking into two partitions whose row_numbers both
+    // start at 1 — more than __short keys get +1 and the exact-sum
+    // contract breaks. pmod(lit(0),lit(1)) is never NULL, so every
+    // key (NULL included) ranks in ONE bounded partition.
     val wRem = Window
-      .partitionBy(pmod(length(col("key")).cast("long"), lit(1L)))
+      .partitionBy(pmod(lit(0L), lit(1L)))
       .orderBy(col("__rem").desc, col("key"))
     fl.withColumn("__rk", row_number().over(wRem).cast("long"))
       .crossJoin(broadcast(short))

@@ -4060,6 +4060,42 @@ object Pipeline {
         |  round(CAST(coalesce(n_novel, 0) AS DOUBLE) /
         |    CAST(n_grams AS DOUBLE), 4) AS novelty
         |FROM pd LEFT JOIN nv ON nv.doc_id = pd.doc_id
-        |ORDER BY pd.doc_id""".stripMargin))
+        |ORDER BY pd.doc_id""".stripMargin)),
+
+    // ---- p119: maximal exact duplicated substrings (Lee et al.
+    // 2022's ExactSubstr tier) — every ≥16-token span shared verbatim
+    // by a doc pair, with both 1-based start positions; the long-
+    // verbatim-duplicate detector that n-gram thresholds (p44/p46)
+    // blur. Positional 8-gram poly fingerprints, hash-bucketed match
+    // join, gaps-and-islands run-merge per (pair, diagonal); DuckDB
+    // replays hashes, diagonals and islands exactly.
+    "p119_exact_substring" -> Q(
+      (s, dir) => graft.operators.Dedup.exactSubstringSpans(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          n = 8, minTokens = 16)
+        .orderBy(col("a_id"), col("b_id"), col("a_pos"), col("b_pos")),
+      Some {
+        s"""WITH tok AS (SELECT doc_id,
+          |    str_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+          |g0 AS (SELECT doc_id, i AS pos,
+          |    array_to_string(tk[i:i+7], ' ') AS gr
+          |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
+          |g AS (SELECT doc_id, pos,
+          |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+          |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    a.pos AS a_pos, b.pos AS b_pos
+          |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+          |r AS (SELECT a_id, b_id, a_pos, b_pos,
+          |    a_pos - row_number() OVER (
+          |      PARTITION BY a_id, b_id, a_pos - b_pos
+          |      ORDER BY a_pos) AS island
+          |  FROM m)
+          |SELECT a_id, b_id, CAST(min(a_pos) AS BIGINT) AS a_pos,
+          |  CAST(min(b_pos) AS BIGINT) AS b_pos,
+          |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+          |FROM r GROUP BY a_id, b_id, a_pos - b_pos, island
+          |HAVING count(*) + 7 >= 16
+          |ORDER BY a_id, b_id, a_pos, b_pos""".stripMargin
+      })
   )
 }

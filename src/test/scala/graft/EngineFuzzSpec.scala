@@ -191,8 +191,10 @@ class EngineFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         mTables.get((s, t)) match {
           case None => assert(run(st) == Left(1146), ctx)
           case Some(m) =>
-            // MySQL arithmetic: 1 per insert, 2 per update
-            val expected = if (m.contains(k)) 2L else 1L
+            // MySQL arithmetic: 1 per insert, 2 per CHANGED update,
+            // 0 when the assignments leave the row identical
+            val expected =
+              if (!m.contains(k)) 1L else if (m(k) == v) 0L else 2L
             assert(affected(run(st), ctx) == expected, ctx)
             m(k) = v
         }

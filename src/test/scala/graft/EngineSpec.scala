@@ -1061,6 +1061,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e.sql("select hits from t where id = 7")) == Seq(Seq(0)))
   }
 
+  test("odku: non-PK unique keys enforced; no-change rows count 0") {
+    val e = freshEngine()
+    e.sql("create schema odu"); e.sql("use odu")
+    e.sql("create table t (id int, u int, v char, " +
+      "PRIMARY KEY(id), UNIQUE KEY uu (u))")
+    e.sql("insert into t values (1, 100, 'a'), (2, 200, 'b')")
+    // MySQL resolves ODKU on ANY unique index; matching only the PK
+    // must not silently persist duplicate unique values:
+    // (a) a fresh row (no PK match) colliding on UNIQUE u → 1062
+    assert(intercept[GraftException](e.sql(
+      "insert into t values (3, 100, 'c') on duplicate key update v = VALUES(v)"))
+      .code == 1062)
+    // (b) an assignment setting u to a colliding value → 1062
+    assert(intercept[GraftException](e.sql(
+      "insert into t values (1, 0, 'x') on duplicate key update u = 200"))
+      .code == 1062)
+    // the rejected statements persisted nothing
+    assert(rows(e.sql("select id, u, v from t order by id")) ==
+      Seq(Seq(1, 100, "a"), Seq(2, 200, "b")))
+    // non-colliding rows still pass the unique gate
+    assert(e.sql(
+      "insert into t values (3, 300, 'c') on duplicate key update v = 'z'")
+      == AffectedRows(1))
+    // MySQL's changed-only arithmetic: a matched row whose
+    // assignments leave it byte-identical counts 0, not 2
+    assert(e.sql(
+      "insert into t values (1, 100, 'a') on duplicate key update v = VALUES(v)")
+      == AffectedRows(0))
+    assert(e.sql(
+      "insert into t values (1, 100, 'Q') on duplicate key update v = VALUES(v)")
+      == AffectedRows(2))
+    assert(rows(e.sql("select v from t where id = 1")) == Seq(Seq("Q")))
+  }
+
   test("insert ignore: skips existing-key conflicts, lands the rest") {
     val e = freshEngine()
     e.sql("create schema ig"); e.sql("use ig")
@@ -1198,8 +1232,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     e.sql("begin")
     e.sql("update t set v = 99 where id = 1")
     val preRb = e.infoWriteCount
-    e.sql("rollback") // flush + restore's own persists
-    assert(e.infoWriteCount > preRb)
+    // ROLLBACK must NOT flush pendingInfo (the uncommitted txn
+    // pointers) before the restore persists — that flush opened a
+    // crash window where the partial transaction was durable. One
+    // table restored ⇒ exactly ONE catalog write (the restore's own),
+    // not flush+restore.
+    e.sql("rollback")
+    assert(e.infoWriteCount == preRb + 1)
     assert(rows(e.sql("select v from t where id = 1")) == Seq(Seq(10)))
     e.sql("begin")
     e.sql("update t set v = 55 where id = 1")

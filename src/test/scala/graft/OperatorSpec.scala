@@ -2522,6 +2522,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.stitchPairs(withNull, "doc_id", "text", 3, 2).count() == 2)
   }
 
+  test("exactSubstringSpans: maximal verbatim spans with positions") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val short = (1 to 10).map(i => s"q$i").mkString(" ")
+    val df = Seq(
+      // 20-token shared span at a_pos 6 / b_pos 8; 10-token shared
+      // run (below minTokens=16) that must NOT be reported
+      (1L, s"f1 f2 f3 f4 f5 $shared g1 g2 g3 $short"),
+      (2L, s"h1 h2 h3 h4 h5 h6 h7 $shared k1 k2 $short x9"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text",
+      n = 8, minTokens = 16).collect()
+    // ONE maximal row for the 20-token span — no sub-spans, no rows
+    // for the 10-token run, nothing involving doc 3
+    assert(spans.length == 1)
+    val r = spans(0)
+    assert(r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L)
+    assert(r.getAs[Long]("a_pos") == 6L && r.getAs[Long]("b_pos") == 8L)
+    assert(r.getAs[Long]("span_tokens") == 20L)
+    // lowering minTokens surfaces the 10-token run too (maximal, on
+    // its own diagonal)
+    val both = Dedup.exactSubstringSpans(df, "doc_id", "text",
+      n = 8, minTokens = 10).collect()
+    assert(both.length == 2)
+    assert(both.map(_.getAs[Long]("span_tokens")).sorted.toSeq ==
+      Seq(10L, 20L))
+  }
+
   test("largestRemainderShares: exact ppm sum, remainder order, overflow-safe") {
     import spark.implicits._
     // weights 1,1,1 over 1e6: floor 333333 each, shortfall 1 → the
@@ -2547,6 +2575,15 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = big.find(_.getString(0) == "p").get
     assert(p.getAs[Long]("share_ppm") == 750000L ||
       p.getAs[Long]("share_ppm") == 749999L)
+    // NULL key: a key-derived window partition would go NULL and
+    // split the remainder ranking into two partitions (both ranking
+    // from 1), over-awarding +1s — the exact-sum contract must hold
+    // with a NULL key in the inventory
+    val wn = Sampling.largestRemainderShares(
+      Seq(("a", 1L), ("b", 1L), (null: String, 1L))
+        .toDF("k", "w"), "k", col("w")).collect()
+    assert(wn.length == 3)
+    assert(wn.map(_.getAs[Long]("share_ppm")).sum == 1000000L)
   }
 
   test("wilsonLowerBound: shrinks small samples, bounded by pass rate") {
