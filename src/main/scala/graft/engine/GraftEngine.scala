@@ -276,6 +276,23 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
   }
 
   private def load(): Unit = {
+    // Catalog boot is a DRIVER-SIDE collect by design: table/column
+    // metadata must live in driver maps for statement planning (the
+    // reference caches its MetaData maps the same way at startup,
+    // meta/initial.rs:682-718 read_all_table). The documented
+    // contract is O(catalog rows) driver memory — catalog rows scale
+    // with SCHEMA COUNT (tables × columns), never with data, so even
+    // a 100-TB warehouse's catalog is a few MB. The guard below makes
+    // a corrupt or runaway catalog fail actionably instead of
+    // exhausting the driver: `columns` is the largest catalog table,
+    // and its count is a footer-only parquet job.
+    val colCount = spark.read.parquet(s"$infoRoot/columns").count()
+    if (colCount > GraftEngine.maxCatalogBootRows)
+      throw Errors.generic(
+        s"catalog too large to boot: $colCount column rows exceed " +
+          s"maxCatalogBootRows=${GraftEngine.maxCatalogBootRows}; " +
+          "raise GraftEngine.maxCatalogBootRows or split schemas " +
+          "across warehouses")
     val sch = spark.read.parquet(s"$infoRoot/schemata")
       .select("schema_name").collect().map(_.getString(0)).toSet
     val cols = spark.read.parquet(s"$infoRoot/columns").collect()
@@ -2666,4 +2683,14 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
 
   // run last: needs every val above initialized
   bootstrapOrLoad()
+}
+
+object GraftEngine {
+  /** Boot-time bound on driver-collected catalog rows (the `columns`
+    * info-schema table — the largest one). Catalog size scales with
+    * schema complexity, not data: 10M column rows ≈ a warehouse with
+    * ~1M tables, far past any sane single-warehouse catalog, so the
+    * default only trips on corruption or runaway DDL loops. Var
+    * (test seam + operator escape hatch). */
+  @volatile var maxCatalogBootRows: Long = 10000000L
 }

@@ -80,7 +80,8 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
     try {
       // ---- handshake ----------------------------------------------
       val caps = ClientProtocol41 | ClientConnectWithDb |
-        ClientSecureConnection | ClientPluginAuth | ClientTransactions
+        ClientSecureConnection | ClientPluginAuth | ClientTransactions |
+        ClientMultiStatements | ClientMultiResults
       val salt = Array.tabulate[Byte](20)(i => (0x41 + (i % 26)).toByte)
       val hs = new Writer()
         .int1(10).nulStr("8.0.25-graft")
@@ -122,7 +123,31 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
             val db = new String(c.rest(), StandardCharsets.UTF_8)
             respond(session, out, s"use `$db`")
           case ComQuery =>
-            respond(session, out, new String(c.rest(), StandardCharsets.UTF_8))
+            val sqlText = new String(c.rest(), StandardCharsets.UTF_8)
+            // CLIENT_MULTI_STATEMENTS: split on top-level ';' (quote-
+            // aware — a ';' inside a string literal never splits) and
+            // answer each statement in sequence; every response but
+            // the last carries SERVER_MORE_RESULTS_EXISTS so the
+            // client keeps reading. An ERR aborts the remaining
+            // statements, MySQL's semantics.
+            val parts =
+              if ((clientCaps & ClientMultiStatements) != 0)
+                graft.engine.SqlText.splitTopLevel(sqlText, ';')
+                  .map(_.trim).filter(_.nonEmpty)
+              else Seq(sqlText)
+            if (parts.length <= 1) respond(session, out, sqlText)
+            else {
+              var seq = 1
+              var i = 0
+              var aborted = false
+              while (i < parts.length && !aborted) {
+                val (next, wasErr) = respondAt(session, out, parts(i),
+                  seq, more = i < parts.length - 1)
+                seq = next
+                aborted = wasErr
+                i += 1
+              }
+            }
           case ComFieldList =>
             val table = c.nulStr()
             try {
@@ -233,6 +258,19 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
             session.closePrepared(id)
             stmtParams.remove(id); stmtTypes.remove(id)
             // no response, per protocol
+          case ComStmtReset =>
+            // clear accumulated parameter state and answer OK
+            // (reference family: src/mysql/handle.rs command
+            // dispatch). The cached param-type map is the only
+            // per-execute state here — there is no
+            // COM_STMT_SEND_LONG_DATA surface to drain; the statement
+            // stays prepared and re-executable.
+            val id = c.int4().toInt
+            if (stmtParams.contains(id)) {
+              stmtTypes.remove(id)
+              flushPackets(1, Seq(ok(0)))
+            } else flushPackets(1, Seq(err(1243,
+              s"Unknown prepared statement handler ($id) given to mysqld_stmt_reset")))
           case other =>
             flushPackets(1, Seq(err(1105, s"unsupported command 0x${other.toHexString}")))
         }
@@ -247,17 +285,32 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
   /** COM_QUERY: run through the engine, frame the result. */
   private def respond(session: graft.engine.GraftSession,
       out: java.io.OutputStream, sqlText: String): Unit = {
-    val payloads: Either[Seq[Array[Byte]], org.apache.spark.sql.DataFrame] =
+    respondAt(session, out, sqlText, 1, more = false); ()
+  }
+
+  /** One statement's response starting at packet `seqStart`. `more`
+    * sets SERVER_MORE_RESULTS_EXISTS on the terminating OK/EOF so a
+    * multi-statement client keeps reading. Returns (next sequence
+    * id, whether the response was an ERR — which aborts the rest of
+    * a multi-statement batch). */
+  private def respondAt(session: graft.engine.GraftSession,
+      out: java.io.OutputStream, sqlText: String,
+      seqStart: Int, more: Boolean): (Int, Boolean) = {
+    val status = ServerStatusAutocommit |
+      (if (more) ServerMoreResultsExists else 0)
+    val payloads: Either[Array[Byte], org.apache.spark.sql.DataFrame] =
       try session.sql(sqlText) match {
-        case AffectedRows(n) => Left(Seq(ok(n)))
+        case AffectedRows(n) => Left(ok(n, 0L, status))
         case ResultSet(df) => Right(df)
       } catch {
-        case e: GraftException => Left(Seq(err(e.code, e.msg)))
-        case e: Throwable => Left(Seq(err(1105, String.valueOf(e.getMessage))))
+        case e: GraftException => Left(err(e.code, e.msg))
+        case e: Throwable => Left(err(1105, String.valueOf(e.getMessage)))
       }
     payloads match {
-      case Left(ps) =>
-        ps.zipWithIndex.foreach { case (p, i) => writePacket(out, 1 + i, p) }
+      case Left(p) =>
+        writePacket(out, seqStart, p)
+        out.flush()
+        (seqStart + 1, (p(0) & 0xff) == 0xff)
       case Right(df) =>
         val schema = df.schema
         val defs = schema.fields.map { f =>
@@ -268,7 +321,7 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
           }
           columnDef(session.currentSchema.getOrElse(""), "", f.name, tc)
         }.toSeq
-        var seq = 1
+        var seq = seqStart
         ((new Writer().lenenc(schema.fields.length.toLong).result() +: defs)
           :+ eof()).foreach { p => writePacket(out, seq, p); seq += 1 }
         // stream the rows: toLocalIterator fetches one partition at a
@@ -276,6 +329,7 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
         // on the driver. Row execution errors past this point can only
         // surface as a dropped connection — the defs are already on
         // the wire, the same failure mode as any streaming server.
+        var rowErr = false
         try df.toLocalIterator().forEachRemaining { row =>
           writePacket(out, seq, textRow(schema.fields.indices.map(i =>
             if (row.isNullAt(i)) None else Some(String.valueOf(row.get(i))))))
@@ -284,9 +338,11 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
           case e: Throwable =>
             writePacket(out, seq, err(1105, String.valueOf(e.getMessage)))
             seq += 1
+            rowErr = true
         }
-        writePacket(out, seq, eof())
+        writePacket(out, seq, eof(status))
+        out.flush()
+        (seq + 1, rowErr)
     }
-    out.flush()
   }
 }

@@ -26,7 +26,13 @@ object Packets {
   val ClientProtocol41 = 0x00000200
   val ClientTransactions = 0x00002000
   val ClientSecureConnection = 0x00008000
+  val ClientMultiStatements = 0x00010000
+  val ClientMultiResults = 0x00020000
   val ClientPluginAuth = 0x00080000
+
+  // status flags (Protocol::StatusFlags) — the two this server sets
+  val ServerStatusAutocommit = 0x0002
+  val ServerMoreResultsExists = 0x0008
 
   // column type codes (Protocol::ColumnType) — the three the engine
   // produces map to LONGLONG / DOUBLE / VAR_STRING, everything else
@@ -45,6 +51,7 @@ object Packets {
   val ComStmtPrepare = 0x16
   val ComStmtExecute = 0x17
   val ComStmtClose = 0x19
+  val ComStmtReset = 0x1a
 
   // ---- low-level writers -------------------------------------------
 
@@ -154,10 +161,12 @@ object Packets {
 
   // ---- generic packets ---------------------------------------------
 
-  /** OK_Packet (protocol 41, no session-track). */
-  def ok(affected: Long, lastInsertId: Long = 0L): Array[Byte] =
+  /** OK_Packet (protocol 41, no session-track). `status` carries
+    * SERVER_MORE_RESULTS_EXISTS between multi-statement responses. */
+  def ok(affected: Long, lastInsertId: Long = 0L,
+      status: Int = ServerStatusAutocommit): Array[Byte] =
     new Writer().int1(0x00).lenenc(affected).lenenc(lastInsertId)
-      .int2(0x0002 /* SERVER_STATUS_AUTOCOMMIT */).int2(0).result()
+      .int2(status).int2(0).result()
 
   /** ERR_Packet with the engine's MySQL-compatible error code. */
   def err(code: Int, message: String): Array[Byte] =
@@ -166,8 +175,8 @@ object Packets {
       .bytes(message.getBytes(StandardCharsets.UTF_8)).result()
 
   /** EOF_Packet (classic framing — DEPRECATE_EOF is not advertised). */
-  def eof(): Array[Byte] =
-    new Writer().int1(0xfe).int2(0).int2(0x0002).result()
+  def eof(status: Int = ServerStatusAutocommit): Array[Byte] =
+    new Writer().int1(0xfe).int2(0).int2(status).result()
 
   /** Protocol::ColumnDefinition41. `typeCode` is a ColumnType above;
     * strings go out as utf8mb4 (charset 255), numbers as binary

@@ -16,7 +16,8 @@ import Packets._
   * this one never becomes the only thing the server is checked
   * against.
   */
-final class TextClient(host: String, port: Int) extends AutoCloseable {
+final class TextClient(host: String, port: Int,
+    multiStatements: Boolean = false) extends AutoCloseable {
   private val sock = new Socket(host, port)
   private val in = new java.io.BufferedInputStream(sock.getInputStream)
   private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
@@ -27,7 +28,9 @@ final class TextClient(host: String, port: Int) extends AutoCloseable {
     val r = new Reader(hs)
     require(r.int1() == 10, "expected protocol version 10")
     val ver = r.nulStr()
-    val caps = ClientProtocol41 | ClientSecureConnection
+    val caps = ClientProtocol41 | ClientSecureConnection |
+      (if (multiStatements) ClientMultiStatements | ClientMultiResults
+       else 0)
     val resp = new Writer().int4(caps.toLong).int4(1L << 24).int1(255)
       .zeros(23).nulStr("root").int1(0)
     writePacket(out, 1, resp.result()); out.flush()
@@ -71,6 +74,83 @@ final class TextClient(host: String, port: Int) extends AutoCloseable {
             }
           }.toVector
         (cols, rows)
+    }
+  }
+
+  /** Multi-statement COM_QUERY (requires `multiStatements = true` at
+    * construction): sends the whole ';'-separated text in ONE command
+    * and reads resultsets until a terminating OK/EOF without
+    * SERVER_MORE_RESULTS_EXISTS. Each element is (column names, rows)
+    * — (Nil, Nil) for an OK response. An ERR throws (the server
+    * aborts the remaining statements, so nothing follows it). */
+  def queryAll(sql: String): Seq[(Seq[String], Seq[Seq[Option[String]]])] = {
+    writePacket(out, 0, new Writer().int1(ComQuery)
+      .bytes(sql.getBytes(StandardCharsets.UTF_8)).result())
+    out.flush()
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], Seq[Seq[Option[String]]])]
+    var more = true
+    while (more) {
+      val (_, first) = readPacket(in)
+      (first(0) & 0xff) match {
+        case 0x00 =>
+          val r = new Reader(first)
+          r.int1(); r.lenenc(); r.lenenc()
+          val status = r.int2()
+          acc += ((Nil, Nil))
+          more = (status & ServerMoreResultsExists) != 0
+        case 0xff =>
+          val r = new Reader(first); r.int1()
+          val code = r.int2(); r.skip(6)
+          throw new RuntimeException(s"wire error $code: " +
+            new String(r.rest(), StandardCharsets.UTF_8))
+        case _ =>
+          val n = new Reader(first).lenenc().toInt
+          val cols = (0 until n).map { _ =>
+            val (_, d) = readPacket(in)
+            val r = new Reader(d)
+            r.lenencBytes(); r.lenencBytes(); r.lenencBytes(); r.lenencBytes()
+            new String(r.lenencBytes(), StandardCharsets.UTF_8)
+          }
+          readPacket(in) // EOF after column definitions
+          val rows = scala.collection.mutable.ArrayBuffer
+            .empty[Seq[Option[String]]]
+          var status = 0
+          var rowsDone = false
+          while (!rowsDone) {
+            val (_, p) = readPacket(in)
+            if ((p(0) & 0xff) == 0xfe && p.length < 9) {
+              val r = new Reader(p)
+              r.int1(); r.int2()
+              status = r.int2()
+              rowsDone = true
+            } else {
+              val r = new Reader(p)
+              rows += (0 until n).map { _ =>
+                if (r.peek == 0xfb) { r.skip(1); None }
+                else Some(new String(r.lenencBytes(), StandardCharsets.UTF_8))
+              }
+            }
+          }
+          acc += ((cols, rows.toSeq))
+          more = (status & ServerMoreResultsExists) != 0
+      }
+    }
+    acc.toSeq
+  }
+
+  /** COM_STMT_RESET: clears the statement's accumulated parameter
+    * state server-side; OK on success, throws on an unknown id. */
+  def reset(id: Int): Unit = {
+    writePacket(out, 0,
+      new Writer().int1(ComStmtReset).int4(id.toLong).result())
+    out.flush()
+    val (_, p) = readPacket(in)
+    if ((p(0) & 0xff) == 0xff) {
+      val r = new Reader(p); r.int1()
+      val code = r.int2(); r.skip(6)
+      throw new RuntimeException(s"reset error $code: " +
+        new String(r.rest(), StandardCharsets.UTF_8))
     }
   }
 

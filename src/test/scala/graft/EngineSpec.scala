@@ -1248,6 +1248,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e.sql("select v from t where id = 1")) == Seq(Seq(55)))
   }
 
+  test("catalog boot: many-table catalog reloads; the row bound is actionable") {
+    val dir = Files.createTempDirectory("graft_wh_").toString
+    val e = new GraftEngine(spark, dir)
+    e.sql("create schema wide"); e.sql("use wide")
+    // a catalog an order of magnitude wider than the other specs':
+    // 40 tables × 5 columns — boot must stay O(catalog rows)
+    (1 to 40).foreach { i =>
+      e.sql(s"create table t$i (a int, b int, c char, d float, e char, " +
+        "PRIMARY KEY(a))")
+    }
+    e.sql("insert into t40 values (1, 2, 'x', 3.5, 'y')")
+    val e2 = new GraftEngine(spark, dir)
+    e2.sql("use wide")
+    assert(rows(e2.sql("select a, c from t40")) == Seq(Seq(1, "x")))
+    assert(rows(e2.sql("select count(*) from t1")) == Seq(Seq(0L)))
+    // the guard: a catalog past the bound fails with an actionable
+    // message instead of collecting unbounded rows onto the driver
+    val saved = GraftEngine.maxCatalogBootRows
+    try {
+      GraftEngine.maxCatalogBootRows = 10L
+      val ex = intercept[GraftException](new GraftEngine(spark, dir))
+      assert(ex.msg.contains("catalog too large to boot"))
+      assert(ex.msg.contains("maxCatalogBootRows"))
+    } finally GraftEngine.maxCatalogBootRows = saved
+  }
+
   test("txn: crash before COMMIT rolls the whole transaction back on reload") {
     val dir = Files.createTempDirectory("graft_wh_").toString
     val e = new GraftEngine(spark, dir)

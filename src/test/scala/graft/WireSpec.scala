@@ -88,7 +88,8 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Minimal independent MySQL client for the spec: speaks
     * Protocol::41 with classic EOF framing. */
-  private final class Client(port: Int, db: Option[String] = None) {
+  private final class Client(port: Int, db: Option[String] = None,
+      multi: Boolean = false) {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new java.io.BufferedInputStream(sock.getInputStream)
     private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
@@ -100,7 +101,8 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
       val ver = r.nulStr()
       // respond: caps, max packet, charset, 23 zeros, user, auth, [db]
       val caps = ClientProtocol41 | ClientSecureConnection |
-        (if (db.isDefined) ClientConnectWithDb else 0)
+        (if (db.isDefined) ClientConnectWithDb else 0) |
+        (if (multi) ClientMultiStatements | ClientMultiResults else 0)
       val w = new Writer().int4(caps.toLong).int4(1 << 24).int1(255)
         .zeros(23).nulStr("root").int1(0)
       db.foreach(w.nulStr)
@@ -153,6 +155,76 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
     def query(sql: String): Resp = {
       cmd(new Writer().int1(ComQuery)
         .bytes(sql.getBytes(StandardCharsets.UTF_8)).result())
+      readResp()
+    }
+
+    /** Like readResp but also returns the response's terminating
+      * status flags (OK status, or the final EOF's status for a
+      * resultset) — the multi-statement continuation signal. */
+    private def readRespStatus(): (Resp, Int) = {
+      val (_, first) = readPacket(in)
+      (first(0) & 0xff) match {
+        case 0x00 =>
+          val r = new Reader(first); r.int1()
+          val aff = r.lenenc(); r.lenenc()
+          (Ok(aff), r.int2())
+        case 0xff =>
+          val r = new Reader(first); r.int1()
+          val code = r.int2(); r.skip(6)
+          (Err(code, new String(r.rest(), StandardCharsets.UTF_8)), 0)
+        case _ =>
+          val n = new Reader(first).lenenc().toInt
+          val cols = (0 until n).map { _ =>
+            val (_, d) = readPacket(in)
+            val r = new Reader(d)
+            r.lenencBytes(); r.lenencBytes(); r.lenencBytes(); r.lenencBytes()
+            new String(r.lenencBytes(), StandardCharsets.UTF_8)
+          }
+          readPacket(in) // EOF after defs
+          val rows = scala.collection.mutable.ArrayBuffer
+            .empty[Seq[Option[String]]]
+          var status = 0
+          var done = false
+          while (!done) {
+            val (_, p) = readPacket(in)
+            if ((p(0) & 0xff) == 0xfe && p.length < 9) {
+              val r = new Reader(p); r.int1(); r.int2()
+              status = r.int2()
+              done = true
+            } else {
+              val r = new Reader(p)
+              rows += (0 until n).map { _ =>
+                if (r.peek == 0xfb) { r.skip(1); None }
+                else Some(new String(r.lenencBytes(),
+                  StandardCharsets.UTF_8))
+              }
+            }
+          }
+          (Rows(cols, rows.toSeq), status)
+      }
+    }
+
+    /** Multi-statement COM_QUERY: one command, responses until the
+      * terminating status drops SERVER_MORE_RESULTS_EXISTS (an Err
+      * also terminates — the server aborts the rest). */
+    def queryMulti(sql: String): Seq[Resp] = {
+      cmd(new Writer().int1(ComQuery)
+        .bytes(sql.getBytes(StandardCharsets.UTF_8)).result())
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Resp]
+      var more = true
+      while (more) {
+        val (resp, status) = readRespStatus()
+        acc += resp
+        more = resp match {
+          case Err(_, _) => false
+          case _ => (status & ServerMoreResultsExists) != 0
+        }
+      }
+      acc.toSeq
+    }
+
+    def stmtReset(id: Int): Resp = {
+      cmd(new Writer().int1(ComStmtReset).int4(id.toLong).result())
       readResp()
     }
 
@@ -334,6 +406,85 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
         case other => fail(s"$other")
       }
       a.quit(); b.quit()
+    } finally srv.close()
+  }
+
+  test("multi-statement COM_QUERY: sequenced responses, error aborts") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire4_").toString
+    val eng = new GraftEngine(spark, wh)
+    val srv = new MysqlServer(eng)
+    try {
+      val c = new Client(srv.boundPort, multi = true)
+      c.serverVersion
+      // one COM_QUERY, five statements: every response but the last
+      // carries SERVER_MORE_RESULTS_EXISTS, so the client reads all 5
+      val rs = c.queryMulti(
+        "create schema ms; use ms; " +
+          "create table t (id int, v char, PRIMARY KEY(id)); " +
+          "insert into t values (1, 'a; b'), (2, 'c'); " +
+          "select id, v from t order by id")
+      assert(rs.length == 5)
+      assert(rs(3) == c.Ok(2))
+      rs(4) match {
+        case c.Rows(cols, rows) =>
+          assert(cols == Seq("id", "v"))
+          // the ';' INSIDE the string literal did not split
+          assert(rows == Seq(Seq(Some("1"), Some("a; b")),
+            Seq(Some("2"), Some("c"))))
+        case other => fail(s"expected rows, got $other")
+      }
+      // an error aborts the remaining statements (MySQL semantics):
+      // 2 responses, not 3, and the failed batch's tail never ran
+      val er = c.queryMulti(
+        "select id from t order by id; select * from missing; " +
+          "insert into t values (9, 'never')")
+      assert(er.length == 2)
+      er(1) match {
+        case c.Err(code, _) => assert(code == 1146)
+        case other => fail(s"expected 1146, got $other")
+      }
+      c.query("select count(*) as n from t") match {
+        case c.Rows(_, rows) => assert(rows == Seq(Seq(Some("2"))))
+        case other => fail(s"$other")
+      }
+      // a client WITHOUT the capability gets the old single-statement
+      // behavior: the unsplit text is one (failing) statement
+      val plain = new Client(srv.boundPort)
+      plain.serverVersion
+      plain.query("select 1; select 2") match {
+        case plain.Err(_, _) => ()
+        case other => fail(s"expected parse error, got $other")
+      }
+      c.quit(); plain.quit()
+    } finally srv.close()
+  }
+
+  test("COM_STMT_RESET clears param state; unknown id is 1243") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire5_").toString
+    val eng = new GraftEngine(spark, wh)
+    eng.sql("create schema rs")
+    eng.sql("use rs")
+    eng.sql("create table t (id int, PRIMARY KEY(id))")
+    eng.sql("insert into t values (1), (2), (3)")
+    val srv = new MysqlServer(eng)
+    try {
+      val c = new Client(srv.boundPort, db = Some("rs"))
+      val (sid, n) = c.prepare("select id from t where id >= ? order by id")
+      assert(n == 1)
+      assert(c.execute(sid, Seq(2L)) ==
+        Seq(Seq(Some(2L)), Seq(Some(3L))))
+      // reset: OK, statement stays prepared and re-executable (the
+      // cached param-type map is cleared, so execute must re-bind)
+      assert(c.stmtReset(sid) == c.Ok(0))
+      assert(c.execute(sid, Seq(3L)) == Seq(Seq(Some(3L))))
+      // unknown handler → 1243
+      c.stmtReset(sid + 100) match {
+        case c.Err(code, msg) =>
+          assert(code == 1243 && msg.contains("Unknown prepared statement"))
+        case other => fail(s"expected 1243, got $other")
+      }
+      c.stmtClose(sid)
+      c.quit()
     } finally srv.close()
   }
 
