@@ -18,10 +18,16 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one file per table; ScaleGen scale-up dirs
-        # are Spark-written DIRECTORIES of part files — glob those
+        # are Spark-written DIRECTORIES of part files — glob those.
+        # Scale-up dirs may carry only a TABLE SUBSET (ScaleVerify's
+        # families): skip absent tables — an oracle needing one fails
+        # per-query with a clear "table not found" instead of blocking
+        # the whole compare.
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
+        elif not os.path.exists(p):
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, bad = [], []

@@ -32,10 +32,10 @@ object ScaleVerify {
     "p04_simhash", "p05_embedding_neardup", "p06_ann_bruteforce",
     "p08_langid", "p10_token_count", "p15_ann_ivf", "p30_kmeans",
     "p42_bpe_encode", "p44_dup_spans", "p46_span_dedup",
-    "p54_fuzzy_join", "p80_novelty", "p85_rolling_anomaly",
-    "p88_transition_matrix", "p113_mixture_shares",
-    "p117_minhash_fidelity", "p118_incremental_novelty",
-    "p119_exact_substring")
+    "p54_fuzzy_join", "p80_novelty", "p84_label_propagation",
+    "p85_rolling_anomaly", "p88_transition_matrix",
+    "p113_mixture_shares", "p117_minhash_fidelity",
+    "p118_incremental_novelty", "p119_exact_substring")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sf10")

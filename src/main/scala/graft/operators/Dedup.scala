@@ -1032,17 +1032,27 @@ object Dedup {
     require(k >= 1, s"k $k must be >= 1")
     require(maxBoundaryFreq >= 1,
       s"maxBoundaryFreq $maxBoundaryFreq must be >= 1")
+    // (id, prefix-boundary, suffix-boundary) in ONE tokenize pass,
+    // persisted: four consumers read it (two join sides, two hot
+    // aggregates) and Spark has no cross-branch subplan reuse — the
+    // unpersisted shape re-tokenized the corpus per consumer. The
+    // cache is 2 boundary strings per doc, O(docs), never O(text).
     val t = df.select(col(idCol).as("__id"),
         tokens(coalesce(col(textCol), lit(""))).as("__tk"))
       .filter(size(col("__tk")) >= k)
-    val pre = t.select(col("__id").as("b_id"),
-      array_join(slice(col("__tk"), 1, k), " ").as("boundary"))
-    val suf = t.select(col("__id").as("a_id"),
-      array_join(slice(col("__tk"), -k, k), " ").as("boundary"))
+      .select(col("__id"),
+        array_join(slice(col("__tk"), 1, k), " ").as("__pre"),
+        array_join(slice(col("__tk"), -k, k), " ").as("__suf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = t.select(col("__id").as("b_id"), col("__pre").as("boundary"))
+    val suf = t.select(col("__id").as("a_id"), col("__suf").as("boundary"))
     def hot(side: DataFrame) = side.groupBy(col("boundary"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBoundaryFreq).select(col("boundary"))
+    // both anti joins read the hot list — persist so it aggregates
+    // once (it is tiny: boundaries over the cap, the skew tail)
     val dropped = hot(pre).union(hot(suf)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     suf.join(dropped, Seq("boundary"), "left_anti")
       .join(pre.join(dropped, Seq("boundary"), "left_anti"),
         Seq("boundary"))

