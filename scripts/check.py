@@ -35,6 +35,9 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        # progress to stderr (flushed): scale-up replays can take
+        # minutes per oracle — make the slow one identifiable
+        print(f"  .. {name}", file=sys.stderr, flush=True)
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             bad.append((name, "no spark output")); continue

@@ -519,8 +519,13 @@ object Graph {
       .persist(lvl)
     cached += labels
     (1 to rounds).foreach { _ =>
+      // shuffle-hash, not sort-merge: SMJ would SORT the cached edge
+      // list by __m every round (the partitioning is cached, the sort
+      // order is not); SHJ streams the cached partitions and builds
+      // on the node-sized label side — the p65 hint discipline
       val nbrLabels = nbrs
-        .join(labels.withColumnRenamed("__n", "__m"), Seq("__m"))
+        .join(labels.withColumnRenamed("__n", "__m").hint("shuffle_hash"),
+          Seq("__m"))
         .groupBy(col("__n"), col("__l"))
         .agg(count(lit(1)).as("__c"))
       // argmax by (count desc, label asc), EXACT at any count: one

@@ -333,15 +333,18 @@ object Sampling {
         .as("__rem"))
     val short = fl.agg((lit(totalPpm) - sum(col("floor_ppm")))
       .as("__short"))
-    // |keys|-row table, one bounded task. The partition expression is
-    // a key-INDEPENDENT constant: a key-derived expression (the old
-    // pmod(length(key),1)) goes NULL on a NULL key, splitting the
+    // |keys|-row table, one bounded task. The partition expression
+    // must be (a) COLUMN-DERIVED — a constant folds away and the
+    // window degenerates into Spark's global no-partition shape (the
+    // battery-wide PlanSpec pin) — and (b) never NULL: the bare
+    // pmod(length(key),1) goes NULL on a NULL key, splitting the
     // remainder ranking into two partitions whose row_numbers both
-    // start at 1 — more than __short keys get +1 and the exact-sum
-    // contract breaks. pmod(lit(0),lit(1)) is never NULL, so every
-    // key (NULL included) ranks in ONE bounded partition.
+    // start at 1, so more than __short keys get +1 and the exact-sum
+    // contract breaks. coalesce(...,0) keeps every key (NULL
+    // included) in ONE bounded partition.
     val wRem = Window
-      .partitionBy(pmod(lit(0L), lit(1L)))
+      .partitionBy(coalesce(
+        pmod(length(col("key")).cast("long"), lit(1L)), lit(0L)))
       .orderBy(col("__rem").desc, col("key"))
     fl.withColumn("__rk", row_number().over(wRem).cast("long"))
       .crossJoin(broadcast(short))
