@@ -1384,6 +1384,80 @@ object Parity {
         |FROM customer WHERE c_custkey <= 1000
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // ---- CLIENT_MULTI_STATEMENTS under the oracle gate (the third
+    // wire entry): ONE COM_QUERY carries a 5-statement script —
+    // USE, CREATE TABLE, INSERT…SELECT, DELETE, final SELECT — and
+    // the client reads the sequenced responses (each but the last
+    // flagged SERVER_MORE_RESULTS_EXISTS), hash-comparing the final
+    // resultset against DuckDB's declarative reconstruction. A wrong
+    // split point, a dropped MORE flag, or a mis-sequenced packet
+    // would break the parse or the hash.
+    "q85_wire_multi" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q85_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q85")
+        eng.sql("use q85")
+        eng.sql(s"create external table cust USING PARQUET LOCATION '$dir/customer.parquet'")
+        val server = new graft.wire.MysqlServer(eng, 0)
+        try {
+          val cli = new graft.wire.TextClient("127.0.0.1", server.boundPort,
+            multiStatements = true)
+          try {
+            val responses = cli.queryAll(
+              """use q85;
+                |create table seg (k int, seg char, bal float, PRIMARY KEY(k));
+                |insert into seg select c_custkey, c_mktsegment, c_acctbal
+                |  from cust where c_custkey <= 1200;
+                |delete from seg where k % 7 = 0;
+                |select seg, count(*) as n,
+                |  cast(sum(cast(round(bal * 100) as bigint)) as double) / 100.0
+                |    as total_bal,
+                |  min(k) as min_k, max(k) as max_k
+                |from seg group by seg order by seg""".stripMargin)
+            require(responses.length == 5,
+              s"expected 5 sequenced responses, got ${responses.length}")
+            require(responses.take(4).forall(_._1.isEmpty),
+              "statements 1-4 must answer OK (no resultset)")
+            val (cols, rows) = responses.last
+            require(cols == Seq("seg", "n", "total_bal", "min_k", "max_k"),
+              s"unexpected wire column defs: $cols")
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("seg",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("total_bal",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("min_k",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("max_k",
+                org.apache.spark.sql.types.LongType)))
+            val data = rows.map { r =>
+              org.apache.spark.sql.Row(
+                r(0).orNull,
+                r(1).map(v => java.lang.Long.valueOf(v)).orNull,
+                r(2).map(v => java.lang.Double.valueOf(v)).orNull,
+                r(3).map(v => java.lang.Long.valueOf(v)).orNull,
+                r(4).map(v => java.lang.Long.valueOf(v)).orNull)
+            }
+            s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+              schema)
+          } finally cli.close()
+        } finally server.close()
+      },
+      Some("""WITH img AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    c_acctbal AS bal
+        |  FROM customer
+        |  WHERE c_custkey <= 1200 AND c_custkey % 7 <> 0)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total_bal,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM img GROUP BY seg ORDER BY seg""".stripMargin)),
+
     // ---- ORC as an external-table format (§2.1 source matrix,
     // alongside parquet/CSV/JSON/KV): executor-written ORC files of
     // the customer table, cataloged via CREATE EXTERNAL TABLE …
