@@ -35,7 +35,8 @@ object ScaleVerify {
     "p54_fuzzy_join", "p80_novelty", "p84_label_propagation",
     "p85_rolling_anomaly", "p88_transition_matrix",
     "p113_mixture_shares", "p117_minhash_fidelity",
-    "p118_incremental_novelty", "p119_exact_substring")
+    "p118_incremental_novelty", "p119_exact_substring",
+    "p120_decontam_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sf10")

@@ -820,16 +820,64 @@ object Dedup {
     require(n >= 1, s"gram width $n must be >= 1")
     require(minTokens >= n,
       s"minTokens $minTokens must be >= the gram width $n")
-    val g = df.select(col(idCol).as("__id"),
-        posexplode(graft.functions.ShingleHashes(col(textCol), n,
-          poly = true, distinct = false)).as(Seq("__p", "__gh")))
-      .select(col("__id"), (col("__p") + 1).cast("long").as("__pos"),
-        col("__gh"))
+    val g = positionalGrams(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = g.toDF("a_id", "a_pos", "gh")
       .join(g.toDF("b_id", "b_pos", "gh"), Seq("gh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
+    mergeRuns(m, n, minTokens)
+  }
+
+  /** Cross-side twin of [[exactSubstringSpans]] — the DECONTAMINATION
+    * application (Lee et al. 2022 §6.2 run ExactSubstr between train
+    * and eval): maximal verbatim spans of ≥ `minTokens` tokens shared
+    * by a LEFT-side document (e.g. an evaluation/benchmark set) and a
+    * RIGHT-side document (the training corpus), with both positions —
+    * the span-level evidence an n-gram decontamination threshold
+    * blurs. Left-left and right-right duplicates are NOT reported
+    * (that is [[exactSubstringSpans]]'s job); callers pass disjoint
+    * document sets. Same distributed shape: two positional gram-hash
+    * streams, one hash-bucketed match join (volume Σ_h cntL(h)·
+    * cntR(h) — benchmark-side counts are tiny, so the join is
+    * eval-bounded), one gaps-and-islands run-merge per (pair,
+    * diagonal).
+    *
+    * Returns (a_id, b_id, a_pos, b_pos, span_tokens): a = left/eval
+    * doc, b = right/corpus doc, 1-based token positions, one row per
+    * maximal shared span. */
+  def exactSubstringSpansAcross(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, minTokens: Int = 16): DataFrame = {
+    require(n >= 1, s"gram width $n must be >= 1")
+    require(minTokens >= n,
+      s"minTokens $minTokens must be >= the gram width $n")
+    val gl = positionalGrams(left, idCol, textCol, n)
+    val gr = positionalGrams(right, idCol, textCol, n)
+    val m = gl.toDF("a_id", "a_pos", "gh")
+      .join(gr.toDF("b_id", "b_pos", "gh"), Seq("gh"))
+      .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
+    mergeRuns(m, n, minTokens)
+  }
+
+  /** One row per n-gram POSITION: (id, 1-based pos, poly gram hash)
+    * — the [[graft.functions.ShingleHashes]] positional stream the
+    * exact-substring family consumes. */
+  private def positionalGrams(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        posexplode(graft.functions.ShingleHashes(col(textCol), n,
+          poly = true, distinct = false)).as(Seq("__p", "__gh")))
+      .select(col("__id"), (col("__p") + 1).cast("long").as("__pos"),
+        col("__gh"))
+
+  /** Gaps-and-islands run-merge over positional matches
+    * m(a_id, b_id, a_pos, b_pos): consecutive matches on one diagonal
+    * (a_pos − b_pos constant) merge into one maximal span of
+    * run + n − 1 tokens; spans below `minTokens` drop. The window
+    * partitions by (pair, diagonal) — bounded by the shorter
+    * document, never the corpus. */
+  private def mergeRuns(m: DataFrame, n: Int, minTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id"), col("b_id"), col("a_pos") - col("b_pos"))
       .orderBy(col("a_pos"))

@@ -4103,6 +4103,49 @@ object Pipeline {
           |FROM r GROUP BY a_id, b_id, a_pos - b_pos, island
           |HAVING count(*) + 7 >= 16
           |ORDER BY a_id, b_id, a_pos, b_pos""".stripMargin
+      }),
+
+    // ---- p120: span-level decontamination (Lee et al. 2022 §6.2 —
+    // ExactSubstr between train and eval): the doc_id % 10 == 0 slice
+    // plays the held-out benchmark (p118's batch-slice convention),
+    // the rest is the training corpus;
+    // report every ≥16-token span an eval doc shares VERBATIM with
+    // any training doc, with both positions — the contamination
+    // evidence an n-gram threshold (p23's tier) blurs. Train-train
+    // duplicates (p119's job) are NOT reported. DuckDB replays the
+    // cross-side match join and the run-merge exactly.
+    "p120_decontam_spans" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.operators.Dedup.exactSubstringSpansAcross(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", n = 8, minTokens = 16)
+          .orderBy(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
+      },
+      Some {
+        s"""WITH tok AS (SELECT doc_id,
+          |    str_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+          |g0 AS (SELECT doc_id, i AS pos,
+          |    array_to_string(tk[i:i+7], ' ') AS gr
+          |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
+          |g AS (SELECT doc_id, pos,
+          |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+          |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    a.pos AS a_pos, b.pos AS b_pos
+          |  FROM g a JOIN g b ON a.gh = b.gh
+          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+          |r AS (SELECT a_id, b_id, a_pos, b_pos,
+          |    a_pos - row_number() OVER (
+          |      PARTITION BY a_id, b_id, a_pos - b_pos
+          |      ORDER BY a_pos) AS island
+          |  FROM m)
+          |SELECT a_id, b_id, CAST(min(a_pos) AS BIGINT) AS a_pos,
+          |  CAST(min(b_pos) AS BIGINT) AS b_pos,
+          |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+          |FROM r GROUP BY a_id, b_id, a_pos - b_pos, island
+          |HAVING count(*) + 7 >= 16
+          |ORDER BY a_id, b_id, a_pos, b_pos""".stripMargin
       })
   )
 }

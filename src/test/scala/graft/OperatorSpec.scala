@@ -2550,6 +2550,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(10L, 20L))
   }
 
+  test("exactSubstringSpansAcross: cross-side only (decontamination)") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    // eval docs 100/101; train docs 1/2. Doc 1 carries the span the
+    // eval doc quotes; docs 1 and 2 ALSO share it (train-train dup —
+    // must NOT be reported); eval 101 is clean.
+    val eval = Seq(
+      (100L, s"e1 e2 $shared e3"),
+      (101L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"t1 t2 t3 $shared t4"),
+      (2L, s"u1 $shared u2 u3"),
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9")).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpansAcross(eval, train,
+      "doc_id", "text", n = 8, minTokens = 16).collect()
+    // eval 100 × train 1 AND eval 100 × train 2 — never train 1 ×
+    // train 2, never anything for eval 101
+    assert(spans.length == 2)
+    assert(spans.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .sorted.toSeq == Seq((100L, 1L), (100L, 2L)))
+    assert(spans.forall(_.getAs[Long]("span_tokens") == 20L))
+    val s1 = spans.find(_.getAs[Long]("b_id") == 1L).get
+    assert(s1.getAs[Long]("a_pos") == 3L && s1.getAs[Long]("b_pos") == 4L)
+  }
+
   test("largestRemainderShares: exact ppm sum, remainder order, overflow-safe") {
     import spark.implicits._
     // weights 1,1,1 over 1e6: floor 333333 each, shortfall 1 → the
