@@ -56,16 +56,30 @@ object ScaleVerify {
       .getOrElse(defaultSubset)
     val missing = names.filterNot(SparkEntry.queries.contains)
     require(missing.isEmpty, s"unknown battery entries: $missing")
+    // the outDir is reusable across runs (mkdirs on an existing dir),
+    // so a query's STALE parquet from a previous run must never
+    // survive into this run's compare: delete each target up front,
+    // and drop failed queries from the oracle list so check.py can
+    // only ever hash what THIS run produced
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) rmrf(target)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+          .parquet(target.getPath)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"""{"scale_query":"$name","sec":$dt%.2f}""")
       } catch { case e: Throwable =>
         System.err.println(s"[scaleverify] $name failed: ${e.getMessage}")
+        failed += name
+        if (target.exists()) rmrf(target)
       }
       spark.catalog.clearCache()
     }
@@ -79,7 +93,8 @@ object ScaleVerify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    val okNames = names.filterNot(failed.contains)
+    val json = SparkEntry.oracleSql.filter(kv => okNames.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
@@ -97,5 +112,13 @@ object ScaleVerify {
           s"(${e.getMessage}); run: python3 scripts/check.py $sfDir $outDir")
       }
     } else println(s"run: python3 scripts/check.py $sfDir $outDir")
+    // the compare above only covers queries that produced output this
+    // run; a Spark-phase failure is still a FAILED round-close record
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[scaleverify] ${failed.length} FAILED (excluded from compare): " +
+          failed.mkString(","))
+      sys.exit(2)
+    }
   }
 }

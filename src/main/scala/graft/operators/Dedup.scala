@@ -401,6 +401,13 @@ object Dedup {
     * arrays and intersects them per pair row — candidate-sized joins
     * carrying bounded arrays, no pair×shingle fan-out.
     *
+    * Cache contract: three intermediates (signatures, candidate
+    * pairs, candidate shingle arrays) persist at MEMORY_AND_DISK and
+    * stay referenced by the returned lazy frame, so they cannot be
+    * unpersisted here. Library callers in a long-lived session
+    * should `spark.catalog.clearCache()` after consuming the result
+    * — the battery mains already do.
+    *
     * Returns (a_id, b_id, est_jac_micro, true_jac_micro, err_micro). */
   def minhashFidelity(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, rowsPerBand: Int = 4,
@@ -812,21 +819,117 @@ object Dedup {
     * p44 discipline): an oracle recomputes identical hashes, so even
     * a mod-1e9+7 collision reproduces identically on both sides.
     *
+    * Hot-gram cap: the match join's pair volume is Σ_h cnt(h)², so a
+    * BOILERPLATE gram — a license header or templated HTML that
+    * occurs c times corpus-wide — would produce c² match rows. Grams
+    * whose corpus position count exceeds `maxGramFreq` are excluded
+    * from matching BEFORE the join (pair volume per gram is then
+    * ≤ maxGramFreq²), the same block-filtering discipline as
+    * [[stitchPairs]]' boundary cap and [[fuzzyLinkPairs]]' block cap.
+    * A span crossing a dropped gram position splits at that position
+    * (each piece still reported if ≥ `minTokens`); the cap is never
+    * silent — [[exactSubstringOversized]] reports what was dropped.
+    *
+    * Cache note: with `cachePositions` (default) the positional
+    * stream persists at MEMORY_AND_DISK because both the gram-count
+    * aggregate and the match join consume it — O(corpus positions ×
+    * 12 B). At 100 TB prefer the recompute trade (`cachePositions =
+    * false`: the codegen gram pass is scan-speed, so each consumer
+    * re-reads the scan instead of a corpus-sized cache) or
+    * checkpoint the stream to cluster storage. Library callers in a
+    * long-lived session should `spark.catalog.clearCache()` (or act
+    * on the result promptly) — the cached stream is not unpersisted
+    * here because the returned frame is lazy and still references it.
+    *
     * Returns (a_id, b_id, a_pos, b_pos, span_tokens) — 1-based token
     * positions, one row per MAXIMAL cross-doc span ≥ `minTokens`
     * tokens; sub-spans of a reported span never appear. */
   def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minTokens: Int = 16): DataFrame = {
+      n: Int = 8, minTokens: Int = 16, maxGramFreq: Int = 1000,
+      cachePositions: Boolean = true): DataFrame = {
     require(n >= 1, s"gram width $n must be >= 1")
     require(minTokens >= n,
       s"minTokens $minTokens must be >= the gram width $n")
-    val g = positionalGrams(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m = g.toDF("a_id", "a_pos", "gh")
-      .join(g.toDF("b_id", "b_pos", "gh"), Seq("gh"))
+    require(maxGramFreq >= 2, s"maxGramFreq $maxGramFreq must be >= 2")
+    val g0 = positionalGrams(df, idCol, textCol, n)
+    val g = if (cachePositions)
+      g0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else g0
+    // hot list first: tiny (only grams over the cap — the skew
+    // tail), so the anti join broadcasts; the kept stream never
+    // rematerializes per gram
+    val hot = g.groupBy(col("__gh")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxGramFreq).select(col("__gh"))
+    val gk = g.join(hot, Seq("__gh"), "left_anti")
+      .select(col("__id"), col("__pos"), col("__gh"))
+    val m = gk.toDF("a_id", "a_pos", "gh")
+      .join(gk.toDF("b_id", "b_pos", "gh"), Seq("gh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
     mergeRuns(m, n, minTokens)
+  }
+
+  /** Companion report for [[exactSubstringSpans]]' hot-gram cap: how
+    * many distinct grams (and gram positions) `maxGramFreq` excluded
+    * from matching — the no-silent-caps contract ([[stitchOversized]]
+    * / [[fuzzyLinkOversized]] pattern). One codegen gram pass + one
+    * hash aggregate; always one row. */
+  def exactSubstringOversized(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, maxGramFreq: Int = 1000): DataFrame =
+    positionalGrams(df, idCol, textCol, n)
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxGramFreq)
+      .agg(count(lit(1)).as("n_grams_dropped"),
+        coalesce(sum(col("__cnt")), lit(0L)).as("n_positions_dropped"))
+
+  /** ExactSubstr span REMOVAL (Lee et al. 2022 — the paper CUTS the
+    * duplicated spans from the corpus rather than dropping whole
+    * documents): every maximal verbatim span ≥ `minTokens` tokens
+    * found by [[exactSubstringSpans]] is removed from the HIGHER-id
+    * document of its pair (keep-first ownership, the [[spanDedup]]
+    * discipline — the lower-id occurrence survives verbatim), and
+    * each document's surviving tokens are reassembled in order with
+    * single spaces. Pure consequence of the span report: an external
+    * engine that replays the spans replays the cleaned text
+    * byte-for-byte (md5-verifiable).
+    *
+    * Scale shape: the span report (hash-bucketed, hot-gram-capped —
+    * see [[exactSubstringSpans]]), ONE per-doc aggregate collecting
+    * that doc's cut intervals (span-report-sized, bounded per doc by
+    * doc length / minTokens), one hash join back onto the corpus,
+    * and a narrow higher-order-function pass that drops covered
+    * token positions — no shuffle touches the text beyond the one
+    * id-keyed join, and the interval list rides the row.
+    *
+    * Returns (id, text_clean, n_tokens, n_tokens_cut); documents
+    * with no spans pass through with n_tokens_cut = 0 (text_clean is
+    * the canonical single-space token join of the original). */
+  def exactSubstringRemove(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minTokens: Int = 16, maxGramFreq: Int = 1000,
+      cachePositions: Boolean = true): DataFrame = {
+    val spans = exactSubstringSpans(df, idCol, textCol, n, minTokens,
+      maxGramFreq, cachePositions)
+    val cuts = spans.select(col("b_id").as("__cid"),
+        struct(col("b_pos").as("s"),
+          (col("b_pos") + col("span_tokens") - 1L).as("e")).as("__iv"))
+      .groupBy(col("__cid"))
+      .agg(collect_list(col("__iv")).as("__cuts"))
+    df.select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__tk"))
+      .join(cuts, col(idCol) === col("__cid"), "left")
+      .select(col(idCol), col("__tk"),
+        coalesce(col("__cuts"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("__cuts"))
+      .select(col(idCol), col("__tk"),
+        filter(sequence(lit(1), size(col("__tk"))),
+          i => !exists(col("__cuts"), iv =>
+            i.cast("long") >= iv.getField("s") &&
+              i.cast("long") <= iv.getField("e"))).as("__keep"))
+      .select(col(idCol),
+        array_join(transform(col("__keep"),
+          i => element_at(col("__tk"), i)), " ").as("text_clean"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")) - size(col("__keep"))).cast("long")
+          .as("n_tokens_cut"))
   }
 
   /** Cross-side twin of [[exactSubstringSpans]] — the DECONTAMINATION
@@ -837,25 +940,41 @@ object Dedup {
     * the span-level evidence an n-gram decontamination threshold
     * blurs. Left-left and right-right duplicates are NOT reported
     * (that is [[exactSubstringSpans]]'s job); callers pass disjoint
-    * document sets. Same distributed shape: two positional gram-hash
-    * streams, one hash-bucketed match join (volume Σ_h cntL(h)·
-    * cntR(h) — benchmark-side counts are tiny, so the join is
-    * eval-bounded), one gaps-and-islands run-merge per (pair,
-    * diagonal).
+    * document sets — and as a guard, a pair whose ids COLLIDE across
+    * the sides is dropped (an overlapping id would otherwise report
+    * a trivial full-length self-match span). Same distributed shape:
+    * two positional gram-hash streams, one hash-bucketed match join
+    * (volume Σ_h cntL(h)·cntR(h) — benchmark-side counts are tiny,
+    * so the join is eval-bounded), one gaps-and-islands run-merge
+    * per (pair, diagonal).
+    *
+    * Hot-gram cap: a boilerplate gram hot on BOTH sides is the
+    * remaining quadratic hazard; grams whose TRAINING-side position
+    * count exceeds `maxGramFreq` are excluded before the join (the
+    * eval side needs no cap — its counts bound the other factor).
+    * [[exactSubstringOversized]] over the right frame reports what
+    * was dropped.
     *
     * Returns (a_id, b_id, a_pos, b_pos, span_tokens): a = left/eval
     * doc, b = right/corpus doc, 1-based token positions, one row per
     * maximal shared span. */
   def exactSubstringSpansAcross(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String,
-      n: Int = 8, minTokens: Int = 16): DataFrame = {
+      n: Int = 8, minTokens: Int = 16, maxGramFreq: Int = 1000): DataFrame = {
     require(n >= 1, s"gram width $n must be >= 1")
     require(minTokens >= n,
       s"minTokens $minTokens must be >= the gram width $n")
+    require(maxGramFreq >= 2, s"maxGramFreq $maxGramFreq must be >= 2")
     val gl = positionalGrams(left, idCol, textCol, n)
-    val gr = positionalGrams(right, idCol, textCol, n)
+    val gr0 = positionalGrams(right, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = gr0.groupBy(col("__gh")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxGramFreq).select(col("__gh"))
+    val gr = gr0.join(hot, Seq("__gh"), "left_anti")
+      .select(col("__id"), col("__pos"), col("__gh"))
     val m = gl.toDF("a_id", "a_pos", "gh")
       .join(gr.toDF("b_id", "b_pos", "gh"), Seq("gh"))
+      .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
     mergeRuns(m, n, minTokens)
   }

@@ -4074,12 +4074,15 @@ object Pipeline {
     // by a doc pair, with both 1-based start positions; the long-
     // verbatim-duplicate detector that n-gram thresholds (p44/p46)
     // blur. Positional 8-gram poly fingerprints, hash-bucketed match
-    // join, gaps-and-islands run-merge per (pair, diagonal); DuckDB
-    // replays hashes, diagonals and islands exactly.
+    // join with the maxGramFreq=2 hot-gram cap EXERCISED (71 grams
+    // occur 3× at sf0.01 and are excluded — the boilerplate-gram
+    // quadratic guard; companion oversized report is spec-gated in
+    // DedupSpec), gaps-and-islands run-merge per (pair, diagonal);
+    // DuckDB replays hashes, the cap, diagonals and islands exactly.
     "p119_exact_substring" -> Q(
       (s, dir) => graft.operators.Dedup.exactSubstringSpans(
           tbl(s, dir, "documents"), "doc_id", "text",
-          n = 8, minTokens = 16)
+          n = 8, minTokens = 16, maxGramFreq = 2)
         .orderBy(col("a_id"), col("b_id"), col("a_pos"), col("b_pos")),
       Some {
         s"""WITH tok AS (SELECT doc_id,
@@ -4089,9 +4092,12 @@ object Pipeline {
           |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
           |g AS (SELECT doc_id, pos,
           |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+          |hot AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 2),
+          |gk AS (SELECT doc_id, pos, gh FROM g
+          |  WHERE gh NOT IN (SELECT gh FROM hot)),
           |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           |    a.pos AS a_pos, b.pos AS b_pos
-          |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+          |  FROM gk a JOIN gk b ON a.gh = b.gh AND a.doc_id < b.doc_id),
           |r AS (SELECT a_id, b_id, a_pos, b_pos,
           |    a_pos - row_number() OVER (
           |      PARTITION BY a_id, b_id, a_pos - b_pos
@@ -4112,15 +4118,18 @@ object Pipeline {
     // report every ≥16-token span an eval doc shares VERBATIM with
     // any training doc, with both positions — the contamination
     // evidence an n-gram threshold (p23's tier) blurs. Train-train
-    // duplicates (p119's job) are NOT reported. DuckDB replays the
-    // cross-side match join and the run-merge exactly.
+    // duplicates (p119's job) are NOT reported; grams hot on the
+    // TRAINING side (count > 2 — exercised at sf0.01) are excluded
+    // before the join, the boilerplate cap sized by the side that
+    // can be 100 TB. DuckDB replays the cross-side match join, the
+    // cap and the run-merge exactly.
     "p120_decontam_spans" -> Q(
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
         graft.operators.Dedup.exactSubstringSpansAcross(
             docs.filter(col("doc_id") % 10 === 0),
             docs.filter(col("doc_id") % 10 =!= 0),
-            "doc_id", "text", n = 8, minTokens = 16)
+            "doc_id", "text", n = 8, minTokens = 16, maxGramFreq = 2)
           .orderBy(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
       },
       Some {
@@ -4131,10 +4140,13 @@ object Pipeline {
           |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
           |g AS (SELECT doc_id, pos,
           |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+          |hot AS (SELECT gh FROM g WHERE doc_id % 10 <> 0
+          |  GROUP BY gh HAVING count(*) > 2),
           |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           |    a.pos AS a_pos, b.pos AS b_pos
           |  FROM g a JOIN g b ON a.gh = b.gh
-          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+          |    AND b.gh NOT IN (SELECT gh FROM hot)),
           |r AS (SELECT a_id, b_id, a_pos, b_pos,
           |    a_pos - row_number() OVER (
           |      PARTITION BY a_id, b_id, a_pos - b_pos
@@ -4146,6 +4158,61 @@ object Pipeline {
           |FROM r GROUP BY a_id, b_id, a_pos - b_pos, island
           |HAVING count(*) + 7 >= 16
           |ORDER BY a_id, b_id, a_pos, b_pos""".stripMargin
+      }),
+
+    // ---- p121: ExactSubstr span REMOVAL (Lee et al. 2022 cut the
+    // duplicated spans, not just report them) — p119's spans applied
+    // keep-first (the higher-id occurrence of each pair is cut), the
+    // survivors reassembled in token order; the oracle replays the
+    // span derivation AND the byte-exact reassembly (kept_md5 on the
+    // canonical single-space join), so a hash match proves the
+    // cleaned corpus is identical byte-for-byte on both engines.
+    "p121_exact_substring_removal" -> Q(
+      (s, dir) => graft.operators.Dedup.exactSubstringRemove(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          n = 8, minTokens = 16, maxGramFreq = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_tokens_cut"),
+          md5(col("text_clean")).as("kept_md5"))
+        .orderBy(col("doc_id")),
+      Some {
+        s"""WITH tok AS (SELECT doc_id,
+          |    str_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+          |g0 AS (SELECT doc_id, i AS pos,
+          |    array_to_string(tk[i:i+7], ' ') AS gr
+          |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
+          |g AS (SELECT doc_id, pos,
+          |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+          |hot AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 2),
+          |gk AS (SELECT doc_id, pos, gh FROM g
+          |  WHERE gh NOT IN (SELECT gh FROM hot)),
+          |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    a.pos AS a_pos, b.pos AS b_pos
+          |  FROM gk a JOIN gk b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+          |r AS (SELECT a_id, b_id, a_pos, b_pos,
+          |    a_pos - row_number() OVER (
+          |      PARTITION BY a_id, b_id, a_pos - b_pos
+          |      ORDER BY a_pos) AS island
+          |  FROM m),
+          |sp AS (SELECT a_id, b_id, min(a_pos) AS a_pos,
+          |    min(b_pos) AS b_pos, count(*) + 7 AS span_tokens
+          |  FROM r GROUP BY a_id, b_id, a_pos - b_pos, island
+          |  HAVING count(*) + 7 >= 16),
+          |cuts AS (SELECT b_id AS doc_id, b_pos AS s,
+          |    b_pos + span_tokens - 1 AS e FROM sp),
+          |pos AS (SELECT doc_id, i, tk[i] AS w
+          |  FROM tok, unnest(range(1, len(tk) + 1)) t(i)),
+          |kept AS (SELECT p.doc_id, p.i, p.w FROM pos p
+          |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+          |    WHERE c.doc_id = p.doc_id AND p.i BETWEEN c.s AND c.e)),
+          |re AS (SELECT doc_id,
+          |    string_agg(w, ' ' ORDER BY i) AS text_clean,
+          |    count(*) AS nk FROM kept GROUP BY 1)
+          |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+          |  CAST(len(t.tk) - coalesce(re.nk, 0) AS BIGINT)
+          |    AS n_tokens_cut,
+          |  md5(coalesce(re.text_clean, '')) AS kept_md5
+          |FROM tok t LEFT JOIN re ON re.doc_id = t.doc_id
+          |ORDER BY t.doc_id""".stripMargin
       })
   )
 }

@@ -2575,6 +2575,103 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.getAs[Long]("a_pos") == 3L && s1.getAs[Long]("b_pos") == 4L)
   }
 
+  test("exactSubstringSpans: hot-gram cap bounds boilerplate fan-out") {
+    import spark.implicits._
+    // a 16-token boilerplate block (license-header analogue) in ALL
+    // five docs: each of its 9 8-grams occurs 5× corpus-wide. With
+    // the cap below 5 the quadratic C(5,2) fan-out is excluded; with
+    // the cap at 5 the 10 pairs surface. Unique filler keeps docs
+    // otherwise disjoint.
+    val boiler = (1 to 16).map(i => s"lic$i").mkString(" ")
+    val df = (1L to 5L).map(d =>
+        (d, s"$boiler u${d}a u${d}b u${d}c u${d}d")).toDF("doc_id", "text")
+    val capped = Dedup.exactSubstringSpans(df, "doc_id", "text",
+      n = 8, minTokens = 16, maxGramFreq = 4).collect()
+    assert(capped.isEmpty)
+    val over = Dedup.exactSubstringOversized(df, "doc_id", "text",
+      n = 8, maxGramFreq = 4).collect()
+    assert(over.length == 1)
+    assert(over.head.getAs[Long]("n_grams_dropped") == 9L)
+    assert(over.head.getAs[Long]("n_positions_dropped") == 45L)
+    // raising the cap to the gram frequency admits every pair
+    val full = Dedup.exactSubstringSpans(df, "doc_id", "text",
+      n = 8, minTokens = 16, maxGramFreq = 5).collect()
+    assert(full.length == 10)
+    assert(full.forall(_.getAs[Long]("span_tokens") == 16L))
+    // a clean corpus reports zero drops (coalesce'd, never null)
+    val clean = Dedup.exactSubstringOversized(df, "doc_id", "text",
+      n = 8, maxGramFreq = 1000).collect()
+    assert(clean.head.getAs[Long]("n_grams_dropped") == 0L &&
+      clean.head.getAs[Long]("n_positions_dropped") == 0L)
+    // cachePositions = false (the 100-TB recompute trade) is
+    // result-identical
+    val nocache = Dedup.exactSubstringSpans(df, "doc_id", "text",
+      n = 8, minTokens = 16, maxGramFreq = 5,
+      cachePositions = false).collect()
+    assert(nocache.length == 10)
+  }
+
+  test("exactSubstringSpansAcross: overlap guard and train-side cap") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    // doc 7 appears on BOTH sides with identical text — the guard
+    // must suppress its trivial full-length self-match while the
+    // genuine cross-pair (eval 100 × train 1) still reports
+    val eval = Seq((100L, s"e1 e2 $shared e3"),
+      (7L, s"w1 w2 w3 $shared w4")).toDF("doc_id", "text")
+    val train = Seq((1L, s"t1 t2 t3 $shared t4"),
+      (7L, s"w1 w2 w3 $shared w4")).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpansAcross(eval, train,
+      "doc_id", "text", n = 8, minTokens = 16).collect()
+    assert(spans.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .forall { case (a, b) => a != b })
+    assert(spans.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .sorted.toSeq == Seq((7L, 1L), (100L, 1L), (100L, 7L)))
+    // training-side boilerplate (3 occurrences > cap 2) is excluded
+    // from matching; the unique span still reports
+    val boiler = (1 to 16).map(i => s"lic$i").mkString(" ")
+    val ev2 = Seq((200L, s"q1 $boiler $shared")).toDF("doc_id", "text")
+    val tr2 = Seq((11L, s"$boiler a1 a2"), (12L, s"$boiler b1 b2"),
+      (13L, s"$boiler c1 c2"), (14L, s"z9 $shared")).toDF("doc_id", "text")
+    val capped = Dedup.exactSubstringSpansAcross(ev2, tr2,
+      "doc_id", "text", n = 8, minTokens = 16, maxGramFreq = 2).collect()
+    assert(capped.map(_.getAs[Long]("b_id")).toSeq == Seq(14L))
+    assert(capped.head.getAs[Long]("span_tokens") == 20L)
+  }
+
+  test("exactSubstringRemove: keep-first cut, byte-exact reassembly") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"f1 f2 $shared f3"), // lower id: survives verbatim
+      (2L, s"h1 $shared h2 h3"), // higher id: the 20 tokens cut
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"), // clean passthrough
+      (4L, null: String) // null doc: canonical empty
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringRemove(df, "doc_id", "text",
+      n = 8, minTokens = 16).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_tokens_cut") == 0L)
+    assert(r(1L).getAs[String]("text_clean") == s"f1 f2 $shared f3")
+    assert(r(2L).getAs[Long]("n_tokens") == 23L)
+    assert(r(2L).getAs[Long]("n_tokens_cut") == 20L)
+    assert(r(2L).getAs[String]("text_clean") == "h1 h2 h3")
+    assert(r(3L).getAs[Long]("n_tokens_cut") == 0L)
+    // null text tokenizes to one empty token (the corpus-wide
+    // convention); nothing to cut, canonical join is ""
+    assert(r(4L).getAs[Long]("n_tokens_cut") == 0L &&
+      r(4L).getAs[String]("text_clean") == "")
+    // transitive chain: 2 cuts against 1, and a third copy cuts
+    // against BOTH (overlapping intervals merge into one cut)
+    val chain = df.unionAll(Seq((5L, s"k1 k2 k3 $shared"))
+      .toDF("doc_id", "text"))
+    val rc = Dedup.exactSubstringRemove(chain, "doc_id", "text",
+      n = 8, minTokens = 16).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(rc(5L).getAs[Long]("n_tokens_cut") == 20L)
+    assert(rc(5L).getAs[String]("text_clean") == "k1 k2 k3")
+  }
+
   test("largestRemainderShares: exact ppm sum, remainder order, overflow-safe") {
     import spark.implicits._
     // weights 1,1,1 over 1e6: floor 333333 each, shortfall 1 → the
