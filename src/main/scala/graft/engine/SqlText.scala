@@ -11,7 +11,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SqlText {
 
-  /** Split on `sep` at paren depth 0, outside '…'/"…"/`…` quotes. */
+  /** Split on `sep` at paren depth 0, outside '…'/"…"/`…` quotes and
+    * outside comments. Comment syntax follows MySQL: `#` to end of
+    * line, `--` to end of line only when followed by whitespace or
+    * end of input (`a--b` stays an expression), and non-nesting
+    * slash-star … star-slash blocks. Comment TEXT is copied through
+    * unchanged — only separator/quote/paren recognition is suspended
+    * inside, so a ';' in a trailing comment (e.g. from a JDBC client
+    * with allowMultiQueries) never fractures a valid statement. */
   def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -28,6 +35,20 @@ object SqlText {
             cur += quote; i += 1
           } else quote = 0
         }
+      } else if (c == '#' ||
+          (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-' &&
+            (i + 2 >= s.length || s.charAt(i + 2).isWhitespace))) {
+        // line comment: copy through to (and including) the newline
+        while (i < s.length && s.charAt(i) != '\n') { cur += s.charAt(i); i += 1 }
+        if (i < s.length) cur += '\n'
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        // block comment: copy through to the closing */ (or input end)
+        cur += '/'; cur += '*'; i += 2
+        while (i < s.length &&
+            !(s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/')) {
+          cur += s.charAt(i); i += 1
+        }
+        if (i < s.length) { cur += '*'; cur += '/'; i += 1 }
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
         case '(' => depth += 1; cur += c

@@ -1458,6 +1458,70 @@ object Parity {
         |  min(k) AS min_k, max(k) AS max_k
         |FROM img GROUP BY seg ORDER BY seg""".stripMargin)),
 
+    // ---- multi-statement scripts whose NON-final statements return
+    // RESULTSETS (`select …; select …`): q85 gates OK-packet
+    // sequencing; this entry gates SERVER_MORE_RESULTS_EXISTS on an
+    // INTERMEDIATE resultset's terminating EOF (the reference
+    // sequences multi-results in `handle.rs:262-306`). A dropped
+    // MORE flag would stop the client after the first resultset
+    // (the length require fails); broken sequencing would break the
+    // packet parse; a value error breaks the hash.
+    "q86_wire_multi_resultsets" -> Q(
+      (s, dir) => {
+        val wh = s"/tmp/graft_q86_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val eng = new graft.engine.GraftEngine(s, wh)
+        eng.sql("create schema q86")
+        eng.sql("use q86")
+        eng.sql(s"create external table region USING PARQUET LOCATION '$dir/region.parquet'")
+        eng.sql(s"create external table nation USING PARQUET LOCATION '$dir/nation.parquet'")
+        val server = new graft.wire.MysqlServer(eng, 0)
+        try {
+          val cli = new graft.wire.TextClient("127.0.0.1", server.boundPort,
+            multiStatements = true)
+          try {
+            val all = cli.queryAll(
+              """use q86;
+                |select r_regionkey as k, r_name as name
+                |  from region order by r_regionkey;
+                |select n_nationkey as k, n_name as name
+                |  from nation where n_nationkey < 10
+                |  order by n_nationkey""".stripMargin)
+            require(all.length == 3,
+              s"expected OK + 2 sequenced resultsets, got ${all.length}")
+            require(all.head._1.isEmpty, "USE must answer OK")
+            val responses = all.tail
+            require(responses.forall(_._1 == Seq("k", "name")),
+              s"unexpected wire column defs: ${responses.map(_._1)}")
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("src",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("name",
+                org.apache.spark.sql.types.StringType)))
+            val data = responses.zipWithIndex.flatMap { case ((_, rows), i) =>
+              rows.map { r =>
+                org.apache.spark.sql.Row(
+                  java.lang.Long.valueOf(i + 1L),
+                  r(0).map(v => java.lang.Long.valueOf(v)).orNull,
+                  r(1).orNull)
+              }
+            }
+            s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+              schema)
+          } finally cli.close()
+        } finally server.close()
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS src,
+        |  CAST(r_regionkey AS BIGINT) AS k, r_name AS name FROM region
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS src,
+        |  CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation
+        |WHERE n_nationkey < 10
+        |ORDER BY src, k""".stripMargin)),
+
     // ---- ORC as an external-table format (§2.1 source matrix,
     // alongside parquet/CSV/JSON/KV): executor-written ORC files of
     // the customer table, cataloged via CREATE EXTERNAL TABLE …

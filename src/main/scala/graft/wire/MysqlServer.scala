@@ -71,6 +71,11 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
     val session = engine.newSession()
     val stmtParams = scala.collection.mutable.Map[Int, Int]() // id → n params
     val stmtTypes = scala.collection.mutable.Map[Int, Array[Int]]()
+    // COM_STMT_SEND_LONG_DATA accumulator: (stmt id, param index) →
+    // concatenated chunks. Per protocol the data survives EXECUTE and
+    // is cleared only by COM_STMT_RESET or COM_STMT_CLOSE.
+    val longData = scala.collection.mutable.Map[(Int, Int),
+      java.io.ByteArrayOutputStream]()
     def flushPackets(seqStart: Int, payloads: Seq[Array[Byte]]): Unit = {
       payloads.zipWithIndex.foreach { case (p, i) =>
         writePacket(out, seqStart + i, p)
@@ -199,7 +204,13 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
                     stmtTypes(id) = ts; ts
                   } else stmtTypes.getOrElse(id, Array.fill(n)(TypeVarString))
                 (0 until n).map { i =>
-                  if (isNull(i)) null
+                  // a param fed by COM_STMT_SEND_LONG_DATA has NO
+                  // value in the execute payload — its value is the
+                  // accumulated chunk stream
+                  if (longData.contains((id, i)))
+                    new String(longData((id, i)).toByteArray,
+                      StandardCharsets.UTF_8)
+                  else if (isNull(i)) null
                   else types(i) match {
                     case 0x01 => c.int1().toLong // TINY
                     case 0x02 => c.int2().toLong // SHORT
@@ -253,21 +264,35 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
             } catch {
               case e: GraftException => flushPackets(1, Seq(err(e.code, e.msg)))
             }
+          case ComStmtSendLongData =>
+            // chunked parameter upload: payload = stmt id, param
+            // index, raw chunk; chunks CONCATENATE per (stmt, param)
+            // and the param's value is then omitted from the EXECUTE
+            // payload. No response, per protocol — errors (unknown
+            // id) surface at EXECUTE, as on a real server.
+            val id = c.int4().toInt
+            val pidx = c.int2()
+            longData.getOrElseUpdate((id, pidx),
+              new java.io.ByteArrayOutputStream()).write(c.rest())
+            // no response, per protocol
           case ComStmtClose =>
             val id = c.int4().toInt
             session.closePrepared(id)
             stmtParams.remove(id); stmtTypes.remove(id)
+            longData.keys.filter(_._1 == id).toSeq
+              .foreach(longData.remove)
             // no response, per protocol
           case ComStmtReset =>
-            // clear accumulated parameter state and answer OK
-            // (reference family: src/mysql/handle.rs command
-            // dispatch). The cached param-type map is the only
-            // per-execute state here — there is no
-            // COM_STMT_SEND_LONG_DATA surface to drain; the statement
-            // stays prepared and re-executable.
+            // clear accumulated parameter state — the cached
+            // param-type map AND any COM_STMT_SEND_LONG_DATA chunks —
+            // and answer OK (reference family: src/mysql/handle.rs
+            // command dispatch). The statement stays prepared and
+            // re-executable.
             val id = c.int4().toInt
             if (stmtParams.contains(id)) {
               stmtTypes.remove(id)
+              longData.keys.filter(_._1 == id).toSeq
+                .foreach(longData.remove)
               flushPackets(1, Seq(ok(0)))
             } else flushPackets(1, Seq(err(1243,
               s"Unknown prepared statement handler ($id) given to mysqld_stmt_reset")))

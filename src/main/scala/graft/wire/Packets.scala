@@ -50,6 +50,7 @@ object Packets {
   val ComPing = 0x0e
   val ComStmtPrepare = 0x16
   val ComStmtExecute = 0x17
+  val ComStmtSendLongData = 0x18
   val ComStmtClose = 0x19
   val ComStmtReset = 0x1a
 

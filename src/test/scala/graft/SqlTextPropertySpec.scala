@@ -43,6 +43,36 @@ class SqlTextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("splitTopLevel never splits inside comments (MySQL syntax)") {
+    // a ';' inside '--', '#', or '/* */' must not fracture the
+    // statement (the JDBC allowMultiQueries hazard)
+    assert(SqlText.splitTopLevel("select 1 -- tail; not a split\n", ';')
+      == Seq("select 1 -- tail; not a split"))
+    assert(SqlText.splitTopLevel("select 1 # tail; not a split", ';')
+      == Seq("select 1 # tail; not a split"))
+    assert(SqlText.splitTopLevel("select /* mid; comment */ 1", ';')
+      == Seq("select /* mid; comment */ 1"))
+    // a comment BETWEEN statements still leaves two statements
+    assert(SqlText.splitTopLevel(
+      "select 1 /* c1; */; select 2 -- done; really\n", ';')
+      == Seq("select 1 /* c1; */", "select 2 -- done; really"))
+    // MySQL rule: '--' not followed by whitespace is NOT a comment
+    assert(SqlText.splitTopLevel("select 3--2; select 1", ';')
+      == Seq("select 3--2", "select 1"))
+    // '--' at end of input is a comment even with nothing after it
+    assert(SqlText.splitTopLevel("select 1 --", ';')
+      == Seq("select 1 --"))
+    // unterminated block comment swallows the rest (no split)
+    assert(SqlText.splitTopLevel("select 1 /* open; forever", ';')
+      == Seq("select 1 /* open; forever"))
+    // quotes inside comments don't open strings
+    assert(SqlText.splitTopLevel("select 1 -- it's fine; ok\n; select 2", ';')
+      == Seq("select 1 -- it's fine; ok", "select 2"))
+    // comment text inside a string literal is NOT a comment
+    assert(SqlText.splitTopLevel("select '-- not; a comment'; select 2", ';')
+      == Seq("select '-- not; a comment'", "select 2"))
+  }
+
   test("substituteParams replaces every ? exactly once, escaping quotes") {
     val param: Gen[Any] = Gen.oneOf[Any](
       Gen.alphaNumStr.map(_.take(6) + "'quote"),

@@ -86,6 +86,10 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- hand-rolled client ------------------------------------------
 
+  /** Param sentinel: value was uploaded via COM_STMT_SEND_LONG_DATA,
+    * so the execute payload omits it. */
+  private case object LongData
+
   /** Minimal independent MySQL client for the spec: speaks
     * Protocol::41 with classic EOF framing. */
   private final class Client(port: Int, db: Option[String] = None,
@@ -327,6 +331,51 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
         }.toSeq
     }
 
+    /** COM_STMT_SEND_LONG_DATA: one chunk for (statement, param).
+      * Fire-and-forget — the protocol defines no response. */
+    def sendLongData(id: Int, paramIdx: Int, chunk: String): Unit =
+      cmd(new Writer().int1(ComStmtSendLongData).int4(id.toLong)
+        .int2(paramIdx).bytes(chunk.getBytes(StandardCharsets.UTF_8))
+        .result())
+
+    /** COM_STMT_EXECUTE for a statement answering OK (INSERT/UPDATE/
+      * DELETE); params as in [[execute]], with [[LongData]] marking a
+      * param whose value was uploaded via COM_STMT_SEND_LONG_DATA
+      * (type sent as LONG_BLOB, value OMITTED from the payload). */
+    def executeUpdate(id: Int, params: Seq[Any]): Resp = {
+      cmd(executePayload(id, params))
+      readResp()
+    }
+
+    private def executePayload(id: Int, params: Seq[Any]): Array[Byte] = {
+      val w = new Writer().int1(ComStmtExecute).int4(id.toLong).int1(0).int4(1L)
+      if (params.nonEmpty) {
+        val bitmap = new Array[Byte]((params.size + 7) / 8)
+        params.zipWithIndex.foreach { case (p, i) =>
+          if (p == null) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
+        }
+        w.bytes(bitmap).int1(1)
+        params.foreach { p =>
+          val t = p match {
+            case null => TypeLongLong
+            case _: Long => TypeLongLong
+            case _: Double => TypeDouble
+            case LongData => 0xfb // LONG_BLOB
+            case _ => TypeVarString
+          }
+          w.int1(t).int1(0)
+        }
+        params.foreach {
+          case l: Long => w.int8(l)
+          case d: Double => w.int8(java.lang.Double.doubleToLongBits(d))
+          case LongData => () // value lives server-side
+          case s: String => w.lenencStr(s)
+          case null => ()
+        }
+      }
+      w.result()
+    }
+
     def stmtClose(id: Int): Unit =
       cmd(new Writer().int1(ComStmtClose).int4(id.toLong).result())
 
@@ -447,6 +496,22 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
         case c.Rows(_, rows) => assert(rows == Seq(Seq(Some("2"))))
         case other => fail(s"$other")
       }
+      // a ';' inside a line or block COMMENT never splits — one
+      // statement per real boundary, comments intact (the JDBC
+      // allowMultiQueries hazard)
+      val cm = c.queryMulti(
+        "select id from t order by id -- trailing; comment\n" +
+          "; select count(*) as n from t /* mid; block */")
+      assert(cm.length == 2)
+      cm(0) match {
+        case c.Rows(cols, rows) =>
+          assert(cols == Seq("id") && rows.length == 2)
+        case other => fail(s"expected rows, got $other")
+      }
+      cm(1) match {
+        case c.Rows(_, rows) => assert(rows == Seq(Seq(Some("2"))))
+        case other => fail(s"expected rows, got $other")
+      }
       // a client WITHOUT the capability gets the old single-statement
       // behavior: the unsplit text is one (failing) statement
       val plain = new Client(srv.boundPort)
@@ -483,6 +548,41 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(code == 1243 && msg.contains("Unknown prepared statement"))
         case other => fail(s"expected 1243, got $other")
       }
+      c.stmtClose(sid)
+      c.quit()
+    } finally srv.close()
+  }
+
+  test("COM_STMT_SEND_LONG_DATA: chunks concatenate, persist across " +
+      "execute, drain on reset") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire6_").toString
+    val eng = new GraftEngine(spark, wh)
+    eng.sql("create schema ld")
+    eng.sql("use ld")
+    eng.sql("create table t (id int, body char, PRIMARY KEY(id))")
+    val srv = new MysqlServer(eng)
+    try {
+      val c = new Client(srv.boundPort, db = Some("ld"))
+      val (sid, n) = c.prepare("insert into t values (?, ?)")
+      assert(n == 2)
+      // two chunks for param 1 concatenate in arrival order
+      c.sendLongData(sid, 1, "hello ")
+      c.sendLongData(sid, 1, "world")
+      assert(c.executeUpdate(sid, Seq(1L, LongData)) == c.Ok(1))
+      // per protocol the accumulated data SURVIVES execute — a second
+      // execute without new chunks reuses it
+      assert(c.executeUpdate(sid, Seq(2L, LongData)) == c.Ok(1))
+      // COM_STMT_RESET drains the chunks: a fresh execute with an
+      // inline param must see the inline value, not stale long data
+      c.stmtReset(sid)
+      assert(c.executeUpdate(sid, Seq(3L, "plain")) == c.Ok(1))
+      val (qid, qn) = c.prepare("select id, body from t order by id")
+      assert(qn == 0)
+      assert(c.execute(qid, Nil) == Seq(
+        Seq(Some(1L), Some("hello world")),
+        Seq(Some(2L), Some("hello world")),
+        Seq(Some(3L), Some("plain"))))
+      c.stmtClose(qid)
       c.stmtClose(sid)
       c.quit()
     } finally srv.close()
