@@ -1379,15 +1379,18 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     * the set-oriented engine deterministic. REPLACE drops existing
     * rows conflicting on ANY unique key then appends the whole batch
     * (affected = inserted + deleted, MySQL's arithmetic); ODKU
-    * MATCHES on the PRIMARY key — matched rows get the assignments
-    * (with `VALUES(col)` meaning the incoming row's value, and bare
-    * column names the OLD row's — MySQL's rules), unmatched rows
-    * insert (affected = inserts + 2·CHANGED updates; a matched row
-    * whose post-image equals its pre-image counts 0, as MySQL). The
-    * final image is then re-validated against every non-PK UNIQUE
-    * key (1062 on collision): MySQL resolves ODKU on ANY unique
-    * index, so a "fresh" row colliding on a UNIQUE key, or an
-    * assignment creating a UNIQUE collision, must not persist.
+    * resolves conflicts against ANY unique index in MySQL's index
+    * order — PRIMARY first, then UNIQUE keys as declared — so the
+    * upsert-by-unique-key idiom updates the matched row instead of
+    * erroring. Matched rows get the assignments (with `VALUES(col)`
+    * meaning the incoming row's value, and bare column names the OLD
+    * row's — MySQL's rules), unmatched rows insert (affected =
+    * inserts + 2·CHANGED updates; a matched row whose post-image
+    * equals its pre-image counts 0, as MySQL). The final image is
+    * then re-validated against every non-PK UNIQUE key (1062 on
+    * collision): an assignment creating a UNIQUE collision, or the
+    * order-defined case of two incoming rows reaching one existing
+    * row through different indexes, must not persist silently.
     * Both are single COW version commits — one statement, one
     * snapshot, however many rows conflict. */
   private def doUpsert(td: TableDef, newRows: DataFrame,
@@ -1408,9 +1411,9 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         writeVersion(td, kept.unionByName(newRows))
         AffectedRows(n + deleted)
       case Some(ex) =>
-        val pk = td.primaryKey
-        if (pk.isEmpty) throw Errors.generic(
-          "ON DUPLICATE KEY UPDATE requires a PRIMARY KEY")
+        val keys = td.allConstraints.map(_._2)
+        if (keys.isEmpty) throw Errors.generic(
+          "ON DUPLICATE KEY UPDATE requires a PRIMARY KEY or UNIQUE key")
         val assignments = splitTopLevel(odku.get, ',').map { a =>
           val i = a.indexOf('=')
           if (i < 0) throw Errors.generic(s"bad assignment: $a")
@@ -1418,52 +1421,80 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         }
         assignments.map(_._1).filterNot(c => td.columns.exists(_.name == c))
           .foreach(c => throw Errors.unknownColumn(c, td.name))
-        if (assignments.exists(a => pk.contains(a._1)))
+        if (assignments.exists(a => td.primaryKey.contains(a._1)))
           throw Errors.generic(
             "ON DUPLICATE KEY UPDATE cannot change the PRIMARY KEY")
         // VALUES(col) → the incoming row's column (aliased __new_*)
         def rewriteValues(e: String): String =
           "(?i)values\\s*\\(\\s*(`?[A-Za-z_]\\w*`?)\\s*\\)".r
             .replaceAllIn(e, mm => "__new_" + ident(mm.group(1)))
-        val newSide = newRows.select(td.columns.map(c =>
-          col(c.name).as(s"__new_${c.name}")): _*)
-        val joined = ex.join(newSide,
-          pk.map(c => col(c) === col(s"__new_$c")).reduce(_ && _))
-        val updated = joined.select(
-          col(RowId) +: td.columns.map { c =>
-            assignments.find(_._1 == c.name) match {
-              case Some((_, rhs)) =>
-                expr(rewrite(rewriteValues(rhs))).cast(c.sparkType).as(c.name)
-              case None => col(c.name)
-            }
-          }: _*)
-        val untouched = ex.join(newRows.select(pk.map(col): _*), pk,
-          "left_anti")
-        val fresh = newRows.join(ex.select(pk.map(col): _*), pk,
-          "left_anti")
-        // matched + actually-changed in ONE job. MySQL's affected
-        // arithmetic counts 2 only for rows the assignments CHANGED
-        // — a PK-matched row whose post-image is identical counts 0
-        // (null-safe compare, so NULL→NULL is "unchanged").
+        def applyAssignments(joined: DataFrame): DataFrame =
+          joined.select(
+            col(RowId) +: td.columns.map { c =>
+              assignments.find(_._1 == c.name) match {
+                case Some((_, rhs)) =>
+                  expr(rewrite(rewriteValues(rhs))).cast(c.sparkType).as(c.name)
+                case None => col(c.name)
+              }
+            }: _*)
+        // MySQL's affected arithmetic counts 2 only for rows the
+        // assignments CHANGED — a matched row whose post-image is
+        // identical counts 0 (null-safe compare, so NULL→NULL is
+        // "unchanged").
         val changedCond = assignments.map { case (c, rhs) =>
           val cd = td.columns.find(_.name == c).get
           not(expr(rewrite(rewriteValues(rhs))).cast(cd.sparkType)
             <=> col(c))
         }.reduce(_ || _)
-        val mc = joined.agg(count(lit(1)).as("__m"),
-          coalesce(sum(when(changedCond, 1L).otherwise(0L)), lit(0L))
-            .as("__c")).collect()(0)
-        val matched = mc.getLong(0)
-        val changed = mc.getLong(1)
-        val image = untouched.unionByName(updated).unionByName(fresh)
-        // ODKU resolves on the PRIMARY key only (the match above);
-        // MySQL resolves on ANY unique index, so a fresh row that
-        // collides with a kept row on a non-PK UNIQUE key — or an
-        // assignment that SETS a unique column to a colliding value
-        // — must still be 1062, not silently persisted. Validate the
-        // final image against every declared unique key (the PK probe
-        // rides along in the same single job; it is clean by
-        // construction). Skipped when the PK is the only constraint.
+        // resolve conflicts against EVERY unique index in MySQL's
+        // index order — PRIMARY first, then UNIQUE keys as declared:
+        // each constraint matches the still-unconsumed incoming rows
+        // against the still-unmatched existing image; a matched
+        // incoming row is consumed (it updates, never inserts) and
+        // the matched existing row leaves the pool (one update per
+        // existing row per statement — a second incoming row that
+        // would reach the same existing row through a LATER index
+        // inserts instead and trips the final-image 1062 below,
+        // keeping the set-oriented engine deterministic where MySQL's
+        // row-replay order would decide).
+        val newSide = newRows.select(col(RowId).as("__new_rowid") +:
+          td.columns.map(c => col(c.name).as(s"__new_${c.name}")): _*)
+        var pool = ex            // existing rows not yet matched
+        var remaining = newSide  // incoming rows not yet consumed
+        var matched = 0L
+        var changed = 0L
+        var updatedParts = List.empty[DataFrame]
+        keys.foreach { keyCols =>
+          val joined = pool.join(remaining,
+            keyCols.map(c => col(c) === col(s"__new_$c")).reduce(_ && _))
+          val mc = joined.agg(count(lit(1)).as("__m"),
+            coalesce(sum(when(changedCond, 1L).otherwise(0L)), lit(0L))
+              .as("__c")).collect()(0)
+          if (mc.getLong(0) > 0) {
+            matched += mc.getLong(0)
+            changed += mc.getLong(1)
+            updatedParts ::= applyAssignments(joined)
+            // matched keys never contain NULL (they equi-joined), so
+            // the value-keyed anti joins remove exactly those rows
+            pool = pool.join(joined.select(keyCols.map(col): _*),
+              keyCols, "left_anti")
+            remaining = remaining.join(
+              joined.select(keyCols.map(c => col(s"__new_$c")): _*),
+              keyCols.map(c => s"__new_$c"), "left_anti")
+          }
+        }
+        val fresh = newRows.join(
+          remaining.select(col("__new_rowid").as(RowId)), Seq(RowId),
+          "left_semi")
+        val image = updatedParts.foldLeft(pool)(_ unionByName _)
+          .unionByName(fresh)
+        // assignments can still SET a unique column to a colliding
+        // value (and the order-defined multi-index case above lands
+        // here too) — re-validate the final image against every
+        // declared unique key rather than persist a silent duplicate.
+        // Skipped when the PK is the only constraint: assignments
+        // cannot change the PK, and PK matching consumed every PK
+        // collision.
         if (td.uniques.nonEmpty) constraintViolation(image, None, td)
         writeVersion(td, image)
         AffectedRows((n - matched) + 2 * changed)

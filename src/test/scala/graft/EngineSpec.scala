@@ -1061,38 +1061,50 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e.sql("select hits from t where id = 7")) == Seq(Seq(0)))
   }
 
-  test("odku: non-PK unique keys enforced; no-change rows count 0") {
+  test("odku: resolves on ANY unique index (MySQL order); counts") {
     val e = freshEngine()
     e.sql("create schema odu"); e.sql("use odu")
     e.sql("create table t (id int, u int, v char, " +
       "PRIMARY KEY(id), UNIQUE KEY uu (u))")
     e.sql("insert into t values (1, 100, 'a'), (2, 200, 'b')")
-    // MySQL resolves ODKU on ANY unique index; matching only the PK
-    // must not silently persist duplicate unique values:
-    // (a) a fresh row (no PK match) colliding on UNIQUE u → 1062
-    assert(intercept[GraftException](e.sql(
-      "insert into t values (3, 100, 'c') on duplicate key update v = VALUES(v)"))
-      .code == 1062)
-    // (b) an assignment setting u to a colliding value → 1062
+    // MySQL resolves ODKU on ANY unique index: a row with a fresh PK
+    // that collides on UNIQUE u UPDATES the matched row (the upsert-
+    // by-unique-key idiom) — the old row keeps its identity (id 1),
+    // the incoming id is discarded, affected counts 2 (changed)
+    assert(e.sql(
+      "insert into t values (3, 100, 'c') on duplicate key update v = VALUES(v)")
+      == AffectedRows(2))
+    assert(rows(e.sql("select id, u, v from t order by id")) ==
+      Seq(Seq(1, 100, "c"), Seq(2, 200, "b")))
+    // an assignment SETTING u to a colliding value is still 1062 —
+    // and persists nothing
     assert(intercept[GraftException](e.sql(
       "insert into t values (1, 0, 'x') on duplicate key update u = 200"))
       .code == 1062)
-    // the rejected statements persisted nothing
     assert(rows(e.sql("select id, u, v from t order by id")) ==
-      Seq(Seq(1, 100, "a"), Seq(2, 200, "b")))
-    // non-colliding rows still pass the unique gate
+      Seq(Seq(1, 100, "c"), Seq(2, 200, "b")))
+    // non-colliding rows insert fresh
     assert(e.sql(
       "insert into t values (3, 300, 'c') on duplicate key update v = 'z'")
       == AffectedRows(1))
     // MySQL's changed-only arithmetic: a matched row whose
     // assignments leave it byte-identical counts 0, not 2
     assert(e.sql(
-      "insert into t values (1, 100, 'a') on duplicate key update v = VALUES(v)")
+      "insert into t values (1, 100, 'c') on duplicate key update v = VALUES(v)")
       == AffectedRows(0))
     assert(e.sql(
       "insert into t values (1, 100, 'Q') on duplicate key update v = VALUES(v)")
       == AffectedRows(2))
     assert(rows(e.sql("select v from t where id = 1")) == Seq(Seq("Q")))
+    // order-defined batch: two incoming rows reach the SAME existing
+    // row through DIFFERENT indexes (one via PK, one via u). MySQL's
+    // outcome depends on row-replay order; the set-oriented engine
+    // rejects it loudly (final-image 1062) instead of picking one
+    assert(intercept[GraftException](e.sql(
+      "insert into t values (9, 100, 'p'), (1, 999, 'q') " +
+        "on duplicate key update v = VALUES(v)")).code == 1062)
+    assert(rows(e.sql("select id, u, v from t order by id")) ==
+      Seq(Seq(1, 100, "Q"), Seq(2, 200, "b"), Seq(3, 300, "c")))
   }
 
   test("insert ignore: skips existing-key conflicts, lands the rest") {
