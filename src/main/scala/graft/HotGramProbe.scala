@@ -54,6 +54,19 @@ object HotGramProbe {
     println(s"""{"probe":"capped_spans","docs":$nDocs,"cap":$cap,""" +
       s""""span_rows":$spans,""" +
       f""""sec":${(System.nanoTime() - t1) / 1e9}%.1f}""")
+    spark.catalog.clearCache()
+    // the documented 100-TB recompute trade (cachePositions = false:
+    // no O(positions × 12 B) cache, the codegen gram pass re-runs per
+    // consumer) — measured against the cached run above
+    val t2 = System.nanoTime()
+    val spans2 = graft.operators.Dedup.exactSubstringSpans(
+      docs, "doc_id", "text", n = 8, minTokens = 16, maxGramFreq = cap,
+      cachePositions = false).count()
+    require(spans2 == spans,
+      s"cache knob changed results: $spans2 vs $spans")
+    println(s"""{"probe":"capped_spans_nocache","docs":$nDocs,""" +
+      s""""cap":$cap,"span_rows":$spans2,""" +
+      f""""sec":${(System.nanoTime() - t2) / 1e9}%.1f}""")
     spark.stop()
   }
 }

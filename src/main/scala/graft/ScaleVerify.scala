@@ -36,7 +36,8 @@ object ScaleVerify {
     "p85_rolling_anomaly", "p88_transition_matrix",
     "p113_mixture_shares", "p117_minhash_fidelity",
     "p118_incremental_novelty", "p119_exact_substring",
-    "p120_decontam_spans", "p121_exact_substring_removal")
+    "p120_decontam_spans", "p121_exact_substring_removal",
+    "p122_decontam_removal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sf10")

@@ -78,4 +78,18 @@ class GraftSession private[engine] (val engine: GraftEngine) {
   }
 
   def closePrepared(id: Int): Unit = synchronized { prepared.remove(id) }
+
+  /** COM_RESET_CONNECTION semantics: return the session to its
+    * post-handshake state without reconnecting — roll back any open
+    * transaction, drop every prepared statement, clear the current
+    * schema. Connection-pool clients (e.g. a JDBC pool recycling
+    * connections) send this between logical users; the shared
+    * catalog is untouched. */
+  def resetConnection(): Unit = {
+    if (txn.isDefined) sql("rollback")
+    synchronized {
+      prepared.clear()
+    }
+    currentSchema = None
+  }
 }

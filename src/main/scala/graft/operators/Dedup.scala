@@ -909,6 +909,39 @@ object Dedup {
       cachePositions: Boolean = true): DataFrame = {
     val spans = exactSubstringSpans(df, idCol, textCol, n, minTokens,
       maxGramFreq, cachePositions)
+    applySpanCuts(df, idCol, textCol, spans)
+  }
+
+  /** Decontamination REMOVAL — the cross-side twin of
+    * [[exactSubstringRemove]] (Lee et al. 2022 §6.2 applied as a
+    * CUT): every maximal verbatim span ≥ `minTokens` tokens that a
+    * TRAINING document shares with any LEFT/eval document (per
+    * [[exactSubstringSpansAcross]]) is removed from the TRAINING
+    * occurrence — the benchmark side stays untouched, the training
+    * corpus comes back clean enough that the contamination evidence
+    * is gone span-for-span. Same bounded machinery as the report:
+    * eval-bounded match join, hot-gram cap on the training side,
+    * span-report-sized cut lists riding one id-keyed join.
+    *
+    * Returns the TRAINING corpus as (id, text_clean, n_tokens,
+    * n_tokens_cut); uncontaminated documents pass through with
+    * n_tokens_cut = 0. */
+  def exactSubstringDecontam(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, minTokens: Int = 16, maxGramFreq: Int = 1000): DataFrame = {
+    val spans = exactSubstringSpansAcross(left, right, idCol, textCol,
+      n, minTokens, maxGramFreq)
+    applySpanCuts(right, idCol, textCol, spans)
+  }
+
+  /** Shared cut-application for the ExactSubstr removal family:
+    * aggregate each document's cut intervals from the span report's
+    * b-side (the occurrence designated for removal), join them onto
+    * the corpus, and drop covered token positions in one narrow
+    * higher-order-function pass — the interval list rides the row,
+    * bounded per doc by doc length / minTokens. */
+  private def applySpanCuts(df: DataFrame, idCol: String,
+      textCol: String, spans: DataFrame): DataFrame = {
     val cuts = spans.select(col("b_id").as("__cid"),
         struct(col("b_pos").as("s"),
           (col("b_pos") + col("span_tokens") - 1L).as("e")).as("__iv"))

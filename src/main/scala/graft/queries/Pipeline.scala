@@ -4213,6 +4213,69 @@ object Pipeline {
           |  md5(coalesce(re.text_clean, '')) AS kept_md5
           |FROM tok t LEFT JOIN re ON re.doc_id = t.doc_id
           |ORDER BY t.doc_id""".stripMargin
+      }),
+
+    // ---- p122: decontamination REMOVAL (Lee et al. 2022 §6.2
+    // applied as a cut, not a report) — p120's train-vs-eval spans
+    // removed from the TRAINING occurrence, the benchmark slice
+    // untouched; the training corpus reassembles byte-exact
+    // (kept_md5), so a hash match proves the cleaned corpus is
+    // identical on both engines. The contaminated-doc subset is tiny
+    // but every training doc flows through (passthroughs pin
+    // n_tokens_cut = 0 corpus-wide).
+    "p122_decontam_removal" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.operators.Dedup.exactSubstringDecontam(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", n = 8, minTokens = 16, maxGramFreq = 2)
+          .select(col("doc_id"), col("n_tokens"), col("n_tokens_cut"),
+            md5(col("text_clean")).as("kept_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH tok AS (SELECT doc_id,
+          |    str_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+          |g0 AS (SELECT doc_id, i AS pos,
+          |    array_to_string(tk[i:i+7], ' ') AS gr
+          |  FROM tok, unnest(range(1, len(tk) - 6)) t(i)),
+          |g AS (SELECT doc_id, pos,
+          |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+          |hot AS (SELECT gh FROM g WHERE doc_id % 10 <> 0
+          |  GROUP BY gh HAVING count(*) > 2),
+          |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    a.pos AS a_pos, b.pos AS b_pos
+          |  FROM g a JOIN g b ON a.gh = b.gh
+          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+          |    AND a.doc_id <> b.doc_id
+          |    AND b.gh NOT IN (SELECT gh FROM hot)),
+          |r AS (SELECT a_id, b_id, a_pos, b_pos,
+          |    a_pos - row_number() OVER (
+          |      PARTITION BY a_id, b_id, a_pos - b_pos
+          |      ORDER BY a_pos) AS island
+          |  FROM m),
+          |sp AS (SELECT a_id, b_id, min(a_pos) AS a_pos,
+          |    min(b_pos) AS b_pos, count(*) + 7 AS span_tokens
+          |  FROM r GROUP BY a_id, b_id, a_pos - b_pos, island
+          |  HAVING count(*) + 7 >= 16),
+          |cuts AS (SELECT b_id AS doc_id, b_pos AS s,
+          |    b_pos + span_tokens - 1 AS e FROM sp),
+          |train AS (SELECT doc_id, tk FROM tok WHERE doc_id % 10 <> 0),
+          |pos AS (SELECT doc_id, i, tk[i] AS w
+          |  FROM train, unnest(range(1, len(tk) + 1)) t(i)),
+          |kept AS (SELECT p.doc_id, p.i, p.w FROM pos p
+          |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+          |    WHERE c.doc_id = p.doc_id AND p.i BETWEEN c.s AND c.e)),
+          |re AS (SELECT doc_id,
+          |    string_agg(w, ' ' ORDER BY i) AS text_clean,
+          |    count(*) AS nk FROM kept GROUP BY 1)
+          |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+          |  CAST(len(t.tk) - coalesce(re.nk, 0) AS BIGINT)
+          |    AS n_tokens_cut,
+          |  md5(coalesce(re.text_clean, '')) AS kept_md5
+          |FROM train t LEFT JOIN re ON re.doc_id = t.doc_id
+          |ORDER BY t.doc_id""".stripMargin
       })
   )
 }

@@ -296,6 +296,14 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
               flushPackets(1, Seq(ok(0)))
             } else flushPackets(1, Seq(err(1243,
               s"Unknown prepared statement handler ($id) given to mysqld_stmt_reset")))
+          case ComResetConnection =>
+            // connection-pool recycle: roll back any open txn, drop
+            // prepared statements (and their wire-side type/long-data
+            // state), clear the session schema — then OK. The TCP
+            // connection and the shared catalog survive.
+            session.resetConnection()
+            stmtParams.clear(); stmtTypes.clear(); longData.clear()
+            flushPackets(1, Seq(ok(0)))
           case other =>
             flushPackets(1, Seq(err(1105, s"unsupported command 0x${other.toHexString}")))
         }

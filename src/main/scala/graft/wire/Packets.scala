@@ -53,6 +53,7 @@ object Packets {
   val ComStmtSendLongData = 0x18
   val ComStmtClose = 0x19
   val ComStmtReset = 0x1a
+  val ComResetConnection = 0x1f
 
   // ---- low-level writers -------------------------------------------
 

@@ -2672,6 +2672,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rc(5L).getAs[String]("text_clean") == "k1 k2 k3")
   }
 
+  test("exactSubstringDecontam: cuts the TRAIN side only") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val eval = Seq((100L, s"e1 e2 $shared e3")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"t1 t2 t3 $shared t4"), // contaminated: 20 tokens cut
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10") // clean passthrough
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringDecontam(eval, train, "doc_id", "text",
+      n = 8, minTokens = 16).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // only training docs come back; the benchmark side is untouched
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L).getAs[Long]("n_tokens") == 24L)
+    assert(r(1L).getAs[Long]("n_tokens_cut") == 20L)
+    assert(r(1L).getAs[String]("text_clean") == "t1 t2 t3 t4")
+    assert(r(2L).getAs[Long]("n_tokens_cut") == 0L)
+    // a train-train duplicate alone (no eval overlap) is NOT cut —
+    // that's exactSubstringRemove's job, not decontamination's
+    val train2 = train.unionAll(
+      Seq((3L, s"u1 u2 u3 $shared u4")).toDF("doc_id", "text"))
+    val evalClean = Seq((100L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+      .toDF("doc_id", "text")
+    val r2 = Dedup.exactSubstringDecontam(evalClean, train2,
+      "doc_id", "text", n = 8, minTokens = 16).collect()
+    assert(r2.forall(_.getAs[Long]("n_tokens_cut") == 0L))
+  }
+
   test("largestRemainderShares: exact ppm sum, remainder order, overflow-safe") {
     import spark.implicits._
     // weights 1,1,1 over 1e6: floor 333333 each, shortfall 1 → the

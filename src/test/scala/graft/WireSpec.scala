@@ -232,6 +232,12 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
       readResp()
     }
 
+    /** COM_RESET_CONNECTION (0x1f): expects a plain OK back. */
+    def resetConnection(): Unit = {
+      cmd(new Writer().int1(ComResetConnection).result())
+      assert(readResp() == Ok(0), "reset-connection must answer OK")
+    }
+
     def initDb(db: String): Resp = {
       cmd(new Writer().int1(ComInitDb)
         .bytes(db.getBytes(StandardCharsets.UTF_8)).result())
@@ -584,6 +590,48 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(Some(3L), Some("plain"))))
       c.stmtClose(qid)
       c.stmtClose(sid)
+      c.quit()
+    } finally srv.close()
+  }
+
+  test("COM_RESET_CONNECTION: txn rolled back, stmts dropped, " +
+      "schema cleared; connection survives") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire7_").toString
+    val eng = new GraftEngine(spark, wh)
+    eng.sql("create schema rc")
+    eng.sql("use rc")
+    eng.sql("create table t (id int, PRIMARY KEY(id))")
+    eng.sql("insert into t values (1)")
+    val srv = new MysqlServer(eng)
+    try {
+      val c = new Client(srv.boundPort, db = Some("rc"))
+      val (sid, _) = c.prepare("select id from t order by id")
+      // open a real transaction with an uncommitted insert
+      assert(c.query("begin") == c.Ok(0))
+      assert(c.query("insert into t values (2)") == c.Ok(1))
+      c.query("select count(*) as n from t") match {
+        case c.Rows(_, rows) => assert(rows == Seq(Seq(Some("2"))))
+        case other => fail(s"$other")
+      }
+      // reset: OK — txn rolled back, prepared gone, schema cleared
+      c.resetConnection()
+      c.query("select count(*) as n from rc.t") match {
+        case c.Rows(_, rows) => assert(rows == Seq(Seq(Some("1"))))
+        case other => fail(s"$other")
+      }
+      // schema cleared: a bare name no longer resolves (SELECTs
+      // resolve through the Spark catalog's default db, so this is
+      // 1146 table-not-found — the engine's established code for a
+      // fresh no-schema connection too)
+      c.query("select id from t") match {
+        case c.Err(code, _) => assert(code == 1146)
+        case other => fail(s"expected 1146, got $other")
+      }
+      // dropped prepared id → execute error (the Client asserts on
+      // an ERR first packet; inside the suite that assert is
+      // ScalaTest's, so intercept the generic Throwable)
+      val ex = intercept[Throwable] { c.execute(sid, Nil) }
+      assert(ex.getMessage.contains("execute error"))
       c.quit()
     } finally srv.close()
   }
