@@ -117,6 +117,10 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
       writePacket(out, 2, ok(0)); out.flush()
 
       // ---- command loop -------------------------------------------
+      // CLIENT_MULTI_STATEMENTS is negotiated at handshake but
+      // toggleable afterwards via COM_SET_OPTION (Connector/J does
+      // both), so it lives in a var, not in the frozen cap bits
+      var multiStmts = (clientCaps & ClientMultiStatements) != 0
       var open = true
       while (open && running.get()) {
         val (_, cmd) = readPacket(in)
@@ -136,7 +140,7 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
             // client keeps reading. An ERR aborts the remaining
             // statements, MySQL's semantics.
             val parts =
-              if ((clientCaps & ClientMultiStatements) != 0)
+              if (multiStmts)
                 graft.engine.SqlText.splitTopLevel(sqlText, ';')
                   .map(_.trim).filter(_.nonEmpty)
               else Seq(sqlText)
@@ -304,6 +308,31 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
             session.resetConnection()
             stmtParams.clear(); stmtTypes.clear(); longData.clear()
             flushPackets(1, Seq(ok(0)))
+          case ComChangeUser =>
+            // user swap on a pooled connection (the pre-5.7 recycle
+            // path — Connector/J falls back to it when
+            // RESET_CONNECTION is unavailable): same full session
+            // reset, credentials accepted unchecked like the
+            // handshake, then land the requested database.
+            c.nulStr() // username — accepted unchecked
+            if ((clientCaps & ClientSecureConnection) != 0) {
+              val n = c.int1(); c.skip(n)
+            } else c.nulStr()
+            val db =
+              if (c.remaining > 0) c.nulStr() else ""
+            session.resetConnection()
+            stmtParams.clear(); stmtTypes.clear(); longData.clear()
+            if (db.nonEmpty) respond(session, out, s"use `$db`")
+            else flushPackets(1, Seq(ok(0)))
+          case ComSetOption =>
+            // int2 operand: 0 = MULTI_STATEMENTS_ON, 1 = OFF; the
+            // classic-framing response is an EOF packet
+            c.int2() match {
+              case 0 => multiStmts = true; flushPackets(1, Seq(eof()))
+              case 1 => multiStmts = false; flushPackets(1, Seq(eof()))
+              case other => flushPackets(1, Seq(err(1047,
+                s"Unknown COM_SET_OPTION operand $other")))
+            }
           case other =>
             flushPackets(1, Seq(err(1105, s"unsupported command 0x${other.toHexString}")))
         }

@@ -51,8 +51,10 @@ object Packets {
   val ComStmtPrepare = 0x16
   val ComStmtExecute = 0x17
   val ComStmtSendLongData = 0x18
+  val ComChangeUser = 0x11
   val ComStmtClose = 0x19
   val ComStmtReset = 0x1a
+  val ComSetOption = 0x1b
   val ComResetConnection = 0x1f
 
   // ---- low-level writers -------------------------------------------

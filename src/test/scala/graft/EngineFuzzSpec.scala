@@ -274,4 +274,60 @@ class EngineFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(all == m.toSeq.sortBy(_._1), s"final sweep rows $s.$t")
     }
   }
+
+  test("unique-key ODKU fuzz: any-index resolution agrees with " +
+      "MySQL's sequential model at every step") {
+    assert(affected(run("create schema odkufz"), "ddl") == 1L)
+    assert(run("use odkufz").isRight)
+    affected(run("create table tu (id int, u int, v int, " +
+      "PRIMARY KEY(id), UNIQUE KEY uu (u))"), "ddl")
+    // model: id -> (u, v); resolution order PRIMARY then uu, MySQL's
+    val m = mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    val genRow = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 5L),
+      Gen.chooseNum(0L, 99L), Gen.oneOf(false, true))
+    (0 until 400).foreach { i =>
+      val (k, u, v, setU) = genRow
+        .apply(Gen.Parameters.default, Seed(9000L + i))
+        .getOrElse((0L, 0L, 0L, false))
+      val ctx = s"odku-fuzz step $i: k=$k u=$u v=$v setU=$setU"
+      val assigns =
+        if (setU) "u = VALUES(u), v = VALUES(v)" else "v = VALUES(v)"
+      val st = s"insert into tu values ($k, $u, $v) " +
+        s"on duplicate key update $assigns"
+      // sequential-model resolution: PK first, then the unique key
+      val targetId: Option[Long] =
+        if (m.contains(k)) Some(k)
+        else m.find { case (_, (mu, _)) => mu == u }.map(_._1)
+      targetId match {
+        case None =>
+          // fresh on every index: plain insert
+          assert(affected(run(st), ctx) == 1L, ctx)
+          m(k) = (u, v)
+        case Some(tid) =>
+          val (ou, ov) = m(tid)
+          val (nu, nv) = if (setU) (u, v) else (ou, v)
+          // the assignment may SET u onto ANOTHER row's unique value
+          val collides = m.exists { case (id, (mu, _)) =>
+            id != tid && mu == nu
+          }
+          if (collides) {
+            assert(run(st) == Left(1062), ctx)
+          } else {
+            val expected = if ((nu, nv) == (ou, ov)) 0L else 2L
+            assert(affected(run(st), ctx) == expected, ctx)
+            m(tid) = (nu, nv)
+          }
+      }
+      if (i % 40 == 0) {
+        val all = rows(run("select id, u, v from tu order by id"))
+          .map(r => (r(0).asInstanceOf[Long],
+            (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])))
+        assert(all == m.toSeq.sortBy(_._1), s"$ctx: table sweep")
+      }
+    }
+    val all = rows(run("select id, u, v from tu order by id"))
+      .map(r => (r(0).asInstanceOf[Long],
+        (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])))
+    assert(all == m.toSeq.sortBy(_._1), "final odku-fuzz sweep")
+  }
 }

@@ -238,6 +238,23 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(readResp() == Ok(0), "reset-connection must answer OK")
     }
 
+    /** COM_SET_OPTION (0x1b): toggle multi-statements; classic
+      * framing answers EOF. */
+    def setOption(multiOn: Boolean): Unit = {
+      cmd(new Writer().int1(ComSetOption).int2(if (multiOn) 0 else 1)
+        .result())
+      val (_, p) = readPacket(in)
+      assert((p(0) & 0xff) == 0xfe, "set-option must answer EOF")
+    }
+
+    /** COM_CHANGE_USER (0x11): user swap + session reset; empty auth
+      * (secure-connection length-prefixed), then the target db. */
+    def changeUser(user: String, db: String): Resp = {
+      cmd(new Writer().int1(ComChangeUser).nulStr(user).int1(0)
+        .nulStr(db).result())
+      readResp()
+    }
+
     def initDb(db: String): Resp = {
       cmd(new Writer().int1(ComInitDb)
         .bytes(db.getBytes(StandardCharsets.UTF_8)).result())
@@ -630,6 +647,44 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
       // dropped prepared id → execute error (the Client asserts on
       // an ERR first packet; inside the suite that assert is
       // ScalaTest's, so intercept the generic Throwable)
+      val ex = intercept[Throwable] { c.execute(sid, Nil) }
+      assert(ex.getMessage.contains("execute error"))
+      c.quit()
+    } finally srv.close()
+  }
+
+  test("COM_SET_OPTION toggles multi-statements; COM_CHANGE_USER " +
+      "resets into the requested db") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire8_").toString
+    val eng = new GraftEngine(spark, wh)
+    eng.sql("create schema su")
+    eng.sql("use su")
+    eng.sql("create table t (id int, PRIMARY KEY(id))")
+    eng.sql("insert into t values (1), (2)")
+    eng.sql("create schema other")
+    val srv = new MysqlServer(eng)
+    try {
+      val c = new Client(srv.boundPort, db = Some("su"), multi = true)
+      // negotiated ON: two statements, two responses
+      assert(c.queryMulti("select 1 as a; select 2 as b").length == 2)
+      // toggled OFF: the unsplit text is one (failing) statement
+      c.setOption(multiOn = false)
+      c.query("select 1; select 2") match {
+        case c.Err(_, _) => ()
+        case other => fail(s"expected parse error, got $other")
+      }
+      // toggled back ON
+      c.setOption(multiOn = true)
+      assert(c.queryMulti("select 1 as a; select 2 as b").length == 2)
+      // CHANGE_USER: full reset, lands in the requested schema
+      val (sid, _) = c.prepare("select id from t order by id")
+      // OK via the USE path (the engine's USE answers affected=1,
+      // same as COM_INIT_DB above)
+      assert(c.changeUser("someone", "other") == c.Ok(1))
+      c.query("select database() as d") match {
+        case c.Rows(_, rows) => assert(rows == Seq(Seq(Some("other"))))
+        case other => fail(s"$other")
+      }
       val ex = intercept[Throwable] { c.execute(sid, Nil) }
       assert(ex.getMessage.contains("execute error"))
       c.quit()
