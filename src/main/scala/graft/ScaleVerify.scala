@@ -37,7 +37,9 @@ object ScaleVerify {
     "p113_mixture_shares", "p117_minhash_fidelity",
     "p118_incremental_novelty", "p119_exact_substring",
     "p120_decontam_spans", "p121_exact_substring_removal",
-    "p122_decontam_removal")
+    "p122_decontam_removal", "p123_bradley_terry",
+    "p124_classifier_auc", "p125_rater_agreement",
+    "p126_vocab_richness", "p127_kneser_ney", "p128_kcenter_coreset")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sf10")

@@ -569,6 +569,117 @@ object Curation {
       .orderBy(col("bin"))
   }
 
+  /** Exact ROC-AUC for a scored + labeled frame (e.g.
+    * [[perceptronQuality]]'s output) via the rank-sum (Mann–Whitney
+    * U) identity with average-rank tie correction — the
+    * threshold-free counterpart to [[calibrationReport]]'s
+    * reliability table: does the quality classifier ORDER documents
+    * correctly, independent of where the gate is cut?
+    *
+    * All-integer derivation, so the report replays bit-for-bit in
+    * ANSI SQL: collapse rows to score grain (t = rows, p = positives
+    * per distinct score), take the global prefix count c(score) of
+    * strictly-lower-scored rows, and use the doubled average-rank
+    * identity — positives in a tie group of size t preceded by c rows
+    * contribute p·(2c + t + 1) to twice the positive rank sum. Then
+    * u2 = 2·Σranks − n_pos·(n_pos+1) is exactly 2·U and
+    * AUC = u2 / (2·n_pos·n_neg) is ONE IEEE double divide.
+    *
+    * Scale shape: one partial-combined aggregate to score grain (the
+    * only data-sized exchange), then the prefix sum runs the
+    * two-pass bucket trick over the score-grain table (fixed-width
+    * score buckets: per-bucket offsets are a bounded one-task window
+    * over the bucket-count table, within-bucket prefixes are
+    * partitioned windows — no corpus-sized "No Partition Defined"
+    * window at any scale), and the final rollup is a 1-row global
+    * aggregate. Labels are ±1 (the perceptron convention).
+    *
+    * Long-exactness bound: the doubled rank sum is ≤ n_pos·(2n+1),
+    * Long-safe to ~1e9 positives in a ~1e9-row evaluation set —
+    * far beyond any labeled eval corpus (classifier eval at 100 TB
+    * runs on a labeled sample, not the raw corpus; gate the corpus
+    * with the trained threshold instead).
+    *
+    * Returns ONE row (n_pos, n_neg, u2, auc 6dp). */
+  def aucReport(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    // score-grain frame feeds BOTH the bucket-offset branch and the
+    // main prefix join; an eager lineage cut computes the (possibly
+    // expensive — e.g. a trained classifier's) upstream exactly once
+    // and the checkpointed frame is distinct-score-sized, bounded by
+    // the row count and usually far smaller
+    val g = scored
+      .select(col(scoreCol).cast("long").as("__sc"),
+        when(col(labelCol) === 1L, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__sc"))
+      .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__p"))
+      .withColumn("__b",
+        floor(col("__sc").cast("double") / 8192.0).cast("long"))
+      .localCheckpoint(eager = true)
+    // two-pass global prefix of __t in __sc order (the Ranks.scala
+    // discipline): bounded bucket-count table for cross-bucket
+    // offsets, partitioned window for within-bucket prefixes
+    val within = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__sc"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bcounts = g.groupBy(col("__b")).agg(sum(col("__t")).as("__bt"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("__b"), lit(1))).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bcounts.select(col("__b"),
+      coalesce(sum(col("__bt")).over(wOff), lit(0L)).as("__off"))
+    g.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__c",
+        col("__off") + coalesce(sum(col("__t")).over(within), lit(0L)))
+      .agg(sum(col("__p")).as("__np"),
+        sum(col("__t") - col("__p")).as("__nn"),
+        sum(col("__p") * (col("__c") * 2 + col("__t") + 1)).as("__rs2"))
+      .select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
+        (col("__rs2") - col("__np") * (col("__np") + 1)).as("u2"),
+        round((col("__rs2") - col("__np") * (col("__np") + 1))
+            .cast("double") /
+          (col("__np").cast("double") * col("__nn").cast("double") * 2.0),
+          6).as("auc"))
+  }
+
+  /** Inter-rater agreement (Cohen 1960's kappa) between two binary
+    * raters, per group — the label-QA gate an annotation pipeline
+    * needs before training on its labels: raw agreement corrected for
+    * the agreement two independent raters with these marginals would
+    * reach by chance. Here the "raters" are typically two independent
+    * heuristic quality gates; kappa near 0 means the gates encode
+    * different signals (keep both), near 1 redundant (drop one).
+    *
+    * Exact integer derivation per group: po·n² = n·agree and
+    * pe·n² = r1⁺·r2⁺ + r1⁻·r2⁻, so
+    * kappa = (n·agree − pe·n²) / (n² − pe·n²) — integer numerator
+    * and denominator, ONE IEEE double divide, NULL when a group's
+    * raters are both constant (pe = 1, kappa undefined). One
+    * partial-combined aggregate to group grain over narrow codegen'd
+    * rater columns; nothing else.
+    *
+    * Returns (group, n_docs, n_agree, r1_pos, r2_pos, kappa 6dp). */
+  def raterAgreement(df: DataFrame, groupCol: String,
+      rater1: Column, rater2: Column): DataFrame = {
+    val a = df
+      .select(col(groupCol),
+        when(rater1, 1L).otherwise(0L).as("__r1"),
+        when(rater2, 1L).otherwise(0L).as("__r2"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__r1") === col("__r2"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(col("__r1")).as("r1_pos"), sum(col("__r2")).as("r2_pos"))
+    val pe2 = col("r1_pos") * col("r2_pos") +
+      (col("n_docs") - col("r1_pos")) * (col("n_docs") - col("r2_pos"))
+    val den = col("n_docs") * col("n_docs") - pe2
+    a.select(col(groupCol), col("n_docs"), col("n_agree"),
+      col("r1_pos"), col("r2_pos"),
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(round((col("n_docs") * col("n_agree") - pe2)
+          .cast("double") / den.cast("double"), 6)).as("kappa"))
+  }
+
   /** Population Stability Index drift report (the credit-scoring /
     * model-monitoring standard; Siddiqi 2006, "Credit Risk
     * Scorecards" §9): per key, PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)

@@ -772,4 +772,68 @@ object Similarity {
       sum(col(s"__m$i") * col(s"__m$j")).as(s"__g_${i}_$j")).toSeq
     m.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985's farthest-
+    * point traversal; the 2-approximation for the k-center cover, and
+    * the diversity-sampling workhorse of coreset-based training-data
+    * selection — pick the k embeddings that best COVER the corpus,
+    * maximizing the minimum pairwise distance): seed with the lowest
+    * id, then k−1 times select the point farthest (micro-quantized
+    * cosine distance round((1−cos)·1e6), ties to the lowest id) from
+    * every already-selected center.
+    *
+    * Inherently sequential (each pick depends on all prior picks) but
+    * NOT driver-bound: the per-round argmax is a 1-row
+    * max(struct(dist, −id, vec)) aggregate that stays in-plan via a
+    * broadcast — no collect in the loop, the graph-family discipline.
+    * Per round: one narrow distance update against the 1-row
+    * broadcast center + one 1-row aggregate over the corpus-sized
+    * (id, vec, dmin) frame, lineage cut per round (eager
+    * localCheckpoint) so plan depth stays O(1). Total work O(k·n·dim)
+    * — the same as one k-means iteration, at any corpus size.
+    *
+    * Determinism: distances quantize to integer micros BEFORE the
+    * argmax (the p30 k-means trick), so selection replays exactly on
+    * any engine/partitioning. Already-selected centers sit at
+    * distance 0 and are never re-picked while any uncovered point
+    * remains.
+    *
+    * Returns exactly k rows (rnk 1..k, id, radius_micro) in selection
+    * order; radius_micro is the selected point's distance to the
+    * prior centers — the covering radius achieved by the PREVIOUS
+    * round (NULL for the seed). */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val pts = df.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"))
+    val seed = pts
+      .select(min(struct(col("__id"), col("__v"))).as("m"))
+      .select(col("m.__id").as("cid"), col("m.__v").as("cv"))
+      .localCheckpoint(eager = true)
+    val distTo = round((lit(1.0) - cosineExpr("__v", "cv")) * 1000000, 0)
+      .cast("long")
+    var md = pts.crossJoin(broadcast(seed))
+      .select(col("__id"), col("__v"), distTo.as("__dmin"))
+      .localCheckpoint(eager = true)
+    val picks = scala.collection.mutable.ArrayBuffer[DataFrame](
+      seed.select(lit(1L).as("rnk"), col("cid").as(idCol),
+        lit(null).cast("long").as("radius_micro")))
+    (2 to k).foreach { r =>
+      val top = md
+        .select(max(struct(col("__dmin"), (col("__id") * -1).as("nid"),
+          col("__v"))).as("m"))
+        .select((col("m.nid") * -1).as("cid"), col("m.__v").as("cv"),
+          col("m.__dmin").as("rad"))
+        .localCheckpoint(eager = true)
+      picks += top.select(lit(r.toLong).as("rnk"), col("cid").as(idCol),
+        col("rad").as("radius_micro"))
+      if (r < k)
+        md = md.crossJoin(broadcast(top.select(col("cv"))))
+          .select(col("__id"), col("__v"),
+            least(col("__dmin"), distTo).as("__dmin"))
+          .localCheckpoint(eager = true)
+    }
+    picks.reduce(_ union _)
+  }
 }

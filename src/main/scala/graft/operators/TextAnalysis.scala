@@ -427,6 +427,95 @@ object TextAnalysis {
         .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring of one corpus under a
+    * model estimated on ANOTHER — the real CCNet shape (Wenzek et al.
+    * 2019 score web text under a pretrained KenLM; Kneser & Ney 1995;
+    * Chen & Goodman 1998 §2.7 for the interpolated form), upgrading
+    * [[lmPerplexity]]'s self-trained add-½ model: absolute discount
+    * d = ¾ (exact in binary), continuation-count base distribution,
+    * and a held-out scoring side that exercises real backoff on
+    * unseen bigrams.
+    *
+    * Exact-replay discipline: every probability is a RATIO OF
+    * INTEGERS by putting the two interpolation terms over the common
+    * denominator 4·c(a)·(NN+V+1) —
+    *
+    *   c(ab)>0:  num = (4·c(ab)−3)·(NN+V+1) + 3·N1+(a·)·(N1+(·b)+1)
+    *   c(ab)=0:  num = 3·N1+(a·)·(N1+(·b)+1)
+    *   a unseen: num = N1+(·b)+1, den = NN+V+1   (the add-1-smoothed
+    *             continuation base alone — keeps every score finite)
+    *
+    * where NN = distinct train bigrams, V = train vocabulary, and the
+    * +1s Laplace-smooth the continuation distribution over V+1
+    * outcomes so unseen continuations stay finite. Each bigram's
+    * log-prob is ln(num)−ln(den) — logs OF INTEGERS, the p40
+    * discipline — quantized to integer micro-nats before any
+    * aggregation, so per-doc sums are exact and order-independent.
+    * Long-exact while 4·c(ab)·(NN+V+1) < 2⁶³; beyond (≫10¹⁸ token
+    * corpora) shard the LM estimate or pre-quantize counts.
+    *
+    * Scale shape: three train-side count aggregates (bigram, history,
+    * continuation — the history table reuses the bigram table, one
+    * extra group-by each), scoring as three hash joins of the
+    * doc-bigram frame against LM-sized tables plus one broadcast
+    * scalar — the LM never sits on the driver. Σ_b P(b|a) ≤ 1 for
+    * every seen history (proper sub-distribution), so avg_nll is a
+    * true per-token negative log-likelihood.
+    *
+    * Returns (idCol, n_bigrams, n_unseen, avg_nll) per scored doc
+    * with ≥ 2 tokens; n_unseen counts bigram positions that back
+    * off. */
+  def kneserNeyScore(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) >= 2)
+    def bigrams(df: DataFrame) = toks(df)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b))"))
+        .as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    val tb = bigrams(train).groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = tb.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val cont = tb.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val totals = tb.agg(count(lit(1)).as("nn")).crossJoin(
+      toks(train).select(explode(col("tk")).as("t"))
+        .agg(count_distinct(col("t")).as("v")))
+    val db = bigrams(score)
+      .groupBy(col(idCol), col("a"), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val sc = db
+      .join(tb, Seq("a", "b"), "left")
+      .join(hist, Seq("a"), "left")
+      .join(cont.withColumnRenamed("b", "__cb"),
+        col("b") === col("__cb"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("m"),
+        when(col("cab").isNull, col("m")).otherwise(0L).as("mu"),
+        when(col("ca").isNull, coalesce(col("n1b"), lit(0L)) + 1)
+          .when(col("cab").isNotNull,
+            (col("cab") * 4 - 3) * (col("nn") + col("v") + 1) +
+              col("n1a") * 3 * (coalesce(col("n1b"), lit(0L)) + 1))
+          .otherwise(
+            col("n1a") * 3 * (coalesce(col("n1b"), lit(0L)) + 1))
+          .as("num"),
+        when(col("ca").isNull, col("nn") + col("v") + 1)
+          .otherwise(col("ca") * 4 * (col("nn") + col("v") + 1))
+          .as("den"))
+      .select(col(idCol), col("m"), col("mu"),
+        round((log(col("num")) - log(col("den"))) * 1000000, 0)
+          .cast("long").as("lpm"))
+    sc.groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("mu")).as("n_unseen"),
+        sum(col("m") * col("lpm")).as("__lp"))
+      .select(col(idCol), col("n_bigrams"), col("n_unseen"),
+        (-col("__lp").cast("double") / col("n_bigrams").cast("double")
+          / 1000000.0).as("avg_nll"))
+  }
+
   /** Per-document token-entropy — the lexical-diversity quality
     * signal (low unigram entropy = repeated boilerplate, keyword
     * stuffing, template spam; a standard companion to the Gopher
@@ -815,4 +904,52 @@ object TextAnalysis {
       .withColumn("fertility",
         round(col("n_bpe_tokens").cast("double") /
           col("n_words").cast("double"), 4))
+
+  /** Vocabulary richness per group over word n-grams: observed
+    * distinct grams, the singleton/doubleton tail, the bias-corrected
+    * Chao1 estimate of TOTAL vocabulary (Chao 1984; the
+    * species-richness estimator — v + f1·(f1−1)/(2·(f2+1)), defined
+    * even when no doubletons exist), and Simpson's concentration
+    * Σc·(c−1)/(N·(N−1)) (Simpson 1949 — the probability two random
+    * gram occurrences are the same gram; high = templated/repetitive
+    * text). The corpus-diversity diagnostic that complements coverage
+    * audits ([[vocabTopK]] heads, the OOV rate): how long is the tail
+    * a tokenizer or dedup pass has NOT seen yet, and how concentrated
+    * is what it has?
+    *
+    * Determinism/replay: grams are the codegen
+    * [[graft.functions.ShingleHashes]] positional (all-occurrences)
+    * polynomial hashes, which the oracle recomputes from gram text
+    * (the p44/p80 discipline); every count is exact Long; the two
+    * estimates are single-formula IEEE doubles from integer inputs.
+    *
+    * Scale shape: one partial-combined (group, gram-hash) count — the
+    * only gram-grain exchange — then a group-grain rollup; nothing
+    * joins back at gram grain and no corpus-sized window exists.
+    * Groups with fewer than 2 gram occurrences report NULL simpson
+    * (undefined). Returns (group, n_grams, v_distinct, f1, f2,
+    * chao1 4dp, simpson 6dp) by group. */
+  def vocabRichness(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val counts = df.select(col(groupCol),
+        explode(graft.functions.ShingleHashes(col(textCol), n,
+          poly = true, distinct = false)).as("__gh"))
+      .groupBy(col(groupCol), col("__gh"))
+      .agg(count(lit(1)).as("__c"))
+    val g = counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("v_distinct"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"),
+        sum(col("__c") * (col("__c") - 1)).as("__rep2"))
+    g.select(col(groupCol), col("n_grams"), col("v_distinct"),
+      col("f1"), col("f2"),
+      round(col("v_distinct").cast("double") +
+        (col("f1") * (col("f1") - 1)).cast("double") /
+          ((col("f2") + 1).cast("double") * 2.0), 4).as("chao1"),
+      when(col("n_grams") < 2L, lit(null).cast("double"))
+        .otherwise(round(col("__rep2").cast("double") /
+          (col("n_grams").cast("double") *
+            (col("n_grams") - 1).cast("double")), 6)).as("simpson"))
+  }
 }

@@ -4276,6 +4276,291 @@ object Pipeline {
           |  md5(coalesce(re.text_clean, '')) AS kept_md5
           |FROM train t LEFT JOIN re ON re.doc_id = t.doc_id
           |ORDER BY t.doc_id""".stripMargin
+      }),
+
+    // ---- p123: Bradley–Terry preference strengths (Hunter 2004's
+    // MM iteration, 3 exact-integer rounds — the PageRank/HITS
+    // replay discipline) over adjacent purchase preferences: within
+    // each user's purchases ordered by (cents desc, event_id), item
+    // k beats the next strictly-cheaper item. The rating layer over
+    // the preference pairs p101 constructs; DuckDB replays pair
+    // mining, both per-round hash joins, the integer MM update and
+    // the single-double max rescale bit-for-bit.
+    "p123_bradley_terry" -> Q(
+      (s, dir) => {
+        val pur = tbl(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").as("item"),
+            cents(col("value")).as("c"))
+          .filter(col("item").isNotNull)
+        val matches = graft.operators.Ratings.adjacentPreferences(
+          pur, "user_id", "item", "c", "event_id")
+        graft.operators.Ratings.bradleyTerryMicro(
+            matches, "winner", "loser", rounds = 3)
+          .orderBy(col("player"))
+      },
+      Some {
+        val round3 = (1 to 3).map { r =>
+          val p = r - 1
+          s"""d$r AS (SELECT e.i, CAST(sum(e.n * CAST(1000000000000 AS BIGINT)
+             |    // greatest(si.s + sj.s, CAST(1 AS BIGINT))) AS BIGINT) AS d
+             |  FROM e JOIN s$p si ON si.i = e.i JOIN s$p sj ON sj.i = e.j
+             |  GROUP BY e.i),
+             |r$r AS (SELECT wn.i, wn.wns * CAST(1000000000000 AS BIGINT)
+             |    // greatest(d$r.d, CAST(1 AS BIGINT)) AS r
+             |  FROM wn JOIN d$r ON d$r.i = wn.i),
+             |m$r AS (SELECT max(r) AS mx FROM r$r),
+             |s$r AS (SELECT i, CAST(round(CAST(r AS DOUBLE) * 1000000.0 /
+             |    CAST(mx AS DOUBLE)) AS BIGINT) AS s
+             |  FROM r$r CROSS JOIN m$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pur AS (SELECT user_id, event_id,
+          |    CAST(props->>'k' AS BIGINT) AS item,
+          |    CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events
+          |  WHERE event_type = 'purchase'
+          |    AND (props->>'k') IS NOT NULL),
+          |o AS (SELECT user_id, item, c,
+          |    lag(item) OVER (PARTITION BY user_id
+          |      ORDER BY c DESC, event_id) AS pk,
+          |    lag(c) OVER (PARTITION BY user_id
+          |      ORDER BY c DESC, event_id) AS pc
+          |  FROM pur),
+          |pr AS (SELECT pk AS w, item AS l FROM o
+          |  WHERE pk IS NOT NULL AND pc > c AND pk <> item),
+          |pw AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n
+          |  FROM pr GROUP BY 1, 2),
+          |e AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+          |    SELECT w AS i, l AS j, n FROM pw
+          |    UNION ALL SELECT l AS i, w AS j, n FROM pw) GROUP BY 1, 2),
+          |pl AS (SELECT i, CAST(sum(n) AS BIGINT) AS nm FROM e GROUP BY 1),
+          |wt AS (SELECT w AS i, CAST(sum(n) AS BIGINT) AS wns
+          |  FROM pw GROUP BY 1),
+          |wn AS (SELECT pl.i, pl.nm,
+          |    coalesce(wt.wns, CAST(0 AS BIGINT)) AS wns
+          |  FROM pl LEFT JOIN wt ON wt.i = pl.i),
+          |s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM pl),
+          |$round3
+          |SELECT s3.i AS player, s3.s AS bt_micro, wn.nm AS n_matches,
+          |  wn.wns AS n_wins
+          |FROM s3 JOIN wn ON wn.i = s3.i ORDER BY player""".stripMargin
+      }),
+
+    // ---- p124: exact ROC-AUC of the trained quality perceptron via
+    // the tie-corrected rank-sum identity (Mann–Whitney U) — the
+    // threshold-free ordering audit beside p79's calibration table.
+    // All-integer doubled rank sums; the oracle replays the TRAINED
+    // scores (duckPerceptron) and the prefix/rank arithmetic exactly.
+    "p124_classifier_auc" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.operators.Curation.aucReport(
+          graft.operators.Curation.perceptronQuality(docs, "doc_id",
+            "text", when(col("lang") === "en", 1L).otherwise(-1L),
+            buckets = 16, rounds = 3),
+          "score", "y")
+      },
+      Some {
+        s"""WITH $duckPerceptron,
+          |g AS (SELECT dot AS sc, CAST(count(*) AS BIGINT) AS t,
+          |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p
+          |  FROM fin GROUP BY 1),
+          |cm AS (SELECT sc, t, p, CAST(coalesce(sum(t) OVER (ORDER BY sc
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    AS BIGINT) AS c
+          |  FROM g),
+          |a AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+          |    CAST(sum(t - p) AS BIGINT) AS nn,
+          |    CAST(sum(p * (2 * c + t + 1)) AS BIGINT) AS rs2 FROM cm)
+          |SELECT np AS n_pos, nn AS n_neg,
+          |  rs2 - np * (np + 1) AS u2,
+          |  round(CAST(rs2 - np * (np + 1) AS DOUBLE) /
+          |    (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE) * 2.0), 6) AS auc
+          |FROM a""".stripMargin
+      }),
+
+    // ---- p125: inter-rater agreement (Cohen's kappa) between two
+    // independent heuristic quality gates (stopword-ratio ≥ 6%,
+    // type-token ratio ≥ 0.5), per language — the label-QA audit run
+    // before training on heuristic labels. Integer-exact marginals;
+    // one double divide per language.
+    "p125_rater_agreement" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("__tk", graft.operators.Dedup.tokens(col("text")))
+        val r1 = expr("""size(filter(__tk, x -> x IN ('the','a','an',
+          |'and','or','of','to','in','is','it'))) * 1000""".stripMargin)
+          .geq(expr("size(__tk) * 60"))
+        val r2 = (size(array_distinct(col("__tk"))) * 2)
+          .geq(size(col("__tk")))
+        graft.operators.Curation.raterAgreement(docs, "lang", r1, r2)
+          .orderBy(col("lang"))
+      },
+      Some {
+        """WITH tok AS (SELECT lang,
+          |    str_split_regex(trim(lower(text)), '\s+') AS tk
+          |  FROM documents),
+          |r AS (SELECT lang,
+          |    CASE WHEN len(list_filter(tk, x -> x IN ('the','a','an',
+          |      'and','or','of','to','in','is','it'))) * 1000
+          |      >= len(tk) * 60 THEN 1 ELSE 0 END AS r1,
+          |    CASE WHEN len(list_distinct(tk)) * 2 >= len(tk)
+          |      THEN 1 ELSE 0 END AS r2
+          |  FROM tok),
+          |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_agree,
+          |    CAST(sum(r1) AS BIGINT) AS r1_pos,
+          |    CAST(sum(r2) AS BIGINT) AS r2_pos
+          |  FROM r GROUP BY 1)
+          |SELECT lang, n_docs, n_agree, r1_pos, r2_pos,
+          |  CASE WHEN n_docs * n_docs - (r1_pos * r2_pos +
+          |      (n_docs - r1_pos) * (n_docs - r2_pos)) = 0 THEN NULL
+          |    ELSE round(CAST(n_docs * n_agree - (r1_pos * r2_pos +
+          |        (n_docs - r1_pos) * (n_docs - r2_pos)) AS DOUBLE) /
+          |      CAST(n_docs * n_docs - (r1_pos * r2_pos +
+          |        (n_docs - r1_pos) * (n_docs - r2_pos)) AS DOUBLE), 6)
+          |  END AS kappa
+          |FROM a ORDER BY lang""".stripMargin
+      }),
+
+    // ---- p126: vocabulary richness per source over word bigrams —
+    // observed distinct grams, the f1/f2 tail, the bias-corrected
+    // Chao1 total-vocabulary estimate (Chao 1984) and Simpson's
+    // concentration (Simpson 1949). Gram hashes come from the codegen
+    // ShingleHashes positional pass; DuckDB recomputes each from gram
+    // text (the p44/p80 discipline) and replays every count exactly.
+    "p126_vocab_richness" -> Q(
+      (s, dir) => graft.operators.TextAnalysis
+        .vocabRichness(tbl(s, dir, "documents"), "source", "text", n = 2)
+        .orderBy(col("source")),
+      Some {
+        s"""WITH tok AS (SELECT source,
+          |    str_split_regex(trim(lower(text)), '\\s+') AS tk
+          |  FROM documents),
+          |g0 AS (SELECT source, array_to_string(tk[i:i+1], ' ') AS gr
+          |  FROM tok, unnest(range(1, len(tk))) t(i)),
+          |g AS (SELECT source,
+          |    ${QueryUtil.oPoly("gr", 31L, 1000000007L)} AS gh FROM g0),
+          |c AS (SELECT source, gh, CAST(count(*) AS BIGINT) AS c
+          |  FROM g GROUP BY 1, 2),
+          |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_grams,
+          |    CAST(count(*) AS BIGINT) AS v_distinct,
+          |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+          |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+          |  FROM c GROUP BY 1)
+          |SELECT source, n_grams, v_distinct, f1, f2,
+          |  round(CAST(v_distinct AS DOUBLE) +
+          |    CAST(f1 * (f1 - 1) AS DOUBLE) /
+          |    (CAST(f2 + 1 AS DOUBLE) * 2.0), 4) AS chao1,
+          |  CASE WHEN n_grams < 2 THEN NULL ELSE
+          |    round(CAST(rep2 AS DOUBLE) / (CAST(n_grams AS DOUBLE) *
+          |      CAST(n_grams - 1 AS DOUBLE)), 6) END AS simpson
+          |FROM a ORDER BY source""".stripMargin
+      }),
+
+    // ---- p127: interpolated Kneser–Ney bigram LM scoring — the
+    // CCNet shape for real: train on doc_id % 10 != 0, score the
+    // held-out tenth (real backoff on unseen bigrams). Every
+    // probability is a ratio of integers over the common denominator
+    // 4·c(a)·(NN+V+1), so DuckDB replays estimation AND scoring
+    // bit-for-bit (logs of integers, micro-nat quantization — the
+    // p40 discipline with a stronger model).
+    "p127_kneser_ney" -> Q(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.operators.TextAnalysis.kneserNeyScore(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        """WITH tok AS (SELECT doc_id,
+          |    str_split_regex(trim(lower(text)), '\s+') AS tk
+          |  FROM documents),
+          |t2 AS (SELECT * FROM tok WHERE len(tk) >= 2),
+          |bgall AS (SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+          |  FROM t2, unnest(range(1, len(tk))) t(i)),
+          |tb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+          |  FROM bgall WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+          |hist AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+          |    CAST(count(*) AS BIGINT) AS n1a FROM tb GROUP BY 1),
+          |cont AS (SELECT b, CAST(count(*) AS BIGINT) AS n1b
+          |  FROM tb GROUP BY 1),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tb),
+          |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+          |  FROM (SELECT unnest(tk) AS t FROM t2 WHERE doc_id % 10 <> 0)),
+          |db AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS m
+          |  FROM bgall WHERE doc_id % 10 = 0 GROUP BY 1, 2, 3),
+          |sc AS (SELECT db.doc_id, db.m,
+          |    CASE WHEN tb.cab IS NULL THEN db.m ELSE 0 END AS mu,
+          |    CASE WHEN h.ca IS NULL THEN coalesce(c.n1b, 0) + 1
+          |      WHEN tb.cab IS NOT NULL THEN
+          |        (4 * tb.cab - 3) * (t.nn + v.v + 1) +
+          |          3 * h.n1a * (coalesce(c.n1b, 0) + 1)
+          |      ELSE 3 * h.n1a * (coalesce(c.n1b, 0) + 1) END AS num,
+          |    CASE WHEN h.ca IS NULL THEN t.nn + v.v + 1
+          |      ELSE 4 * h.ca * (t.nn + v.v + 1) END AS den
+          |  FROM db LEFT JOIN tb ON tb.a = db.a AND tb.b = db.b
+          |    LEFT JOIN hist h ON h.a = db.a
+          |    LEFT JOIN cont c ON c.b = db.b
+          |    CROSS JOIN tot t CROSS JOIN voc v),
+          |lp AS (SELECT doc_id, m, mu, CAST(round(
+          |    (ln(num) - ln(den)) * 1000000) AS BIGINT) AS lpm FROM sc),
+          |ag AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+          |    CAST(sum(mu) AS BIGINT) AS n_unseen,
+          |    CAST(sum(m * lpm) AS BIGINT) AS lp_total
+          |  FROM lp GROUP BY 1)
+          |SELECT doc_id, n_bigrams, n_unseen,
+          |  (-CAST(lp_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+          |    / 1000000.0 AS avg_nll
+          |FROM ag ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- p128: greedy k-center coreset (Gonzalez 1985 farthest-
+    // point traversal) over the embeddings — diversity-sampling
+    // selection of the 6 vectors that best cover the corpus.
+    // Micro-quantized cosine distances make every pick replayable;
+    // the oracle unrolls the 6 sequential argmax rounds.
+    "p128_kcenter_coreset" -> Q(
+      (s, dir) => graft.operators.Similarity.kCenterCoreset(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+        .orderBy(col("rnk")),
+      Some {
+        val d = (a: String, b: String) =>
+          s"CAST(round((1.0 - ${duckCos(a, b)}) * 1000000) AS BIGINT)"
+        val rounds = (2 to 6).map { r =>
+          val p = r - 1
+          val upd = if (r < 6)
+            s""",
+               |m$r AS (SELECT m$p.vec_id, m$p.v,
+               |  least(m$p.dmin, ${d(s"m$p.v", s"t$r.cv")}) AS dmin
+               |  FROM m$p CROSS JOIN t$r)""".stripMargin
+          else ""
+          s"""t$r AS (SELECT vec_id AS cid, v AS cv, dmin AS rad
+             |  FROM m$p ORDER BY dmin DESC, vec_id LIMIT 1)$upd""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          |  FROM embeddings),
+          |c1 AS (SELECT vec_id AS cid, v AS cv FROM e
+          |  ORDER BY vec_id LIMIT 1),
+          |m1 AS (SELECT e.vec_id, e.v, ${d("e.v", "c1.cv")} AS dmin
+          |  FROM e CROSS JOIN c1),
+          |$rounds
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS rnk, cid AS vec_id,
+          |    CAST(NULL AS BIGINT) AS radius_micro FROM c1
+          |  UNION ALL SELECT 2, cid, rad FROM t2
+          |  UNION ALL SELECT 3, cid, rad FROM t3
+          |  UNION ALL SELECT 4, cid, rad FROM t4
+          |  UNION ALL SELECT 5, cid, rad FROM t5
+          |  UNION ALL SELECT 6, cid, rad FROM t6)
+          |ORDER BY rnk""".stripMargin
       })
   )
 }
