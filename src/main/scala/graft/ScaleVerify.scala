@@ -39,7 +39,8 @@ object ScaleVerify {
     "p120_decontam_spans", "p121_exact_substring_removal",
     "p122_decontam_removal", "p123_bradley_terry",
     "p124_classifier_auc", "p125_rater_agreement",
-    "p126_vocab_richness", "p127_kneser_ney", "p128_kcenter_coreset")
+    "p126_vocab_richness", "p127_kneser_ney", "p128_kcenter_coreset",
+    "p129_gopher_gate", "p130_label_silhouette", "p131_moore_lewis")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sf10")

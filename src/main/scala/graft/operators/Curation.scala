@@ -569,6 +569,63 @@ object Curation {
       .orderBy(col("bin"))
   }
 
+  /** The Gopher quality-rule gate (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", Table A1) — the canonical heuristic filter
+    * bundle applied before model-based quality scoring: word-count
+    * bounds [50, 100k], mean word length in [3, 10] characters,
+    * symbol-to-word ratio ('#' or '…'/'...') ≤ 0.1, ≥ 80% of words
+    * containing an alphabetic character, and ≥ `minStops` distinct
+    * words from a stopword presence set (default: Gopher's 8 — the,
+    * be, to, of, and, that, have, with; parameterized because the
+    * rule only discriminates when the set intersects the corpus's
+    * actual function words — Gopher itself re-tunes per corpus).
+    * `keep` is the conjunction.
+    *
+    * Every rule is evaluated in exact integer arithmetic (cross-
+    * multiplied thresholds — e.g. mean-word-length ∈ [3,10] as
+    * 3n ≤ Σlen ≤ 10n), so the verdicts replay bit-for-bit in ANSI
+    * SQL; the two reported ratios are presentation-only doubles.
+    * One narrow codegen pass (token HOFs), zero shuffles before the
+    * caller's aggregation — the cheapest gate in the funnel, which is
+    * why it runs first.
+    *
+    * Returns (idCol, n_words, mean_word_len 4dp, alpha_frac 4dp,
+    * n_stop_distinct, n_sym, keep). */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String,
+      stopWords: Seq[String] = Seq("the", "be", "to", "of", "and",
+        "that", "have", "with"), minStops: Int = 2): DataFrame = {
+    require(stopWords.nonEmpty && stopWords.forall(_.matches("[a-z]+")),
+      s"stop set must be non-empty lowercase words: $stopWords")
+    val stops = stopWords.map(w => s"'$w'").mkString(",")
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"),
+        col(textCol).as("__tx"))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_words"),
+        expr("aggregate(transform(__tk, x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)")
+          .as("__chars"),
+        expr("CAST(size(filter(__tk, x -> x rlike '[a-z]')) AS BIGINT)")
+          .as("__alpha"),
+        expr(s"CAST(size(array_distinct(filter(__tk, x -> x IN ($stops)))) AS BIGINT)")
+          .as("n_stop_distinct"),
+        (length(col("__tx")) -
+          length(regexp_replace(col("__tx"), "#", "")) +
+          (length(col("__tx")) -
+            length(regexp_replace(col("__tx"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("n_sym"))
+      .select(col(idCol), col("n_words"),
+        round(col("__chars").cast("double") /
+          col("n_words").cast("double"), 4).as("mean_word_len"),
+        round(col("__alpha").cast("double") /
+          col("n_words").cast("double"), 4).as("alpha_frac"),
+        col("n_stop_distinct"), col("n_sym"),
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("__chars") >= col("n_words") * 3 &&
+          col("__chars") <= col("n_words") * 10 &&
+          col("__alpha") * 5 >= col("n_words") * 4 &&
+          col("n_stop_distinct") >= minStops &&
+          col("n_sym") * 10 <= col("n_words")).as("keep"))
+  }
+
   /** Exact ROC-AUC for a scored + labeled frame (e.g.
     * [[perceptronQuality]]'s output) via the rank-sum (Mann–Whitney
     * U) identity with average-rank tie correction — the

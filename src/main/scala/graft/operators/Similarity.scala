@@ -836,4 +836,66 @@ object Similarity {
     }
     picks.reduce(_ union _)
   }
+
+  /** Label-separation audit over a labeled embedding corpus — the
+    * centroid silhouette: per ground-truth label, the mean cosine of
+    * members to their OWN label centroid vs to the NEAREST OTHER
+    * label centroid, and the margin between the two. The "are these
+    * embeddings good enough to curate with" gate run before trusting
+    * label-conditioned selection (SemDeDup per class, hard-negative
+    * mining, classifier-gated sampling): a non-positive margin means
+    * the embedding space does not separate the labels and
+    * embedding-based curation will shred them.
+    *
+    * Determinism (the p30 centroid discipline): per-coordinate
+    * micro-quantized integer sums divided once per coordinate give
+    * centroids any engine reproduces; member cosines micro-quantize
+    * before the per-label sums, so means and margins are ratios of
+    * exact integers.
+    *
+    * Scale shape: one posexplode aggregate at (label, dim) grain, one
+    * |labels|-row centroid fold, then a single corpus scan against
+    * the BROADCAST centroid table collapsed per member in one
+    * partial-combined aggregate (own + max-other in the same pass —
+    * nothing scans twice), and a |labels|-row rollup. Labels are
+    * assumed codebook-sized (they ride a broadcast), the corpus is
+    * not.
+    *
+    * Returns (label, n_members, mean_intra 4dp, mean_nearest_other
+    * 4dp, margin 4dp) by label; mean_nearest_other and margin are
+    * NULL when only one label exists. */
+  def labelSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("__id"), col(labelCol).as("__lab"),
+        asDouble(col(vecCol)).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = e.select(col("__lab"), posexplode(col("__v")).as(Seq("d", "x")))
+      .groupBy(col("__lab"), col("d"))
+      .agg(sum(round(col("x") * 1000000, 0).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+    val cents = dims.groupBy(col("__lab").as("__clab"))
+      .agg(sort_array(collect_list(struct(col("d"),
+        (col("sx").cast("double") / col("n") / 1000000.0).as("m"))))
+        .as("dm"))
+      .select(col("__clab"), expr("transform(dm, p -> p.m)").as("cv"))
+    val per = e.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__lab"), col("__clab"),
+        round(cosineExpr("__v", "cv") * 1000000, 0).cast("long").as("cm"))
+      .groupBy(col("__id"), col("__lab"))
+      .agg(max(when(col("__lab") === col("__clab"), col("cm"))).as("own"),
+        max(when(col("__lab") =!= col("__clab"), col("cm"))).as("oth"))
+    val out = per.groupBy(col("__lab").as(labelCol))
+      .agg(count(lit(1)).as("n_members"), sum(col("own")).as("__so"),
+        sum(col("oth")).as("__st"))
+      .select(col(labelCol), col("n_members"),
+        round(col("__so").cast("double") / col("n_members") / 1000000.0,
+          4).as("mean_intra"),
+        round(col("__st").cast("double") / col("n_members") / 1000000.0,
+          4).as("mean_nearest_other"),
+        round((col("__so") - col("__st")).cast("double") /
+          col("n_members") / 1000000.0, 4).as("margin"))
+      .localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
+    out
+  }
 }

@@ -516,6 +516,45 @@ object TextAnalysis {
           / 1000000.0).as("avg_nll"))
   }
 
+  /** Moore–Lewis cross-entropy-difference data selection (Moore &
+    * Lewis 2010, "Intelligent Selection of Language Model Training
+    * Data") — THE classic method for mining in-domain-like documents
+    * out of a general pool: score every pool document under an
+    * IN-DOMAIN LM and under a GENERAL LM (trained on the pool
+    * itself), rank by the per-token cross-entropy difference
+    * H_in(d) − H_gen(d), and keep the lowest tercile (most
+    * in-domain-like relative to what a generic model already
+    * expects). Both LMs are [[kneserNeyScore]]'s interpolated
+    * Kneser–Ney bigram estimates, so every score replays exactly;
+    * the difference of two exactly-replayed doubles is itself exact.
+    *
+    * Scale shape: two KN estimate+score passes (each: three LM-sized
+    * count aggregates + doc-bigram-grain scoring joins), one doc-
+    * keyed join of the two score frames, and the p40 two-pass global
+    * rank for terciles — no corpus-sized window, no driver state.
+    *
+    * Returns (idCol, n_bigrams, nll_in, nll_gen, ml_score,
+    * ml_bucket ∈ select|middle|reject) per pool doc with ≥ 2
+    * tokens. */
+  def mooreLewisSelect(df: DataFrame, idCol: String, textCol: String,
+      inDomain: Column): DataFrame = {
+    val inTrain = df.filter(inDomain)
+    val pool = df.filter(!inDomain)
+    val sIn = kneserNeyScore(inTrain, pool, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"), col("avg_nll").as("nll_in"))
+    val sGen = kneserNeyScore(pool, pool, idCol, textCol)
+      .select(col(idCol), col("avg_nll").as("nll_gen"))
+    val scored = sIn.join(sGen, Seq(idCol))
+      .withColumn("ml_score", col("nll_in") - col("nll_gen"))
+    val ranked = Ranks.withGlobalRank(scored,
+      floor(col("ml_score") * 10), Seq(col("ml_score"), col(idCol)))
+    val tert = Ranks.ntileFromRank(col("rank"), col("n_total"), 3)
+    ranked.select(col(idCol), col("n_bigrams"), col("nll_in"),
+      col("nll_gen"), col("ml_score"),
+      when(tert === 1, "select").when(tert === 2, "middle")
+        .otherwise("reject").as("ml_bucket"))
+  }
+
   /** Per-document token-entropy — the lexical-diversity quality
     * signal (low unigram entropy = repeated boilerplate, keyword
     * stuffing, template spam; a standard companion to the Gopher

@@ -708,7 +708,61 @@ object EventsQ {
       },
       Some(s"""SELECT user_id, count(*) AS n_events,
         |${oSumCents("value")} AS total_value
-        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- the Gopher quality gate IN-STREAM: p129's per-row rule
+    // verdicts are stateless, so they run unchanged on the live feed;
+    // the keep-rate monitor is a Complete-mode (source, keep) count —
+    // additive, stream == batch exactly regardless of micro-batching
+    // — through a memory sink bounded at |sources|·2 rows. The
+    // source tag rides a stream-static join against the same table
+    // (the gate's output is id-keyed). Oracle: the batch gate GROUPed
+    // BY (source, keep) — equality pins that ingest-time quality
+    // monitoring matches the offline funnel.
+    "q87_stream_gate" -> Q(
+      (s, dir) => {
+        val gated = graft.operators.Curation.gopherGate(
+          tblStream(s, dir, "documents"), "doc_id", "text",
+          stopWords = Seq("the", "a"))
+        val srcTag = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val counts = gated.join(srcTag, Seq("doc_id"))
+          .groupBy(col("source"), col("keep"))
+          .agg(count(lit(1)).as("n_docs"))
+        val sink = s"q87_mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val sq = counts.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(sink).orderBy(col("source"), col("keep"))
+      },
+      Some {
+        """WITH t AS (SELECT doc_id, source, text,
+          |    str_split_regex(trim(lower(text)), '\s+') AS tk
+          |  FROM documents),
+          |m AS (SELECT doc_id, source,
+          |    CAST(len(tk) AS BIGINT) AS n_words,
+          |    CAST(list_sum(list_transform(tk, x -> length(x)))
+          |      AS BIGINT) AS chars,
+          |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+          |      AS BIGINT) AS alpha,
+          |    CAST(len(list_distinct(list_filter(tk, x -> x IN
+          |      ('the','a'))))
+          |      AS BIGINT) AS n_stop,
+          |    CAST((length(text) - length(replace(text, '#', ''))) +
+          |      (length(text) - length(replace(text, '...', ''))) / 3
+          |      AS BIGINT) AS n_sym
+          |  FROM t)
+          |SELECT source,
+          |  (n_words >= 50 AND n_words <= 100000 AND
+          |    chars >= n_words * 3 AND chars <= n_words * 10 AND
+          |    alpha * 5 >= n_words * 4 AND n_stop >= 2 AND
+          |    n_sym * 10 <= n_words) AS keep,
+          |  CAST(count(*) AS BIGINT) AS n_docs
+          |FROM m GROUP BY 1, 2 ORDER BY source, keep""".stripMargin
+      })
   )
 
   /** KV fixture directory keyed by a CONTENT fingerprint of the source

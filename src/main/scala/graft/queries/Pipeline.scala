@@ -4561,6 +4561,157 @@ object Pipeline {
           |  UNION ALL SELECT 5, cid, rad FROM t5
           |  UNION ALL SELECT 6, cid, rad FROM t6)
           |ORDER BY rnk""".stripMargin
+      }),
+
+    // ---- p129: the Gopher quality-rule gate (Rae et al. 2021 Table
+    // A1) — the canonical heuristic filter bundle: word-count bounds,
+    // mean word length, symbol ratio, alphabetic-word fraction,
+    // stopword presence. All verdicts integer-exact; one narrow
+    // codegen pass. The presence set is re-tuned to this corpus's
+    // function words {the, a} (Gopher's own set barely intersects the
+    // synthetic vocabulary — the canonical 8 would gate everything
+    // out); specs exercise the Gopher defaults.
+    "p129_gopher_gate" -> Q(
+      (s, dir) => graft.operators.Curation
+        .gopherGate(tbl(s, dir, "documents"), "doc_id", "text",
+          stopWords = Seq("the", "a"))
+        .orderBy(col("doc_id")),
+      Some {
+        """WITH t AS (SELECT doc_id, text,
+          |    str_split_regex(trim(lower(text)), '\s+') AS tk
+          |  FROM documents),
+          |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+          |    CAST(list_sum(list_transform(tk, x -> length(x)))
+          |      AS BIGINT) AS chars,
+          |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+          |      AS BIGINT) AS alpha,
+          |    CAST(len(list_distinct(list_filter(tk, x -> x IN
+          |      ('the','a'))))
+          |      AS BIGINT) AS n_stop_distinct,
+          |    CAST((length(text) - length(replace(text, '#', ''))) +
+          |      (length(text) - length(replace(text, '...', ''))) / 3
+          |      AS BIGINT) AS n_sym
+          |  FROM t)
+          |SELECT doc_id, n_words,
+          |  round(CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+          |    AS mean_word_len,
+          |  round(CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+          |    AS alpha_frac,
+          |  n_stop_distinct, n_sym,
+          |  (n_words >= 50 AND n_words <= 100000 AND
+          |    chars >= n_words * 3 AND chars <= n_words * 10 AND
+          |    alpha * 5 >= n_words * 4 AND n_stop_distinct >= 2 AND
+          |    n_sym * 10 <= n_words) AS keep
+          |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- p130: label-separation silhouette over the labeled
+    // embeddings — per ground-truth label, mean cosine to the own
+    // centroid vs the nearest OTHER centroid, and the margin. The
+    // embedding-quality gate run before label-conditioned curation.
+    // Centroids use the p30 micro-sum discipline so DuckDB replays
+    // them exactly.
+    "p130_label_silhouette" -> Q(
+      (s, dir) => graft.operators.Similarity.labelSilhouette(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("label")),
+      Some {
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+          |  FROM embeddings),
+          |dx AS (SELECT label, d,
+          |    CAST(sum(CAST(round(v[d] * 1000000) AS BIGINT)) AS BIGINT)
+          |      AS sx,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM e, unnest(range(1, len(v) + 1)) t(d) GROUP BY 1, 2),
+          |c AS (SELECT label AS clab,
+          |    list(CAST(sx AS DOUBLE) / n / 1000000.0 ORDER BY d) AS cv
+          |  FROM dx GROUP BY 1),
+          |sc AS (SELECT e.vec_id, e.label, c.clab,
+          |    CAST(round(${duckCos("e.v", "c.cv")} * 1000000) AS BIGINT)
+          |      AS cm
+          |  FROM e CROSS JOIN c),
+          |pv AS (SELECT vec_id, label,
+          |    max(CASE WHEN label = clab THEN cm END) AS own,
+          |    max(CASE WHEN label <> clab THEN cm END) AS oth
+          |  FROM sc GROUP BY 1, 2),
+          |ag AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+          |    CAST(sum(own) AS BIGINT) AS so,
+          |    CAST(sum(oth) AS BIGINT) AS st
+          |  FROM pv GROUP BY 1)
+          |SELECT label, n_members,
+          |  round(CAST(so AS DOUBLE) / n_members / 1000000.0, 4)
+          |    AS mean_intra,
+          |  round(CAST(st AS DOUBLE) / n_members / 1000000.0, 4)
+          |    AS mean_nearest_other,
+          |  round(CAST(so - st AS DOUBLE) / n_members / 1000000.0, 4)
+          |    AS margin
+          |FROM ag ORDER BY label""".stripMargin
+      }),
+
+    // ---- p131: Moore–Lewis cross-entropy-difference selection —
+    // the classic in-domain data miner: every non-en pool doc scored
+    // under the en-trained KN LM and under the pool's own KN LM,
+    // ranked by the per-token nll difference, lowest tercile kept.
+    // Two full p127 chains; the oracle replays both bit-for-bit.
+    "p131_moore_lewis" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.mooreLewisSelect(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc_id")),
+      Some {
+        def kn(p: String, trainCond: String): String =
+          s"""${p}tb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+             |  FROM bgall WHERE $trainCond GROUP BY 1, 2),
+             |${p}hist AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+             |    CAST(count(*) AS BIGINT) AS n1a FROM ${p}tb GROUP BY 1),
+             |${p}cont AS (SELECT b, CAST(count(*) AS BIGINT) AS n1b
+             |  FROM ${p}tb GROUP BY 1),
+             |${p}tot AS (SELECT CAST(count(*) AS BIGINT) AS nn
+             |  FROM ${p}tb),
+             |${p}voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+             |  FROM (SELECT unnest(tk) AS t FROM t2 WHERE $trainCond)),
+             |${p}sc AS (SELECT db.doc_id, db.m,
+             |    CASE WHEN h.ca IS NULL THEN coalesce(c.n1b, 0) + 1
+             |      WHEN tb.cab IS NOT NULL THEN
+             |        (4 * tb.cab - 3) * (t.nn + v.v + 1) +
+             |          3 * h.n1a * (coalesce(c.n1b, 0) + 1)
+             |      ELSE 3 * h.n1a * (coalesce(c.n1b, 0) + 1) END AS num,
+             |    CASE WHEN h.ca IS NULL THEN t.nn + v.v + 1
+             |      ELSE 4 * h.ca * (t.nn + v.v + 1) END AS den
+             |  FROM db LEFT JOIN ${p}tb tb
+             |      ON tb.a = db.a AND tb.b = db.b
+             |    LEFT JOIN ${p}hist h ON h.a = db.a
+             |    LEFT JOIN ${p}cont c ON c.b = db.b
+             |    CROSS JOIN ${p}tot t CROSS JOIN ${p}voc v),
+             |${p}ag AS (SELECT doc_id, CAST(sum(m) AS BIGINT)
+             |      AS n_bigrams,
+             |    CAST(sum(m * CAST(round((ln(num) - ln(den)) * 1000000)
+             |      AS BIGINT)) AS BIGINT) AS lp
+             |  FROM ${p}sc GROUP BY 1)""".stripMargin
+        s"""WITH tok AS (SELECT doc_id, lang,
+          |    str_split_regex(trim(lower(text)), '\\s+') AS tk
+          |  FROM documents),
+          |t2 AS (SELECT * FROM tok WHERE len(tk) >= 2),
+          |bgall AS (SELECT doc_id, lang, tk[i] AS a, tk[i+1] AS b
+          |  FROM t2, unnest(range(1, len(tk))) t(i)),
+          |db AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS m
+          |  FROM bgall WHERE lang <> 'en' GROUP BY 1, 2, 3),
+          |${kn("i", "lang = 'en'")},
+          |${kn("g", "lang <> 'en'")},
+          |j AS (SELECT i.doc_id, i.n_bigrams,
+          |    (-CAST(i.lp AS DOUBLE) / CAST(i.n_bigrams AS DOUBLE))
+          |      / 1000000.0 AS nll_in,
+          |    (-CAST(g.lp AS DOUBLE) / CAST(g.n_bigrams AS DOUBLE))
+          |      / 1000000.0 AS nll_gen
+          |  FROM iag i JOIN gag g USING (doc_id)),
+          |s AS (SELECT doc_id, n_bigrams, nll_in, nll_gen,
+          |    nll_in - nll_gen AS ml_score FROM j),
+          |r AS (SELECT *, ntile(3) OVER (ORDER BY ml_score, doc_id)
+          |    AS t3 FROM s)
+          |SELECT doc_id, n_bigrams, nll_in, nll_gen, ml_score,
+          |  CASE t3 WHEN 1 THEN 'select' WHEN 2 THEN 'middle'
+          |    ELSE 'reject' END AS ml_bucket
+          |FROM r ORDER BY doc_id""".stripMargin
       })
   )
 }

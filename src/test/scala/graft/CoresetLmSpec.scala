@@ -86,6 +86,44 @@ class CoresetLmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(100L) < rows(102L)) // fluent order beats shuffled
   }
 
+  test("moore-lewis: in-domain-like pool docs rank ahead of off-domain ones") {
+    import spark.implicits._
+    // in-domain (flag true): fluent "the cat sat on the mat" prose;
+    // pool: two docs echoing the in-domain phrasing, two with inverted
+    // word order the in-domain LM has never seen
+    val docs = ((1L to 10L).map(i =>
+        (i, "the cat sat on the mat and the dog sat too", true)) ++ Seq(
+      (101L, "the cat sat on the mat", false),
+      (102L, "the dog sat on the mat", false),
+      (103L, "mat the on sat cat the", false),
+      (104L, "too sat dog the and mat", false)
+    )).toDF("doc_id", "text", "is_in")
+    val got = graft.operators.TextAnalysis.mooreLewisSelect(
+        docs, "doc_id", "text", col("is_in"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getString(5)))).toMap
+    assert(got.keySet === Set(101L, 102L, 103L, 104L))
+    // echoes score strictly more in-domain than inversions
+    assert(got(101L)._1 < got(103L)._1 && got(102L)._1 < got(104L)._1)
+    assert(got(101L)._2 === "select")
+    // the worst-scoring pool doc always lands in the reject tercile
+    val worst = got.maxBy { case (id, (s, _)) => (s, id) }
+    assert(worst._2._2 === "reject")
+    assert(Set(103L, 104L).contains(worst._1))
+  }
+
+  test("moore-lewis: ml_score is exactly nll_in - nll_gen per row") {
+    import spark.implicits._
+    val docs = ((1L to 5L).map(i => (i, "a b c a b", true)) ++
+      (11L to 16L).map(i => (i, s"b a c b a ${"xq" * (i % 3).toInt}",
+        false))).toDF("doc_id", "text", "is_in")
+    graft.operators.TextAnalysis.mooreLewisSelect(
+        docs, "doc_id", "text", col("is_in"))
+      .collect().foreach { r =>
+        assert(r.getDouble(4) === r.getDouble(2) - r.getDouble(3))
+      }
+  }
+
   private def vecs(rows: Seq[(Long, Seq[Double])]) = {
     import spark.implicits._
     rows.toDF("vec_id", "embedding")
