@@ -837,6 +837,65 @@ object Similarity {
     picks.reduce(_ union _)
   }
 
+  /** Deterministic ±1 Achlioptas/JL sign matrix (Achlioptas 2003,
+    * "Database-friendly random projections"), derived from
+    * [[PlaneParams]] exactly like the p07 LSH hyperplanes so an ANSI
+    * oracle regenerates every entry: sign(j, i) flips on the parity
+    * of the LCG value at flat index j·inDim+i. Row j is the j-th
+    * output coordinate's sign vector. */
+  def jlSigns(inDim: Int, outDim: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val (a, b, p) = PlaneParams
+    (0 until outDim).map(j => (0 until inDim).map { i =>
+      if ((a * (j * inDim + i) + b) % p % 2 == 0) 1.0 else -1.0
+    })
+  }
+
+  /** Johnson–Lindenstrauss projection fidelity audit: project every
+    * embedding from `inDim` to `outDim` dims with the deterministic
+    * ±1 sign matrix ([[jlSigns]] — cosines are scale-invariant, so
+    * the 1/√k normalization is omitted) and report, for every
+    * adjacent id pair, the original-space cosine, the projected-space
+    * cosine, and the absolute distortion — the measurement a pipeline
+    * runs before swapping its ANN index to the cheaper projected
+    * vectors. Expected distortion for ±1 projections is O(1/√outDim);
+    * the report is what turns that theory into a per-corpus decision.
+    *
+    * Determinism: the sign literals are inlined into the projection
+    * expressions (the same rows the oracle regenerates), every dot
+    * product folds left-to-right, and both cosines micro-quantize —
+    * the row is four exact integers past the id.
+    *
+    * Scale shape: the projection is one narrow codegen pass (outDim
+    * folds over the vector — no join, no shuffle); the adjacent
+    * pairing is one hash join on id+1 (the p02 discipline). Nothing
+    * is quadratic and nothing exceeds vector-grain.
+    *
+    * Returns (idCol, cos_orig_micro, cos_proj_micro, err_micro) for
+    * every id with an id+1 neighbor, by id. */
+  def jlDistortionAdjacent(df: DataFrame, idCol: String,
+      vecCol: String, inDim: Int, outDim: Int): DataFrame = {
+    require(outDim >= 1 && outDim < inDim,
+      s"need 1 <= outDim $outDim < inDim $inDim")
+    val signs = jlSigns(inDim, outDim)
+    val projExpr = array(signs.map(row => expr(
+      s"""aggregate(zip_with(__v, array(${row.mkString(", ")}),
+         |  (x, s) -> x * s),
+         |  CAST(0 AS DOUBLE), (acc, w) -> acc + w)""".stripMargin)): _*)
+    val e = df.select(col(idCol).as("__id"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__p", projExpr)
+    val a = e.toDF("__id", "av", "ap")
+    val b = e.toDF("__bid", "bv", "bp")
+    a.join(b, col("__bid") === col("__id") + 1)
+      .select(col("__id").as(idCol),
+        round(cosineExpr("av", "bv") * 1000000, 0).cast("long")
+          .as("cos_orig_micro"),
+        round(cosineExpr("ap", "bp") * 1000000, 0).cast("long")
+          .as("cos_proj_micro"))
+      .withColumn("err_micro",
+        abs(col("cos_orig_micro") - col("cos_proj_micro")))
+  }
+
   /** Label-separation audit over a labeled embedding corpus — the
     * centroid silhouette: per ground-truth label, the mean cosine of
     * members to their OWN label centroid vs to the NEAREST OTHER

@@ -4712,6 +4712,40 @@ object Pipeline {
           |  CASE t3 WHEN 1 THEN 'select' WHEN 2 THEN 'middle'
           |    ELSE 'reject' END AS ml_bucket
           |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- p132: Johnson–Lindenstrauss projection fidelity — project
+    // 64-dim embeddings to 16 dims with the deterministic ±1
+    // Achlioptas sign matrix (LCG parity, the p07 hyperplane
+    // discipline) and report per-adjacent-pair cosine distortion.
+    // The measurement before switching ANN to cheaper projected
+    // vectors; the oracle regenerates every sign and replays both
+    // cosines exactly.
+    "p132_jl_distortion" -> Q(
+      (s, dir) => graft.operators.Similarity.jlDistortionAdjacent(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          inDim = 64, outDim = 16)
+        .orderBy(col("vec_id")),
+      Some {
+        val signs = graft.operators.Similarity.jlSigns(64, 16)
+        val projCols = signs.map(row =>
+          s"list_dot_product(v, CAST([${row.mkString(", ")}] AS DOUBLE[]))")
+          .mkString(",\n|      ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          |  FROM embeddings),
+          |p AS (SELECT vec_id, v, [
+          |      $projCols
+          |    ] AS pv FROM e)
+          |SELECT a.vec_id AS vec_id,
+          |  CAST(round(${duckCos("a.v", "b.v")} * 1000000) AS BIGINT)
+          |    AS cos_orig_micro,
+          |  CAST(round(${duckCos("a.pv", "b.pv")} * 1000000) AS BIGINT)
+          |    AS cos_proj_micro,
+          |  abs(CAST(round(${duckCos("a.v", "b.v")} * 1000000) AS BIGINT)
+          |    - CAST(round(${duckCos("a.pv", "b.pv")} * 1000000)
+          |      AS BIGINT)) AS err_micro
+          |FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+          |ORDER BY vec_id""".stripMargin
       })
   )
 }

@@ -122,4 +122,47 @@ class QualityAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 7, Seq(0.9, 0.1))))
     assert(got(7).isNullAt(3) && got(7).isNullAt(4))
   }
+
+  test("jl signs: deterministic ±1 matrix of the right shape") {
+    val s1 = Similarity.jlSigns(8, 4)
+    val s2 = Similarity.jlSigns(8, 4)
+    assert(s1 === s2)
+    assert(s1.length === 4 && s1.forall(_.length === 8))
+    assert(s1.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(s1.flatten.toSet.size === 2) // both signs occur
+  }
+
+  test("jl distortion: matches a local double replica exactly") {
+    import spark.implicits._
+    val vecs = (1L to 12L).map(i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.3 + d * 0.7))))
+    val got = Similarity.jlDistortionAdjacent(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        inDim = 8, outDim = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val signs = Similarity.jlSigns(8, 3)
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cosM(a: Seq[Double], b: Seq[Double]) =
+      math.round(dot(a, b) / (math.sqrt(dot(a, a)) *
+        math.sqrt(dot(b, b))) * 1e6)
+    def proj(v: Seq[Double]) = signs.map(row => dot(v, row))
+    val local = vecs.init.zip(vecs.tail).map { case ((i, va), (_, vb)) =>
+      val (co, cp) = (cosM(va, vb), cosM(proj(va), proj(vb)))
+      i -> ((co, cp, math.abs(co - cp)))
+    }.toMap
+    assert(got === local)
+  }
+
+  test("jl distortion: identical neighbors have zero distortion") {
+    import spark.implicits._
+    val v = (0 until 8).map(_.toDouble + 1)
+    val got = Similarity.jlDistortionAdjacent(
+        Seq((1L, v), (2L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", inDim = 8, outDim = 4)
+      .collect().head
+    assert(got.getLong(1) === 1000000L && got.getLong(2) === 1000000L)
+    assert(got.getLong(3) === 0L)
+  }
 }
