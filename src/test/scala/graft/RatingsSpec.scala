@@ -157,6 +157,39 @@ class RatingsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((np, nn, u2)))
   }
 
+  test("bradley-terry fuzz: 30 seeded random arenas match the local replica") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 30).foreach { i =>
+      val players = 2 + rnd.nextInt(6)
+      val n = 1 + rnd.nextInt(25)
+      val ms = (1 to n).map(_ =>
+        (rnd.nextInt(players).toLong, rnd.nextInt(players).toLong))
+        .filter(m => m._1 != m._2)
+      if (ms.nonEmpty) {
+        val rounds = 1 + rnd.nextInt(3)
+        assert(btSpark(ms, rounds) === btLocal(ms, rounds),
+          s"arena $i: $ms rounds=$rounds")
+      }
+    }
+  }
+
+  test("aucReport fuzz: 30 seeded random score sets match brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    (1 to 30).foreach { i =>
+      val n = 2 + rnd.nextInt(40)
+      // coarse scores force heavy ties; ensure both classes present
+      val rows = (1 to n).map(_ => (rnd.nextInt(6).toLong - 2,
+        if (rnd.nextBoolean()) 1L else -1L)) ++
+        Seq((0L, 1L), (1L, -1L))
+      val (np, nn, u2) = aucBrute(rows)
+      val got = Curation.aucReport(rows.toDF("score", "y"), "score", "y")
+        .collect().head
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+        ((np, nn, u2)), s"set $i: $rows")
+    }
+  }
+
   test("raterAgreement: hand kappa and NULL on constant raters") {
     import spark.implicits._
     // group g: n=4, agree=2, r1+=2, r2+=2 → pe2=8, num=4*2-8=0 → kappa 0
