@@ -14,7 +14,12 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
+    """A NEW connection per query: one long-lived connection
+    accumulates intermediate allocations across heavy scale-up
+    replays until DuckDB OOMs mid-batch and every later compare
+    fails on a 2 KB allocation (seen on the 35-entry 100x run).
+    Views are lazy, so rebuilding them costs nothing."""
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one file per table; ScaleGen scale-up dirs
@@ -29,6 +34,9 @@ def main(sf_dir, out_dir):
         elif not os.path.exists(p):
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, bad = [], []
     for name in sorted(os.listdir(out_dir)):
@@ -38,6 +46,7 @@ def main(sf_dir, out_dir):
         # progress to stderr (flushed): scale-up replays can take
         # minutes per oracle — make the slow one identifiable
         print(f"  .. {name}", file=sys.stderr, flush=True)
+        con = fresh_con(sf_dir)
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             bad.append((name, "no spark output")); continue
@@ -84,6 +93,7 @@ def main(sf_dir, out_dir):
                 f"{c}[{i}]: spark={g!r} oracle={e!r}" for c, i, g, e in diffs[:4])))
         else:
             ok.append((name, f"MATCH ({len(got)} rows)"))
+        con.close()
     for n, s in ok:
         print(f"  OK  {n}: {s}")
     for n, s in bad:

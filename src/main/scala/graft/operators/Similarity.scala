@@ -796,7 +796,10 @@ object Similarity {
     * argmax (the p30 k-means trick), so selection replays exactly on
     * any engine/partitioning. Already-selected centers sit at
     * distance 0 and are never re-picked while any uncovered point
-    * remains.
+    * remains; if k exceeds the number of distinct cosine directions,
+    * the remaining rounds deterministically re-emit the lowest-id
+    * zero-distance point (radius 0) rather than failing — callers
+    * wanting strictness should check for a 0 radius tail.
     *
     * Returns exactly k rows (rnk 1..k, id, radius_micro) in selection
     * order; radius_micro is the selected point's distance to the
