@@ -47,53 +47,58 @@ def main(sf_dir, out_dir):
         # minutes per oracle — make the slow one identifiable
         print(f"  .. {name}", file=sys.stderr, flush=True)
         con = fresh_con(sf_dir)
-        files = glob.glob(f"{d}/*.parquet")
-        if not files:
-            bad.append((name, "no spark output")); continue
+        # try/finally so EVERY exit path (including the continue
+        # branches) releases the connection — the fresh-connection
+        # OOM fix must not depend on CPython refcounting (r16 advice)
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
-        except Exception as e:
-            bad.append((name, f"spark parquet read failed: {e}")); continue
-        if name not in oracles:
-            status = f"rows-only ({len(got)} rows)"
-            (ok if len(got) > 0 else bad).append(
-                (name, status if len(got) > 0 else "EMPTY rows-only result"))
-            continue
-        try:
-            exp = con.execute(oracles[name]).fetchdf()
-        except Exception as e:
-            bad.append((name, f"oracle failed: {e}")); continue
-        got = got[sorted(got.columns)]
-        exp_cols = sorted(exp.columns)
-        if sorted(got.columns) != exp_cols:
-            bad.append((name, f"columns differ: spark={sorted(got.columns)} oracle={exp_cols}"))
-            continue
-        exp = exp[exp_cols]
-        if len(got) != len(exp):
-            bad.append((name, f"row count: spark={len(got)} oracle={len(exp)}"))
-            continue
-        diffs = []
-        for c in exp_cols:
-            gv, ev = got[c].tolist(), exp[c].tolist()
-            for i, (g, e) in enumerate(zip(gv, ev)):
-                if g is None and e is None:
-                    continue
-                if isinstance(g, float) and isinstance(e, float):
-                    if g != e and not (g != g and e != e):
+            files = glob.glob(f"{d}/*.parquet")
+            if not files:
+                bad.append((name, "no spark output")); continue
+            try:
+                got = con.execute(
+                    f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            except Exception as e:
+                bad.append((name, f"spark parquet read failed: {e}")); continue
+            if name not in oracles:
+                status = f"rows-only ({len(got)} rows)"
+                (ok if len(got) > 0 else bad).append(
+                    (name, status if len(got) > 0 else "EMPTY rows-only result"))
+                continue
+            try:
+                exp = con.execute(oracles[name]).fetchdf()
+            except Exception as e:
+                bad.append((name, f"oracle failed: {e}")); continue
+            got = got[sorted(got.columns)]
+            exp_cols = sorted(exp.columns)
+            if sorted(got.columns) != exp_cols:
+                bad.append((name, f"columns differ: spark={sorted(got.columns)} oracle={exp_cols}"))
+                continue
+            exp = exp[exp_cols]
+            if len(got) != len(exp):
+                bad.append((name, f"row count: spark={len(got)} oracle={len(exp)}"))
+                continue
+            diffs = []
+            for c in exp_cols:
+                gv, ev = got[c].tolist(), exp[c].tolist()
+                for i, (g, e) in enumerate(zip(gv, ev)):
+                    if g is None and e is None:
+                        continue
+                    if isinstance(g, float) and isinstance(e, float):
+                        if g != e and not (g != g and e != e):
+                            diffs.append((c, i, g, e))
+                    elif str(g) != str(e):
                         diffs.append((c, i, g, e))
-                elif str(g) != str(e):
-                    diffs.append((c, i, g, e))
+                    if len(diffs) > 3:
+                        break
                 if len(diffs) > 3:
                     break
-            if len(diffs) > 3:
-                break
-        if diffs:
-            bad.append((name, "value diffs: " + "; ".join(
-                f"{c}[{i}]: spark={g!r} oracle={e!r}" for c, i, g, e in diffs[:4])))
-        else:
-            ok.append((name, f"MATCH ({len(got)} rows)"))
-        con.close()
+            if diffs:
+                bad.append((name, "value diffs: " + "; ".join(
+                    f"{c}[{i}]: spark={g!r} oracle={e!r}" for c, i, g, e in diffs[:4])))
+            else:
+                ok.append((name, f"MATCH ({len(got)} rows)"))
+        finally:
+            con.close()
     for n, s in ok:
         print(f"  OK  {n}: {s}")
     for n, s in bad:

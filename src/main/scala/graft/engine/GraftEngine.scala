@@ -58,6 +58,17 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       .contains(graft.plans.BandedRangeJoin))
     spark.experimental.extraOptimizations ++= Seq(graft.plans.BandedRangeJoin)
 
+  // ---- session registry (SHOW PROCESSLIST / KILL) ------------------
+  // Connection pools (HikariCP health probes, mysqladmin) issue SHOW
+  // PROCESSLIST and KILL; the registry is the synthesized-resultset
+  // source and the KILL target index. ConcurrentHashMap because
+  // registration happens on connection threads outside the statement
+  // locks. Declared BEFORE the default session below — GraftSession's
+  // constructor registers itself here.
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val liveSessions =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, GraftSession]()
+
   /** Default session — the engine's own "connection". Additional
     * connections call [[newSession]] and get isolated current-schema
     * and prepared-statement state (reference: one `Execution` per
@@ -66,6 +77,20 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
 
   /** Open a new, isolated session against the shared catalog. */
   def newSession(): GraftSession = new GraftSession(this)
+
+  private[engine] def nextSessionId(): Long = sessionSeq.incrementAndGet()
+  private[engine] def register(s: GraftSession): Unit =
+    liveSessions.put(s.id, s)
+  private[engine] def deregister(s: GraftSession): Unit =
+    liveSessions.remove(s.id)
+  private[engine] def sessionById(id: Long): Option[GraftSession] =
+    Option(liveSessions.get(id))
+  private[engine] def allSessions: Seq[GraftSession] = {
+    val it = liveSessions.values.iterator()
+    val b = Seq.newBuilder[GraftSession]
+    while (it.hasNext) b += it.next()
+    b.result().sortBy(_.id)
+  }
 
   /** Statement concurrency. Reads — SELECT/EXPLAIN/SHOW/DESCRIBE/USE
     * and the transaction no-ops — share the read lock and run
@@ -148,7 +173,12 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       statementRaw: String): GraftResult = {
     val stmt = statementRaw.trim.stripSuffix(";").trim
     if (stmt.isEmpty) throw Errors.generic("empty statement")
+    if (ses.killed)
+      throw GraftException(1317, "Query execution was interrupted " +
+        s"(connection ${ses.id} was killed)")
     val lower = stmt.toLowerCase
+    ses.busy = true; ses.lastInfo = stmt
+    ses.stateSince = System.currentTimeMillis
     // BEGIN/COMMIT/ROLLBACK take the WRITE lock: they mutate the
     // engine-wide GC pin registry (txnPins), and ROLLBACK re-commits
     // table images
@@ -156,7 +186,8 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       lower.startsWith("values") || lower.startsWith("(") ||
       lower.startsWith("explain") || lower.startsWith("show") ||
       lower.startsWith("desc") || lower.startsWith("use") ||
-      lower.startsWith("set") || lower.startsWith("analyze")
+      lower.startsWith("set") || lower.startsWith("analyze") ||
+      lower.startsWith("kill") // flips one volatile flag — no catalog
     val l: java.util.concurrent.locks.Lock =
       if (readOnly) lock.readLock() else lock.writeLock()
     // save/restore instead of set/remove: EXPLAIN re-enters sqlAs for
@@ -213,6 +244,7 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
       }
       else if (lower.startsWith("commit")) { endTxn(ses); AffectedRows(0) }
       else if (lower.startsWith("rollback")) doRollback(ses)
+      else if (lower.startsWith("kill")) doKill(stmt)
       else throw Errors.generic(s"unsupported statement: ${stmt.take(60)}")
     } catch {
       case e: GraftException => throw e
@@ -224,7 +256,26 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
     } finally {
       l.unlock()
       activeTL.set(prev)
+      ses.busy = false
+      ses.stateSince = System.currentTimeMillis
     }
+  }
+
+  /** `KILL [CONNECTION | QUERY] <id>` — marks the target session
+    * killed: its next statement fails with 1317 and the wire loop
+    * closes its connection at the next command. QUERY and CONNECTION
+    * behave identically here (statement-boundary semantics — see
+    * [[GraftSession.killed]]); unknown ids raise MySQL's 1094. A
+    * session may kill itself (mysqladmin does). */
+  private def doKill(stmt: String): GraftResult = {
+    val m = "(?is)kill\\s+(?:connection\\s+|query\\s+)?(\\d+)\\s*$".r
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw Errors.generic(s"cannot parse: $stmt"))
+    val id = m.group(1).toLong
+    val target = sessionById(id)
+      .getOrElse(throw GraftException(1094, s"Unknown thread id: $id"))
+    target.killed = true
+    AffectedRows(0)
   }
 
   /** Convenience: run and return the DataFrame of a result set. */
@@ -2684,6 +2735,20 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
         ("Update", "Tables", "To update existing rows"),
         ("Delete", "Tables", "To delete existing rows"))
         .toDF("Privilege", "Context", "Comment"))
+    } else if (lower.matches("show (full )?processlist")) {
+      // synthesized from the live-session registry (§2.9's pattern);
+      // the calling session shows as Query/executing with this very
+      // statement as Info — MySQL's own behavior
+      val now = System.currentTimeMillis
+      val rows = allSessions.map { s =>
+        (s.id, "root", "localhost", s.currentSchema.orNull,
+          if (s.busy) "Query" else "Sleep",
+          math.max(0L, (now - s.stateSince) / 1000L),
+          if (s.busy) "executing" else "",
+          if (s.busy) s.lastInfo else null)
+      }
+      ResultSet(rows.toDF("Id", "User", "Host", "db", "Command",
+        "Time", "State", "Info"))
     } else if (lower.startsWith("show table status")) {
       val db = "(?is)\\s(?:from|in)\\s+(\\w+)".r.findFirstMatchIn(stmt)
         .map(g => ident(g.group(1)))

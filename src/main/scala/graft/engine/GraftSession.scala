@@ -20,6 +20,32 @@ import org.apache.spark.sql.DataFrame
   */
 class GraftSession private[engine] (val engine: GraftEngine) {
 
+  /** Connection id — the `Id` column of SHOW PROCESSLIST and the
+    * KILL target (MySQL thread id semantics). Assigned once, never
+    * reused within an engine. */
+  val id: Long = engine.nextSessionId()
+
+  /** KILL CONNECTION flag: a killed session rejects every further
+    * statement with error 1317 (query interrupted). Deviation note:
+    * the kill takes effect at the next STATEMENT boundary — an
+    * in-flight Spark job is not interrupted mid-stage (the reference
+    * has no KILL at all; this is the compat surface pools and
+    * `mysqladmin` need). */
+  @volatile private[engine] var killed: Boolean = false
+  def isKilled: Boolean = killed
+
+  // PROCESSLIST bookkeeping: current/most recent statement + state
+  @volatile private[engine] var busy: Boolean = false
+  @volatile private[engine] var lastInfo: String = null
+  @volatile private[engine] var stateSince: Long = System.currentTimeMillis
+  engine.register(this)
+
+  /** Deregister from the engine's PROCESSLIST registry. Idempotent;
+    * the wire layer calls this when a connection ends. A session that
+    * is never closed simply keeps its PROCESSLIST row (matching a
+    * leaked connection in MySQL). */
+  def close(): Unit = engine.deregister(this)
+
   /** Session default schema — USE / error 1046 scope. */
   @volatile var currentSchema: Option[String] = None
 

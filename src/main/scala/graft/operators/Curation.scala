@@ -585,9 +585,13 @@ object Curation {
     * multiplied thresholds — e.g. mean-word-length ∈ [3,10] as
     * 3n ≤ Σlen ≤ 10n), so the verdicts replay bit-for-bit in ANSI
     * SQL; the two reported ratios are presentation-only doubles.
-    * One narrow codegen pass (token HOFs), zero shuffles before the
-    * caller's aggregation — the cheapest gate in the funnel, which is
-    * why it runs first.
+    * The symbol count covers '#', the ASCII three-dot '...', AND the
+    * real ellipsis character '…' (U+2026) — the r16 ADVICE fix; the
+    * DuckDB oracles mirror all three. One narrow codegen pass (the
+    * [[graft.functions.TokenStats]] expression — every counter folds
+    * in a single whole-stage-codegen scan, no interpreted HOF
+    * lambdas), zero shuffles before the caller's aggregation — the
+    * cheapest gate in the funnel, which is why it runs first.
     *
     * Returns (idCol, n_words, mean_word_len 4dp, alpha_frac 4dp,
     * n_stop_distinct, n_sym, keep). */
@@ -596,22 +600,14 @@ object Curation {
         "that", "have", "with"), minStops: Int = 2): DataFrame = {
     require(stopWords.nonEmpty && stopWords.forall(_.matches("[a-z]+")),
       s"stop set must be non-empty lowercase words: $stopWords")
-    val stops = stopWords.map(w => s"'$w'").mkString(",")
-    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"),
-        col(textCol).as("__tx"))
+    df.select(col(idCol),
+        graft.functions.TokenStats(col(textCol), stopWords).as("__ts"))
       .select(col(idCol),
-        size(col("__tk")).cast("long").as("n_words"),
-        expr("aggregate(transform(__tk, x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)")
-          .as("__chars"),
-        expr("CAST(size(filter(__tk, x -> x rlike '[a-z]')) AS BIGINT)")
-          .as("__alpha"),
-        expr(s"CAST(size(array_distinct(filter(__tk, x -> x IN ($stops)))) AS BIGINT)")
-          .as("n_stop_distinct"),
-        (length(col("__tx")) -
-          length(regexp_replace(col("__tx"), "#", "")) +
-          (length(col("__tx")) -
-            length(regexp_replace(col("__tx"), "\\.\\.\\.", ""))) / 3)
-          .cast("long").as("n_sym"))
+        col("__ts.n_words").as("n_words"),
+        col("__ts.chars").as("__chars"),
+        col("__ts.alpha").as("__alpha"),
+        col("__ts.stop_distinct").as("n_stop_distinct"),
+        col("__ts.n_sym").as("n_sym"))
       .select(col(idCol), col("n_words"),
         round(col("__chars").cast("double") /
           col("n_words").cast("double"), 4).as("mean_word_len"),
@@ -657,9 +653,26 @@ object Curation {
     * runs on a labeled sample, not the raw corpus; gate the corpus
     * with the trained threshold instead).
     *
+    * Input contract: `scoreCol` must already be an INTEGRAL column
+    * (the perceptron's dot products, micro-quantized doubles, rank
+    * positions, …) — enforced, not silently cast, because truncating
+    * fractional scores to long would merge distinct scores into
+    * false tie groups and change the AUC with no error (r16 advice).
+    * Callers with double scores choose their own quantization
+    * (`round(score * 1e6).cast("long")`) explicitly.
+    *
     * Returns ONE row (n_pos, n_neg, u2, auc 6dp). */
   def aucReport(scored: DataFrame, scoreCol: String,
       labelCol: String): DataFrame = {
+    val st = scored.schema(scoreCol).dataType
+    require(st == org.apache.spark.sql.types.LongType ||
+      st == org.apache.spark.sql.types.IntegerType ||
+      st == org.apache.spark.sql.types.ShortType ||
+      st == org.apache.spark.sql.types.ByteType,
+      s"aucReport: score column '$scoreCol' must be integral (got " +
+        s"$st) — quantize doubles explicitly, e.g. " +
+        "round(score * 1e6).cast(\"long\"), so tie groups are chosen, " +
+        "not an artifact of a silent cast")
     // score-grain frame feeds BOTH the bucket-offset branch and the
     // main prefix join; an eager lineage cut computes the (possibly
     // expensive — e.g. a trained classifier's) upstream exactly once

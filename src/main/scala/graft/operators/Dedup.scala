@@ -252,13 +252,18 @@ object Dedup {
     * halve the pair space, distinct across bands. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    // cache: the self-join needs the bucket table twice and Spark has
-    // no cross-branch subplan reuse — without this the whole
-    // shingle→hash→band pipeline runs once per side (MLlib's
-    // MinHashLSH.approxSimilarityJoin caches for the same reason)
+    // eager localCheckpoint: the self-join needs the bucket table
+    // twice and Spark has no cross-branch subplan reuse — without
+    // this the whole shingle→hash→band pipeline runs once per side
+    // (MLlib's MinHashLSH.approxSimilarityJoin caches for the same
+    // reason). localCheckpoint instead of persist because the
+    // returned pair frame stays lazy and still reads the table — a
+    // persist here could never be unpersisted and would accumulate
+    // in long-lived sessions (r16 verdict item 3); checkpoint blocks
+    // free on GC with no cache-manager entry.
     val b = lshBuckets(
       minhashSignatures(df, idCol, textCol, numHashes), idCol, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val l = b.toDF("a_id", "band_idx", "band_hash")
     val r = b.toDF("b_id", "band_idx", "band_hash")
     l.join(r, Seq("band_idx", "band_hash"))
@@ -466,18 +471,24 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         expr("CAST(round(CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE)" +
           " * 1000000) AS BIGINT)").as("true_jac_micro"))
-    est.join(truth, Seq("a_id", "b_id"))
+    // pair-grain output materialized eagerly so all three caches
+    // release before returning (the bradleyTerryMicro discipline)
+    val out = est.join(truth, Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), col("est_jac_micro"),
         col("true_jac_micro"),
         abs(col("est_jac_micro") - col("true_jac_micro")).as("err_micro"))
+      .localCheckpoint(eager = true)
+    Seq(sigCols, cand, hs).foreach(_.unpersist(blocking = false))
+    out
   }
 
   def minhashCandidatesPortable(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 32, rowsPerBand: Int = 4,
       shingleSize: Int = 3): DataFrame = {
+    // eager localCheckpoint, not persist — see minhashCandidates
     val bands = minhashBandsPortable(df, idCol, textCol, numHashes,
         rowsPerBand, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val l = bands.toDF("a_id", "band_idx", "band_key")
     val r = bands.toDF("b_id", "band_idx", "band_key")
     l.join(r, Seq("band_idx", "band_key"))
@@ -519,13 +530,14 @@ object Dedup {
   def simhashBandCandidates(fp: DataFrame, idCol: String,
       bands: Int = 4, bitsPerBand: Int = 15): DataFrame = {
     val mask = (1L << bitsPerBand) - 1
-    // persist: the self-join reads the bucket table twice and Spark
-    // has no cross-branch subplan reuse — without this the whole
-    // fingerprint pipeline upstream runs once per side
+    // eager localCheckpoint: the self-join reads the bucket table
+    // twice and Spark has no cross-branch subplan reuse — without
+    // this the whole fingerprint pipeline upstream runs once per
+    // side (localCheckpoint, not persist — see minhashCandidates)
     val b = fp.select(col(idCol), posexplode(array((0 until bands).map(j =>
         shiftright(col("simhash"), j * bitsPerBand).bitwiseAND(lit(mask))): _*))
       .as(Seq("band_idx", "band_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val l = b.toDF("a_id", "band_idx", "band_val")
     val r = b.toDF("b_id", "band_idx", "band_val")
     l.join(r, Seq("band_idx", "band_val"))
@@ -584,19 +596,19 @@ object Dedup {
     // `shingleStorage` for the candidate cache (O(candidates), usually
     // far smaller than shingles): NONE re-runs the miner per branch
     // instead of caching.
-    val p =
-      if (pairsStorage == org.apache.spark.storage.StorageLevel.NONE) pairs
-      else pairs.persist(pairsStorage)
+    val cachePairs =
+      pairsStorage != org.apache.spark.storage.StorageLevel.NONE
+    val cacheShingles =
+      shingleStorage != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (cachePairs) pairs.persist(pairsStorage) else pairs
     val rows0 = shingleHashRows(df, idCol, textCol)
-    val rows =
-      if (shingleStorage == org.apache.spark.storage.StorageLevel.NONE) rows0
-      else rows0.persist(shingleStorage)
+    val rows = if (cacheShingles) rows0.persist(shingleStorage) else rows0
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val inter = p
       .join(rows.toDF("a_id", "s"), Seq("a_id"))
       .join(rows.toDF("b_id", "s"), Seq("b_id", "s"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
-    p
+    val full = p
       .join(sizes.toDF("a_id", "a_n"), Seq("a_id"))
       .join(sizes.toDF("b_id", "b_n"), Seq("b_id"))
       .join(inter, Seq("a_id", "b_id"), "left")
@@ -612,6 +624,17 @@ object Dedup {
           .as("containment_a"),
         (col("n_inter").cast("double") / col("b_n").cast("double"))
           .as("containment_b"))
+    // when anything was cached: eagerly materialize the pair-grain
+    // output and release the caches before returning (the
+    // bradleyTerryMicro discipline). NONE-storage callers keep the
+    // fully lazy plan they asked for.
+    if (!cachePairs && !cacheShingles) full
+    else {
+      val out = full.localCheckpoint(eager = true)
+      if (cachePairs) p.unpersist(blocking = false)
+      if (cacheShingles) rows.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Connected components over a verified candidate-pair edge list
@@ -778,7 +801,9 @@ object Dedup {
     * because both the count aggregate and the tagging join consume
     * it; that cache is O(corpus positions × 12 B) — at 100 TB prefer
     * the recompute trade (drop the persist; the codegen pass is
-    * scan-speed) or checkpoint to cluster storage. */
+    * scan-speed) or checkpoint to cluster storage. The doc-grain
+    * result is materialized eagerly and the cache released before
+    * returning, so long-lived sessions accumulate nothing. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val g = df.select(col(idCol),
@@ -786,13 +811,18 @@ object Dedup {
           distinct = false)).as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = g.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
-    g.join(counts, Seq("gh"))
+    // doc-grain output (4 narrow columns) materialized eagerly so the
+    // positional cache releases before returning
+    val out = g.join(counts, Seq("gh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
       .select(col(idCol), col("n_grams"), col("n_dup_grams"),
         (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
           .as("dup_frac"))
+      .localCheckpoint(eager = true)
+    g.unpersist(blocking = false)
+    out
   }
 
   /** Maximal exact duplicated substrings (Lee et al. 2022,
@@ -836,10 +866,12 @@ object Dedup {
     * 12 B). At 100 TB prefer the recompute trade (`cachePositions =
     * false`: the codegen gram pass is scan-speed, so each consumer
     * re-reads the scan instead of a corpus-sized cache) or
-    * checkpoint the stream to cluster storage. Library callers in a
-    * long-lived session should `spark.catalog.clearCache()` (or act
-    * on the result promptly) — the cached stream is not unpersisted
-    * here because the returned frame is lazy and still references it.
+    * checkpoint the stream to cluster storage. The span result is
+    * materialized eagerly (localCheckpoint — it is span-sized, tiny
+    * next to the positional stream) so the cache is RELEASED before
+    * returning: long-lived engine sessions accumulate nothing (the
+    * [[Ratings.bradleyTerryMicro]] cached-buffer discipline, r16
+    * verdict item 3).
     *
     * Returns (a_id, b_id, a_pos, b_pos, span_tokens) — 1-based token
     * positions, one row per MAXIMAL cross-doc span ≥ `minTokens`
@@ -866,7 +898,15 @@ object Dedup {
       .join(gk.toDF("b_id", "b_pos", "gh"), Seq("gh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
-    mergeRuns(m, n, minTokens)
+    val spans = mergeRuns(m, n, minTokens)
+    if (!cachePositions) spans
+    else {
+      // eager span materialization → the positional cache is fully
+      // consumed and can be released before returning
+      val out = spans.localCheckpoint(eager = true)
+      g.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Companion report for [[exactSubstringSpans]]' hot-gram cap: how
@@ -1009,7 +1049,12 @@ object Dedup {
       .join(gr.toDF("b_id", "b_pos", "gh"), Seq("gh"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_pos"), col("b_pos"))
-    mergeRuns(m, n, minTokens)
+    // eager span materialization releases the training-side
+    // positional cache before returning (the bradleyTerryMicro
+    // cached-buffer discipline)
+    val out = mergeRuns(m, n, minTokens).localCheckpoint(eager = true)
+    gr0.unpersist(blocking = false)
+    out
   }
 
   /** One row per n-gram POSITION: (id, 1-based pos, poly gram hash)
@@ -1253,11 +1298,16 @@ object Dedup {
     // once (it is tiny: boundaries over the cap, the skew tail)
     val dropped = hot(pre).union(hot(suf)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    suf.join(dropped, Seq("boundary"), "left_anti")
+    // pair-grain output materialized eagerly so both caches release
+    // before returning (the bradleyTerryMicro discipline)
+    val out = suf.join(dropped, Seq("boundary"), "left_anti")
       .join(pre.join(dropped, Seq("boundary"), "left_anti"),
         Seq("boundary"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), col("boundary"))
+      .localCheckpoint(eager = true)
+    Seq(t, dropped).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Companion report for [[stitchPairs]]' boundary-frequency cap:

@@ -43,6 +43,14 @@ object Ratings {
     * result is materialized eagerly (localCheckpoint) so every
     * intermediate cache is released before returning.
     *
+    * Long-exactness bound (the [[Curation.kneserNeyScore]] doc
+    * convention): each denominator term is n_ij·1e12 with the divisor
+    * ≥ 1, so the math is overflow-free while no single unordered
+    * player pair accumulates more than ~9.2e6 decided matches
+    * (2^63 / 1e12) — two orders past any arena's per-pair replay
+    * count. Corpora beyond that should pre-aggregate matches to a
+    * coarser pair grain (e.g. per epoch) before calling.
+    *
     * Returns (player, bt_micro, n_matches, n_wins) — one row per
     * player that appears in at least one non-self match. */
   def bradleyTerryMicro(matches: DataFrame, winnerCol: String,

@@ -166,8 +166,12 @@ object Similarity {
     * [[clusterQuality]] (which aggregates it). */
   private def kmeansScored(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int): DataFrame = {
+    // eager localCheckpoint, not persist: the Lloyd rounds AND the
+    // returned lazy assignment all read this frame, so a persist
+    // could never be unpersisted — checkpoint blocks free on GC with
+    // no cache-manager entry (r16 verdict item 3)
     val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     def assignTo(cents: DataFrame): DataFrame = {
       val scored = e.crossJoin(broadcast(cents))
         .select(col(idCol), col("v"), col("cell"),
@@ -198,9 +202,11 @@ object Similarity {
 
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2): DataFrame = {
+    // localCheckpoint, not persist — both the sizes aggregate and the
+    // returned lazy join read it (see kmeansScored's cache note)
     val fin = kmeansScored(corpus, idCol, vecCol, k, iters)
       .select(col(idCol), col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val sizes = fin.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
     fin.join(broadcast(sizes), Seq("cell"))
       .select(col(idCol), col("cell"), col("n_members"))
@@ -256,8 +262,10 @@ object Similarity {
     val asg = kmeansAssign(corpus, idCol, vecCol, k, iters)
       .select(col(idCol), col("cell"))
     val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    // localCheckpoint, not persist — read by both self-join sides and
+    // the returned lazy tagging join (see kmeansScored's cache note)
     val withV = asg.join(e, Seq(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val lhs = withV.select(col("cell"), col(idCol).as("a_id"),
       col("v").as("av"))
     val rhs = withV.select(col("cell"), col(idCol).as("b_id"),
@@ -498,7 +506,13 @@ object Similarity {
       .join(broadcast(qn), Seq("q_id"))
       .select(col("q_id"), col("neighbor_id"),
         cosineExpr("qv0", "nv0").as("score"))
-    TopK.perKey(rer, Seq("q_id"), "neighbor_id", "score", k)
+    // top-k output is query-bounded and tiny: materialize eagerly and
+    // release both caches before returning (the bradleyTerryMicro
+    // discipline, r16 verdict item 3)
+    val out = TopK.perKey(rer, Seq("q_id"), "neighbor_id", "score", k)
+      .localCheckpoint(eager = true)
+    Seq(c, q0).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** LSH-bucketed ANN: join query buckets to corpus buckets, exact
@@ -823,11 +837,15 @@ object Similarity {
       seed.select(lit(1L).as("rnk"), col("cid").as(idCol),
         lit(null).cast("long").as("radius_micro")))
     (2 to k).foreach { r =>
+      // farthest point, ties on the SMALLEST id: min of the struct
+      // (-dmin, id) is one ordered aggregate and — unlike the old
+      // (__id * -1) negation — works for any orderable id type
+      // (strings included), not just numeric ids (r16 advice)
       val top = md
-        .select(max(struct(col("__dmin"), (col("__id") * -1).as("nid"),
+        .select(min(struct((col("__dmin") * -1).as("nd"), col("__id"),
           col("__v"))).as("m"))
-        .select((col("m.nid") * -1).as("cid"), col("m.__v").as("cv"),
-          col("m.__dmin").as("rad"))
+        .select(col("m.__id").as("cid"), col("m.__v").as("cv"),
+          (col("m.nd") * -1).as("rad"))
         .localCheckpoint(eager = true)
       picks += top.select(lit(r.toLong).as("rnk"), col("cid").as(idCol),
         col("rad").as("radius_micro"))

@@ -57,21 +57,23 @@ object TextAnalysis {
 
   /** Quality signals: token count, mean token length, punctuation
     * ratio, stopword ratio, uppercase ratio. Ratios are exact
-    * integer/integer double divisions — reproducible across engines. */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.select(col(idCol), Dedup.tokens(t).as("tk"), t.as("txt"))
+    * integer/integer double divisions — reproducible across engines.
+    * All five counters come from the single-scan codegen
+    * [[graft.functions.TokenStats]] expression (no interpreted HOF
+    * lambdas, no per-metric regexp_replace re-scan of the text). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TokenStats(col(textCol), stopwordsEn).as("__ts"))
       .select(col(idCol),
-        size(col("tk")).cast("long").as("n_tokens"),
-        (length(col("txt")).cast("double") / size(col("tk")).cast("double"))
-          .as("chars_per_token"),
-        ((length(col("txt")) - length(regexp_replace(col("txt"), "[.,!?;:]", "")))
-          .cast("double") / length(col("txt")).cast("double")).as("punct_ratio"),
-        (expr(s"size(filter(tk, x -> x IN ${inList(stopwordsEn)}))")
-          .cast("double") / size(col("tk")).cast("double")).as("stopword_ratio"),
-        ((length(col("txt")) - length(regexp_replace(col("txt"), "[A-Z]", "")))
-          .cast("double") / length(col("txt")).cast("double")).as("upper_ratio"))
-  }
+        col("__ts.n_words").as("n_tokens"),
+        (col("__ts.n_chars").cast("double") /
+          col("__ts.n_words").cast("double")).as("chars_per_token"),
+        (col("__ts.n_punct").cast("double") /
+          col("__ts.n_chars").cast("double")).as("punct_ratio"),
+        (col("__ts.stop_hits").cast("double") /
+          col("__ts.n_words").cast("double")).as("stopword_ratio"),
+        (col("__ts.n_upper").cast("double") /
+          col("__ts.n_chars").cast("double")).as("upper_ratio"))
 
   /** Token counting: whitespace tokens plus a BPE-ish regex
     * segmentation (letter runs / digit runs / single punctuation). */

@@ -752,7 +752,8 @@ object EventsQ {
           |      ('the','a'))))
           |      AS BIGINT) AS n_stop,
           |    CAST((length(text) - length(replace(text, '#', ''))) +
-          |      (length(text) - length(replace(text, '...', ''))) / 3
+          |      (length(text) - length(replace(text, '...', ''))) / 3 +
+          |      (length(text) - length(replace(text, '…', '')))
           |      AS BIGINT) AS n_sym
           |  FROM t)
           |SELECT source,

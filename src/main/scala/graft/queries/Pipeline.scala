@@ -4389,13 +4389,15 @@ object Pipeline {
     // one double divide per language.
     "p125_rater_agreement" -> Q(
       (s, dir) => {
+        // all three rater counters fold in the single-scan codegen
+        // TokenStats pass (the r16 interpreted-HOF cost class fix)
         val docs = tbl(s, dir, "documents")
-          .withColumn("__tk", graft.operators.Dedup.tokens(col("text")))
-        val r1 = expr("""size(filter(__tk, x -> x IN ('the','a','an',
-          |'and','or','of','to','in','is','it'))) * 1000""".stripMargin)
-          .geq(expr("size(__tk) * 60"))
-        val r2 = (size(array_distinct(col("__tk"))) * 2)
-          .geq(size(col("__tk")))
+          .withColumn("__ts", graft.functions.TokenStats(col("text"),
+            Seq("the", "a", "an", "and", "or", "of", "to", "in",
+              "is", "it")))
+        val r1 = (col("__ts.stop_hits") * 1000)
+          .geq(col("__ts.n_words") * 60)
+        val r2 = (col("__ts.n_distinct") * 2).geq(col("__ts.n_words"))
         graft.operators.Curation.raterAgreement(docs, "lang", r1, r2)
           .orderBy(col("lang"))
       },
@@ -4589,7 +4591,8 @@ object Pipeline {
           |      ('the','a'))))
           |      AS BIGINT) AS n_stop_distinct,
           |    CAST((length(text) - length(replace(text, '#', ''))) +
-          |      (length(text) - length(replace(text, '...', ''))) / 3
+          |      (length(text) - length(replace(text, '...', ''))) / 3 +
+          |      (length(text) - length(replace(text, '…', '')))
           |      AS BIGINT) AS n_sym
           |  FROM t)
           |SELECT doc_id, n_words,

@@ -90,7 +90,10 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
       val salt = Array.tabulate[Byte](20)(i => (0x41 + (i % 26)).toByte)
       val hs = new Writer()
         .int1(10).nulStr("8.0.25-graft")
-        .int4(connIds.get().toLong)
+        // thread id = the engine session id, so the id a client reads
+        // from its handshake (or SHOW PROCESSLIST) is the one KILL
+        // targets — MySQL's contract
+        .int4(session.id)
         .bytes(salt.take(8)).int1(0)
         .int2(caps & 0xffff)
         .int1(255 /* utf8mb4 */).int2(0x0002)
@@ -114,7 +117,31 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
           try session.sql(s"use `$db`")
           catch { case _: GraftException => () } // match lenient servers: report at first statement
       }
-      writePacket(out, 2, ok(0)); out.flush()
+      // auth-plugin negotiation: the handshake announces 8.0.25, so
+      // real 8.x clients (Connector/J, libmysqlclient) default to
+      // caching_sha2_password and hash the scramble with THAT plugin.
+      // Credentials are accepted unchecked either way (the reference
+      // never validates auth, handle.rs) — but the negotiation frames
+      // must be well-formed or the client aborts: when the client
+      // named a different plugin, send AuthSwitchRequest (0xFE +
+      // plugin + salt) asking for mysql_native_password, read the
+      // re-hashed response, and only then OK. Clients already on
+      // native password (or with no plugin capability) skip straight
+      // to OK.
+      var okSeq = 2
+      if ((clientCaps & ClientPluginAuth) != 0 && r.remaining > 0) {
+        val plugin = r.nulStr()
+        if (plugin.nonEmpty && plugin != "mysql_native_password") {
+          val switch = new Writer()
+            .int1(0xfe).nulStr("mysql_native_password")
+            .bytes(salt).int1(0)
+            .result()
+          writePacket(out, okSeq, switch); out.flush()
+          val (respSeq, _) = readPacket(in) // 20-byte scramble — unchecked
+          okSeq = respSeq + 1
+        }
+      }
+      writePacket(out, okSeq, ok(0)); out.flush()
 
       // ---- command loop -------------------------------------------
       // CLIENT_MULTI_STATEMENTS is negotiated at handshake but
@@ -125,7 +152,15 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
       while (open && running.get()) {
         val (_, cmd) = readPacket(in)
         val c = new Reader(cmd)
-        c.int1() match {
+        // KILL <this connection>: reject the next command with the
+        // kill error and drop the connection (statement-boundary
+        // semantics — a blocked read is woken by the client's own
+        // next command, like MySQL's boundary checks)
+        if (session.isKilled) {
+          flushPackets(1, Seq(err(1317,
+            s"Connection was killed")))
+          open = false
+        } else c.int1() match {
           case ComQuit => open = false
           case ComPing => flushPackets(1, Seq(ok(0)))
           case ComInitDb =>
@@ -341,7 +376,10 @@ class MysqlServer(engine: GraftEngine, port: Int = 0) {
       case _: java.io.EOFException => () // client went away
       case e: Throwable if running.get() =>
         System.err.println(s"[wire] connection: ${e.getMessage}")
-    } finally sock.close()
+    } finally {
+      session.close() // drop the PROCESSLIST row with the connection
+      sock.close()
+    }
   }
 
   /** COM_QUERY: run through the engine, frame the result. */

@@ -1305,4 +1305,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(e2.sql("select id, v from t order by id")) ==
       Seq(Seq(1, 10), Seq(2, 20)))
   }
+
+  // ---- SHOW PROCESSLIST / KILL (r16 verdict item 6) ----------------
+  test("show processlist reflects the session registry; kill marks " +
+    "the target") {
+    val e = freshEngine()
+    val s1 = e.newSession()
+    val s2 = e.newSession()
+    val r = rows(e.sql("show processlist"))
+    val ids = r.map(_.head.asInstanceOf[Long])
+    // the engine's default session + both new ones are listed
+    assert(ids.contains(e.session.id))
+    assert(ids.contains(s1.id) && ids.contains(s2.id))
+    // the session running the statement is the busy one
+    val self = r.find(_.head == e.session.id).get
+    assert(self(4) == "Query" && self(7) == "show processlist")
+    assert(r.find(_.head == s1.id).get(4) == "Sleep")
+    // unknown id → MySQL 1094
+    val unknown = intercept[GraftException](e.sql("kill 424242"))
+    assert(unknown.code == 1094)
+    // KILL CONNECTION: the victim's next statement raises 1317 and
+    // its registry row survives until close()
+    assert(e.sql(s"kill connection ${s2.id}") == AffectedRows(0))
+    val dead = intercept[GraftException](s2.sql("select 1"))
+    assert(dead.code == 1317)
+    s2.close()
+    val after = rows(e.sql("show processlist")).map(_.head)
+    assert(!after.contains(s2.id) && after.contains(s1.id))
+    // KILL QUERY parses too (same statement-boundary semantics)
+    assert(e.sql(s"kill query ${s1.id}") == AffectedRows(0))
+    assert(intercept[GraftException](s1.sql("select 1")).code == 1317)
+    s1.close()
+  }
 }

@@ -470,6 +470,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(segs.size >= 2, s"expected appended segments, got ${segs.size}")
   }
 
+  test("crash-injection fuzz: a kill between sink write and " +
+    "checkpoint commit replays to the exact batch image") {
+    import spark.implicits._
+    // 6 part files → 6 micro-batches under maxFilesPerTrigger=1; the
+    // value is a pure function of the key so replay at ANY batch
+    // boundary must converge to the batch-computed image
+    val src = java.nio.file.Files.createTempDirectory("graft_crash_src_")
+      .toString + "/feed.parquet"
+    spark.range(1, 241).repartition(6)
+      .selectExpr("id", "concat('v', id % 7) as typ").write.parquet(src)
+    val expected = spark.read.parquet(src)
+      .selectExpr("id", "typ").as[(Long, String)].collect().toSeq.sorted
+    def stream = spark.readStream.schema("id LONG, typ STRING")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val rnd = new scala.util.Random(20260816L)
+    // seeded trials over the two crash points the exactly-once
+    // argument must survive: BEFORE the sink write (batch lost, plain
+    // replay) and AFTER it (batch DOUBLE-delivered — the upsert must
+    // absorb the duplicate)
+    (1 to 3).foreach { trial =>
+      val crashAt = rnd.nextInt(6).toLong
+      val afterWrite = trial % 2 == 0
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft_crash_$trial").toString
+      val eng = new graft.engine.GraftEngine(spark, wh)
+      eng.sql("create schema cr"); eng.sql("use cr")
+      eng.sql("create table ev (k int, v char) using kv")
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def drain(): Unit = {
+        val q = stream.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$wh/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val crash = id == crashAt && fired.compareAndSet(false, true)
+            if (!crash || afterWrite)
+              graft.streaming.EngineIngest.upsertBatch(eng, "ev", b,
+                keySql = "id", valueSql = "typ")
+            if (crash)
+              throw new RuntimeException(s"injected crash at batch $id")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException](drain())
+      assert(ex.getMessage.contains("injected crash") ||
+        Option(ex.getCause).exists(_.getMessage.contains("injected")))
+      assert(fired.get, "the injected crash never fired")
+      // restart on the SAME checkpoint: streaming replays the batch
+      // whose commit was lost; the upsert sink absorbs it
+      drain()
+      val image = (eng.sql("select k, v from ev order by k") match {
+        case graft.engine.ResultSet(df) => df
+        case other => fail(s"expected rows, got $other")
+      }).as[(Long, String)].collect().toSeq.sorted
+      assert(image == expected,
+        s"trial $trial (crash at $crashAt, afterWrite=$afterWrite)")
+    }
+  }
+
   test("streaming MERGE accumulates per-user aggregates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -93,27 +93,45 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Minimal independent MySQL client for the spec: speaks
     * Protocol::41 with classic EOF framing. */
   private final class Client(port: Int, db: Option[String] = None,
-      multi: Boolean = false) {
+      multi: Boolean = false, plugin: Option[String] = None) {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new java.io.BufferedInputStream(sock.getInputStream)
     private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
 
-    val serverVersion: String = {
+    /** AuthSwitchRequest observed during the handshake, if any:
+      * (requested plugin, salt length). */
+    var authSwitch: Option[(String, Int)] = None
+
+    val (serverVersion: String, connId: Long) = {
       val (_, hs) = readPacket(in)
       val r = new Reader(hs)
       assert(r.int1() == 10, "protocol version")
       val ver = r.nulStr()
-      // respond: caps, max packet, charset, 23 zeros, user, auth, [db]
+      val cid = r.int4()
+      // respond: caps, max packet, charset, 23 zeros, user, auth,
+      // [db], [auth plugin]
       val caps = ClientProtocol41 | ClientSecureConnection |
         (if (db.isDefined) ClientConnectWithDb else 0) |
-        (if (multi) ClientMultiStatements | ClientMultiResults else 0)
+        (if (multi) ClientMultiStatements | ClientMultiResults else 0) |
+        (if (plugin.isDefined) ClientPluginAuth else 0)
       val w = new Writer().int4(caps.toLong).int4(1 << 24).int1(255)
         .zeros(23).nulStr("root").int1(0)
       db.foreach(w.nulStr)
+      plugin.foreach(w.nulStr)
       writePacket(out, 1, w.result()); out.flush()
-      val (_, okp) = readPacket(in)
+      var (seq, okp) = readPacket(in)
+      if ((okp(0) & 0xff) == 0xfe) {
+        // AuthSwitchRequest: 0xFE, plugin NUL, salt + NUL — answer
+        // with the 20-byte native-password scramble (unchecked by the
+        // server) at seq+1, then expect the final OK
+        val ar = new Reader(okp); ar.int1()
+        val asked = ar.nulStr()
+        authSwitch = Some((asked, ar.rest().length - 1))
+        writePacket(out, seq + 1, Array.fill[Byte](20)(0x5a)); out.flush()
+        val nxt = readPacket(in); seq = nxt._1; okp = nxt._2
+      }
       assert((okp(0) & 0xff) == 0x00, "handshake not OK")
-      ver
+      (ver, cid)
     }
 
     private def cmd(payload: Array[Byte]): Unit = {
@@ -688,6 +706,81 @@ class WireSpec extends AnyFunSuite with BeforeAndAfterAll {
       val ex = intercept[Throwable] { c.execute(sid, Nil) }
       assert(ex.getMessage.contains("execute error"))
       c.quit()
+    } finally srv.close()
+  }
+
+  test("caching_sha2 clients are switched to native password with " +
+    "well-formed frames") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire4_").toString
+    val eng = new GraftEngine(spark, wh)
+    val srv = new MysqlServer(eng)
+    try {
+      // an 8.x client defaulting to caching_sha2_password must see
+      // AuthSwitchRequest(mysql_native_password, 20-byte salt) and
+      // proceed to a working session after answering it
+      val c = new Client(srv.boundPort,
+        plugin = Some("caching_sha2_password"))
+      assert(c.authSwitch.contains(("mysql_native_password", 20)))
+      c.query("select 1 as one") match {
+        case c.Rows(_, rs) => assert(rs == Seq(Seq(Some("1"))))
+        case other => fail(s"$other")
+      }
+      c.quit()
+      // a client already on native password skips the switch
+      val d = new Client(srv.boundPort,
+        plugin = Some("mysql_native_password"))
+      assert(d.authSwitch.isEmpty)
+      assert(d.ping())
+      d.quit()
+    } finally srv.close()
+  }
+
+  test("SHOW PROCESSLIST lists connections by handshake id; KILL " +
+    "terminates the target") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wire5_").toString
+    val eng = new GraftEngine(spark, wh)
+    val srv = new MysqlServer(eng)
+    try {
+      val a = new Client(srv.boundPort)
+      val b = new Client(srv.boundPort)
+      a.query("show processlist") match {
+        case a.Rows(cols, rows) =>
+          assert(cols == Seq("Id", "User", "Host", "db", "Command",
+            "Time", "State", "Info"))
+          val ids = rows.map(_.head.get.toLong)
+          assert(ids.contains(a.connId) && ids.contains(b.connId))
+          // the asking session is mid-query; the idle one sleeps
+          val byId = rows.map(r => r.head.get.toLong -> r).toMap
+          assert(byId(a.connId)(4) == Some("Query"))
+          assert(byId(a.connId)(7) == Some("show processlist"))
+          assert(byId(b.connId)(4) == Some("Sleep"))
+          assert(byId(b.connId)(7).isEmpty)
+        case other => fail(s"$other")
+      }
+      a.query("kill 999999") match {
+        case a.Err(code, msg) =>
+          assert(code == 1094 && msg.contains("Unknown thread id"))
+        case other => fail(s"$other")
+      }
+      assert(a.query(s"kill ${b.connId}") == a.Ok(0))
+      // the killed connection's next command is refused and dropped
+      b.query("select 1 as one") match {
+        case b.Err(code, _) => assert(code == 1317)
+        case other => fail(s"$other")
+      }
+      // its PROCESSLIST row is gone once the connection closes
+      val deadline = System.currentTimeMillis + 5000
+      var gone = false
+      while (!gone && System.currentTimeMillis < deadline) {
+        a.query("show processlist") match {
+          case a.Rows(_, rows) =>
+            gone = !rows.map(_.head.get.toLong).contains(b.connId)
+          case other => fail(s"$other")
+        }
+        if (!gone) Thread.sleep(100)
+      }
+      assert(gone, "killed connection still listed")
+      a.quit()
     } finally srv.close()
   }
 
