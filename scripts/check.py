@@ -21,6 +21,12 @@ def fresh_con(sf_dir):
     fails on a 2 KB allocation (seen on the 35-entry 100x run).
     Views are lazy, so rebuilding them costs nothing."""
     con = duckdb.connect()
+    # an in-memory DuckDB has NO temp directory, so a scale-up oracle
+    # that outgrows RAM aborts ("Failed to allocate block") instead of
+    # spilling — seen on p123's 100x pair-join replay. Point temp at
+    # disk and leave headroom below the default 80%-of-RAM limit.
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET max_temp_directory_size='200GB'")
     for t in TABLES:
         # driver testdata is one file per table; ScaleGen scale-up dirs
         # are Spark-written DIRECTORIES of part files — glob those.

@@ -41,7 +41,8 @@ object ScaleVerify {
     "p124_classifier_auc", "p125_rater_agreement",
     "p126_vocab_richness", "p127_kneser_ney", "p128_kcenter_coreset",
     "p129_gopher_gate", "p130_label_silhouette", "p131_moore_lewis",
-    "p132_jl_distortion")
+    "p132_jl_distortion", "p133_token_stats", "p134_line_boilerplate",
+    "p135_semantic_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/tmp/sf10")

@@ -1328,4 +1328,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_boundaries_dropped"),
         sum(col("__n")).as("n_rows_dropped"))
   }
+
+  /** Line-level boilerplate removal (the CCNet / RefinedWeb
+    * discipline: web corpora carry navigation bars, cookie banners
+    * and footer lines VERBATIM across thousands of pages, and
+    * paragraph/line-grain cross-document deduplication removes them
+    * where document-grain dedup cannot): a non-blank line occurring
+    * in at least `minDocs` DISTINCT documents is boilerplate, and
+    * every occurrence is cut; blank lines never count toward the
+    * threshold and are always kept (they are structure, not
+    * content). Kept lines re-join in original order, reported as the
+    * [[exactSubstringRemoval]] family's kept_md5 fingerprint so the
+    * output stays doc-grain no matter how wide the documents are.
+    *
+    * Scale shape: one split pass, a distinct + count aggregate at
+    * LINE-HASH grain (the only line-grain exchange — the md5 key
+    * keeps wide lines out of the shuffle), a hash-keyed tag join,
+    * and one doc-grain rollup. The hot-line table is the skew tail
+    * (only lines over the threshold), tiny by construction.
+    *
+    * Returns (idCol, n_lines, n_boiler_lines, kept_md5), one row per
+    * document; kept_md5 = md5 of the kept lines joined with '\n'
+    * (md5 of "" when everything was boilerplate). */
+  def lineBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2")
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+    val hot = lines.filter(trim(col("__line")) =!= "")
+      .select(col("__id"), md5(col("__line")).as("__lh")).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__lh"))
+    lines
+      .withColumn("__lh",
+        when(trim(col("__line")) =!= "", md5(col("__line"))))
+      .join(hot.withColumn("__boiler", lit(1)), Seq("__lh"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L))
+          .as("n_boiler_lines"),
+        // collect_list drops the NULL (boilerplate) branches; the
+        // default struct sort orders by the leading __pos field, so
+        // kept lines re-join in document order
+        md5(array_join(expr(
+          """transform(
+            |  array_sort(collect_list(CASE WHEN __boiler IS NULL
+            |    THEN struct(__pos AS p, __line AS l) END)),
+            |  x -> x.l)""".stripMargin), "\n")).as("kept_md5"))
+      .select(col("__id").as(idCol), col("n_lines"),
+        col("n_boiler_lines"), col("kept_md5"))
+  }
 }

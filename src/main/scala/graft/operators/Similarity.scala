@@ -978,4 +978,44 @@ object Similarity {
     e.unpersist(blocking = false)
     out
   }
+
+  /** SEMANTIC decontamination: flag corpus vectors whose nearest
+    * EVAL-set vector exceeds a cosine threshold — the embedding-space
+    * companion to the n-gram decontamination tiers ([[Dedup]]'s
+    * p23/p120/p122 family), catching paraphrased or reformatted
+    * benchmark leakage that shares no verbatim n-grams (the SemDeDup
+    * / benchmark-contamination argument, Abbas et al. 2023 §5).
+    *
+    * Per-pair cosines quantize to integer micros BEFORE the max (the
+    * p30 determinism discipline), so the verdict replays exactly on
+    * any engine. Threshold compares in micros for the same reason.
+    *
+    * Scale shape: eval sets are benchmark-sized (thousands, not
+    * corpus-sized) — the eval side rides a broadcast and the corpus
+    * streams through ONE narrow pass with a corpus-grain partial max;
+    * no shuffle carries a vector pair. An eval set too large to
+    * broadcast should go through [[ivfPqTopK]] with the eval side as
+    * queries instead.
+    *
+    * Returns (idCol, max_cos_micro, contaminated) — one row per
+    * corpus vector NOT in the eval frame. */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tauMicro: Long = 950000L): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"))
+    val ev = evalSet.select(col(idCol).as("__eid"),
+      asDouble(col(vecCol)).as("__ev"))
+    // deliberate broadcast Cross + residual (the p06 shape — planned
+    // as a Cross-type broadcast loop, which the PlanSpec battery pin
+    // whitelists, not an accidental theta join)
+    c.crossJoin(broadcast(ev))
+      .filter(col("__id") =!= col("__eid"))
+      .select(col("__id"),
+        round(cosineExpr("__v", "__ev") * 1000000, 0).cast("long")
+          .as("__cm"))
+      .groupBy(col("__id"))
+      .agg(max(col("__cm")).as("max_cos_micro"))
+      .select(col("__id").as(idCol), col("max_cos_micro"),
+        (col("max_cos_micro") >= tauMicro).as("contaminated"))
+  }
 }

@@ -993,4 +993,37 @@ object TextAnalysis {
           (col("n_grams").cast("double") *
             (col("n_grams") - 1).cast("double")), 6)).as("simpson"))
   }
+
+  /** Corpus token-statistics profile by group (e.g. per source): the
+    * full [[graft.functions.TokenStats]] counter set summed to group
+    * grain — the one-pass corpus census a curation run reads before
+    * choosing gate thresholds (word-count and word-length
+    * distributions for the Gopher bounds, stopword density for the
+    * presence rule, symbol/punct/upper rates for boilerplate hints).
+    *
+    * All eleven columns are exact integer sums of per-document Long
+    * counters, so any engine replays them bit-for-bit. Scale shape:
+    * ONE codegen text scan (the TokenStats expression — no token
+    * array ever materializes) into one partial-combined aggregate at
+    * group grain; |groups| rows out, nothing else exchanged.
+    *
+    * Returns (group, n_docs, n_words, chars, alpha, distinct_tokens,
+    * stop_hits, stop_distinct, n_sym, n_punct, n_upper, n_chars). */
+  def tokenStatsProfile(df: DataFrame, groupCol: String,
+      textCol: String,
+      stopWords: Seq[String] = stopwordsEn): DataFrame =
+    df.select(col(groupCol),
+        graft.functions.TokenStats(col(textCol), stopWords).as("__ts"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ts.n_words")).as("n_words"),
+        sum(col("__ts.chars")).as("chars"),
+        sum(col("__ts.alpha")).as("alpha"),
+        sum(col("__ts.n_distinct")).as("distinct_tokens"),
+        sum(col("__ts.stop_hits")).as("stop_hits"),
+        sum(col("__ts.stop_distinct")).as("stop_distinct"),
+        sum(col("__ts.n_sym")).as("n_sym"),
+        sum(col("__ts.n_punct")).as("n_punct"),
+        sum(col("__ts.n_upper")).as("n_upper"),
+        sum(col("__ts.n_chars")).as("n_chars"))
 }

@@ -4749,6 +4749,145 @@ object Pipeline {
           |      AS BIGINT)) AS err_micro
           |FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
           |ORDER BY vec_id""".stripMargin
+      }),
+
+    // ---- p133: corpus token-statistics census by source — the full
+    // codegen TokenStats counter set (words, chars, alpha words,
+    // distinct tokens, stopword hits, symbols incl. real ellipses,
+    // punctuation, uppercase) summed to source grain. One codegen
+    // scan + one group-grain aggregate; every column an exact
+    // integer sum, oracle-gating all ten counters of the r17
+    // expression at once.
+    "p133_token_stats" -> Q(
+      (s, dir) => graft.operators.TextAnalysis
+        .tokenStatsProfile(tbl(s, dir, "documents"), "source", "text")
+        .orderBy(col("source")),
+      Some {
+        """WITH t AS (SELECT source, text,
+          |    str_split_regex(trim(lower(text)), '\s+') AS tk
+          |  FROM documents),
+          |m AS (SELECT source,
+          |    CAST(len(tk) AS BIGINT) AS w,
+          |    CAST(list_sum(list_transform(tk, x -> length(x)))
+          |      AS BIGINT) AS ch,
+          |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+          |      AS BIGINT) AS al,
+          |    CAST(len(list_distinct(tk)) AS BIGINT) AS dt,
+          |    CAST(len(list_filter(tk, x -> x IN ('the','a','an','and',
+          |      'or','of','to','in','is','it'))) AS BIGINT) AS sh,
+          |    CAST(len(list_distinct(list_filter(tk, x -> x IN ('the',
+          |      'a','an','and','or','of','to','in','is','it'))))
+          |      AS BIGINT) AS sd,
+          |    CAST((length(text) - length(replace(text, '#', ''))) +
+          |      (length(text) - length(replace(text, '...', ''))) / 3 +
+          |      (length(text) - length(replace(text, '…', '')))
+          |      AS BIGINT) AS sy,
+          |    CAST(length(text) -
+          |      length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+          |      AS BIGINT) AS pu,
+          |    CAST(length(text) -
+          |      length(regexp_replace(text, '[A-Z]', '', 'g'))
+          |      AS BIGINT) AS up,
+          |    CAST(length(text) AS BIGINT) AS nc
+          |  FROM t)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(w) AS BIGINT) AS n_words,
+          |  CAST(sum(ch) AS BIGINT) AS chars,
+          |  CAST(sum(al) AS BIGINT) AS alpha,
+          |  CAST(sum(dt) AS BIGINT) AS distinct_tokens,
+          |  CAST(sum(sh) AS BIGINT) AS stop_hits,
+          |  CAST(sum(sd) AS BIGINT) AS stop_distinct,
+          |  CAST(sum(sy) AS BIGINT) AS n_sym,
+          |  CAST(sum(pu) AS BIGINT) AS n_punct,
+          |  CAST(sum(up) AS BIGINT) AS n_upper,
+          |  CAST(sum(nc) AS BIGINT) AS n_chars
+          |FROM m GROUP BY 1 ORDER BY source""".stripMargin
+      }),
+
+    // ---- p134: CCNet-style line-level boilerplate removal. The
+    // synthetic corpus has no repeated lines, so the entry BUILDS the
+    // web-page shape the operator exists for: pages of up-to-10 docs
+    // per source, each page wrapped in a per-source header line and a
+    // global footer line — exactly the nav/footer boilerplate that
+    // repeats verbatim across pages while body text stays unique.
+    // Header+footer must come back as the boilerplate count; the
+    // kept_md5 fingerprints the surviving body in original order.
+    "p134_line_boilerplate" -> Q(
+      (s, dir) => {
+        val pages = tbl(s, dir, "documents")
+          .groupBy(col("source"), expr("doc_id div 10").as("pg"))
+          .agg(array_join(expr(
+            """transform(array_sort(collect_list(
+              |  struct(doc_id AS i, text AS t))), x -> x.t)"""
+              .stripMargin), "\n").as("body"))
+          .select(concat_ws("_", col("source"), col("pg")).as("page_id"),
+            concat(lit("domain: "), col("source"), lit("\n"),
+              col("body"), lit("\nall rights reserved")).as("text"))
+        graft.operators.Dedup
+          .lineBoilerplate(pages, "page_id", "text", minDocs = 3)
+          .orderBy(col("page_id"))
+      },
+      Some {
+        """WITH pg AS (SELECT
+          |    source || '_' || CAST(doc_id // 10 AS VARCHAR) AS page_id,
+          |    'domain: ' || source || chr(10) ||
+          |      string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+          |      'all rights reserved' AS text
+          |  FROM documents GROUP BY source, doc_id // 10),
+          |ln AS (SELECT page_id, i AS pos,
+          |    list_extract(ls, CAST(i AS INT)) AS line
+          |  FROM (SELECT page_id, string_split(text, chr(10)) AS ls
+          |        FROM pg), unnest(range(1, len(ls) + 1)) t(i)),
+          |hot AS (SELECT line FROM (
+          |    SELECT line, count(DISTINCT page_id) AS nd FROM ln
+          |    WHERE trim(line) <> '' GROUP BY 1)
+          |  WHERE nd >= 3)
+          |SELECT ln.page_id, CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(sum(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_boiler_lines,
+          |  md5(coalesce(string_agg(
+          |    CASE WHEN h.line IS NULL THEN ln.line END,
+          |    chr(10) ORDER BY ln.pos), '')) AS kept_md5
+          |FROM ln LEFT JOIN hot h ON h.line = ln.line
+          |GROUP BY 1 ORDER BY page_id""".stripMargin
+      }),
+
+    // ---- p135: semantic decontamination — corpus embeddings whose
+    // nearest eval-set embedding (the first 50 vector ids play the
+    // held-out benchmark) exceeds a cosine threshold are flagged, the
+    // embedding-space companion to the p23/p120/p122 n-gram
+    // decontamination tiers. Per-pair micros before the max; the
+    // threshold (0.30) is re-tuned to this corpus's cosine range the
+    // way p129 re-tunes the Gopher stop set (max observed ~0.45).
+    // The eval side is FIXED-SIZE by id bound (benchmarks don't grow
+    // with the training corpus): the broadcast scan stays linear in
+    // the corpus at any scale — an early %-modulus spelling grew the
+    // eval side with the corpus and measured quadratic (387s at
+    // 100×; this spelling ~6s).
+    "p135_semantic_decontam" -> Q(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        graft.operators.Similarity.semanticDecontam(
+            emb.filter(expr("vec_id > 50")),
+            emb.filter(expr("vec_id <= 50")),
+            "vec_id", "embedding", tauMicro = 300000L)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          |  FROM embeddings),
+          |ev AS (SELECT vec_id AS eid, v AS evv FROM e
+          |  WHERE vec_id <= 50),
+          |c AS (SELECT vec_id, v FROM e WHERE vec_id > 50),
+          |sc AS (SELECT c.vec_id,
+          |    CAST(round(${duckCos("c.v", "ev.evv")} * 1000000)
+          |      AS BIGINT) AS cm
+          |  FROM c CROSS JOIN ev WHERE c.vec_id <> ev.eid),
+          |m AS (SELECT vec_id, CAST(max(cm) AS BIGINT)
+          |    AS max_cos_micro FROM sc GROUP BY 1)
+          |SELECT vec_id, max_cos_micro,
+          |  max_cos_micro >= 300000 AS contaminated
+          |FROM m ORDER BY vec_id""".stripMargin
       })
   )
 }

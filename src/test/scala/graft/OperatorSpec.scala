@@ -2864,4 +2864,81 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fert("en")._2 == enc(1L)._1 + enc(2L)._1)
     assert(fert("en")._3 == enc(1L)._2 + enc(2L)._2)
   }
+
+  // ---- r17: token-stats census, line boilerplate, semantic decontam
+
+  test("token stats profile: hand-computed sums per group") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "The quick... fox; IS the one #"),
+      ("a", "of of of"),
+      ("b", "plain words here")).toDF("src", "text")
+    val r = TextAnalysis.tokenStatsProfile(df, "src", "text")
+      .orderBy("src").collect()
+    val a = r(0)
+    // docs: ["the","quick...","fox;","is","the","one","#"] + 3×"of"
+    assert(a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Long]("n_words") == 7L + 3L)
+    assert(a.getAs[Long]("alpha") == 6L + 3L) // '#' has no letter
+    assert(a.getAs[Long]("stop_hits") == 3L + 3L) // the,the,is + of×3
+    assert(a.getAs[Long]("stop_distinct") == 2L + 1L) // {the,is} + {of}
+    assert(a.getAs[Long]("n_sym") == 2L) // one '...', one '#'
+    assert(a.getAs[Long]("n_punct") == 4L) // three dots + ';'
+    assert(a.getAs[Long]("n_upper") == 3L) // T, I, S
+    val b = r(1)
+    assert(b.getAs[Long]("n_words") == 3L &&
+      b.getAs[Long]("distinct_tokens") == 3L)
+  }
+
+  test("line boilerplate: repeated lines cut, blanks kept, md5 of kept body") {
+    import spark.implicits._
+    val footer = "all rights reserved"
+    val pages = Seq(
+      (1L, s"alpha body one\n$footer"),
+      (2L, s"beta body two\n\n$footer"),
+      (3L, s"gamma body three\n$footer"),
+      (4L, footer)).toDF("id", "text")
+    val r = Dedup.lineBoilerplate(pages, "id", "text", minDocs = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    def m(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(r(1L) == ((2L, 1L, m("alpha body one"))))
+    // the blank line is kept and participates in the re-join
+    assert(r(2L) == ((3L, 1L, m("beta body two\n"))))
+    assert(r(3L) == ((2L, 1L, m("gamma body three"))))
+    // all-boilerplate page: empty body fingerprints as md5("")
+    assert(r(4L) == ((1L, 1L, m(""))))
+    // below the threshold nothing is cut
+    val none = Dedup.lineBoilerplate(pages, "id", "text", minDocs = 5)
+      .agg(sum("n_boiler_lines")).collect()(0).getLong(0)
+    assert(none == 0L)
+  }
+
+  test("semantic decontam: cosine threshold in micros, self excluded") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),  // eval
+      (2L, Seq(0.0, 1.0)),  // eval
+      (10L, Seq(0.999, 0.01)), // ~eval 1 → contaminated
+      (11L, Seq(1.0, 1.0)),    // cos √.5 to both
+      (12L, Seq(-1.0, -0.04))) // negative to 1, ~0 to 2
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDecontam(
+        emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", tauMicro = 950000L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r(10L)._2 && r(10L)._1 > 990000L)
+    assert(!r(11L)._2 &&
+      math.abs(r(11L)._1 - 707107L) <= 1L)
+    assert(!r(12L)._2 && r(12L)._1 < 0L)
+    // eval members in the corpus never match themselves: vector 1
+    // also present as corpus id 1 would score cos=1 against eval 2
+    // only
+    val self = Similarity.semanticDecontam(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", tauMicro = 999999L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(self(1L) == 0L) // vs eval 2 (orthogonal), not itself
+  }
 }

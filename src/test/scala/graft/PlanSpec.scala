@@ -390,4 +390,69 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.contains("HashAggregate"), t.take(2000))
     assert(!t.contains("Exchange hashpartitioning"), t.take(2000))
   }
+
+  // ---- r17: pins for the r16 driver-capture movers (q60/p65/p71
+  // adjudicated as host noise) — with these green, a future bench
+  // move on them is noise by construction --------------------------
+
+  test("p65 triangles: pair build is equi-keyed and pre-aggregated; " +
+    "result is materialized edge-local") {
+    // the triangle count itself localCheckpoints (the Graph-loop
+    // discipline), so pin its INPUT plan: the within-order pair
+    // build must be an equi self-join with partial aggregation, no
+    // loop join
+    val pairs = graft.operators.Association.withinGroupPairs(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("l_orderkey as o", "l_partkey as p"), "o", "p")
+    val pt = pairs.queryExecution.executedPlan.toString
+    assertOnlyBroadcastCross(pt)
+    // per-order member sets partial-combine map-side, ONE exchange on
+    // the group key, pairs explode from the set — no self-join at all
+    assert(pt.contains("partial_collect_set"), pt)
+    assert(!pt.contains("Join"), pt)
+    // and the battery entry reads the checkpointed edge-grain result
+    // with nothing but the presentation sort on top
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nodes = allNodes(plan("p65_triangles"))
+    assert(!nodes.exists(n => n.isInstanceOf[WindowExec] ||
+      n.isInstanceOf[WindowGroupLimitExec]),
+      "p65 must count triangles without any window")
+    assert(nodes.collect { case e: ShuffleExchangeLike => e }.length <= 1,
+      "p65 presentation must add at most the range exchange")
+  }
+
+  test("p71 cluster representative is a struct-argmax aggregate, not a window") {
+    val t = simplePlan("p71_cluster_rep")
+    assertOnlyBroadcastCross(t)
+    val nodes = allNodes(plan("p71_cluster_rep"))
+    assert(!nodes.exists(n => n.isInstanceOf[WindowExec] ||
+      n.isInstanceOf[WindowGroupLimitExec]),
+      "p71's keep-longest pick must be an aggregate, not a window")
+    assert(t.contains("partial_min") || t.contains("partial_max"), t)
+  }
+
+  // ---- r17: new-entry pins ----------------------------------------
+
+  test("p133 token census is one codegen scan + one group aggregate, no join") {
+    val t = simplePlan("p133_token_stats")
+    assert(!t.contains("Join"), t)
+    assert(t.contains("partial_sum"), t)
+    // the counters come from the TokenStats expression, not HOF lambdas
+    assert(t.contains("graft_token_stats"), t)
+    assert(!t.contains("ArrayTransform") && !t.contains("ArrayFilter"), t)
+  }
+
+  test("p134 line boilerplate tags via a hash-keyed equi join, no loop") {
+    val t = simplePlan("p134_line_boilerplate")
+    assertOnlyBroadcastCross(t)
+    assert(t.contains("SortMergeJoin") || t.contains("ShuffledHashJoin") ||
+      t.contains("BroadcastHashJoin"), t)
+  }
+
+  test("p135 semantic decontam broadcasts the eval side and partial-maxes per vector") {
+    val t = simplePlan("p135_semantic_decontam")
+    assertOnlyBroadcastCross(t)
+    assert(t.contains("BroadcastNestedLoopJoin"), t)
+    assert(t.contains("partial_max"), t)
+  }
 }
