@@ -25,10 +25,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JVM + parquet footer caches + codegen paths (documents
-    // fallback for partial scale-up dirs that lack the TPC-H tables)
-    val warm = if (new java.io.File(s"$sfDir/lineitem.parquet").exists())
-      "lineitem" else "documents"
+    // warm-up: JVM + parquet footer caches + codegen paths. Partial
+    // scale-up dirs carry only a table subset (documents-only,
+    // events-only): warm on the first present table.
+    val warm = Seq("lineitem", "documents", "events", "embeddings")
+      .find(t => new java.io.File(s"$sfDir/$t.parquet").exists())
+      .getOrElse(sys.error(s"no warmable table in $sfDir"))
+    if (warm == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$warm.parquet").count()
 
     def run(df: org.apache.spark.sql.DataFrame): Unit =

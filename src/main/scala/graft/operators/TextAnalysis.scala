@@ -39,14 +39,18 @@ object TextAnalysis {
     expr(s"size(filter($tokCol, x -> x IN ${inList(markers(lang))}))")
 
   /** n-gram-heuristic language ID: count language marker words and
-    * take the argmax (deterministic tie-break: en>de>es>fr>zh). */
+    * take the argmax (deterministic tie-break: en>de>es>fr>zh). All
+    * |langs| counts come from ONE codegen tokenize pass
+    * ([[graft.functions.MarkerCounts]] — a shared token→languages
+    * probe per token) instead of one interpreted `filter(... IN ...)`
+    * lambda scan per language. */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val langs = Seq("en", "de", "es", "fr", "zh")
-    val withTok = df.select(col(idCol), col(textCol),
-      Dedup.tokens(col(textCol)).as("tk"))
-    val withScores = langs.foldLeft(withTok) { (d, l) =>
-      d.withColumn(s"score_$l", markerCount("tk", l).cast("long"))
-    }
+    val withScores = df.select(col(idCol),
+        graft.functions.MarkerCounts(col(textCol), langs.map(markers))
+          .as("__mc"))
+      .select(col(idCol) +: langs.zipWithIndex.map { case (l, i) =>
+        col("__mc")(i).as(s"score_$l") }: _*)
     val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
     val guess = langs.reverse.foldLeft(lit("und")) { (e, l) =>
       when(col(s"score_$l") === best && best > 0, l).otherwise(e)
@@ -75,15 +79,20 @@ object TextAnalysis {
         (col("__ts.n_upper").cast("double") /
           col("__ts.n_chars").cast("double")).as("upper_ratio"))
 
-  /** Token counting: whitespace tokens plus a BPE-ish regex
-    * segmentation (letter runs / digit runs / single punctuation). */
+  /** Token counting: whitespace tokens plus a BPE-ish segmentation
+    * (letter runs / digit runs / single punctuation). Both counts are
+    * single codegen scans ([[graft.functions.TokenStats]] /
+    * [[graft.functions.BpeCount]]) — the old spelling materialized
+    * the split array AND the regexp_extract_all match array per row
+    * only to take their sizes. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-      size(Dedup.tokens(col(textCol))).cast("long").as("ws_tokens"),
-      expr(s"""CAST(size(regexp_extract_all($textCol,
-              |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS BIGINT)"""
-        .stripMargin).as("bpe_tokens"),
-      length(col(textCol)).cast("long").as("n_chars"))
+        graft.functions.TokenStats(col(textCol), Seq("the")).as("__ts"),
+        graft.functions.BpeCount(col(textCol)).as("bpe_tokens"))
+      .select(col(idCol),
+        col("__ts.n_words").as("ws_tokens"),
+        col("bpe_tokens"),
+        col("__ts.n_chars").as("n_chars"))
 
   /** Corpus vocabulary heavy-hitters: the `k` most frequent tokens
     * per group (e.g. per language) — the shape tokenizer training

@@ -133,6 +133,45 @@ class TokenStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("marker counts == per-language HOF filter counts") {
+    import spark.implicits._
+    val sets = Seq(
+      Seq("the", "a", "and"), Seq("der", "die"), Seq("el", "la", "a"))
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("the", "a", "and", "der", "die", "el", "la", "x",
+      "DIE", "The", "汉", "", "a.")
+    val texts = (1 to 120).map(_ => (1 to (1 + rnd.nextInt(20)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq("", "   ", "a a a der la")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .withColumn("tk", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("mc", graft.functions.MarkerCounts(col("text"), sets))
+    sets.zipWithIndex.foreach { case (set, i) =>
+      val in = set.map(s => s"'$s'").mkString(", ")
+      val bad = df.filter(col("mc")(i) =!=
+        expr(s"CAST(size(filter(tk, x -> x IN ($in))) AS BIGINT)"))
+      assert(bad.count() == 0L, s"set $i diverges from the HOF count")
+    }
+  }
+
+  test("bpe count == regexp_extract_all match count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pieces = Seq("abc", "XYZ", "123", "9", ".", "!?", " ", "\t",
+      "\n", "汉字", "a1b2", "é", "…", "#", "", "x.y.z")
+    val texts = (1 to 200).map(_ => (1 to (1 + rnd.nextInt(12)))
+      .map(_ => pieces(rnd.nextInt(pieces.size))).mkString) ++
+      Seq("", "   ", "abc123!def")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val bad = df.filter(graft.functions.BpeCount(col("text")) =!=
+      expr("""CAST(size(regexp_extract_all(text,
+        |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT)"""
+        .stripMargin))
+    assert(bad.count() == 0L)
+  }
+
   test("gopher gate counts real ellipses as symbols (r16 advice fix)") {
     import spark.implicits._
     // 60 words incl. 7 real-ellipsis tokens → n_sym 7, 70 ≥ 60 → fail
