@@ -16,13 +16,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Cluster-side tuning hook: SPARK_GRAFT_SPARK_CONF="k=v;k=v"
+    // overlays session confs (e.g. advisory partition sizes for a real
+    // cluster) without touching the timing methodology; unset, the
+    // session is byte-identical to the historical bench contract.
+    sys.env.get("SPARK_GRAFT_SPARK_CONF").foreach {
+      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: JVM + parquet footer caches + codegen paths. Partial

