@@ -467,39 +467,51 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
   private val tableShapeInfo = Seq("tables", "columns", "statistics",
     "table_constraints", "key_column_usage")
 
-  private def infoDf(name: String): DataFrame = {
+  /** (schema, driver-local rows) for one info table — catalog-scale
+    * by construction ([[GraftEngine.maxCatalogBootRows]] bounds it). */
+  private def infoLocal(name: String)
+      : (org.apache.spark.sql.types.StructType, Seq[Seq[Any]]) = {
     val defs = tables.values.toSeq
     name match {
-      case "schemata" => InfoSchema.schemata(spark, schemas.toSeq)
+      case "schemata" =>
+        (InfoSchema.schemataSchema, InfoSchema.schemata(schemas.toSeq))
       case "tables" =>
-        InfoSchema.tables(spark, defs, views.keys.toSeq)
-      case "columns" => InfoSchema.columns(spark, defs)
-      case "statistics" => InfoSchema.statistics(spark, defs)
-      case "table_constraints" => InfoSchema.tableConstraints(spark, defs)
-      case "key_column_usage" => InfoSchema.keyColumnUsage(spark, defs)
-      case "check_constraints" => InfoSchema.checkConstraints(spark)
-      case "referential_constraints" => InfoSchema.referentialConstraints(spark)
-      case "views" => InfoSchema.views(spark,
-        views.toSeq.map { case ((sc, n), d) => (sc, n, d) })
+        (InfoSchema.tablesSchema, InfoSchema.tables(defs, views.keys.toSeq))
+      case "columns" =>
+        (InfoSchema.columnsSchema, InfoSchema.columns(defs))
+      case "statistics" =>
+        (InfoSchema.statisticsSchema, InfoSchema.statistics(defs))
+      case "table_constraints" =>
+        (InfoSchema.tableConstraintsSchema, InfoSchema.tableConstraints(defs))
+      case "key_column_usage" =>
+        (InfoSchema.keyColumnUsageSchema, InfoSchema.keyColumnUsage(defs))
+      case "check_constraints" =>
+        (InfoSchema.checkConstraintsSchema, Nil)
+      case "referential_constraints" =>
+        (InfoSchema.referentialConstraintsSchema, Nil)
+      case "views" =>
+        (InfoSchema.viewsSchema, InfoSchema.views(
+          views.toSeq.map { case ((sc, n), d) => (sc, n, d) }))
     }
   }
 
-  /** Regenerate + persist the catalog tables, then (re)register them
-    * — the catalog is itself tables, like the reference. coalesce(1)
-    * is deliberate HERE: these are metadata tables with one row per
-    * schema/table/column — bounded by catalog size, not data size. */
   /** Persist + (re)register the named info tables — all of them for
     * DDL (any of the 8 can change shape), but a DATA mutation only
     * moves `tables.data_version`, so [[writeVersion]]/[[kvDelete]]
     * pass `Seq("tables")` and a COW UPDATE pays ONE tiny parquet
     * write + one registration instead of eight of each. The narrowed
     * write still persists the catalog pointer the crash-reconcile
-    * path reads, so every recovery window is unchanged. (Measured:
-    * the 8×-write was the bulk of the engine-lifecycle battery
-    * entries' wall — 3 mutations × 8 tables × ~0.3s each.) */
+    * path reads, so every recovery window is unchanged. Writes are
+    * DRIVER-SIDE ([[DriverParquet]]): the previous
+    * `coalesce(1).write.parquet` ran one Spark job + commit protocol
+    * per tiny table (~0.15–0.25s each), which made catalog flushes
+    * the dominant wall of the engine-lifecycle battery entries
+    * (measured: a CREATE TABLE spent ~0.75s of ~0.8s in its five
+    * catalog writes; driver-side the statement is ~0.05s). */
   private def persistInfoSchema(names: Seq[String] = infoTables): Unit = {
     names.foreach { n =>
-      infoDf(n).coalesce(1).write.mode("overwrite").parquet(s"$infoRoot/$n")
+      val (schema, rows) = infoLocal(n)
+      DriverParquet.overwrite(spark, s"$infoRoot/$n", schema, rows)
       infoWriteCount += 1
     }
     registerInfoTables(names)
@@ -512,11 +524,25 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
 
   private def registerInfoTables(names: Seq[String] = infoTables): Unit =
     names.foreach { n =>
-      // drop + recreate so the registration always points at THIS
-      // engine's warehouse (several engines may share a SparkSession)
-      spark.sql(s"DROP TABLE IF EXISTS `$InfoSchemaDb`.`$n`")
-      spark.catalog.createTable(s"$InfoSchemaDb.$n", "parquet",
-        infoDf(n).schema, Map("path" -> s"$infoRoot/$n"))
+      val path = s"$infoRoot/$n"
+      // a registration that already points at THIS engine's warehouse
+      // only needs a file-listing refresh after the image rewrite;
+      // drop + recreate remains for first registration and for the
+      // several-engines-one-SparkSession case, where the other
+      // engine's registration must be re-pointed here
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+        n, Some(InfoSchemaDb))
+      val samePath =
+        try spark.sessionState.catalog.getTableMetadata(ident)
+          .storage.locationUri.exists(u =>
+            new File(u).getAbsolutePath == new File(path).getAbsolutePath)
+        catch { case _: Exception => false }
+      if (samePath) spark.catalog.refreshTable(s"$InfoSchemaDb.$n")
+      else {
+        spark.sql(s"DROP TABLE IF EXISTS `$InfoSchemaDb`.`$n`")
+        spark.catalog.createTable(s"$InfoSchemaDb.$n", "parquet",
+          infoLocal(n)._1, Map("path" -> path))
+      }
     }
 
   // ------------------------------------------------------------------
@@ -2762,14 +2788,16 @@ class GraftEngine(val spark: SparkSession, warehouse: String,
 
   // ------------------------------------------------------------------
 
+  /** Bootstrap seed rows (mysql.user, global_variables) — a handful
+    * of driver-known rows, written driver-side like the info-schema
+    * images ([[DriverParquet]]); a Spark job per seed table was pure
+    * bootstrap overhead. */
   private def writeRows(td: TableDef, rows: Seq[Seq[Any]]): Unit = {
-    val sqlRows = rows.map(r => r.map(toLiteral).mkString("(", ", ", ")"))
-      .mkString(", ")
-    val df = spark.sql(
-      s"SELECT * FROM VALUES $sqlRows AS __b(${td.columns.map(_.name).mkString(", ")})")
-    val withId = df.select(expr("replace(uuid(), '-', '')").as(RowId) +:
-      td.columns.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
-    withId.coalesce(1).write.mode("overwrite").parquet(tableDir(td))
+    val schema = td.fullSchema
+    val withId = rows.map { r =>
+      java.util.UUID.randomUUID.toString.replace("-", "") +: r
+    }
+    DriverParquet.overwrite(spark, tableDir(td), schema, withId)
   }
 
   private def deleteRecursively(f: File): Unit = {

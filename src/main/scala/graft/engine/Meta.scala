@@ -110,109 +110,127 @@ object Meta {
 
 /** Generators for the information_schema tables — the catalog IS a
   * set of queryable tables, like the reference
-  * (`/root/reference/src/meta/initial.rs:423-680`). */
+  * (`/root/reference/src/meta/initial.rs:423-680`). Each generator
+  * returns (schema, driver-local rows): catalog tables are
+  * catalog-scale by construction, so they are built AND persisted on
+  * the driver ([[DriverParquet]]) — a Spark write job per tiny table
+  * was the dominant wall of every engine-lifecycle battery entry. */
 object InfoSchema {
   import Meta._
 
-  def schemata(s: SparkSession, schemas: Seq[String]): DataFrame = {
-    import s.implicits._
-    schemas.sorted
-      .map(n => (Catalog, n, "utf8mb4", "utf8mb4_0900_ai_ci"))
-      .toDF("catalog_name", "schema_name",
-        "default_character_set_name", "default_collation_name")
-  }
+  private def strings(names: String*): StructType =
+    StructType(names.map(StructField(_, StringType, nullable = true)))
 
-  def tables(s: SparkSession, defs: Seq[TableDef],
-      views: Seq[(String, String)] = Nil): DataFrame = {
-    import s.implicits._
-    (defs.sortBy(t => (t.schema, t.name))
-      .map(t => (Catalog, t.schema, t.name, "BASE TABLE",
+  private def field(name: String, long: Boolean): StructField =
+    if (long) StructField(name, LongType, nullable = false)
+    else StructField(name, StringType, nullable = true)
+
+  val schemataSchema: StructType = strings("catalog_name", "schema_name",
+    "default_character_set_name", "default_collation_name")
+
+  def schemata(schemas: Seq[String]): Seq[Seq[Any]] =
+    schemas.sorted
+      .map(n => Seq(Catalog, n, "utf8mb4", "utf8mb4_0900_ai_ci"))
+
+  val tablesSchema: StructType = StructType(Seq(
+    field("table_catalog", long = false), field("table_schema", long = false),
+    field("table_name", long = false), field("table_type", long = false),
+    field("engine", long = false), field("data_version", long = true),
+    field("location", long = false)))
+
+  def tables(defs: Seq[TableDef],
+      views: Seq[(String, String)] = Nil): Seq[Seq[Any]] =
+    defs.sortBy(t => (t.schema, t.name))
+      .map(t => Seq[Any](Catalog, t.schema, t.name, "BASE TABLE",
         // managed format round-trips through this column (load()
         // strips the external_ prefix): parquet for COW tables, kv
         // for managed LSM tables
         if (t.external) s"external_${t.format}" else t.format, t.version,
         t.location.getOrElse(""))) ++
       views.sorted.map { case (vs, vn) =>
-        (Catalog, vs, vn, "VIEW", "VIEW", 0L, "")
-      })
-      .toDF("table_catalog", "table_schema", "table_name",
-        "table_type", "engine", "data_version", "location")
-  }
+        Seq[Any](Catalog, vs, vn, "VIEW", "VIEW", 0L, "")
+      }
+
+  val viewsSchema: StructType = strings("table_catalog", "table_schema",
+    "table_name", "view_definition")
 
   /** Persisted view definitions — MySQL's information_schema.views
     * shape (definition text only; the engine re-analyzes per read). */
-  def views(s: SparkSession, vs: Seq[(String, String, String)]): DataFrame = {
-    import s.implicits._
+  def views(vs: Seq[(String, String, String)]): Seq[Seq[Any]] =
     vs.sortBy(v => (v._1, v._2))
-      .map { case (sc, n, d) => (Catalog, sc, n, d) }
-      .toDF("table_catalog", "table_schema", "table_name",
-        "view_definition")
-  }
+      .map { case (sc, n, d) => Seq[Any](Catalog, sc, n, d) }
 
-  def columns(s: SparkSession, defs: Seq[TableDef]): DataFrame = {
-    import s.implicits._
+  val columnsSchema: StructType = StructType(Seq(
+    field("table_catalog", long = false), field("table_schema", long = false),
+    field("table_name", long = false), field("column_name", long = false),
+    field("ordinal_position", long = true), field("is_nullable", long = false),
+    field("data_type", long = false), field("store_id", long = true)))
+
+  def columns(defs: Seq[TableDef]): Seq[Seq[Any]] =
     defs.sortBy(t => (t.schema, t.name)).flatMap { t =>
-      t.columns.map(c => (Catalog, t.schema, t.name, c.name,
+      t.columns.map(c => Seq[Any](Catalog, t.schema, t.name, c.name,
         c.ordinal.toLong, if (c.nullable) "YES" else "NO", c.sqlType,
         c.storeId.toLong))
-    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
-      "ordinal_position", "is_nullable", "data_type", "store_id")
-  }
+    }
 
-  def statistics(s: SparkSession, defs: Seq[TableDef]): DataFrame = {
-    import s.implicits._
+  val statisticsSchema: StructType = StructType(Seq(
+    field("table_catalog", long = false), field("table_schema", long = false),
+    field("table_name", long = false), field("non_unique", long = true),
+    field("index_name", long = false), field("seq_in_index", long = true),
+    field("column_name", long = false)))
+
+  def statistics(defs: Seq[TableDef]): Seq[Seq[Any]] =
     defs.sortBy(t => (t.schema, t.name)).flatMap { t =>
       t.allConstraints.flatMap { case (idx, cols) =>
         cols.zipWithIndex.map { case (c, i) =>
-          (Catalog, t.schema, t.name, 0L, idx, (i + 1).toLong, c)
+          Seq[Any](Catalog, t.schema, t.name, 0L, idx, (i + 1).toLong, c)
         }
       }
-    }.toDF("table_catalog", "table_schema", "table_name", "non_unique",
-      "index_name", "seq_in_index", "column_name")
-  }
+    }
 
-  def tableConstraints(s: SparkSession, defs: Seq[TableDef]): DataFrame = {
-    import s.implicits._
+  val tableConstraintsSchema: StructType = strings("constraint_catalog",
+    "constraint_schema", "constraint_name", "table_schema", "table_name",
+    "constraint_type")
+
+  def tableConstraints(defs: Seq[TableDef]): Seq[Seq[Any]] =
     defs.sortBy(t => (t.schema, t.name)).flatMap { t =>
       t.allConstraints.map { case (idx, _) =>
-        (Catalog, t.schema, idx, t.schema, t.name,
+        Seq[Any](Catalog, t.schema, idx, t.schema, t.name,
           if (idx == "PRIMARY") "PRIMARY KEY" else "UNIQUE")
       }
-    }.toDF("constraint_catalog", "constraint_schema", "constraint_name",
-      "table_schema", "table_name", "constraint_type")
-  }
+    }
 
   /** Always-empty constraint tables the reference materializes for
     * client compatibility (`/root/reference/src/datafusion_impl/
     * catalog/information_schema.rs:135-166` make_check_constraints /
     * make_referential_constraints) — the engine supports neither
     * CHECK nor FOREIGN KEY, but tools expect the tables to exist. */
-  def checkConstraints(s: SparkSession): DataFrame =
-    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq("constraint_catalog", "constraint_schema",
-        "constraint_name", "check_clause")
-        .map(StructField(_, StringType, nullable = true))))
+  val checkConstraintsSchema: StructType = strings("constraint_catalog",
+    "constraint_schema", "constraint_name", "check_clause")
 
-  def referentialConstraints(s: SparkSession): DataFrame =
-    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq("constraint_catalog", "constraint_schema",
-        "constraint_name", "unique_constraint_catalog",
-        "unique_constraint_schema", "unique_constraint_name",
-        "match_option", "update_rule", "delete_rule", "table_name",
-        "referenced_table_name")
-        .map(StructField(_, StringType, nullable = true))))
+  val referentialConstraintsSchema: StructType = strings(
+    "constraint_catalog", "constraint_schema", "constraint_name",
+    "unique_constraint_catalog", "unique_constraint_schema",
+    "unique_constraint_name", "match_option", "update_rule",
+    "delete_rule", "table_name", "referenced_table_name")
 
-  def keyColumnUsage(s: SparkSession, defs: Seq[TableDef]): DataFrame = {
-    import s.implicits._
+  val keyColumnUsageSchema: StructType = StructType(Seq(
+    field("constraint_catalog", long = false),
+    field("constraint_schema", long = false),
+    field("constraint_name", long = false),
+    field("table_schema", long = false), field("table_name", long = false),
+    field("column_name", long = false),
+    field("ordinal_position", long = true)))
+
+  def keyColumnUsage(defs: Seq[TableDef]): Seq[Seq[Any]] =
     defs.sortBy(t => (t.schema, t.name)).flatMap { t =>
       t.allConstraints.flatMap { case (idx, cols) =>
         cols.zipWithIndex.map { case (c, i) =>
-          (Catalog, t.schema, idx, t.schema, t.name, c, (i + 1).toLong)
+          Seq[Any](Catalog, t.schema, idx, t.schema, t.name, c,
+            (i + 1).toLong)
         }
       }
-    }.toDF("constraint_catalog", "constraint_schema", "constraint_name",
-      "table_schema", "table_name", "column_name", "ordinal_position")
-  }
+    }
 
   /** The `dual` pseudo-table the reference injects for FROM-less
     * selects (`execution.rs:167-174`,
