@@ -86,11 +86,15 @@ object Bench {
         // entries up to ~3x over their isolated cost)
         val preViews = spark.sessionState.catalog
           .listLocalTempViews("*").map(_.table).toSet
+        // label the query's jobs (guide §1.5) so UI/event-log stage
+        // timings attribute to battery entries
+        spark.sparkContext.setJobDescription(s"bench:$name:pass$pass")
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
         }
+        spark.sparkContext.setJobDescription(null)
         val dt = (System.nanoTime() - t0) / 1e9
         // release this query's persist()ed frames: cached blocks left
         // behind otherwise accumulate across the battery and tax

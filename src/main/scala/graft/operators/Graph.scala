@@ -117,9 +117,14 @@ object Graph {
       .persist(lvl)
     cached += e
     // node list from the UNFILTERED edges: self-loop-only nodes are
-    // real nodes of the graph and must appear in the output
-    val nodes = all.select(col("__s").as("__n"))
-      .union(all.select(col("__d").as("__n")))
+    // real nodes of the graph and must appear in the output. One
+    // explode pass, not a two-branch union — the union form read the
+    // raw stream (and the caller's whole edge construction above it)
+    // twice; persisting the raw pair stream instead was measured
+    // WORSE (caching the biggest pre-distinct frame costs more than
+    // one replay), so the fix is fewer reads, not a cache
+    val nodes = all
+      .select(explode(array(col("__s"), col("__d"))).as("__n"))
       .distinct()
       .persist(lvl)
     cached += nodes
@@ -189,12 +194,16 @@ object Graph {
       .persist(lvl)
     cached += und
     // every endpoint — self-loop-only nodes included — with the
-    // proper-edge degree (0 for self-loop-only nodes)
-    val deg = all.select(col("__u").as("__n"))
-      .union(all.select(col("__v").as("__n")))
+    // proper-edge degree (0 for self-loop-only nodes). Single explode
+    // pass over the raw stream: the former u-side ∪ v-side union read
+    // the caller's whole edge-construction chain twice (persisting the
+    // raw pre-distinct pair stream instead measured worse — the cache
+    // write of the biggest frame costs more than one replay)
+    val deg = all
+      .select(explode(array(col("__u"), col("__v"))).as("__n"))
       .distinct()
-      .join(und.select(col("__u").as("__n"))
-          .union(und.select(col("__v").as("__n")))
+      .join(und
+          .select(explode(array(col("__u"), col("__v"))).as("__n"))
           .groupBy(col("__n")).agg(count(lit(1)).as("__d0")),
         Seq("__n"), "left")
       .select(col("__n"), coalesce(col("__d0"), lit(0L)).as("__deg"))
@@ -497,14 +506,20 @@ object Graph {
     require(rounds >= 1, s"rounds $rounds must be >= 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // symmetrized adjacency: one row per (node, neighbor) direction
+    // symmetrized adjacency: one row per (node, neighbor) direction,
+    // generated by a single explode so the canonical edge set — and
+    // the caller's whole edge-construction chain above it — is read
+    // ONCE (the former two-branch union replayed the unpersisted
+    // distinct+pair-explode per direction)
     val adj = edges.select(
         least(col(srcCol), col(dstCol)).as("__u"),
         greatest(col(srcCol), col(dstCol)).as("__v"))
       .filter(col("__u") =!= col("__v"))
       .distinct()
-    val nbrs = adj.select(col("__u").as("__n"), col("__v").as("__m"))
-      .unionAll(adj.select(col("__v").as("__n"), col("__u").as("__m")))
+    val nbrs = adj.select(explode(array(
+        struct(col("__u").as("__n"), col("__v").as("__m")),
+        struct(col("__v").as("__n"), col("__u").as("__m")))).as("__e"))
+      .select(col("__e.__n").as("__n"), col("__e.__m").as("__m"))
       // pre-partition ONCE on the per-round join key: every round
       // joins labels on __m, and an unpartitioned cache re-exchanged
       // the full edge list per round (rounds × edge-sized shuffles —
