@@ -3974,15 +3974,23 @@ object Pipeline {
     // plus the degree/intra-edge aggregates.
     "p116_modularity" -> Q(
       (s, dir) => {
+        // the C(k,2) basket explode feeds BOTH the LPA chain and
+        // modularity's edge set — persist it so the dominant build
+        // runs once, not twice. Both consumers materialize eagerly
+        // (localCheckpoint) during construction, so the cache is
+        // safely released before the entry returns.
         val pairs = Association.withinGroupPairs(
           tbl(s, dir, "lineitem")
             .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
           "o", "p")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val labels = graft.operators.Graph.labelPropagation(
           pairs, "x", "y", rounds = 3)
-        graft.operators.Graph.modularity(pairs, "x", "y",
+        val out = graft.operators.Graph.modularity(pairs, "x", "y",
             labels, "node", "label")
           .orderBy(col("label"))
+        pairs.unpersist(blocking = false)
+        out
       },
       Some(s"""WITH $duckCoPurchaseLp3,
         |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
