@@ -38,13 +38,15 @@ object Association {
       itemCol: String): DataFrame =
     df.groupBy(col(grpCol))
       .agg(sort_array(collect_set(col(itemCol))).as("__is"))
-      .select(explode(expr(
-        """CASE WHEN size(__is) < 2 THEN array() ELSE
-          |flatten(transform(sequence(1, size(__is) - 1), i ->
-          |  transform(slice(__is, CAST(i + 1 AS INT),
-          |      size(__is) - CAST(i AS INT)),
-          |    y -> struct(element_at(__is, CAST(i AS INT)) AS x,
-          |      y AS y)))) END""".stripMargin)).as("__p"))
+      // C(k,2) pair generation runs as ONE compiled double loop
+      // ([[graft.functions.SortedArrayPairs]]) instead of the nested
+      // flatten/transform/slice HOF chain: collection HOFs are
+      // CodegenFallback (interpreted per element) and slice copied an
+      // array suffix per outer index — measured ~40% of this
+      // builder's post-shuffle wall at sf0.1, growing with basket
+      // size. Same pairs in the same (i, j) order.
+      .select(explode(
+        graft.functions.SortedArrayPairs(col("__is"))).as("__p"))
       .select(col("__p.x").as("x"), col("__p.y").as("y"))
 
   /** Top-`k` two-item association rules by lift from a

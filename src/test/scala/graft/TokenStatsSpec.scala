@@ -172,6 +172,51 @@ class TokenStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.count() == 0L)
   }
 
+  test("sorted array pairs == HOF pair generation (long and string)") {
+    import spark.implicits._
+    val hof =
+      """CASE WHEN size(__is) < 2 THEN array() ELSE
+        |flatten(transform(sequence(1, size(__is) - 1), i ->
+        |  transform(slice(__is, CAST(i + 1 AS INT),
+        |      size(__is) - CAST(i AS INT)),
+        |    y -> struct(element_at(__is, CAST(i AS INT)) AS x,
+        |      y AS y)))) END""".stripMargin
+    val rnd = new scala.util.Random(13)
+    val longArrays = (1 to 80).map(_ =>
+      (1 to rnd.nextInt(9)).map(_ => rnd.nextInt(50).toLong)
+        .distinct.sorted) :+ Seq.empty[Long]
+    val ldf = longArrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "__is")
+    val lbad = ldf.select(col("id"),
+        graft.functions.SortedArrayPairs(col("__is")).as("got"),
+        expr(hof).as("want"))
+      .filter(expr("to_json(got) != to_json(want)"))
+    assert(lbad.count() == 0L, "long pair arrays diverge from HOF")
+    val strArrays = (1 to 60).map(_ =>
+      (1 to rnd.nextInt(7)).map(_ => s"w${rnd.nextInt(30)}")
+        .distinct.sorted) :+ Seq.empty[String]
+    val sdf = strArrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "__is")
+    val sbad = sdf.select(col("id"),
+        graft.functions.SortedArrayPairs(col("__is")).as("got"),
+        expr(hof).as("want"))
+      .filter(expr("to_json(got) != to_json(want)"))
+    assert(sbad.count() == 0L, "string pair arrays diverge from HOF")
+    // end-to-end: withinGroupPairs over a basket frame == HOF replica
+    val baskets = (1 to 300).map(i =>
+      ((i % 40).toLong, rnd.nextInt(25).toLong))
+    val bdf = baskets.toDF("o", "p")
+    val got = graft.operators.Association.withinGroupPairs(bdf, "o", "p")
+      .groupBy("x", "y").count()
+    val want = bdf.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("__is"))
+      .select(explode(expr(hof)).as("__p"))
+      .select(col("__p.x").as("x"), col("__p.y").as("y"))
+      .groupBy("x", "y").count()
+    assert(got.exceptAll(want).count() == 0L &&
+      want.exceptAll(got).count() == 0L)
+  }
+
   test("gopher gate counts real ellipses as symbols (r16 advice fix)") {
     import spark.implicits._
     // 60 words incl. 7 real-ellipsis tokens → n_sym 7, 70 ≥ 60 → fail
