@@ -369,8 +369,12 @@ object Curation {
            |                 CAST(0 AS BIGINT))),
            |  array(CAST(1 AS BIGINT)))""".stripMargin).as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dot = expr("""aggregate(zip_with(w, x, (a, b) -> a * b),
-      CAST(0 AS BIGINT), (acc, v) -> acc + v)""")
+    // integer margin kernel as one compiled loop
+    // ([[graft.functions.LongDot]]): the HOF spelling ran two
+    // interpreted closure calls per dimension per document per round
+    // (same left-to-right Long accumulation, so training trajectories
+    // are bit-identical)
+    val dot = graft.functions.LongDot(col("w"), col("x"))
     var w = df.sparkSession.range(1).select(expr(
       s"transform(sequence(1, $dims), i -> CAST(0 AS BIGINT))").as("w"))
     for (_ <- 1 to rounds) {

@@ -220,4 +220,35 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 12L), (1L, 2L, 13L), // survivors keep original order
       (2L, 1L, 20L), (2L, 2L, 21L)))
   }
+
+  test("TopKAggregate == typed-Aggregator udaf on a seeded adversarial corpus") {
+    import spark.implicits._
+    // ties (same score distinct ids), duplicate (id, score) rows, NaN
+    // and infinite scores, >2k rows per key so culls fire, multiple
+    // partitions so merge paths run
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 5000).map { i =>
+      val key = i % 7L
+      val id = rnd.nextInt(400).toLong
+      val score = rnd.nextInt(12) match {
+        case 0 => Double.NaN
+        case 1 => Double.PositiveInfinity
+        case 2 => Double.NegativeInfinity
+        case _ => rnd.nextInt(50).toDouble // plenty of exact ties
+      }
+      (key, id, score)
+    }
+    val df = rows.toDF("q", "id", "s").repartition(11)
+    for (k <- Seq(1, 3, 20)) {
+      val got = df.groupBy("q")
+        .agg(graft.operators.TopK.topK(k)(col("id"), col("s")).as("t"))
+        .select(col("q"), expr("to_json(t)").as("j"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val want = df.groupBy("q")
+        .agg(graft.operators.TopK.topKUdaf(k)(col("id"), col("s")).as("t"))
+        .select(col("q"), expr("to_json(t)").as("j"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got === want, s"k=$k diverges from the udaf reference")
+    }
+  }
 }
