@@ -183,3 +183,218 @@ object PqAdc {
   def apply(lut: Column, code: Column): Column =
     graftshim.column(PqAdc(graftshim.expression(lut), graftshim.expression(code)))
 }
+
+/** Codegen'd integer dot product over two `array<bigint>` columns —
+  * the perceptron margin kernel. The HOF formulation
+  * (`aggregate(zip_with(w,x,(a,b)->a*b), 0L, (acc,v)->acc+v)`)
+  * allocates a zipped array and makes two interpreted closure calls
+  * per element, per document, per training round; this is one static
+  * call with a tight loop over the raw buffers. Same left-to-right
+  * accumulation, exact Long arithmetic — bit-identical to the HOF
+  * form and to the ANSI-SQL oracle replay.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_long_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+        ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.LongDot.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongDot {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column =
+    graftshim.column(LongDot(graftshim.expression(a), graftshim.expression(b)))
+}
+
+/** Codegen'd float→double vector widening. `transform(v, x ->
+  * CAST(x AS DOUBLE))` is an interpreted lambda per element per row —
+  * the cast every similarity operator pays on every corpus vector
+  * before any scoring. One static call builds the double array in a
+  * tight loop. Accepts array<float> or array<double> (double passes
+  * through element-by-element, same values). Null elements stay null.
+  */
+case class VecAsDouble(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType ==
+      org.apache.spark.sql.types.FloatType
+
+  override def dataType: DataType = ArrayType(DoubleType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "graft_vec_as_double"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VecAsDouble.compute(input.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecAsDouble.compute($c, $elemIsFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecAsDouble =
+    copy(child = newChild)
+}
+
+object VecAsDouble {
+  def compute(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        out(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(v: Column): Column =
+    graftshim.column(VecAsDouble(graftshim.expression(v)))
+}
+
+/** Codegen'd L2 normalization of an `array<double>` vector. The HOF
+  * spelling (`transform(v, x -> x / sqrt(aggregate(zip_with(v,v,*),
+  * 0d, +)))`) re-evaluates the interpreted sum-of-squares lambda pair
+  * PER ELEMENT; this computes the norm once (same left-to-right
+  * accumulation — identical IEEE result) and divides in one loop.
+  */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_l2_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    L2Normalize.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.L2Normalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+object L2Normalize {
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var ss = 0d
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def apply(v: Column): Column =
+    graftshim.column(L2Normalize(graftshim.expression(v)))
+}
+
+/** Codegen'd random-hyperplane LSH bucket id over an `array<double>`
+  * vector: `numBits` sign bits of LCG-derived plane dot products. The
+  * HOF spelling ran numBits × dims interpreted multiply-adds per row
+  * (an aggregate(zip_with(...)) per bit). Same plane components
+  * ((A·(j·dims+d+1)+B) mod p)/p − 0.5, same left-to-right fold per
+  * bit, same `>= 0` sign rule — bucket ids are bit-identical to the
+  * HOF form and the DuckDB oracle replay.
+  */
+case class HyperplaneBucket(child: Expression, numBits: Int, dims: Int,
+    planeA: Long, planeB: Long, planeP: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBucket.compute(input.asInstanceOf[ArrayData],
+      numBits, dims, planeA, planeB, planeP)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => "graft.functions.HyperplaneBucket.compute(" +
+      s"$c, $numBits, $dims, ${planeA}L, ${planeB}L, ${planeP}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBucket = copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  def compute(v: ArrayData, numBits: Int, dims: Int,
+      pA: Long, pB: Long, pP: Long): Long = {
+    // HOF semantics: zip_with pads the shorter side with null, a null
+    // poisons the whole fold, and `CASE WHEN null THEN … ELSE 0`
+    // contributes 0 for every bit — so any length mismatch is bucket 0
+    if (v.numElements() != dims) return 0L
+    var bucket = 0L
+    var j = 0
+    while (j < numBits) {
+      var s = 0d
+      var d = 0
+      val base = j * dims
+      while (d < dims) {
+        val plane = ((pA * (base + d + 1) + pB) % pP).toDouble / pP - 0.5
+        s += v.getDouble(d) * plane
+        d += 1
+      }
+      if (s >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  def apply(v: Column, numBits: Int, dims: Int,
+      planeA: Long, planeB: Long, planeP: Long): Column =
+    graftshim.column(HyperplaneBucket(graftshim.expression(v),
+      numBits, dims, planeA, planeB, planeP))
+}

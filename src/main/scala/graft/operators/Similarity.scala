@@ -31,9 +31,10 @@ object Similarity {
             |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
 
   /** Cast a float vector to double once, up front: float math is not
-    * reproducible across engines, double is. */
-  def asDouble(v: Column): Column =
-    transform(v, x => x.cast("double"))
+    * reproducible across engines, double is. Codegen expression
+    * ([[graft.functions.VecAsDouble]]): the `transform(v, cast)` HOF
+    * ran an interpreted lambda per element on every corpus vector. */
+  def asDouble(v: Column): Column = graft.functions.VecAsDouble(v)
 
   /** Cosine similarity between two double-vector columns — a custom
     * codegen Catalyst expression (graft.functions.CosineSim), one
@@ -45,11 +46,12 @@ object Similarity {
 
   /** L2-normalize a double vector column name. Normalizing once at
     * load turns every cosine into a plain dot product — at 100 TB
-    * that halves the flops and removes the per-pair norm recompute. */
+    * that halves the flops and removes the per-pair norm recompute.
+    * Codegen expression ([[graft.functions.L2Normalize]]): the HOF
+    * spelling re-ran the interpreted sum-of-squares fold once per
+    * ELEMENT; same left-to-right accumulation, bit-identical. */
   def normalizeExpr(v: String): Column =
-    expr(s"""transform($v, x -> x / sqrt(aggregate(
-            |  zip_with($v, $v, (p, q) -> p * q),
-            |  CAST(0 AS DOUBLE), (acc, w) -> acc + w)))""".stripMargin)
+    graft.functions.L2Normalize(col(v))
 
   /** Spread an under-partitioned corpus frame to the session's
     * default parallelism. A 100-TB scan arrives with thousands of
@@ -92,15 +94,12 @@ object Similarity {
     * bucket exactly (same left-to-right fold as DuckDB list_reduce). */
   def lshBucketExpr(vecCol: String, numBits: Int, dims: Int): Column = {
     val (pA, pB, pP) = Similarity.PlaneParams
-    val bitExprs = (0 until numBits).map { j =>
-      s"""(CASE WHEN aggregate(
-         |   zip_with($vecCol, sequence(0, ${dims - 1}),
-         |     (x, d) -> x * (CAST(($pA * (${j * dims} + d + 1) + $pB) % $pP AS DOUBLE)
-         |                    / $pP.0 - 0.5)),
-         |   CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0
-         | THEN ${1L << j} ELSE 0 END)""".stripMargin
-    }
-    expr(bitExprs.mkString("(", " + ", ")")).cast("long")
+    // codegen expression ([[graft.functions.HyperplaneBucket]]): the
+    // HOF spelling ran numBits × dims interpreted multiply-adds per
+    // corpus row. Same LCG plane components, same per-bit
+    // left-to-right fold and >= 0 sign rule — bucket ids bit-identical
+    graft.functions.HyperplaneBucket(col(vecCol), numBits, dims,
+      pA, pB, pP)
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into

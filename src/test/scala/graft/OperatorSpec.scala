@@ -819,6 +819,51 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     len.foreach(l => assert(math.abs(l - 1.0) < 1e-12))
   }
 
+  test("vector codegen expressions == their HOF formulations (r17)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dims = 16
+    val vecs = (1 to 150).map { i =>
+      (i.toLong, (1 to dims).map(_ =>
+        (rnd.nextInt(2001) - 1000).toFloat / 100f))
+    }
+    val df = vecs.toDF("id", "fv")
+    // asDouble == transform cast (bit-identical doubles)
+    val cast = df.select(col("id"),
+      Similarity.asDouble(col("fv")).as("got"),
+      transform(col("fv"), x => x.cast("double")).as("want"))
+    assert(cast.filter(expr("to_json(got) != to_json(want)"))
+      .count() == 0L)
+    // L2Normalize == per-element HOF normalize (same IEEE ops)
+    val nrm = cast.select(col("id"), col("want").as("v"))
+      .select(col("id"),
+        Similarity.normalizeExpr("v").as("got"),
+        expr("""transform(v, x -> x / sqrt(aggregate(
+          |  zip_with(v, v, (p, q) -> p * q),
+          |  CAST(0 AS DOUBLE), (acc, w) -> acc + w)))""".stripMargin)
+          .as("want"))
+    assert(nrm.filter(expr("to_json(got) != to_json(want)"))
+      .count() == 0L)
+    // HyperplaneBucket == per-bit HOF fold, several bit widths
+    val (pA, pB, pP) = Similarity.PlaneParams
+    for (bits <- Seq(1, 8, 16)) {
+      val hof = (0 until bits).map { j =>
+        s"""(CASE WHEN aggregate(
+           |   zip_with(v, sequence(0, ${dims - 1}),
+           |     (x, d) -> x * (CAST(($pA * (${j * dims} + d + 1) + $pB) % $pP AS DOUBLE)
+           |                    / $pP.0 - 0.5)),
+           |   CAST(0 AS DOUBLE), (acc, w) -> acc + w) >= 0
+           | THEN ${1L << j} ELSE 0 END)""".stripMargin
+      }.mkString("(", " + ", ")")
+      val bk = cast.select(col("id"), col("want").as("v"))
+        .select(col("id"),
+          Similarity.lshBucketExpr("v", bits, dims).as("got"),
+          expr(hof).cast("long").as("want"))
+      assert(bk.filter(col("got") =!= col("want")).count() == 0L,
+        s"bucket ids diverge at $bits bits")
+    }
+  }
+
   test("clusterTuned builder carries the documented 100-TB knobs") {
     // getOrCreate applies builder options to the shared session's SQL
     // confs — snapshot and restore them so the rest of the suite keeps
