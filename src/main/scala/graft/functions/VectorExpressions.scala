@@ -398,3 +398,63 @@ object HyperplaneBucket {
     graftshim.column(HyperplaneBucket(graftshim.expression(v),
       numBits, dims, planeA, planeB, planeP))
 }
+
+/** Codegen'd dense bag-of-words materialization: a (bucket → count)
+  * map becomes the dense `array<bigint>` of length `buckets + 1` with
+  * the trailing bias slot fixed at 1 — exactly
+  * `concat(transform(sequence(0, buckets-1), bb ->
+  * coalesce(element_at(m, bb), 0)), array(1))`, which ran `buckets`
+  * interpreted map probes per document. One loop over the map's
+  * entries scatters counts into a zeroed array instead.
+  */
+case class DenseCounts(child: Expression, buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(buckets >= 1, s"buckets $buckets must be >= 1")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_dense_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires map<bigint,bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DenseCounts.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DenseCounts.compute($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): DenseCounts =
+    copy(child = newChild)
+}
+
+object DenseCounts {
+  def compute(m: org.apache.spark.sql.catalyst.util.MapData,
+      buckets: Int): ArrayData = {
+    val out = new Array[Long](buckets + 1)
+    out(buckets) = 1L // bias slot
+    val ks = m.keyArray(); val vs = m.valueArray()
+    val n = m.numElements()
+    var i = 0
+    while (i < n) {
+      val k = ks.getLong(i)
+      if (k >= 0 && k < buckets) out(k.toInt) = vs.getLong(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def apply(m: Column, buckets: Int): Column =
+    graftshim.column(DenseCounts(graftshim.expression(m), buckets))
+}

@@ -361,13 +361,14 @@ object Curation {
       .groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
         .as("m"))
+    // dense feature vector as one compiled scatter
+    // ([[graft.functions.DenseCounts]]): the HOF spelling probed the
+    // count map `buckets` times per document through interpreted
+    // element_at lambdas; same array, bias slot included
     val feat = df.select(col(idCol), labelCol.cast("long").as("y"))
       .join(counts, Seq(idCol))
-      .select(col(idCol), col("y"), expr(
-        s"""concat(transform(sequence(0, ${buckets - 1}),
-           |  bb -> coalesce(element_at(m, CAST(bb AS BIGINT)),
-           |                 CAST(0 AS BIGINT))),
-           |  array(CAST(1 AS BIGINT)))""".stripMargin).as("x"))
+      .select(col(idCol), col("y"),
+        graft.functions.DenseCounts(col("m"), buckets).as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // integer margin kernel as one compiled loop
     // ([[graft.functions.LongDot]]): the HOF spelling ran two

@@ -862,6 +862,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bk.filter(col("got") =!= col("want")).count() == 0L,
         s"bucket ids diverge at $bits bits")
     }
+    // DenseCounts == the concat(transform(sequence…)) map-probe HOF,
+    // including out-of-range keys (ignored) and the bias slot
+    val maps = Seq(
+      Map(0L -> 3L, 5L -> 1L, 15L -> 9L),
+      Map.empty[Long, Long],
+      Map(99L -> 7L, -1L -> 2L, 7L -> 4L))
+    val mdf = maps.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+      .toDF("id", "m")
+    val dc = mdf.select(col("id"),
+      graft.functions.DenseCounts(col("m"), 16).as("got"),
+      expr("""concat(transform(sequence(0, 15),
+        |  bb -> coalesce(element_at(m, CAST(bb AS BIGINT)),
+        |                 CAST(0 AS BIGINT))),
+        |  array(CAST(1 AS BIGINT)))""".stripMargin).as("want"))
+    assert(dc.filter(expr("to_json(got) != to_json(want)"))
+      .count() == 0L, "dense counts diverge from the HOF probe")
   }
 
   test("clusterTuned builder carries the documented 100-TB knobs") {
