@@ -27,6 +27,16 @@ def fresh_con(sf_dir):
     # disk and leave headroom below the default 80%-of-RAM limit.
     con.execute("SET temp_directory='/tmp/duck_spill'")
     con.execute("SET max_temp_directory_size='200GB'")
+    # cap the buffer pool well below physical RAM: the default (80% of
+    # RAM) leaves no room for allocator fragmentation after several
+    # spill-heavy 100x oracles (or a concurrent Spark JVM) — seen as
+    # "Failed to allocate block of 1281 bytes" at the NEXT connect.
+    # A lower cap just spills earlier; correctness is unaffected.
+    # Env-tunable: the heaviest 100x oracle replays (p121's span
+    # removal) legitimately need more than the safe default — run
+    # those entries standalone with GRAFT_DUCK_MEM=90GB.
+    con.execute("SET memory_limit='%s'"
+        % os.environ.get("GRAFT_DUCK_MEM", "48GB"))
     for t in TABLES:
         # driver testdata is one file per table; ScaleGen scale-up dirs
         # are Spark-written DIRECTORIES of part files — glob those.
