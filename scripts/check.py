@@ -34,9 +34,17 @@ def fresh_con(sf_dir):
     # A lower cap just spills earlier; correctness is unaffected.
     # Env-tunable: the heaviest 100x oracle replays (p121's span
     # removal) legitimately need more than the safe default — run
-    # those entries standalone with GRAFT_DUCK_MEM=90GB.
+    # those entries standalone with GRAFT_DUCK_MEM=90GB. The default
+    # is min(48GB, 60% of physical RAM): a flat 48GB on a smaller host
+    # would RAISE the ceiling above physical memory and turn the
+    # safety cap into an OOM.
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        default_mem = "%dMB" % min(48 * 1024, int(ram * 0.6 / (1 << 20)))
+    except (ValueError, OSError):
+        default_mem = "48GB"
     con.execute("SET memory_limit='%s'"
-        % os.environ.get("GRAFT_DUCK_MEM", "48GB"))
+        % os.environ.get("GRAFT_DUCK_MEM", default_mem))
     for t in TABLES:
         # driver testdata is one file per table; ScaleGen scale-up dirs
         # are Spark-written DIRECTORIES of part files — glob those.

@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query and
-  * total wall seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE {"metric":"total",...} JSON line
+  * (final stdout line, sized to fit the driver's ~2KB stdout tail:
+  * total + slowest-first truncated queries map + detail pointer); the
+  * FULL per-query map goes to the detail file (SPARK_GRAFT_BENCH_OUT,
+  * default BENCH_LOCAL_latest.json).
   *
   * Queries are forced through the noop datasource sink — count()
   * would let Catalyst prune expensive projections, under-measuring
@@ -133,18 +136,22 @@ object Bench {
     }
     spark.stop()
     // Tail-cap-aware stdout emission. The driver keeps only the LAST
-    // ~2000 chars of stdout; the full 188-query contract line is
-    // ~4.8 KB and can NEVER fit, so r12/r13 parsed as null however
-    // the lines were ordered. Emission order, least → most durable:
-    //   1. the FULL contract line (complete captures and the
-    //      committed file carry every query);
-    //   2. per-query chunk lines (the LAST chunks survive a front
-    //      truncation, extending coverage beyond the final line);
-    //   3. a compact contract line LAST, sized to fit the tail cap
-    //      with room to spare: total + the slowest queries (the
-    //      entries any perf audit reads first), slowest-first, plus
-    //      n_queries/omitted/detail pointing at the full record.
-    println(json)
+    // ~2000 chars of stdout and its parser accepts exactly one
+    // {"metric":"total",...} line; the full 222-query contract line
+    // is ~6 KB and can NEVER fit, so r12–r17 parsed as null however
+    // the lines were ordered (r16/r17 named the fitting line
+    // "total_compact", which the parser rejects). Emission order,
+    // least → most durable:
+    //   1. per-query chunk lines (the LAST chunks survive a front
+    //      truncation, extending per-query coverage beyond what the
+    //      final line can carry);
+    //   2. the contract line LAST — "metric":"total", sized to fit
+    //      the tail cap with room to spare: total + the slowest
+    //      queries (the entries any perf audit reads first),
+    //      slowest-first, plus n_queries/omitted/detail pointing at
+    //      the full record. The FULL map is never printed to stdout
+    //      (only written to the detail file above), so one run can
+    //      never emit two differing "total" lines.
     val chunks = results.grouped(35).toSeq
     chunks.zipWithIndex.foreach { case (c, i) =>
       val cq = c.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
@@ -152,19 +159,15 @@ object Bench {
       println(s"""{"metric":"chunk","part":${i + 1},"of":${chunks.size},"queries":$cq}""")
     }
     val bySlow = results.sortBy(-_._2)
-    val budget = 1200 // chars for the compact queries map
+    val budget = 1200 // chars for the queries map (whole line ≤ ~1.6KB)
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     bySlow.foreach { case (k, v) =>
       val frag = "\"" + k + f"""":$v%.3f"""
       if (used + frag.length + 1 <= budget) { kept += frag; used += frag.length + 1 }
     }
-    // distinct metric name: one run must never emit two "total" lines
-    // with DIFFERENT queries maps — a consumer picking the first (or
-    // any) total line would silently read the capped slowest-only map
-    // as the full per-query record
-    val compact =
-      f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size},"omitted":${results.size - kept.size},"detail":"$outPath",$loadJson}"""
-    println(compact)
+    val contract =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size},"omitted":${results.size - kept.size},"detail":"$outPath",$loadJson}"""
+    println(contract)
   }
 }

@@ -199,6 +199,11 @@ case class LongDot(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_long_dot"
 
+  // a length mismatch yields NULL, exactly like the HOF it replaces
+  // (zip_with pads the shorter side with null and the fold
+  // null-poisons) — never a silently truncated sum
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(org.apache.spark.sql.types.LongType, _),
@@ -208,12 +213,20 @@ case class LongDot(left: Expression, right: Expression)
         s"$prettyName requires two array<bigint> arguments, got $other")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    LongDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else LongDot.compute(aa, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.LongDot.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if ($a.numElements() != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.LongDot.compute($a, $b);
+      |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LongDot =
@@ -221,8 +234,10 @@ case class LongDot(left: Expression, right: Expression)
 }
 
 object LongDot {
+  /** Exact Long dot product; caller guarantees equal lengths (the
+    * expression returns NULL on mismatch before reaching here). */
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0L
     var i = 0
     while (i < n) {
@@ -299,7 +314,11 @@ object VecAsDouble {
 case class L2Normalize(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // containsNull follows the input: a null element null-poisons the
+  // HOF's sum-of-squares fold, making EVERY output element null — the
+  // compute below replicates that instead of silently reading 0.0
+  override def dataType: DataType = ArrayType(DoubleType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
   override def prettyName: String = "graft_l2_normalize"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -323,7 +342,14 @@ object L2Normalize {
     val n = a.numElements()
     var ss = 0d
     var i = 0
-    while (i < n) { val x = a.getDouble(i); ss += x * x; i += 1 }
+    while (i < n) {
+      // HOF semantics: any null element null-poisons the norm fold,
+      // so every output element of the transform becomes null
+      if (a.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](n))
+      val x = a.getDouble(i); ss += x * x; i += 1
+    }
     val norm = math.sqrt(ss)
     val out = new Array[Double](n)
     i = 0

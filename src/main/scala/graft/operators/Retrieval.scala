@@ -61,11 +61,16 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // nonempty-token count per document, map-side: split of a
-    // space-trimmed string yields an empty token only as a single
-    // leading field (empty text → [""], text starting with \t/\n →
-    // ["", ...]) — subtracting that case gives exactly the row count
-    // the old explode+filter(length>=1) path aggregated per doc.
+    // nonempty-token count per document, map-side: split() keeps
+    // empty fields (limit = -1) and trim() strips only 0x20 spaces,
+    // so an empty field appears in exactly two places — a single
+    // leading one (empty text → [""], text starting with \t/\n →
+    // ["", ...]) and a single trailing one (text ending in \t/\n →
+    // [..., ""]; consecutive whitespace is ONE delimiter, so each
+    // end contributes at most one). Subtracting both cases gives
+    // exactly the row count the old explode+filter(length>=1) path
+    // aggregated per doc — including the all-whitespace doc
+    // ("\t" → ["", ""] → dl 0, correctly outside n_docs).
     // The token array materializes ONCE as a named column before any
     // multi-use: referencing the raw split() expression from size/
     // element_at/explode lets CollapseProject inline it above the
@@ -73,7 +78,9 @@ object Retrieval {
     // (measured: the candidate-build stage went 4.2s for 270k token
     // rows at sf0.1 — ~15µs of redundant regex split per row).
     def dlOf(tks: org.apache.spark.sql.Column) = (size(tks) -
-      when(element_at(tks, 1) === lit(""), lit(1)).otherwise(lit(0)))
+      when(element_at(tks, 1) === lit(""), lit(1)).otherwise(lit(0)) -
+      when(size(tks) > 1 && element_at(tks, size(tks)) === lit(""), lit(1))
+        .otherwise(lit(0)))
       .cast("long")
     val stats = docs
       .select(Dedup.tokens(col(textCol)).as("__tks"))

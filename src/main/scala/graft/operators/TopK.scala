@@ -189,8 +189,20 @@ object TopK {
 
   /** Per-group space-saving heavy hitters:
     * `df.groupBy(keys).agg(spaceSaving(k, cap)(id))` — an
-    * `array<struct<id,count,err>>` ranked (count desc, id asc). */
+    * `array<struct<id,count,err>>` ranked (count desc, id asc).
+    * Runs as a primitive-buffer TypedImperativeAggregate
+    * ([[graft.functions.SpaceSavingAggregate]]): the typed-Aggregator
+    * udaf paid an encoder round-trip per input row (the ~3.7µs/row
+    * class the TopK swap measured) plus a boxed tuple per increment.
+    * Eviction, merge floors and ranking are identical (spec-pinned
+    * against [[SpaceSavingAgg]], including overflow + merge splits);
+    * the same aggregate serves batch (q51) and streaming state (q61). */
   def spaceSaving(k: Int, capacity: Int)(id: Column): Column =
+    graft.functions.SpaceSavingAggregate(id, k, capacity)
+
+  /** The pre-r18 typed-Aggregator formulation — kept as the
+    * spec-side reference implementation for the equality pin. */
+  def spaceSavingUdaf(k: Int, capacity: Int)(id: Column): Column =
     udaf(new SpaceSavingAgg(k, capacity), Encoders.scalaLong)
       .apply(id.cast("long"))
 }

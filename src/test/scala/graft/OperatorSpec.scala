@@ -880,6 +880,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0L, "dense counts diverge from the HOF probe")
   }
 
+  test("vector kernels match HOF edge semantics: length mismatch and null elements") {
+    import spark.implicits._
+    // LongDot: a length mismatch is NULL (zip_with pads with null and
+    // the fold null-poisons), never a silently truncated sum
+    val ld = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)), // equal lengths
+      (2L, Seq(1L, 2L, 3L), Seq(4L, 5L)), // right shorter
+      (3L, Seq(1L), Seq(4L, 5L, 6L))) // left shorter
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.LongDot(col("a"), col("b")).as("got"),
+        expr("""aggregate(zip_with(a, b, (x, y) -> x * y),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+          .as("want"))
+    assert(ld.filter(expr("got <=> want") === lit(false)).count() == 0L)
+    assert(ld.filter(col("id") > 1 && col("got").isNotNull).count() == 0L)
+    // L2Normalize: a null element null-poisons the norm fold, so every
+    // output element is null — exactly the HOF's transform result
+    val nn = Seq(
+      (1L, Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](3.0, null, 4.0)))
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.functions.L2Normalize(col("v")).as("got"),
+        expr("""transform(v, x -> x / sqrt(aggregate(
+          |  zip_with(v, v, (p, q) -> p * q),
+          |  CAST(0 AS DOUBLE), (acc, w) -> acc + w)))""".stripMargin)
+          .as("want"))
+    assert(nn.filter(expr("to_json(got) != to_json(want)")).count() == 0L)
+  }
+
   test("clusterTuned builder carries the documented 100-TB knobs") {
     // getOrCreate applies builder options to the shared session's SQL
     // confs — snapshot and restore them so the rest of the suite keeps

@@ -86,6 +86,30 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getAs[Long]("score_micro") > r(1).getAs[Long]("score_micro"))
   }
 
+  test("bm25: trailing whitespace and whitespace-only docs don't distort lengths") {
+    import spark.implicits._
+    // trim() strips only 0x20 spaces and split(limit=-1) keeps empty
+    // fields, so docs ending in \t/\n produce a trailing "" token and
+    // all-whitespace docs produce ["", ""] — the map-side dl must
+    // count neither (the old explode+filter(length>=1) semantics).
+    // The messy corpus must yield bit-identical scores to the clean
+    // one: same dl per doc, same n_docs/len_total (whitespace-only
+    // docs stay outside the corpus statistics).
+    val clean = Seq(
+      (1L, "spark shuffle join"), (2L, "spark tuning"), (3L, "shuffle"))
+      .toDF("doc_id", "text")
+    val messy = Seq(
+      (1L, "spark shuffle join\t"), (2L, " spark tuning\n"),
+      (3L, "shuffle"), (4L, "\t"), (5L, "   "))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "spark shuffle")).toDF("query_id", "qtext")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(d, "doc_id", "text", qs, "query_id", "qtext",
+        k = 10).collect().map(r => (r.getLong(0), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSet
+    assert(run(messy) == run(clean))
+  }
+
   test("bm25 is partitioning-independent") {
     val base = Retrieval.bm25TopK(corpus(), "doc_id", "text",
       queriesDf(), "query_id", "qtext", k = 10).collect().toSet

@@ -144,6 +144,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SpaceSavingAggregate buffer == typed-Aggregator on random streams and merge splits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the overflow regime is arrival-order-sensitive BY CONTRACT, so
+    // the byte-equality pin drives both implementations through
+    // identical reduce sequences and an identical merge split —
+    // deterministic, unlike a through-Spark shuffle whose partial
+    // fetch order is not pinned
+    for ((k, cap) <- Seq((3, 4), (5, 8), (2, 16))) {
+      val agg = new graft.operators.TopK.SpaceSavingAgg(k, cap)
+      val stream: Gen[List[Long]] = Gen.listOfN(400,
+        Gen.frequency(6 -> Gen.choose(0L, 3L), 4 -> Gen.choose(0L, 50L)))
+      (0 until 20).foreach { i =>
+        val xs = stream.apply(Gen.Parameters.default, Seed(i.toLong)).get
+        val (l, r) = xs.zipWithIndex.partition(_._2 % 3 == 0)
+        def oldSum(ys: Seq[Long]) =
+          ys.foldLeft(agg.zero)((m, x) => agg.reduce(m, x))
+        def newSum(ys: Seq[Long]) = {
+          val b = new graft.functions.SpaceSavingBuffer(k, cap)
+          ys.foreach(b.add)
+          b
+        }
+        val oldM = agg.merge(oldSum(l.map(_._1)), oldSum(r.map(_._1)))
+        val newB = newSum(l.map(_._1))
+        newB.mergeFrom(newSum(r.map(_._1)))
+        val oldRanked = oldM.toSeq.sortBy { case (id, (c, _)) => (-c, id) }
+          .map { case (id, (c, e)) => (id, c, e) }
+        assert(newB.ranked.toSeq == oldRanked, s"k=$k cap=$cap seed=$i")
+        // serialization round-trip preserves the summary
+        val expr = graft.functions.SpaceSavingAggregate(
+          org.apache.spark.sql.catalyst.expressions.Literal(0L), k, cap)
+        val rt = expr.deserialize(expr.serialize(newB))
+        assert(rt.ranked.toSeq == newB.ranked.toSeq)
+      }
+    }
+  }
+
+  test("SpaceSavingAggregate == typed-Aggregator udaf through Spark in the exact regime") {
+    import spark.implicits._
+    // ≤capacity distinct ids per group → exact, order-insensitive
+    // results; 11 partitions exercise partial/merge paths
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 4000).map { _ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong)
+    }
+    val df = rows.toDF("g", "id").repartition(11)
+    for ((k, cap) <- Seq((3, 64), (10, 4096))) {
+      val got = df.groupBy("g")
+        .agg(graft.operators.TopK.spaceSaving(k, cap)(col("id")).as("hh"))
+        .select(col("g"), expr("to_json(hh)").as("j"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val want = df.groupBy("g")
+        .agg(graft.operators.TopK.spaceSavingUdaf(k, cap)(col("id")).as("hh"))
+        .select(col("g"), expr("to_json(hh)").as("j"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got === want, s"k=$k cap=$cap diverges from the udaf reference")
+    }
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
