@@ -350,22 +350,29 @@ object Graph {
     * previous subgraph); on graphs whose peel converges faster the
     * extra rounds are cheap fixpoint no-ops.
     *
-    * Scale shape: the canonical edge set is cached ONCE and never
+    * Scale shape: the symmetrized adjacency (one row per edge
+    * DIRECTION, built by a single explode pass over the canonical
+    * edge set — the caller's whole edge construction is read once) is
+    * cached ONCE, hash-partitioned on the decrement key, and never
     * refiltered or reshuffled — each round works on the DELTA. The
     * just-removed node set (small after round 1; peeling converges
     * geometrically on real degree distributions) joins the cached
-    * edges to count, per surviving neighbor, how many incident
+    * adjacency to count, per surviving neighbor, how many incident
     * edges just died, and the degree frame is updated by
-    * subtraction. So a round costs two probe-scans of the cached
-    * edges against a (typically broadcast) removed set plus one
-    * small aggregate — no O(m) semi-join exchanges, no O(m) cache
-    * writes per round (the first formulation paid both, 3 edge
-    * shuffles + an edge-sized cache per round: 23.8s at sf0.1;
-    * this one ~4s). The decrement bookkeeping is exact: every edge
-    * decrements its surviving endpoint exactly once, in the round
-    * its first endpoint dies (both-die-same-round edges decrement
-    * nobody), which is precisely "degree within the current
-    * surviving subgraph". No driver action in the loop.
+    * subtraction. So a round costs ONE probe-scan of the cached
+    * adjacency against a (typically broadcast) removed set plus one
+    * small aggregate — and because the cache is pre-partitioned on
+    * the grouped column, the per-round decrement count needs no
+    * exchange at all: only node-sized frames move. (The previous
+    * spelling probed a half-sized edge cache TWICE — one join per
+    * endpoint column — and re-shuffled the touched stream every
+    * round; the first formulation before that paid 3 edge shuffles +
+    * an edge-sized cache write per round: 23.8s at sf0.1 vs ~4s.)
+    * The decrement bookkeeping is exact: every edge decrements its
+    * surviving endpoint exactly once, in the round its first
+    * endpoint dies (both-die-same-round edges decrement nobody),
+    * which is precisely "degree within the current surviving
+    * subgraph". No driver action in the loop.
     *
     * Returns (node, degree): the nodes still incident to an edge
     * after `rounds` peels, with their degree inside the peeled
@@ -376,30 +383,43 @@ object Graph {
     require(rounds >= 1, s"rounds $rounds must be >= 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val e = edges.select(
+    // symmetrized adjacency: (__n = dying-endpoint probe key,
+    // __o = surviving neighbor credited with the decrement),
+    // pre-partitioned ONCE on the per-round JOIN key __n (the LPA
+    // partitioning discipline): whatever strategy the planner picks
+    // for the removed-set join — broadcast locally, shuffle-hash when
+    // a real graph's round-1 removed set is too big to broadcast —
+    // the adjacency side never re-exchanges; at most the node-sized
+    // removed frame moves. Degrees fall out of the same partitioning
+    // for free (each edge contributes one row per direction, so
+    // counting rows per __n IS the degree, grouped on the cached
+    // partitioning key — no exchange). The only per-round exchange
+    // left is the decrement count's node-sized partial-aggregate
+    // regroup onto __o, which is a genuinely different key.
+    val adj = edges.select(
         least(col(srcCol), col(dstCol)).as("__u"),
         greatest(col(srcCol), col(dstCol)).as("__v"))
       .filter(col("__u") =!= col("__v"))
       .distinct()
+      .select(explode(array(
+        struct(col("__u").as("__n"), col("__v").as("__o")),
+        struct(col("__v").as("__n"), col("__u").as("__o")))).as("__e"))
+      .select(col("__e.__n").as("__n"), col("__e.__o").as("__o"))
+      .repartition(col("__n"))
       .persist(lvl)
-    cached += e
-    var deg = e.select(explode(array(col("__u"), col("__v"))).as("__n"))
-      .groupBy(col("__n")).agg(count(lit(1)).as("__dg"))
+    cached += adj
+    var deg = adj.groupBy(col("__n")).agg(count(lit(1)).as("__dg"))
       .persist(lvl)
     cached += deg
     (1 to rounds).foreach { _ =>
       val removed = deg.filter(col("__dg") < k).select(col("__n"))
       val surviving = deg.filter(col("__dg") >= k)
-      // every edge incident to a just-removed node credits its OTHER
-      // endpoint; endpoints that also died this round fall out of the
-      // left join against the surviving frame below
-      val touched = e
-        .join(removed.withColumnRenamed("__n", "__u"), Seq("__u"))
-        .select(col("__v").as("__n"))
-        .union(e
-          .join(removed.withColumnRenamed("__n", "__v"), Seq("__v"))
-          .select(col("__u").as("__n")))
-      val dec = touched.groupBy(col("__n")).agg(count(lit(1)).as("__dc"))
+      // every adjacency row whose __n endpoint just died credits its
+      // __o endpoint; endpoints that also died this round fall out of
+      // the left join against the surviving frame below
+      val dec = adj.join(removed, Seq("__n"))
+        .groupBy(col("__o")).agg(count(lit(1)).as("__dc"))
+        .select(col("__o").as("__n"), col("__dc"))
       val next = surviving.join(dec, Seq("__n"), "left")
         .select(col("__n"),
           (col("__dg") - coalesce(col("__dc"), lit(0L))).as("__dg"))
@@ -629,14 +649,16 @@ object Graph {
       .select(col("__ns"),
         expr("CAST(ROUND(1e6 / LN(size(__ns))) AS BIGINT)").as("__w"))
     // all i<j pairs of the sorted array, exploded with the weight;
-    // array is sorted so u < v holds per pair without re-ordering
-    val wedges = mids.select(col("__w"), explode(expr(
-        """flatten(transform(__ns, (x, i) ->
-          |  transform(slice(__ns, i + 2, size(__ns)),
-          |            y -> struct(x AS u, y AS v))))""".stripMargin))
-        .as("__p"))
+    // array is sorted so u < v holds per pair without re-ordering.
+    // Compiled pair generator ([[graft.functions.SortedArrayPairs]]):
+    // the flatten(transform(slice…)) HOF spelling ran ~15 interpreted
+    // expression evals + an O(k) slice copy per emitted wedge — the
+    // dominant per-row cost of this operator (same fix and same
+    // (i, j) emission order as the r17 withinGroupPairs swap).
+    val wedges = mids.select(col("__w"),
+      explode(graft.functions.SortedArrayPairs(col("__ns"))).as("__p"))
     wedges
-      .groupBy(col("__p.u").as("u"), col("__p.v").as("v"))
+      .groupBy(col("__p.x").as("u"), col("__p.y").as("v"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum(col("__w")).as("aa_micro"))
       .join(und.select(col("__u").as("u"), col("__v").as("v")),
