@@ -425,6 +425,164 @@ object HyperplaneBucket {
       numBits, dims, planeA, planeB, planeP))
 }
 
+/** Codegen'd elementwise difference of two `array<double>` columns —
+  * the mean-centering kernel. Exactly `zip_with(a, b, (x, y) ->
+  * x - y)`: output length is max(|a|, |b|), positions past the
+  * shorter side (and positions where either element is null) are
+  * null.
+  */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_vec_sub"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecSub.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecSub.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSub =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecSub {
+  def compute(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < na && i < nb && !a.isNullAt(i) && !b.isNullAt(i))
+        out(i) = a.getDouble(i) - b.getDouble(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    graftshim.column(VecSub(graftshim.expression(a), graftshim.expression(b)))
+}
+
+/** Codegen'd dot product of two `array<double>` columns — exactly
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) ->
+  * acc + v)`: same left-to-right accumulation (bit-identical
+  * doubles), NULL on length mismatch or any null element (zip_with
+  * pads with null and the fold null-poisons).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot"
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |Object r = graft.functions.VecDot.compute($a, $b);
+      |if (r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ((Double) r).doubleValue();
+      |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Boxed result: null ⇔ the HOF spelling null-poisons. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    graftshim.column(VecDot(graftshim.expression(a), graftshim.expression(b)))
+}
+
+/** Codegen'd elementwise scalar division of an `array<double>` by a
+  * double — `transform(v, x -> x / s)` with null elements staying
+  * null. Divergence from the HOF, documented rather than overclaimed:
+  * a NULL divisor makes this expression NULL, where the HOF yields an
+  * array of all-null elements — every caller guards the divisor with
+  * `when(s > 0, …)`, which never lets a null reach either spelling.
+  */
+case class VecDivide(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_vec_divide"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double) arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, s: Any): Any =
+    VecDivide.compute(a.asInstanceOf[ArrayData],
+      s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, s) => s"graft.functions.VecDivide.compute($a, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDivide =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDivide {
+  def compute(a: ArrayData, s: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) out(i) = a.getDouble(i) / s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(v: Column, s: Column): Column =
+    graftshim.column(VecDivide(graftshim.expression(v), graftshim.expression(s)))
+}
+
 /** Codegen'd dense bag-of-words materialization: a (bucket → count)
   * map becomes the dense `array<bigint>` of length `buckets + 1` with
   * the trailing bias slot fixed at 1 — exactly

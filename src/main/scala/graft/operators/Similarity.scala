@@ -563,12 +563,21 @@ object Similarity {
       .select(expr(
         "transform(ms, m -> CAST(m.sx AS DOUBLE) / m.n / 1000000.0)")
         .as("mean_v"))
+    // Per-row kernels are the compiled vector expressions (guide §4):
+    // the HOF spelling ran ~8 interpreted lambda evals per DIMENSION
+    // per corpus vector (center, two norm folds, two divides) with no
+    // compiled downstream work to amortize them — the whole per-row
+    // cost of this operator WAS interpretation overhead. VecSub /
+    // VecDot / VecDivide run the same left-to-right IEEE loops
+    // (bit-identical doubles, spec-pinned); slicing before the divide
+    // replaces dividing before the slice — per-element results are
+    // identical and the dropped tail is never divided.
     val centered = e.join(broadcast(means))
       .select(col(idCol),
-        expr("zip_with(v, mean_v, (x, m) -> x - m)").as("cv"))
+        graft.functions.VecSub(col("v"), col("mean_v")).as("cv"))
       .select(col(idCol), col("cv"),
-        sqrt(expr("""aggregate(zip_with(cv, cv, (p, q) -> p * q),
-          CAST(0 AS DOUBLE), (acc, w) -> acc + w)""")).as("norm_centered"))
+        sqrt(graft.functions.VecDot(col("cv"), col("cv")))
+          .as("norm_centered"))
     // Degenerate inputs guard: a vector EQUAL to the corpus mean has
     // norm_centered = 0, and one whose first keepDims centered
     // components are all zero has kept_mass = 0 — either division
@@ -578,15 +587,16 @@ object Similarity {
     centered
       .select(col(idCol), col("norm_centered"),
         when(col("norm_centered") > 0d,
-          expr(s"slice(transform(cv, x -> x / norm_centered), 1, $keepDims)"))
+          graft.functions.VecDivide(
+            slice(col("cv"), 1, keepDims), col("norm_centered")))
           .as("tv"))
       .select(col(idCol), col("norm_centered"),
-        sqrt(expr("""aggregate(zip_with(tv, tv, (p, q) -> p * q),
-          CAST(0 AS DOUBLE), (acc, w) -> acc + w)""")).as("kept_mass"),
+        sqrt(graft.functions.VecDot(col("tv"), col("tv"))).as("kept_mass"),
         col("tv"))
       .select(col(idCol),
         when(col("kept_mass") > 0d,
-          expr("transform(tv, x -> x / kept_mass)")).as("v_prep"),
+          graft.functions.VecDivide(col("tv"), col("kept_mass")))
+          .as("v_prep"),
         col("norm_centered"), col("kept_mass"))
   }
 

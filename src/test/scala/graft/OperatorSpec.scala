@@ -880,6 +880,97 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0L, "dense counts diverge from the HOF probe")
   }
 
+  test("VecSub/VecDot/VecDivide == their HOF formulations (r18)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 120).map { i =>
+      (i.toLong,
+        (1 to 16).map(_ => (rnd.nextInt(2001) - 1000) / 100.0),
+        (1 to 16).map(_ => (rnd.nextInt(2001) - 1000) / 100.0))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(col("id"),
+      graft.functions.VecSub(col("a"), col("b")).as("sub_got"),
+      expr("zip_with(a, b, (x, y) -> x - y)").as("sub_want"),
+      graft.functions.VecDot(col("a"), col("b")).as("dot_got"),
+      expr("""aggregate(zip_with(a, b, (x, y) -> x * y),
+        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .as("dot_want"),
+      graft.functions.VecDivide(col("a"), element_at(col("b"), 1))
+        .as("div_got"),
+      expr("transform(a, x -> x / element_at(b, 1))").as("div_want"))
+    assert(cmp.filter(expr("to_json(sub_got) != to_json(sub_want)"))
+      .count() == 0L, "VecSub diverges from zip_with")
+    // bit-identical accumulation: compare raw doubles, not rounded
+    assert(cmp.filter(expr("dot_got <=> dot_want") === lit(false))
+      .count() == 0L, "VecDot diverges from the aggregate fold")
+    assert(cmp.filter(expr("to_json(div_got) != to_json(div_want)"))
+      .count() == 0L, "VecDivide diverges from transform")
+    // edge semantics: VecSub pads length mismatches with nulls like
+    // zip_with; VecDot null-poisons on mismatch like the fold
+    val edge = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)))
+      .toDF("a", "b")
+      .select(
+        graft.functions.VecSub(col("a"), col("b")).as("sub_got"),
+        expr("zip_with(a, b, (x, y) -> x - y)").as("sub_want"),
+        graft.functions.VecDot(col("a"), col("b")).as("dot_got"))
+    assert(edge.filter(expr("to_json(sub_got) != to_json(sub_want)"))
+      .count() == 0L)
+    assert(edge.filter(col("dot_got").isNotNull).count() == 0L)
+  }
+
+  test("preprocess == its pre-r18 HOF formulation, degenerate rows included") {
+    import spark.implicits._
+    // 3 normal vectors + one equal to the corpus mean of itself alone
+    // (forces norm_centered = 0 → NULL v_prep through the guard)
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 40L).map { i =>
+      (i, (1 to 12).map(_ => (rnd.nextInt(401) - 200) / 100.0f))
+    }
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity.preprocess(df, "id", "vec", keepDims = 6)
+    // the exact pre-r18 spelling, inlined
+    val e = df.select(col("id"), Similarity.asDouble(col("vec")).as("v"))
+    val means = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(sum(round(col("x") * 1e6, 0).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("d"), col("sx"), col("n"))))
+        .as("ms"))
+      .select(expr(
+        "transform(ms, m -> CAST(m.sx AS DOUBLE) / m.n / 1000000.0)")
+        .as("mean_v"))
+    val want = e.join(broadcast(means))
+      .select(col("id"),
+        expr("zip_with(v, mean_v, (x, m) -> x - m)").as("cv"))
+      .select(col("id"), col("cv"),
+        sqrt(expr("""aggregate(zip_with(cv, cv, (p, q) -> p * q),
+          CAST(0 AS DOUBLE), (acc, w) -> acc + w)""")).as("norm_centered"))
+      .select(col("id"), col("norm_centered"),
+        when(col("norm_centered") > 0d,
+          expr("slice(transform(cv, x -> x / norm_centered), 1, 6)"))
+          .as("tv"))
+      .select(col("id"), col("norm_centered"),
+        sqrt(expr("""aggregate(zip_with(tv, tv, (p, q) -> p * q),
+          CAST(0 AS DOUBLE), (acc, w) -> acc + w)""")).as("kept_mass"),
+        col("tv"))
+      .select(col("id"),
+        when(col("kept_mass") > 0d,
+          expr("transform(tv, x -> x / kept_mass)")).as("v_prep"),
+        col("norm_centered"), col("kept_mass"))
+    val g = got.select(col("id"), expr("to_json(struct(*))").as("j"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = want.select(col("id"), expr("to_json(struct(*))").as("j"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g == w)
+    // degenerate guard still fires: a single-row corpus centers to the
+    // zero vector and must emit NULL v_prep, never NaN
+    val one = Seq((9L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("id", "vec")
+    val d = Similarity.preprocess(one, "id", "vec", keepDims = 2).collect()(0)
+    assert(d.isNullAt(d.fieldIndex("v_prep")))
+    assert(d.getDouble(d.fieldIndex("norm_centered")) == 0.0)
+  }
+
   test("vector kernels match HOF edge semantics: length mismatch and null elements") {
     import spark.implicits._
     // LongDot: a length mismatch is NULL (zip_with pads with null and
